@@ -1,0 +1,6 @@
+"""Query modules — importing this package registers every query.
+
+Each module covers one section of SURVEY.md §2's operator inventory.
+"""
+
+from ondemand_dask_spark.queries import tpch  # noqa: F401
