@@ -3,4 +3,9 @@
 Each module covers one section of SURVEY.md §2's operator inventory.
 """
 
-from ondemand_dask_spark.queries import tpch  # noqa: F401
+from ondemand_dask_spark.queries import (  # noqa: F401
+    joins,
+    relational,
+    sets,
+    tpch,
+)

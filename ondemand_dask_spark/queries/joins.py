@@ -1,0 +1,273 @@
+"""§2.C — the join family.
+
+Dask's single logical `merge` has three physical strategies (hash
+shuffle / broadcast / aligned-interval); Spark's planner subsumes all
+of them (sort-merge, shuffled-hash, broadcast-hash via AQE, BNLJ for
+non-equi), so every row here is a declarative `join` with the right
+hint — no custom executor.
+
+Scale notes: fact-fact joins (orders⋈lineitem) shuffle on the key —
+at 100 TB that is the intended plan (co-partitioned sort-merge;
+bucketing both tables on the key removes the shuffle entirely, see
+sources/bucketing.py).  Dimension joins broadcast: `F.broadcast` on
+provably bounded sides, AQE runtime-converts the rest.  Semi/anti
+joins use the native left_semi/left_anti types — they never
+duplicate-amplify and the build side only carries the key columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ondemand_dask_spark.io import load_table
+from ondemand_dask_spark.registry import register
+
+
+@register(
+    "join_inner",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd.merge(l, r, on=, how='inner') — equi inner join."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "join_left",
+    oracle="""
+    SELECT c_custkey, o_orderkey
+    FROM customer LEFT JOIN orders
+      ON c_custkey = o_custkey AND o_totalprice > 300000
+    """,
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """how='left' — unmatched left rows survive with NULL right cols."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(
+        o, (c.c_custkey == o.o_custkey) & (o.o_totalprice > 300000), "left"
+    ).select("c_custkey", "o_orderkey")
+
+
+@register(
+    "join_right",
+    oracle="""
+    SELECT c_custkey, o_orderkey
+    FROM orders RIGHT JOIN customer
+      ON c_custkey = o_custkey AND o_totalprice > 300000
+    """,
+)
+def join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """how='right' — mirror of left join."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return o.join(
+        c, (c.c_custkey == o.o_custkey) & (o.o_totalprice > 300000), "right"
+    ).select("c_custkey", "o_orderkey")
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    WITH hi_cust AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 9000),
+         hi_ord  AS (SELECT o_custkey, o_orderkey FROM orders WHERE o_totalprice > 300000)
+    SELECT c_custkey, round(c_acctbal, 4) AS acctbal, o_orderkey
+    FROM hi_cust FULL JOIN hi_ord ON c_custkey = o_custkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """how='outer' — full outer join with unmatched rows on both sides."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select("c_custkey", "c_acctbal")
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .select("o_custkey", "o_orderkey")
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "full").select(
+        "c_custkey", F.round("c_acctbal", 4).alias("acctbal"), "o_orderkey"
+    )
+
+
+@register(
+    "join_cross",
+    oracle="""
+    SELECT r_name, n_name FROM region CROSS JOIN nation
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """how='cross' — cartesian product (bounded sides only)."""
+    r = load_table(spark, sf_dir, "region").select("r_name")
+    n = load_table(spark, sf_dir, "nation").select("n_name")
+    return r.crossJoin(n)
+
+
+@register(
+    "join_broadcast",
+    oracle="""
+    SELECT n_name, r_name
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast path — small side replicated to every task, zero
+    shuffle on the big side (plan shows BroadcastHashJoin)."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_name", "r_name"
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 250000)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join — native left_semi: no right columns, no row
+    amplification (the Dask idiom l[l.k.isin(r.k)] needs a distinct
+    + shuffle; this is one hash-semi pass)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 250000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 350000)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join — native left_anti (the Dask merge(indicator=True) →
+    _merge == 'left_only' idiom, without materializing the join)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 350000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_indicator",
+    oracle="""
+    WITH hi_cust AS (SELECT c_custkey FROM customer WHERE c_acctbal > 9000),
+         hi_ord  AS (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 300000)
+    SELECT COALESCE(c_custkey, o_custkey) AS custkey,
+           CASE WHEN c_custkey IS NULL THEN 'right_only'
+                WHEN o_custkey IS NULL THEN 'left_only'
+                ELSE 'both' END AS merge_ind
+    FROM hi_cust FULL JOIN hi_ord ON c_custkey = o_custkey
+    """,
+)
+def join_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """merge(indicator=True) — provenance column over a full join."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select("c_custkey")
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .select("o_custkey")
+        .distinct()
+    )
+    j = c.join(o, c.c_custkey == o.o_custkey, "full")
+    return j.select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        F.when(F.col("c_custkey").isNull(), "right_only")
+        .when(F.col("o_custkey").isNull(), "left_only")
+        .otherwise("both")
+        .alias("merge_ind"),
+    )
+
+
+@register(
+    "join_theta",
+    oracle="""
+    SELECT a.r_regionkey AS lo_key, b.r_regionkey AS hi_key
+    FROM region a JOIN region b ON a.r_regionkey < b.r_regionkey
+    """,
+)
+def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta (non-equi) join — planner picks broadcast-nested-loop;
+    only valid for bounded sides (here region×region)."""
+    a = load_table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("lo_key")
+    )
+    b = load_table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("hi_key")
+    )
+    return a.join(b, a.lo_key < b.hi_key)
+
+
+@register(
+    "join_interval",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_early_ships
+    FROM lineitem JOIN orders
+      ON l_orderkey = o_orderkey
+     AND l_shipdate >= o_orderdate
+     AND l_shipdate <  o_orderdate + INTERVAL 60 DAY
+    GROUP BY o_orderpriority
+    """,
+)
+def join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join (point-in-range) — equi key keeps it a hash/SMJ
+    join; the range predicate is evaluated post-match, so there is no
+    cartesian blow-up at scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        li.join(
+            o,
+            (li.l_orderkey == o.o_orderkey)
+            & (li.l_shipdate >= o.o_orderdate)
+            & (li.l_shipdate < F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")),
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_early_ships"))
+    )
+
+
+@register(
+    "concat_axis1",
+    oracle="""
+    WITH a AS (SELECT c_custkey, c_name FROM customer),
+         b AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 0)
+    SELECT a.c_custkey, c_name, round(c_acctbal, 4) AS acctbal
+    FROM a LEFT JOIN b ON a.c_custkey = b.c_custkey
+    """,
+)
+def concat_axis1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd.concat([l, r], axis=1) — align by index: an outer join on
+    the row key (here the full left side, so LEFT JOIN)."""
+    a = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    b = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 0)
+        .select(F.col("c_custkey").alias("bk"), "c_acctbal")
+    )
+    return a.join(b, a.c_custkey == b.bk, "left").select(
+        "c_custkey", "c_name", F.round("c_acctbal", 4).alias("acctbal")
+    )

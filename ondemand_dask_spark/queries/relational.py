@@ -1,0 +1,255 @@
+"""§2.B — projections, filters, predicates, null handling.
+
+Reference surface: Dask DataFrame getitem/assign/drop/rename/astype,
+boolean masks, `query()` string expressions, isin, where/mask,
+dropna/fillna/replace, `.loc` range slices, head.  All map to single
+declarative Spark constructs; Catalyst pushes every filter and
+projection here down to the parquet scan (verified via
+`.explain('formatted')` → PushedFilters / ReadSchema).
+
+The fixtures contain no NULLs, so null-handling ops manufacture them
+with NULLIF-equivalents identically on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ondemand_dask_spark.io import load_table
+from ondemand_dask_spark.registry import register
+
+
+@register(
+    "proj_select",
+    oracle="SELECT c_custkey, c_name, c_acctbal FROM customer",
+)
+def proj_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df[['a','b']] — column projection (prunes the parquet scan)."""
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@register(
+    "proj_assign",
+    oracle="""
+    SELECT o_orderkey,
+           round(o_totalprice * 0.9, 4) AS disc_total,
+           o_orderpriority
+    FROM orders
+    """,
+)
+def proj_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.assign(x=...) — derived column via withColumn."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .withColumn("disc_total", F.round(F.col("o_totalprice") * 0.9, 4))
+        .select("o_orderkey", "disc_total", "o_orderpriority")
+    )
+
+
+@register(
+    "proj_drop_rename_cast",
+    oracle="""
+    SELECT c_custkey AS customer_id,
+           c_name    AS customer_name,
+           CAST(c_nationkey AS BIGINT) AS nation_id
+    FROM customer
+    """,
+)
+def proj_drop_rename_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """drop(columns=) + rename(columns=) + astype() in one pipeline."""
+    return (
+        load_table(spark, sf_dir, "customer")
+        .drop("c_acctbal", "c_mktsegment")
+        .withColumnRenamed("c_custkey", "customer_id")
+        .withColumnRenamed("c_name", "customer_name")
+        .withColumn("nation_id", F.col("c_nationkey").cast("bigint"))
+        .drop("c_nationkey")
+    )
+
+
+@register(
+    "filter_mask",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem WHERE l_quantity > 45
+    """,
+)
+def filter_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df[df.x > 3] — boolean-mask filter (pushed to scan)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 45)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )
+
+
+@register(
+    "filter_query_string",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_orderstatus = 'O' AND o_totalprice > 200000
+    """,
+)
+def filter_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.query("...") — string expression filter via Spark SQL expr."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter("o_orderstatus = 'O' AND o_totalprice > 200000")
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "filter_isin",
+    oracle="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer
+    WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+    """,
+)
+def filter_isin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ser.isin([...]) — membership predicate."""
+    return (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+@register(
+    "cond_where_mask",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 0.0 ELSE round(c_acctbal, 4) END AS bal_clipped,
+           CASE WHEN c_acctbal >= 5000 THEN 'high'
+                WHEN c_acctbal >= 0    THEN 'mid'
+                ELSE 'neg' END AS bal_band
+    FROM customer
+    """,
+)
+def cond_where_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.where(cond, other) / np.select — F.when chains."""
+    c = F.col("c_acctbal")
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(c < 0, F.lit(0.0)).otherwise(F.round(c, 4)).alias("bal_clipped"),
+        F.when(c >= 5000, "high").when(c >= 0, "mid").otherwise("neg").alias("bal_band"),
+    )
+
+
+@register(
+    "na_drop",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, disc FROM (
+      SELECT l_orderkey, l_linenumber, NULLIF(l_discount, 0.0) AS disc
+      FROM lineitem
+    ) WHERE disc IS NOT NULL
+    """,
+)
+def na_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.dropna(subset=) — NULLs manufactured via nullif."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.nullif(F.col("l_discount"), F.lit(0.0)).alias("disc"),
+        )
+        .na.drop(subset=["disc"])
+    )
+
+
+@register(
+    "na_fill",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           COALESCE(NULLIF(l_discount, 0.0), -1.0) AS disc_filled
+    FROM lineitem
+    """,
+)
+def na_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.fillna(v) — na.fill over manufactured NULLs."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.nullif(F.col("l_discount"), F.lit(0.0)).alias("disc_filled"),
+        )
+        .na.fill({"disc_filled": -1.0})
+    )
+
+
+@register(
+    "replace_value",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_mktsegment = 'BUILDING' THEN 'BLDG'
+                ELSE c_mktsegment END AS segment
+    FROM customer
+    """,
+)
+def replace_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.replace(a, b) — value substitution via na.replace."""
+    return (
+        load_table(spark, sf_dir, "customer")
+        .withColumn("segment", F.col("c_mktsegment"))
+        .na.replace({"BUILDING": "BLDG"}, subset=["segment"])
+        .select("c_custkey", "segment")
+    )
+
+
+@register(
+    "slice_loc_between",
+    oracle="""
+    SELECT o_orderkey, o_orderdate
+    FROM orders
+    WHERE o_orderdate BETWEEN TIMESTAMP '1997-01-01 00:00:00'
+                          AND TIMESTAMP '1997-03-31 00:00:00'
+    """,
+)
+def slice_loc_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.loc[a:b] on known divisions — index-range slice; here a
+    BETWEEN range filter that prunes parquet row groups via stats."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate").between(
+                F.lit("1997-01-01").cast("timestamp_ntz"),
+                F.lit("1997-03-31").cast("timestamp_ntz"),
+            )
+        )
+        .select("o_orderkey", "o_orderdate")
+    )
+
+
+@register(
+    "topn_head",
+    oracle="SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 5",
+)
+def topn_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.head(n) — deterministic via explicit order + limit."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+        .limit(5)
+    )
+
+
+@register(
+    "sample_seeded",
+    oracle=None,  # nondeterministic across engines — rows-only
+)
+def sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.sample(frac, random_state) — Bernoulli sample; seeded so the
+    Spark side is reproducible, but engines differ → rows-only check."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .sample(fraction=0.1, seed=42)
+        .select("o_orderkey", "o_totalprice")
+    )
