@@ -4,8 +4,10 @@ Each module covers one section of SURVEY.md §2's operator inventory.
 """
 
 from ondemand_dask_spark.queries import (  # noqa: F401
+    aggregations,
     joins,
     relational,
     sets,
     tpch,
+    windows,
 )

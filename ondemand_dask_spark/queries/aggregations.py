@@ -1,0 +1,486 @@
+"""§2.D — aggregation surface.
+
+Dask groupby is split-apply-combine with explicit (chunk, combine,
+aggregate) decomposition; Spark's HashAggregateExec generates exactly
+that partial→shuffle→final pipeline automatically, with map-side
+combine — the shuffle carries |groups|×partitions rows, not the fact
+table.  Everything here is a declarative groupBy/agg; rollup/cube/
+grouping-sets are free upside Dask never had.
+
+Determinism discipline (SURVEY.md §5.2.3): first/last/idxmax are
+given explicit total orders (struct-ordered min_by/max_by with a
+unique tiebreaker); quantiles use exact percentile (not approx);
+floating aggregates round to 4 dp on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ondemand_dask_spark.io import load_table
+from ondemand_dask_spark.registry import register
+
+_R = 4
+
+
+@register(
+    "agg_groupby_basic",
+    oracle=f"""
+    SELECT l_returnflag,
+           round((sum(l_quantity)) - 1e-9, {_R})  AS sum_qty,
+           round((min(l_quantity)) - 1e-9, {_R})  AS min_qty,
+           round((max(l_quantity)) - 1e-9, {_R})  AS max_qty,
+           count(*)                      AS n_rows,
+           count(l_quantity)             AS n_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_groupby_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupby(k).sum/min/max/count/size — decomposable aggs."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round((F.sum("l_quantity")) - 1e-9, _R).alias("sum_qty"),
+            F.round((F.min("l_quantity")) - 1e-9, _R).alias("min_qty"),
+            F.round((F.max("l_quantity")) - 1e-9, _R).alias("max_qty"),
+            F.count("*").alias("n_rows"),
+            F.count("l_quantity").alias("n_qty"),
+        )
+    )
+
+
+@register(
+    "agg_groupby_stats",
+    oracle=f"""
+    SELECT c_nationkey,
+           round((avg(c_acctbal)) - 1e-9, {_R})          AS mean_bal,
+           round((var_samp(c_acctbal)) - 1e-9, {_R})     AS var_bal,
+           round((stddev_samp(c_acctbal)) - 1e-9, {_R})  AS std_bal,
+           round((stddev_samp(c_acctbal) / sqrt(count(c_acctbal))) - 1e-9, {_R}) AS sem_bal
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def agg_groupby_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupby(k).mean/var/std/sem — algebraic aggs (M2 combine)."""
+    return (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(
+            F.round((F.avg("c_acctbal")) - 1e-9, _R).alias("mean_bal"),
+            F.round((F.var_samp("c_acctbal")) - 1e-9, _R).alias("var_bal"),
+            F.round((F.stddev_samp("c_acctbal")) - 1e-9, _R).alias("std_bal"),
+            F.round((F.stddev_samp("c_acctbal") / F.sqrt(F.count("c_acctbal"))) - 1e-9, _R
+            ).alias("sem_bal"),
+        )
+    )
+
+
+@register(
+    "agg_first_last_ordered",
+    oracle="""
+    SELECT o_custkey,
+           max(CASE WHEN rn_f = 1 THEN o_orderkey END) AS first_order,
+           max(CASE WHEN rn_l = 1 THEN o_orderkey END) AS last_order
+    FROM (
+      SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn_f,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn_l
+      FROM orders
+    ) GROUP BY o_custkey
+    """,
+)
+def agg_first_last_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupby(k).first/last — made deterministic with an explicit
+    total order (orderdate, orderkey) via struct-ordered min_by/max_by
+    (unordered first() is nondeterministic in both engines)."""
+    o = load_table(spark, sf_dir, "orders")
+    key = F.struct("o_orderdate", "o_orderkey")
+    return o.groupBy("o_custkey").agg(
+        F.min_by("o_orderkey", key).alias("first_order"),
+        F.max_by("o_orderkey", key).alias("last_order"),
+    )
+
+
+@register(
+    "agg_idxmax",
+    oracle="""
+    SELECT o_custkey, o_orderkey AS biggest_order FROM (
+      SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def agg_idxmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ser.idxmax / groupby.idxmax — key of the extreme value
+    (max_by), tie-broken by the unique orderkey."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", F.struct("o_totalprice", "o_orderkey")).alias(
+            "biggest_order"
+        )
+    )
+
+
+@register(
+    "agg_nunique",
+    oracle="""
+    SELECT c_mktsegment, count(DISTINCT c_nationkey) AS n_nations
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def agg_nunique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupby(k).nunique — exact distinct count per group."""
+    return (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(F.countDistinct("c_nationkey").alias("n_nations"))
+    )
+
+
+@register(
+    "agg_nunique_approx",
+    oracle=None,  # HLL estimates differ per engine — rows-only
+)
+def agg_nunique_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ser.nunique_approx() — HyperLogLog distinct estimate.  At
+    100 TB this is the right default for high-cardinality columns:
+    fixed-size sketch, no distinct shuffle."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .agg(F.approx_count_distinct("o_custkey", 0.02).alias("approx_custs"))
+    )
+
+
+@register(
+    "agg_multi",
+    oracle=f"""
+    SELECT l_linestatus,
+           round((sum(l_extendedprice)) - 1e-9, {_R}) AS price_sum,
+           round((avg(l_extendedprice)) - 1e-9, {_R}) AS price_mean,
+           round((max(l_discount)) - 1e-9, {_R})      AS disc_max,
+           count(DISTINCT l_suppkey)         AS n_supps
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def agg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupby(k).agg({'a': ['sum','mean'], 'b': 'max'}) — multi-agg."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_linestatus")
+        .agg(
+            F.round((F.sum("l_extendedprice")) - 1e-9, _R).alias("price_sum"),
+            F.round((F.avg("l_extendedprice")) - 1e-9, _R).alias("price_mean"),
+            F.round((F.max("l_discount")) - 1e-9, _R).alias("disc_max"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+        )
+    )
+
+
+@register(
+    "agg_custom_geomean",
+    oracle=f"""
+    SELECT l_returnflag,
+           round((exp(avg(ln(l_extendedprice)))) - 1e-9, {_R}) AS geo_mean_price
+    FROM lineitem WHERE l_extendedprice > 0
+    GROUP BY l_returnflag
+    """,
+)
+def agg_custom_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd.Aggregation(chunk, agg, finalize) — custom decomposable
+    aggregation expressed as composition of built-ins (exp∘avg∘ln),
+    keeping the partial/final split and JVM codegen (no Python UDAF)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_extendedprice") > 0)
+        .groupBy("l_returnflag")
+        .agg(
+            F.round((F.exp(F.avg(F.log(F.col("l_extendedprice"))))) - 1e-9, _R).alias(
+                "geo_mean_price"
+            )
+        )
+    )
+
+
+@register(
+    "agg_value_counts",
+    oracle="""
+    SELECT o_orderpriority AS value, count(*) AS count
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ser.value_counts() — count per distinct value."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderpriority").alias("value"))
+        .agg(F.count("*").alias("count"))
+    )
+
+
+@register(
+    "agg_drop_duplicates",
+    oracle="""
+    SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+    """,
+)
+def agg_drop_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.drop_duplicates(subset) — distinct rows."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderstatus", "o_orderpriority")
+        .dropDuplicates()
+    )
+
+
+@register(
+    "agg_drop_duplicates_keep_first",
+    oracle="""
+    SELECT c_mktsegment, c_custkey AS first_custkey FROM (
+      SELECT c_mktsegment, c_custkey,
+             row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_custkey) AS rn
+      FROM customer
+    ) WHERE rn = 1
+    """,
+)
+def agg_drop_duplicates_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """drop_duplicates(keep='first') with an explicit order — the
+    row_number()==1 window pattern (deterministic, unlike partition-
+    order 'first')."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("c_mktsegment").orderBy("c_custkey")
+    return (
+        load_table(spark, sf_dir, "customer")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("c_mktsegment", F.col("c_custkey").alias("first_custkey"))
+    )
+
+
+@register(
+    "agg_describe",
+    oracle=f"""
+    SELECT count(o_totalprice)                                  AS count,
+           round((avg(o_totalprice)) - 1e-9, {_R})                       AS mean,
+           round((stddev_samp(o_totalprice)) - 1e-9, {_R})               AS std,
+           round((min(o_totalprice)) - 1e-9, {_R})                       AS min,
+           round((quantile_cont(o_totalprice, 0.25)) - 1e-9, {_R})       AS p25,
+           round((quantile_cont(o_totalprice, 0.50)) - 1e-9, {_R})       AS p50,
+           round((quantile_cont(o_totalprice, 0.75)) - 1e-9, {_R})       AS p75,
+           round((max(o_totalprice)) - 1e-9, {_R})                       AS max
+    FROM orders
+    """,
+)
+def agg_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.describe() — count/mean/std/min/quartiles/max with EXACT
+    interpolated percentiles (matches DuckDB quantile_cont)."""
+    c = F.col("o_totalprice")
+    return load_table(spark, sf_dir, "orders").agg(
+        F.count(c).alias("count"),
+        F.round((F.avg(c)) - 1e-9, _R).alias("mean"),
+        F.round((F.stddev_samp(c)) - 1e-9, _R).alias("std"),
+        F.round((F.min(c)) - 1e-9, _R).alias("min"),
+        F.round((F.percentile(c, F.lit(0.25))) - 1e-9, _R).alias("p25"),
+        F.round((F.percentile(c, F.lit(0.50))) - 1e-9, _R).alias("p50"),
+        F.round((F.percentile(c, F.lit(0.75))) - 1e-9, _R).alias("p75"),
+        F.round((F.max(c)) - 1e-9, _R).alias("max"),
+    )
+
+
+@register(
+    "agg_groupby_quantile",
+    oracle=f"""
+    SELECT l_returnflag,
+           round((quantile_cont(l_extendedprice, 0.5)) - 1e-9, {_R})  AS median_price,
+           round((quantile_cont(l_extendedprice, 0.9)) - 1e-9, {_R})  AS p90_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_groupby_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ser.quantile(q) / groupby.quantile — exact percentile.  (At
+    100 TB swap to percentile_approx: t-digest sketch, single pass,
+    no per-group sort — same API shape.)"""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round((F.percentile("l_extendedprice", F.lit(0.5))) - 1e-9, _R).alias(
+                "median_price"
+            ),
+            F.round((F.percentile("l_extendedprice", F.lit(0.9))) - 1e-9, _R).alias(
+                "p90_price"
+            ),
+        )
+    )
+
+
+@register(
+    "agg_cov_corr",
+    oracle=f"""
+    SELECT round((covar_samp(l_quantity, l_extendedprice)) - 1e-9, {_R}) AS cov_qty_price,
+           round((corr(l_quantity, l_extendedprice)) - 1e-9, {_R})       AS corr_qty_price
+    FROM lineitem
+    """,
+)
+def agg_cov_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.cov() / df.corr() — pairwise covariance / correlation."""
+    return load_table(spark, sf_dir, "lineitem").agg(
+        F.round((F.covar_samp("l_quantity", "l_extendedprice")) - 1e-9, _R).alias(
+            "cov_qty_price"
+        ),
+        F.round((F.corr("l_quantity", "l_extendedprice")) - 1e-9, _R).alias("corr_qty_price"),
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           round((sum(l_quantity)) - 1e-9, {_R}) AS sum_qty,
+           count(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals — rollup (absent in Dask; free in Spark)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round((F.sum("l_quantity")) - 1e-9, _R).alias("sum_qty"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@register(
+    "agg_cube",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           round((sum(o_totalprice)) - 1e-9, {_R}) AS sum_price
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All grouping combinations — cube."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.round((F.sum("o_totalprice")) - 1e-9, _R).alias("sum_price"))
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle=f"""
+    SELECT c_mktsegment, c_nationkey,
+           round((sum(c_acctbal)) - 1e-9, {_R}) AS sum_bal
+    FROM customer
+    GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets via SQL (same Catalyst Expand node)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        f"""
+        SELECT c_mktsegment, c_nationkey,
+               round((sum(c_acctbal)) - 1e-9, {_R}) AS sum_bal
+        FROM customer
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))
+        """
+    )
+
+
+@register(
+    "agg_pivot",
+    oracle=f"""
+    SELECT c_mktsegment,
+           round((sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END)) - 1e-9, {_R}) AS F,
+           round((sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END)) - 1e-9, {_R}) AS O,
+           round((sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END)) - 1e-9, {_R}) AS P
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.pivot_table — groupBy().pivot() with explicit values (so no
+    extra distinct-discovery job; required at scale)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.round((F.sum("o_totalprice")) - 1e-9, _R))
+    )
+
+
+@register(
+    "agg_melt",
+    oracle="""
+    SELECT p_partkey, 'p_size' AS variable, round((CAST(p_size AS DOUBLE)) - 1e-9, 4) AS value
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice' AS variable, round((p_retailprice) - 1e-9, 4) AS value
+    FROM part
+    """,
+)
+def agg_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.melt(id_vars, value_vars) — wide → long unpivot."""
+    return (
+        load_table(spark, sf_dir, "part")
+        .withColumn("p_size", F.col("p_size").cast("double"))
+        .melt(
+            ids=["p_partkey"],
+            values=["p_size", "p_retailprice"],
+            variableColumnName="variable",
+            valueColumnName="value",
+        )
+        .withColumn("value", F.round(F.col("value") - 1e-9, 4))
+    )
+
+
+@register(
+    "agg_frame_reduce",
+    oracle=f"""
+    SELECT round((sum(l_quantity)) - 1e-9, {_R})       AS total_qty,
+           round((avg(l_discount)) - 1e-9, {_R})       AS mean_disc,
+           round((min(l_extendedprice)) - 1e-9, {_R})  AS min_price,
+           round((max(l_extendedprice)) - 1e-9, {_R})  AS max_price,
+           count(*)                           AS n
+    FROM lineitem
+    """,
+)
+def agg_frame_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.sum()/mean()/... — whole-frame one-row reduction."""
+    return load_table(spark, sf_dir, "lineitem").agg(
+        F.round((F.sum("l_quantity")) - 1e-9, _R).alias("total_qty"),
+        F.round((F.avg("l_discount")) - 1e-9, _R).alias("mean_disc"),
+        F.round((F.min("l_extendedprice")) - 1e-9, _R).alias("min_price"),
+        F.round((F.max("l_extendedprice")) - 1e-9, _R).alias("max_price"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "agg_collect_list_sorted",
+    oracle="""
+    SELECT n_regionkey, list(n_name ORDER BY n_name) AS nations
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def agg_collect_list_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupby.agg(list) — collect_list, sorted inside the array for
+    determinism (collect order is partition-dependent otherwise)."""
+    return (
+        load_table(spark, sf_dir, "nation")
+        .groupBy("n_regionkey")
+        .agg(F.sort_array(F.collect_list("n_name")).alias("nations"))
+    )

@@ -35,7 +35,7 @@ def proj_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     "proj_assign",
     oracle="""
     SELECT o_orderkey,
-           round(o_totalprice * 0.9, 4) AS disc_total,
+           round((o_totalprice * 0.9) - 1e-9, 4) AS disc_total,
            o_orderpriority
     FROM orders
     """,
@@ -44,7 +44,7 @@ def proj_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """df.assign(x=...) — derived column via withColumn."""
     return (
         load_table(spark, sf_dir, "orders")
-        .withColumn("disc_total", F.round(F.col("o_totalprice") * 0.9, 4))
+        .withColumn("disc_total", F.round((F.col("o_totalprice") * 0.9) - 1e-9, 4))
         .select("o_orderkey", "disc_total", "o_orderpriority")
     )
 
@@ -124,7 +124,7 @@ def filter_isin(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cond_where_mask",
     oracle="""
     SELECT c_custkey,
-           CASE WHEN c_acctbal < 0 THEN 0.0 ELSE round(c_acctbal, 4) END AS bal_clipped,
+           CASE WHEN c_acctbal < 0 THEN 0.0 ELSE round((c_acctbal) - 1e-9, 4) END AS bal_clipped,
            CASE WHEN c_acctbal >= 5000 THEN 'high'
                 WHEN c_acctbal >= 0    THEN 'mid'
                 ELSE 'neg' END AS bal_band
@@ -136,7 +136,7 @@ def cond_where_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = F.col("c_acctbal")
     return load_table(spark, sf_dir, "customer").select(
         "c_custkey",
-        F.when(c < 0, F.lit(0.0)).otherwise(F.round(c, 4)).alias("bal_clipped"),
+        F.when(c < 0, F.lit(0.0)).otherwise(F.round((c) - 1e-9, 4)).alias("bal_clipped"),
         F.when(c >= 5000, "high").when(c >= 0, "mid").otherwise("neg").alias("bal_band"),
     )
 

@@ -33,13 +33,13 @@ _R = 4
     SELECT
       l_returnflag,
       l_linestatus,
-      round(sum(l_quantity), {_R})                                        AS sum_qty,
-      round(sum(l_extendedprice), {_R})                                   AS sum_base_price,
-      round(sum(l_extendedprice * (1 - l_discount)), {_R})                AS sum_disc_price,
-      round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), {_R}) AS sum_charge,
-      round(avg(l_quantity), {_R})                                        AS avg_qty,
-      round(avg(l_extendedprice), {_R})                                   AS avg_price,
-      round(avg(l_discount), {_R})                                        AS avg_disc,
+      round((sum(l_quantity)) - 1e-9, {_R})                                        AS sum_qty,
+      round((sum(l_extendedprice)) - 1e-9, {_R})                                   AS sum_base_price,
+      round((sum(l_extendedprice * (1 - l_discount))) - 1e-9, {_R})                AS sum_disc_price,
+      round((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) - 1e-9, {_R}) AS sum_charge,
+      round((avg(l_quantity)) - 1e-9, {_R})                                        AS avg_qty,
+      round((avg(l_extendedprice)) - 1e-9, {_R})                                   AS avg_price,
+      round((avg(l_discount)) - 1e-9, {_R})                                        AS avg_disc,
       count(*)                                                            AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -55,13 +55,13 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), _R).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), _R).alias("sum_base_price"),
-            F.round(F.sum(disc_price), _R).alias("sum_disc_price"),
-            F.round(F.sum(charge), _R).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), _R).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), _R).alias("avg_price"),
-            F.round(F.avg("l_discount"), _R).alias("avg_disc"),
+            F.round((F.sum("l_quantity")) - 1e-9, _R).alias("sum_qty"),
+            F.round((F.sum("l_extendedprice")) - 1e-9, _R).alias("sum_base_price"),
+            F.round((F.sum(disc_price)) - 1e-9, _R).alias("sum_disc_price"),
+            F.round((F.sum(charge)) - 1e-9, _R).alias("sum_charge"),
+            F.round((F.avg("l_quantity")) - 1e-9, _R).alias("avg_qty"),
+            F.round((F.avg("l_extendedprice")) - 1e-9, _R).alias("avg_price"),
+            F.round((F.avg("l_discount")) - 1e-9, _R).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -72,7 +72,7 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT
       l_orderkey,
-      round(sum(l_extendedprice * (1 - l_discount)), {_R}) AS revenue,
+      round((sum(l_extendedprice * (1 - l_discount))) - 1e-9, {_R}) AS revenue,
       o_orderdate,
       o_orderpriority
     FROM customer
@@ -103,8 +103,7 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), _R
+            F.round((F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))) - 1e-9, _R
             ).alias("revenue")
         )
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -118,7 +117,7 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT
       n_name,
-      round(sum(l_extendedprice * (1 - l_discount)), {_R}) AS revenue
+      round((sum(l_extendedprice * (1 - l_discount))) - 1e-9, {_R}) AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -154,8 +153,7 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), _R
+            F.round((F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))) - 1e-9, _R
             ).alias("revenue")
         )
     )
@@ -164,7 +162,7 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q6",
     oracle=f"""
-    SELECT round(sum(l_extendedprice * l_discount), {_R}) AS revenue
+    SELECT round((sum(l_extendedprice * l_discount)) - 1e-9, {_R}) AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
@@ -184,7 +182,7 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
         ).agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), _R).alias(
+            F.round((F.sum(F.col("l_extendedprice") * F.col("l_discount"))) - 1e-9, _R).alias(
                 "revenue"
             )
         )

@@ -1,0 +1,360 @@
+"""§2.E / §2.F — window functions, sorts, top-k.
+
+Dask implements rolling/shift via `map_overlap` (ghost rows copied
+across partition boundaries) and cumulatives via post-set_index
+graphs; Spark's `Window` covers all of it natively, executing as a
+single shuffle on the partition key followed by a per-partition sort
+— no ghost-row machinery, and the same plan scales to 100 TB as long
+as individual partition keys fit in an executor (events are keyed by
+user_id here; a global window with no partitionBy collapses to one
+task and is flagged in the one query that needs it).
+
+Determinism: every orderBy includes a unique tiebreaker column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ondemand_dask_spark.io import load_table
+from ondemand_dask_spark.registry import register
+
+_R = 4
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+@register(
+    "window_lag_lead",
+    oracle=f"""
+    SELECT event_id, user_id,
+           round((lag(value)  OVER w) - 1e-9, {_R}) AS prev_value,
+           round((lead(value) OVER w) - 1e-9, {_R}) AS next_value,
+           round((value - lag(value) OVER w) - 1e-9, {_R}) AS diff_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ser.shift(k) / diff() — lag/lead over an ordered per-key window."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    v = F.col("value")
+    return _events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        F.round((F.lag(v).over(w)) - 1e-9, _R).alias("prev_value"),
+        F.round((F.lead(v).over(w)) - 1e-9, _R).alias("next_value"),
+        F.round((v - F.lag(v).over(w)) - 1e-9, _R).alias("diff_value"),
+    )
+
+
+@register(
+    "window_cumsum",
+    oracle=f"""
+    SELECT event_id, user_id,
+           round((sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) - 1e-9, {_R})
+             AS running_total,
+           count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n
+    FROM events
+    """,
+)
+def window_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ser.cumsum / groupby.cumcount — running totals per key."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return _events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        F.round((F.sum("value").over(w)) - 1e-9, _R).alias("running_total"),
+        F.count("*").over(w).alias("cum_n"),
+    )
+
+
+@register(
+    "window_cummax_cummin",
+    oracle=f"""
+    SELECT event_id, user_id,
+           round((max(value) OVER w) - 1e-9, {_R}) AS cum_max,
+           round((min(value) OVER w) - 1e-9, {_R}) AS cum_min
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_cummax_cummin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ser.cummax / cummin."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return _events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        F.round((F.max("value").over(w)) - 1e-9, _R).alias("cum_max"),
+        F.round((F.min("value").over(w)) - 1e-9, _R).alias("cum_min"),
+    )
+
+
+@register(
+    "window_cumprod",
+    oracle=f"""
+    SELECT event_id, user_id,
+           round((exp(sum(ln(1 + value / 1000)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))) - 1e-9, {_R}) AS cum_growth
+    FROM events
+    """,
+)
+def window_cumprod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ser.cumprod — exp∘cumsum∘ln on both engines (identical
+    numerics, stays in codegen).  Ordered by (ts, event_id): the
+    unique tiebreaker is required — lineitem's (orderkey, linenumber)
+    is NOT unique in these fixtures (11k dup pairs at sf0.01)."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return _events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        F.round((F.exp(F.sum(F.log(F.lit(1) + F.col("value") / 1000)).over(w))) - 1e-9, _R
+        ).alias("cum_growth"),
+    )
+
+
+@register(
+    "window_rolling_rows",
+    oracle=f"""
+    SELECT event_id, user_id,
+           round((avg(value) OVER w) - 1e-9, {_R}) AS ma3,
+           round((sum(value) OVER w) - 1e-9, {_R}) AS sum3,
+           count(*) OVER w AS n3
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_rolling_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.rolling(3).mean/sum/count — fixed row-count sliding frame."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return _events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        F.round((F.avg("value").over(w)) - 1e-9, _R).alias("ma3"),
+        F.round((F.sum("value").over(w)) - 1e-9, _R).alias("sum3"),
+        F.count("*").over(w).alias("n3"),
+    )
+
+
+@register(
+    "window_rolling_time",
+    oracle=f"""
+    SELECT event_id, user_id,
+           round((sum(value) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)) - 1e-9, {_R}) AS sum_1h
+    FROM events
+    """,
+)
+def window_rolling_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.rolling('1h', on=ts) — time-based sliding frame: RANGE over
+    epoch microseconds (identical frame boundaries on both engines)."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return _events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        F.round((F.sum("value").over(w)) - 1e-9, _R).alias("sum_1h"),
+    )
+
+
+@register(
+    "window_expanding",
+    oracle=f"""
+    SELECT event_id, user_id,
+           round((avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) - 1e-9, {_R})
+             AS expanding_mean
+    FROM events
+    """,
+)
+def window_expanding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.expanding().mean() — unbounded-preceding frame."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return _events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        F.round((F.avg("value").over(w)) - 1e-9, _R).alias("expanding_mean"),
+    )
+
+
+@register(
+    "window_rank_family",
+    oracle="""
+    SELECT o_orderkey,
+           rank()         OVER w AS rnk,
+           dense_rank()   OVER w AS drnk,
+           row_number()   OVER w AS rn,
+           round((percent_rank() OVER w) - 1e-9, 4) AS prnk,
+           ntile(4)       OVER w AS quartile,
+           round((cume_dist() OVER w) - 1e-9, 4) AS cdist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ser.rank(method=...) / groupby.rank — the full ranking family."""
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.row_number().over(w).alias("rn"),
+        F.round((F.percent_rank().over(w)) - 1e-9, 4).alias("prnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round((F.cume_dist().over(w)) - 1e-9, 4).alias("cdist"),
+    )
+
+
+@register(
+    "window_transform_broadcast",
+    oracle=f"""
+    SELECT c_custkey,
+           round((c_acctbal - avg(c_acctbal) OVER (PARTITION BY c_nationkey)) - 1e-9, {_R})
+             AS bal_vs_nation
+    FROM customer
+    """,
+)
+def window_transform_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupby(k).transform(f) — per-group aggregate broadcast back to
+    rows: an unordered partition window (one shuffle, no join)."""
+    w = Window.partitionBy("c_nationkey")
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.round((F.col("c_acctbal") - F.avg("c_acctbal").over(w)) - 1e-9, _R).alias(
+            "bal_vs_nation"
+        ),
+    )
+
+
+@register(
+    "resample_day",
+    oracle=f"""
+    SELECT date_trunc('day', ts) AS day,
+           round((sum(value)) - 1e-9, {_R}) AS daily_value,
+           count(*) AS n_events
+    FROM events GROUP BY date_trunc('day', ts)
+    """,
+)
+def resample_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.resample('1D', on=ts).agg — time-bucket aggregation via
+    date_trunc (plain groupBy: scales as an ordinary hash agg)."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy(F.date_trunc("day", F.col("ts")).cast("timestamp_ntz").alias("day"))
+        .agg(
+            F.round((F.sum("value")) - 1e-9, _R).alias("daily_value"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+@register(
+    "resample_hour_window",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL 6 HOURS, ts) AS bucket_start,
+           round((avg(value)) - 1e-9, {_R}) AS avg_value
+    FROM events GROUP BY 1
+    """,
+)
+def resample_hour_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """resample('6h') via F.window — tumbling bucket, returns the
+    bucket start to match DuckDB's time_bucket."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy(F.window(F.col("ts"), "6 hours").alias("w"))
+        .agg(F.round((F.avg("value")) - 1e-9, _R).alias("avg_value"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("bucket_start"), "avg_value"
+        )
+    )
+
+
+@register(
+    "sort_values_global",
+    oracle="""
+    SELECT event_id, row_number() OVER (ORDER BY ts, event_id) AS pos
+    FROM events
+    """,
+)
+def sort_values_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.sort_values(by) — global total order.  Spark's orderBy
+    range-partitions by sampled boundaries exactly like Dask's
+    set_index; emitting the global position materializes the order so
+    the hash actually checks it.  (The position column forces a
+    single-partition window — fine for verification, not a pattern
+    for 100 TB; orderBy itself stays distributed.)"""
+    w = Window.orderBy("ts", "event_id")
+    return _events(spark, sf_dir).select(
+        "event_id", F.row_number().over(w).alias("pos")
+    )
+
+
+@register(
+    "topk_nlargest",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 15
+    """,
+)
+def topk_nlargest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.nlargest(k, col) — orderBy+limit plans as
+    TakeOrderedAndProject: per-partition top-k then k-way merge, the
+    same algorithm Dask uses, no global sort."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(15)
+    )
+
+
+@register(
+    "topk_nsmallest",
+    oracle="""
+    SELECT s_suppkey, s_acctbal
+    FROM supplier ORDER BY s_acctbal ASC, s_suppkey LIMIT 5
+    """,
+)
+def topk_nsmallest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.nsmallest(k, col)."""
+    return (
+        load_table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_acctbal")
+        .orderBy(F.asc("s_acctbal"), F.asc("s_suppkey"))
+        .limit(5)
+    )
