@@ -1,0 +1,94 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+Methodology: one warm session for the whole bench (cold JVM start is
+a constant, not a per-query cost at scale); each query executed with
+the noop sink (full plan execution, no driver-side row transfer —
+what a cluster job would do); best of `RUNS` runs per query after one
+warm-up of the whole set.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ondemand_dask_spark.registry import all_queries  # noqa: E402
+from ondemand_dask_spark.session import build_session  # noqa: E402
+
+HEADLINE = [
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "join_inner",
+    "agg_groupby_basic",
+    "agg_groupby_quantile",
+    "window_cumsum",
+    "window_rank_family",
+    "topk_nlargest",
+]
+
+RUNS = 2
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = build_session(
+        app_name="bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", str(2 * int(cpus)))),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = all_queries()
+    names = [n for n in HEADLINE if n in queries]
+
+    def run_once(name: str) -> float:
+        df = queries[name].fn(spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    # Warm-up pass: JIT, code cache, file-system cache.
+    for n in names:
+        run_once(n)
+
+    timings: dict[str, float] = {}
+    for n in names:
+        timings[n] = round(min(run_once(n) for _ in range(RUNS)), 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(sf_dir),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

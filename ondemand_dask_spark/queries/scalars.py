@@ -1,0 +1,540 @@
+"""§2.H — scalar function surface (string / date / math / array / map / json).
+
+The reference applies all of these element-wise from pandas accessors
+(`.str`, `.dt`, NumPy ufuncs) blockwise per partition.  Spark has a
+native `pyspark.sql.functions` battery for every one of them — each
+query here stays entirely inside WholeStageCodegen (no Python UDFs),
+so at 100 TB these are pure scan+project pipelines: no shuffle, full
+predicate pushdown, and column pruning down to the referenced columns.
+
+Oracle notes (verified against DuckDB 1.0.0 on this machine):
+- no `initcap` → emulated with upper(substr..)||substr.. on
+  single-word columns where we exercise Spark's initcap;
+- no `width_bucket` → binning emulated identically on both sides;
+- map extraction `m[k]` yields a LIST → oracle uses `m[k][1]`;
+- `dayofweek` is Sunday=0 (Spark Sunday=1) and `isodow` is Monday=1
+  (Spark `weekday` Monday=0) → normalized explicitly;
+- list_sum over FLOAT[] promotes via explicit CAST to DOUBLE so both
+  engines do double arithmetic; results rounded tie-proof.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ondemand_dask_spark.io import load_table
+from ondemand_dask_spark.registry import register
+
+_R = 4
+
+
+def _round(col, r: int = _R):
+    # Tie-proof rounding (same trick as the oracle side): nudge off
+    # the .5 boundary before rounding so both engines round alike.
+    return F.round(col - F.lit(1e-9), r)
+
+
+# ---------------------------------------------------------------------------
+# Strings
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "str_case_len",
+    oracle="""
+    SELECT p_partkey,
+           lower(p_type)  AS type_lower,
+           upper(p_name)  AS name_upper,
+           length(p_name) AS name_len,
+           trim(concat('  ', p_brand, ' ')) AS brand_trim,
+           upper(substr(p_type, 1, 1)) || lower(substr(p_type, 2)) AS type_initcap
+    FROM part
+    """,
+)
+def str_case_len(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """str.lower/upper/len/strip/title — case mapping and length."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_type").alias("type_lower"),
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").alias("name_len"),
+        F.trim(F.concat(F.lit("  "), F.col("p_brand"), F.lit(" "))).alias("brand_trim"),
+        # single-word column: Spark initcap == first-letter capitalization
+        F.initcap(F.lower("p_type")).alias("type_initcap"),
+    )
+
+
+@register(
+    "str_predicates",
+    oracle="""
+    SELECT doc_id,
+           (text LIKE '%join%')                  AS has_join,
+           regexp_matches(text, 'qu[ae]ry')      AS rx_query,
+           starts_with(text, 'the')              AS starts_the,
+           ends_with(text, 'scan')               AS ends_scan,
+           (lang IN ('en', 'fr'))                AS lang_enfr
+    FROM documents
+    """,
+)
+def str_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """str.contains(regex=False/True) / startswith / endswith / isin."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        t.contains("join").alias("has_join"),
+        t.rlike("qu[ae]ry").alias("rx_query"),
+        F.startswith(t, F.lit("the")).alias("starts_the"),
+        F.endswith(t, F.lit("scan")).alias("ends_scan"),
+        F.col("lang").isin("en", "fr").alias("lang_enfr"),
+    )
+
+
+@register(
+    "str_replace_extract",
+    oracle="""
+    SELECT p_partkey,
+           replace(p_name, 'widget', 'gadget')            AS renamed,
+           regexp_replace(p_name, '[aeiou]', '_', 'g')    AS devoweled,
+           regexp_extract(p_brand, 'Brand#([0-9]+)', 1)   AS brand_num,
+           translate(p_type, 'AEO', 'aeo')                AS translated
+    FROM part
+    """,
+)
+def str_replace_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """str.replace (literal + regex), str.extract, translate."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.replace(F.col("p_name"), F.lit("widget"), F.lit("gadget")).alias("renamed"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        F.regexp_extract("p_brand", r"Brand#([0-9]+)", 1).alias("brand_num"),
+        F.translate("p_type", "AEO", "aeo").alias("translated"),
+    )
+
+
+@register(
+    "str_pad_concat",
+    oracle="""
+    SELECT c_custkey,
+           lpad(CAST(c_nationkey AS VARCHAR), 4, '0')           AS nation_padded,
+           rpad(c_mktsegment, 12, '.')                          AS seg_padded,
+           concat_ws('|', c_name, c_mktsegment)                 AS joined,
+           substr(c_name, 1, 8)                                 AS name_prefix,
+           repeat('-', 3) || c_mktsegment                       AS dashed
+    FROM customer
+    """,
+)
+def str_pad_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """str.pad/zfill, str.cat, str.slice (1-based substring!), repeat."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.lpad(F.col("c_nationkey").cast("string"), 4, "0").alias("nation_padded"),
+        F.rpad("c_mktsegment", 12, ".").alias("seg_padded"),
+        F.concat_ws("|", "c_name", "c_mktsegment").alias("joined"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.concat(F.repeat(F.lit("-"), 3), F.col("c_mktsegment")).alias("dashed"),
+    )
+
+
+@register(
+    "str_split_explode",
+    oracle="""
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+    FROM documents
+    WHERE doc_id < 50
+    """,
+)
+def str_split_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """str.split + explode — string → array → rows.  At scale this is
+    the standard tokenization fan-out: narrow op, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.filter(F.col("doc_id") < 50)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Date / time
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dt_parts",
+    oracle="""
+    SELECT event_id,
+           year(ts) AS y, month(ts) AS mo, day(ts) AS d,
+           hour(ts) AS h, minute(ts) AS mi, second(ts) AS s,
+           quarter(ts) AS q, dayofyear(ts) AS doy,
+           isodow(ts) - 1 AS weekday_mon0,
+           weekofyear(ts) AS iso_week
+    FROM events
+    """,
+)
+def dt_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dt.year/month/day/…/dayofweek — component extraction.
+
+    Trap normalized here (SURVEY §2.H): pandas/Spark/DuckDB disagree
+    on week-start; we expose Monday=0 (pandas convention) on both
+    sides via Spark `weekday` and DuckDB `isodow - 1`.
+    """
+    e = load_table(spark, sf_dir, "events")
+    ts = F.col("ts")
+    return e.select(
+        "event_id",
+        F.year(ts).alias("y"),
+        F.month(ts).alias("mo"),
+        F.dayofmonth(ts).alias("d"),
+        F.hour(ts).alias("h"),
+        F.minute(ts).alias("mi"),
+        F.second(ts).alias("s"),
+        F.quarter(ts).alias("q"),
+        F.dayofyear(ts).alias("doy"),
+        F.weekday(ts).alias("weekday_mon0"),
+        F.weekofyear(ts).alias("iso_week"),
+    )
+
+
+@register(
+    "dt_trunc_format",
+    oracle="""
+    SELECT event_id,
+           date_trunc('day', ts)  AS day_bucket,
+           date_trunc('hour', ts) AS hour_bucket,
+           strftime(ts, '%Y-%m-%d %H:%M') AS formatted,
+           CAST(CAST(ts AS DATE) AS VARCHAR) AS just_date
+    FROM events
+    """,
+)
+def dt_trunc_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dt.floor / dt.strftime / dt.date — truncation and formatting
+    (Java patterns on the Spark side ↔ %-codes in DuckDB)."""
+    e = load_table(spark, sf_dir, "events")
+    ts = F.col("ts")
+    return e.select(
+        "event_id",
+        F.date_trunc("day", ts).alias("day_bucket"),
+        F.date_trunc("hour", ts).alias("hour_bucket"),
+        F.date_format(ts, "yyyy-MM-dd HH:mm").alias("formatted"),
+        # stringified: pandas renders DuckDB DATE as midnight datetime,
+        # so a raw date column would hash-mismatch despite equality.
+        F.to_date(ts).cast("string").alias("just_date"),
+    )
+
+
+@register(
+    "dt_arith",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderdate + INTERVAL 3 DAY              AS plus_3d,
+           o_orderdate + INTERVAL 90 MINUTE          AS plus_90min,
+           date_diff('day', o_orderdate, TIMESTAMP '2024-07-01') AS days_until_jul,
+           CAST(epoch(o_orderdate) AS BIGINT)        AS epoch_s
+    FROM orders
+    """,
+)
+def dt_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp arithmetic — Timedelta add, diffs, epoch seconds."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        (d + F.expr("INTERVAL 3 DAY")).alias("plus_3d"),
+        (d + F.expr("INTERVAL 90 MINUTE")).alias("plus_90min"),
+        F.datediff(F.lit("2024-07-01").cast("date"), F.to_date(d)).alias(
+            "days_until_jul"
+        ),
+        # ntz → tz-aware (session is UTC) → epoch seconds; matches
+        # DuckDB epoch() which also treats naive timestamps as UTC.
+        d.cast("timestamp").cast("long").alias("epoch_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Math
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "math_basic",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber,
+           abs(l_discount - 0.05)                       AS abs_off,
+           round(l_extendedprice - 1e-9, 2)             AS price_r2,
+           floor(l_quantity)                            AS qty_floor,
+           ceil(l_extendedprice / 1000)                 AS price_kceil,
+           CAST(l_orderkey % 7 AS BIGINT)               AS key_mod7,
+           round(power(1 + l_tax, 2) - 1e-9, {_R})      AS tax_sq,
+           greatest(least(l_quantity, 40.0), 10.0)      AS qty_clipped
+    FROM lineitem
+    """,
+)
+def math_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """abs/round/floor/ceil/mod/power + clip(lo,hi) via greatest∘least."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("abs_off"),
+        _round(F.col("l_extendedprice"), 2).alias("price_r2"),
+        F.floor("l_quantity").alias("qty_floor"),
+        F.ceil(F.col("l_extendedprice") / 1000).alias("price_kceil"),
+        (F.col("l_orderkey") % 7).alias("key_mod7"),
+        _round(F.pow(F.lit(1) + F.col("l_tax"), 2)).alias("tax_sq"),
+        F.greatest(F.least(F.col("l_quantity"), F.lit(40.0)), F.lit(10.0)).alias(
+            "qty_clipped"
+        ),
+    )
+
+
+@register(
+    "math_transcendental",
+    oracle=f"""
+    SELECT event_id,
+           round(exp(value / 100)  - 1e-9, {_R}) AS e_x,
+           round(ln(value + 1)     - 1e-9, {_R}) AS ln_x,
+           round(log10(value + 1)  - 1e-9, {_R}) AS log10_x,
+           round(log2(value + 1)   - 1e-9, {_R}) AS log2_x,
+           round(sqrt(abs(value))  - 1e-9, {_R}) AS sqrt_x,
+           round(sin(value)        - 1e-9, {_R}) AS sin_x,
+           round(cos(value)        - 1e-9, {_R}) AS cos_x
+    FROM events
+    """,
+)
+def math_transcendental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NumPy ufunc family — exp/ln/log10/log2/sqrt/sin/cos (IEEE754
+    doubles on both engines; rounded tie-proof)."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    return e.select(
+        "event_id",
+        _round(F.exp(v / 100)).alias("e_x"),
+        _round(F.log(v + 1)).alias("ln_x"),
+        _round(F.log10(v + 1)).alias("log10_x"),
+        _round(F.log2(v + 1)).alias("log2_x"),
+        _round(F.sqrt(F.abs(v))).alias("sqrt_x"),
+        _round(F.sin(v)).alias("sin_x"),
+        _round(F.cos(v)).alias("cos_x"),
+    )
+
+
+@register(
+    "math_hash",
+    oracle="""
+    SELECT doc_id,
+           md5(text)          AS text_md5,
+           sha256(text)       AS text_sha256
+    FROM documents
+    """,
+)
+def math_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic cryptographic hashing — md5 / sha2-256 agree
+    across engines (xxhash64 / hash do NOT and stay engine-local)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.sha2(F.col("text"), 256).alias("text_sha256"),
+    )
+
+
+@register(
+    "math_binning",
+    oracle="""
+    SELECT CAST(CASE WHEN value < 0 THEN -1
+                     WHEN value >= 1000 THEN 10
+                     ELSE floor(value / 100) END AS BIGINT) AS bucket,
+           count(*) AS n
+    FROM events
+    GROUP BY 1
+    """,
+)
+def math_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pd.cut — fixed-width binning (width_bucket emulated identically
+    on both engines: DuckDB 1.0.0 lacks the builtin)."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    bucket = (
+        F.when(v < 0, F.lit(-1))
+        .when(v >= 1000, F.lit(10))
+        .otherwise(F.floor(v / 100))
+        .cast("long")
+    )
+    return e.groupBy(bucket.alias("bucket")).agg(F.count("*").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Arrays (split-text and embedding vectors)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "array_basic",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' '))                      AS n_tokens,
+           string_split(text, ' ')[1]                        AS first_token,
+           string_split(text, ' ')[-1]                       AS last_token,
+           list_contains(string_split(text, ' '), 'join')    AS has_join,
+           string_split(text, ' ')[2:4]                      AS tokens_2_to_4
+    FROM documents
+    """,
+)
+def array_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array accessors — size / element_at (1-based, -1 = last) /
+    array_contains / slice."""
+    d = load_table(spark, sf_dir, "documents")
+    arr = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(arr).alias("n_tokens"),
+        F.element_at(arr, 1).alias("first_token"),
+        F.element_at(arr, -1).alias("last_token"),
+        F.array_contains(arr, "join").alias("has_join"),
+        F.slice(arr, 2, 3).alias("tokens_2_to_4"),
+    )
+
+
+@register(
+    "array_sort_distinct",
+    oracle="""
+    SELECT doc_id,
+           list_sort(list_distinct(string_split(text, ' '))) AS vocab,
+           len(list_distinct(string_split(text, ' ')))       AS n_distinct
+    FROM documents
+    WHERE doc_id < 100
+    """,
+)
+def array_sort_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sort_array + array_distinct — per-row set semantics (sorted for
+    deterministic hashing)."""
+    d = load_table(spark, sf_dir, "documents")
+    arr = F.split("text", " ")
+    return d.filter(F.col("doc_id") < 100).select(
+        "doc_id",
+        F.sort_array(F.array_distinct(arr)).alias("vocab"),
+        F.size(F.array_distinct(arr)).alias("n_distinct"),
+    )
+
+
+@register(
+    "array_hof",
+    oracle=f"""
+    SELECT vec_id,
+           round(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) - 1e-9, {_R}) AS l2_norm,
+           len(list_filter(embedding, x -> x > 0)) AS n_positive,
+           round(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE))) - 1e-9, {_R})        AS vec_sum
+    FROM embeddings
+    """,
+)
+def array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order functions over array<float> — transform / filter /
+    aggregate.  This is the embedding hot path: L2 norm computed
+    entirely JVM-side (no Python), the building block for the cosine
+    similarity queries in §2.K."""
+    e = load_table(spark, sf_dir, "embeddings")
+    sq_sum = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    vec_sum = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return e.select(
+        "vec_id",
+        _round(F.sqrt(sq_sum)).alias("l2_norm"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
+        _round(vec_sum).alias("vec_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON / map / struct / null handling
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "json_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INTEGER)  AS k_int,
+           json_extract_string(props, '$.k')            AS k_str,
+           (CAST(json_extract(props, '$.k') AS INTEGER) > 50) AS k_big
+    FROM events
+    """,
+)
+def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar surface — get_json_object / from_json over the
+    `props` JSON-string column (types cast explicitly on both sides)."""
+    e = load_table(spark, sf_dir, "events")
+    k_int = F.get_json_object("props", "$.k").cast("int")
+    parsed = F.from_json("props", "k INT")
+    return e.select(
+        "event_id",
+        parsed.getField("k").alias("k_int"),
+        F.get_json_object("props", "$.k").alias("k_str"),
+        (k_int > 50).alias("k_big"),
+    )
+
+
+@register(
+    "map_struct",
+    oracle="""
+    SELECT event_id,
+           (MAP(['type', 'user'], [event_type, CAST(user_id AS VARCHAR)])['type'])[1]
+             AS from_map,
+           (struct_pack(et := event_type, uid := user_id)).et AS from_struct,
+           (struct_pack(et := event_type, uid := user_id)).uid AS struct_uid
+    FROM events
+    """,
+)
+def map_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType / StructType construction + field access (dict- and
+    namedtuple-valued object columns in the reference).  Fields are
+    projected back to scalars so the comparison is type-stable."""
+    e = load_table(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("user"), F.col("user_id").cast("string"),
+    )
+    s = F.struct(F.col("event_type").alias("et"), F.col("user_id").alias("uid"))
+    return e.select(
+        "event_id",
+        F.element_at(m, "type").alias("from_map"),
+        s.getField("et").alias("from_struct"),
+        s.getField("uid").alias("struct_uid"),
+    )
+
+
+@register(
+    "null_funcs",
+    oracle="""
+    SELECT event_id,
+           nullif(event_type, 'error')                       AS et_nullable,
+           coalesce(nullif(event_type, 'error'), '(errored)') AS et_filled,
+           (nullif(event_type, 'error') IS NULL)             AS was_error,
+           ifnull(nullif(value, 0.0), -1.0)                  AS v_nonzero
+    FROM events
+    """,
+)
+def null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """isna/notna/fillna/combine_first — SQL NULL semantics (the
+    engine's decided convention; never pandas NaN quirks)."""
+    e = load_table(spark, sf_dir, "events")
+    et_nullable = F.nullif(F.col("event_type"), F.lit("error"))
+    return e.select(
+        "event_id",
+        et_nullable.alias("et_nullable"),
+        F.coalesce(et_nullable, F.lit("(errored)")).alias("et_filled"),
+        et_nullable.isNull().alias("was_error"),
+        F.ifnull(F.nullif(F.col("value"), F.lit(0.0)), F.lit(-1.0)).alias("v_nonzero"),
+    )
