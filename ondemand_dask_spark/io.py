@@ -43,12 +43,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        # ns bigint → µs timestamp_ntz (floor-div keeps DuckDB parity)
+        # ns bigint → µs timestamp_ntz.  MUST be integer division:
+        # `/` promotes to double, which has only 53 mantissa bits —
+        # ns-since-epoch ≈ 1.7e18 rounds off by ±1 µs and breaks
+        # hash-parity with DuckDB's exact truncation.
         return df.withColumn(
             "ts",
-            F.to_timestamp_ntz(
-                F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
-            ),
+            F.to_timestamp_ntz(F.timestamp_micros(F.expr("ts div 1000"))),
         )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

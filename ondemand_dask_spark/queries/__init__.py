@@ -5,10 +5,12 @@ Each module covers one section of SURVEY.md §2's operator inventory.
 
 from ondemand_dask_spark.queries import (  # noqa: F401
     aggregations,
+    composed,
     joins,
     relational,
     scalars,
     sets,
     tpch,
+    udfs,
     windows,
 )

@@ -1,0 +1,238 @@
+"""§2.C/§2.E hard parts — composed operators Spark lacks natively.
+
+`merge_asof` (the reference's as-of join) has no batch primitive in
+Spark, and naive implementations (cross join + filter + argmax) are
+quadratic.  The implementation here is the scalable composition from
+SURVEY.md §2.C: union the tagged sources, window by the group key
+ordered by time, carry the latest right-side payload forward with
+`last(..., ignorenulls=True)`, then keep left rows.  Cost: ONE
+shuffle of (|L|+|R|) rows on the by-key plus a per-partition sort —
+the same asymptotics as a sort-merge join, so it holds at 100 TB
+(keys = users/symbols/devices: high cardinality, no giant partition).
+
+The DuckDB oracle uses its native `ASOF JOIN`, so these queries are
+true differential tests of semantics (backward / left / tolerance /
+forward), the SURVEY §7 hard-part #4.
+
+Sessionization uses Spark's native `session_window` (batch mode);
+the oracle reproduces it as gap-and-island SQL.  Boundary semantics:
+`session_window`'s window is [start, last+gap) with an EXCLUSIVE end,
+so a successor exactly `gap` later starts a new session — the oracle
+therefore breaks on `diff >= gap`, not `>`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ondemand_dask_spark.io import load_table
+from ondemand_dask_spark.registry import register
+
+_R = 4
+
+_RIGHT_SQL = """
+    SELECT user_id, ts, event_id, value
+    FROM events WHERE event_type = 'purchase'
+"""
+
+
+def _asof_carry(
+    spark: SparkSession, sf_dir: str, *, forward: bool = False
+) -> DataFrame:
+    """Union+window as-of matcher: every event matched to the latest
+    prior (or earliest following, if forward) 'purchase' of the same
+    user.  Returns left rows with purchase_{ts,event,value} columns
+    (NULL when no match) — callers slice inner/left/tolerance views.
+    """
+    e = load_table(spark, sf_dir, "events")
+    right = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_event"),
+        F.col("value").alias("r_value"),
+        F.lit(0).alias("prio"),  # right rows sort first at equal ts (>= semantics)
+    )
+    left = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(None).cast("timestamp_ntz").alias("r_ts"),
+        F.lit(None).cast("long").alias("r_event"),
+        F.lit(None).cast("double").alias("r_value"),
+        F.lit(1).alias("prio"),
+    )
+    order: list[Column] = (
+        [F.desc("ts"), F.asc("prio"), F.desc("r_event")]
+        if forward
+        else [F.asc("ts"), F.asc("prio"), F.asc("r_event")]
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = right.unionByName(left).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.last("r_ts", ignorenulls=True).over(w).alias("purchase_ts"),
+        F.last("r_event", ignorenulls=True).over(w).alias("purchase_event"),
+        F.last("r_value", ignorenulls=True).over(w).alias("purchase_value"),
+        "prio",
+    )
+    return carried.filter(F.col("prio") == 1).drop("prio")
+
+
+@register(
+    "asof_join_backward",
+    oracle=f"""
+    SELECT l.event_id, l.user_id, l.ts,
+           r.ts AS purchase_ts, r.event_id AS purchase_event,
+           round(r.value - 1e-9, {_R}) AS purchase_value
+    FROM events l
+    ASOF JOIN ({_RIGHT_SQL}) r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def asof_join_backward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """merge_asof(direction='backward') — inner: drop unmatched left rows."""
+    m = _asof_carry(spark, sf_dir)
+    return m.filter(F.col("purchase_ts").isNotNull()).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "purchase_ts",
+        "purchase_event",
+        F.round(F.col("purchase_value") - 1e-9, _R).alias("purchase_value"),
+    )
+
+
+@register(
+    "asof_join_left",
+    oracle="""
+    SELECT l.event_id, l.user_id,
+           r.ts AS purchase_ts,
+           (r.ts IS NULL) AS unmatched
+    FROM events l
+    ASOF LEFT JOIN ({right}) r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """.format(right=_RIGHT_SQL),
+)
+def asof_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """merge_asof left semantics — unmatched left rows kept with NULLs
+    (pandas merge_asof default)."""
+    m = _asof_carry(spark, sf_dir)
+    return m.select(
+        "event_id",
+        "user_id",
+        "purchase_ts",
+        F.col("purchase_ts").isNull().alias("unmatched"),
+    )
+
+
+@register(
+    "asof_join_tolerance",
+    oracle="""
+    SELECT event_id, user_id, purchase_ts
+    FROM (
+      SELECT l.event_id, l.user_id, l.ts, r.ts AS purchase_ts
+      FROM events l
+      ASOF JOIN ({right}) r
+        ON l.user_id = r.user_id AND l.ts >= r.ts
+    )
+    WHERE ts - purchase_ts <= INTERVAL 1 HOUR
+    """.format(right=_RIGHT_SQL),
+)
+def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """merge_asof(tolerance='1h') — match only within the window."""
+    m = _asof_carry(spark, sf_dir)
+    age_s = F.col("ts").cast("timestamp").cast("long") - F.col("purchase_ts").cast(
+        "timestamp"
+    ).cast("long")
+    return m.filter(F.col("purchase_ts").isNotNull() & (age_s <= 3600)).select(
+        "event_id", "user_id", "purchase_ts"
+    )
+
+
+@register(
+    "asof_join_forward",
+    oracle="""
+    SELECT l.event_id, l.user_id, r.ts AS next_purchase_ts
+    FROM events l
+    ASOF JOIN ({right}) r
+      ON l.user_id = r.user_id AND l.ts <= r.ts
+    """.format(right=_RIGHT_SQL),
+)
+def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """merge_asof(direction='forward') — earliest following match."""
+    m = _asof_carry(spark, sf_dir, forward=True)
+    return m.filter(F.col("purchase_ts").isNotNull()).select(
+        "event_id", "user_id", F.col("purchase_ts").alias("next_purchase_ts")
+    )
+
+
+@register(
+    "sessionize_gap",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) AS last_event_ts,
+           count(*) AS n_events,
+           round(sum(value) - 1e-9, {_R}) AS sum_value
+    FROM sess
+    GROUP BY user_id, sid
+    """,
+)
+def sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization — Spark-native `session_window` (30-min
+    inactivity gap) vs the classic gap-and-island SQL.  One shuffle on
+    user_id; session merging happens inside the aggregation operator,
+    so skewed users are still a single partition — acceptable because
+    user-session state is bounded; for pathological keys pre-split by
+    day first."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("last_event_ts"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value") - 1e-9, _R).alias("sum_value"),
+        )
+        .select("user_id", "session_start", "last_event_ts", "n_events", "sum_value")
+    )
+
+
+@register(
+    "qcut_quartiles",
+    oracle="""
+    SELECT event_id, ntile(4) OVER (ORDER BY value, event_id) AS quartile
+    FROM events
+    """,
+)
+def qcut_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pd.qcut(4) — equal-frequency binning via ntile over a global
+    order.  Scale note: a no-partition window collapses to one task;
+    at 100 TB replace with `percentile_approx` cutpoints + a
+    width_bucket-style CASE (constant memory, fully parallel) — kept
+    exact here because qcut's contract is exact ranks."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.orderBy("value", "event_id")
+    return e.select("event_id", F.ntile(4).over(w).alias("quartile"))
