@@ -6,10 +6,15 @@ Each module covers one section of SURVEY.md §2's operator inventory.
 from ondemand_dask_spark.queries import (  # noqa: F401
     aggregations,
     composed,
+    dedup,
     joins,
+    multimodal,
     relational,
     scalars,
     sets,
+    similarity,
+    sources,
+    text,
     tpch,
     udfs,
     windows,

@@ -1,0 +1,359 @@
+"""§2.K — deduplication family over the `documents` table.
+
+Training-data dedup at 100 TB is the canonical use of this engine, so
+every variant here is designed around its shuffle profile:
+
+- exact:        one hash-groupBy (single shuffle on the digest);
+- MinHash+LSH:  shingle fan-out is a narrow op; the only shuffles are
+                groupBy(doc, seed) for signatures and the band-bucket
+                self-join — candidate pairs ∝ collisions, never n²;
+- SimHash:      narrow bit fan-out + one groupBy; pairing is blocked;
+- n-gram Jaccard: pairwise by construction → blocked on (lang) so the
+                join is per-block; at scale block on (lang, length
+                bucket) and it stays shuffle-bounded.
+
+Cross-engine determinism: all hashes derive from md5 (the one strong
+hash both Spark and DuckDB share) — the top 15 hex chars parsed as a
+60-bit integer: Spark `conv(substring(md5(x),1,15),16,10)` ≡ DuckDB
+`CAST('0x'||substr(md5(x),1,15) AS BIGINT)`.  Every query here is
+therefore fully oracle-checked, including the LSH band joins (unusual:
+most LSH tests are probabilistic; ours are exact because the "random"
+hash family is the same deterministic function on both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ondemand_dask_spark.io import load_table
+from ondemand_dask_spark.registry import register
+
+_R = 4
+
+NUM_HASHES = 8
+BAND_ROWS = 2  # 4 bands x 2 rows
+SIMHASH_BITS = 32
+JACCARD_THRESHOLD = 0.5
+
+# Shared 60-bit hash (see module docstring).
+_H_SQL = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
+
+
+def _h(col: Column) -> Column:
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct 3-token shingles per doc: (doc_id, shingle)."""
+    d = load_table(spark, sf_dir, "documents")
+    arr = F.split("text", " ")
+    n = F.size(arr)
+    idx = F.when(n >= 3, F.sequence(F.lit(1), n - 2)).otherwise(
+        F.array().cast("array<int>")
+    )
+    shingle = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(arr, i),
+            F.element_at(arr, i + 1),
+            F.element_at(arr, i + 2),
+        ),
+    )
+    return (
+        d.select("doc_id", F.explode(shingle).alias("shingle")).distinct()
+    )
+
+
+_SHINGLES_SQL = """
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(generate_series(1, len(t) - 2),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    WHERE len(t) >= 3
+"""
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT sha256(lower(trim(text))) AS digest,
+           min(doc_id) AS keeper,
+           count(*)    AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: normalize → sha256 → keep first doc per digest.
+    One shuffle on the digest; at 100 TB hash first so the shuffle
+    moves 32-byte keys, not document bodies."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            F.sha2(F.lower(F.trim(F.col("text"))), 256).alias("digest"), "doc_id"
+        )
+        .groupBy("digest")
+        .agg(F.min("doc_id").alias("keeper"), F.count("*").alias("n_copies"))
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    mh AS (
+      SELECT doc_id, s.seed,
+             min({_H_SQL.format(x="shingle || '#' || s.seed")}) AS mh
+      FROM sh CROSS JOIN (SELECT unnest(generate_series(0, {NUM_HASHES - 1})) AS seed) s
+      GROUP BY doc_id, s.seed
+    ),
+    sig AS (
+      SELECT doc_id, seed // {BAND_ROWS} AS band,
+             string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS sig
+      FROM mh GROUP BY doc_id, band
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sig a JOIN sig b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS i
+      FROM cand c
+      JOIN sh x ON x.doc_id = c.doc_a
+      JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(i AS DOUBLE) / (na.n + nb.n - i) - 1e-9, {_R}) AS jaccard
+    FROM inter
+    JOIN counts na ON na.doc_id = doc_a
+    JOIN counts nb ON nb.doc_id = doc_b
+    WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup dedup: shingle → MinHash({n}) → LSH band buckets →
+    candidate pairs → exact-Jaccard verification ≥ {t}.
+
+    The LSH property: only pairs sharing a full band signature are
+    ever joined, so the self-join is on (band, sig) — collisions, not
+    n².  Verification joins only the candidate set.  This is the
+    scale path for fuzzy dedup (pyspark.ml's MinHashLSH does the
+    same; hand-rolled here so the hash family is cross-engine
+    deterministic and the whole pipeline oracle-checks exactly).
+    """.format(n=NUM_HASHES, t=JACCARD_THRESHOLD)
+    sh = _shingles(spark, sf_dir).cache()
+    seeds = spark.range(NUM_HASHES).select(F.col("id").cast("int").alias("seed"))
+    mh = (
+        sh.crossJoin(F.broadcast(seeds))
+        .select(
+            "doc_id",
+            "seed",
+            _h(F.concat_ws("#", "shingle", "seed")).alias("h"),
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("mh"))
+    )
+    sig = mh.groupBy(
+        "doc_id", F.expr(f"seed div {BAND_ROWS}").alias("band")
+    ).agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("seed", "mh"))),
+                lambda s: s.getField("mh").cast("string"),
+            ),
+            ",",
+        ).alias("sig")
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    x, y = sh.alias("x"), sh.alias("y")
+    inter = (
+        cand.join(x, F.col("x.doc_id") == F.col("doc_a"))
+        .join(
+            y,
+            (F.col("y.doc_id") == F.col("doc_b"))
+            & (F.col("y.shingle") == F.col("x.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    jac = F.col("i").cast("double") / (F.col("na.n") + F.col("nb.n") - F.col("i"))
+    return (
+        inter.join(counts.alias("na"), F.col("na.doc_id") == F.col("doc_a"))
+        .join(counts.alias("nb"), F.col("nb.doc_id") == F.col("doc_b"))
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select(
+            "doc_a", "doc_b", F.round(jac - 1e-9, _R).alias("jaccard")
+        )
+    )
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, tok, count(*) AS cnt FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+      ) GROUP BY doc_id, tok
+    ),
+    bits AS (
+      SELECT doc_id, b.i,
+             sum(CASE WHEN ({_H_SQL.format(x="tok")} >> b.i) & 1 = 1
+                      THEN cnt ELSE -cnt END) AS s
+      FROM tok CROSS JOIN
+           (SELECT unnest(generate_series(0, {SIMHASH_BITS - 1})) AS i) b
+      GROUP BY doc_id, b.i
+    )
+    SELECT doc_id,
+           sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash({b}-bit) signature per document: token-count-weighted
+    sign sum per bit.  Narrow fan-out (docs × bits) + two groupBys;
+    signatures are 8 bytes/doc, so the pairing stage downstream works
+    on a table 1000× smaller than the corpus.""".format(b=SIMHASH_BITS)
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    bits = spark.range(SIMHASH_BITS).select(F.col("id").cast("int").alias("i"))
+    # shiftleft/shiftright need SQL exprs: the Python API only takes a
+    # literal int for the shift amount, and `i` is a column here.
+    contrib = F.when(
+        F.expr("(shiftright(th, i) % 2) = 1"), F.col("cnt")
+    ).otherwise(-F.col("cnt"))
+    return (
+        tok.withColumn("th", _h(F.col("tok")))
+        .crossJoin(F.broadcast(bits))
+        .groupBy("doc_id", "i")
+        .agg(F.sum(contrib).alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), i)")
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("simhash")
+        )
+    )
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, tok, count(*) AS cnt FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+      ) GROUP BY doc_id, tok
+    ),
+    bits AS (
+      SELECT doc_id, b.i,
+             sum(CASE WHEN ({_H_SQL.format(x="tok")} >> b.i) & 1 = 1
+                      THEN cnt ELSE -cnt END) AS s
+      FROM tok CROSS JOIN
+           (SELECT unnest(generate_series(0, {SIMHASH_BITS - 1})) AS i) b
+      GROUP BY doc_id, b.i
+    ),
+    sig AS (
+      SELECT doc_id,
+             sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS simhash
+      FROM bits GROUP BY doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: Hamming distance ≤ 3 on the 32-bit
+    signatures.  Shown as a direct pair join over the (tiny) signature
+    table; the 100 TB path blocks on signature bytes first (each
+    near-dup pair shares at least one identical byte when hamming ≤ 3
+    over 4 bytes — pigeonhole), turning n² into per-block joins."""
+    sig = dedup_simhash(spark, sf_dir)
+    a, b = sig.alias("a"), sig.alias("b")
+    ham = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(ham <= 3)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    lang AS (SELECT doc_id, lang FROM documents),
+    sh_l AS (SELECT sh.doc_id, lang, shingle FROM sh JOIN lang USING (doc_id)),
+    counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS i
+      FROM sh_l x JOIN sh_l y
+        ON x.lang = y.lang AND x.shingle = y.shingle AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(i AS DOUBLE) / (na.n + nb.n - i) - 1e-9, {_R}) AS jaccard
+    FROM inter
+    JOIN counts na ON na.doc_id = doc_a
+    JOIN counts nb ON nb.doc_id = doc_b
+    WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.4
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked pairwise n-gram Jaccard: pairs form ONLY through the
+    shared-shingle join (an inverted-index join — docs with zero
+    common shingles never meet), additionally blocked on lang.  At
+    scale, add a length bucket to the block key and drop top-frequency
+    shingles (stop-shingles) to bound the inverted-list fan-out."""
+    sh = _shingles(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    sh_l = sh.join(d, "doc_id")
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    x, y = sh_l.alias("x"), sh_l.alias("y")
+    inter = (
+        x.join(
+            y,
+            (F.col("x.lang") == F.col("y.lang"))
+            & (F.col("x.shingle") == F.col("y.shingle"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .groupBy(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("i"))
+    )
+    jac = F.col("i").cast("double") / (F.col("na.n") + F.col("nb.n") - F.col("i"))
+    return (
+        inter.join(counts.alias("na"), F.col("na.doc_id") == F.col("doc_a"))
+        .join(counts.alias("nb"), F.col("nb.doc_id") == F.col("doc_b"))
+        .filter(jac >= 0.4)
+        .select("doc_a", "doc_b", F.round(jac - 1e-9, _R).alias("jaccard"))
+    )

@@ -1,0 +1,314 @@
+"""§2.K — similarity search over the `embeddings` table.
+
+Approximate-nearest-neighbor surface for an `array<float>` column:
+
+- brute-force exact cosine top-k  — the correctness baseline; the
+  query set is broadcast, so the scan side streams once with no
+  shuffle (at 100 TB: queries are always the small side — broadcast
+  them, never the corpus);
+- random-hyperplane LSH           — the scale path: each vector maps
+  to a b-bit signature (narrow op), candidates meet through a
+  signature equi-join instead of an n² cross join;
+- label centroids + distances     — the clustering-stats companion.
+
+All vector math is double-precision fold/`list_sum` over explicit
+`CAST(x AS DOUBLE)` elements so Spark and DuckDB produce hash-equal
+results (float32 intermediate math would diverge).  The "random"
+hyperplanes are a deterministic integer formula evaluated identically
+on both engines — the LSH queries are therefore exactly
+oracle-checked, not statistically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ondemand_dask_spark.io import load_table
+from ondemand_dask_spark.registry import register
+
+_R = 4
+
+N_PLANES = 16
+TOP_K = 5
+
+# w(p, d): pseudo-random hyperplane weight in [-1000, 1000] from exact
+# 64-bit integer arithmetic (identical on both engines; int32 would
+# overflow differently — Spark wraps, DuckDB throws).
+_W_SQL = "((CAST({p} AS BIGINT) * 73856093 + {d} * 19349663) % 2001 - 1000)"
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential double-precision fold of the element products."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+_DOT_SQL = """list_sum(list_transform(generate_series(1, len({a})),
+              i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"""
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return _DOT_SQL.format(a=a, b=b)
+
+
+@register(
+    "ann_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_dot_sql("q.embedding", "c.embedding")}
+               / (sqrt({_dot_sql("q.embedding", "q.embedding")})
+                  * sqrt({_dot_sql("c.embedding", "c.embedding")})) AS cos
+      FROM q JOIN embeddings c ON c.vec_id != q.vec_id
+    )
+    SELECT query_id, neighbor_id, round(cos - 1e-9, {_R}) AS cosine, rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id) AS rnk
+          FROM pairs)
+    WHERE rnk <= {TOP_K}
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-k: every query vector scored
+    against the full corpus.  The query set is broadcast — the plan is
+    a single pass over the corpus with a per-query top-k
+    (TakeOrderedAndProject shape), no corpus shuffle.  This is the
+    oracle for any ANN index; at 100 TB run it on a sampled slice to
+    measure the LSH variant's recall."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    pairs = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                _dot(F.col("q_emb"), F.col("embedding"))
+                / (_norm(F.col("q_emb")) * _norm(F.col("embedding")))
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("cos") - 1e-9, _R).alias("cosine"),
+            "rnk",
+        )
+    )
+
+
+def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b-bit random-hyperplane signature per vector (narrow op)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    # proj(p) = Σ_d emb[d] * w(p, d); bit p = proj > 0
+    proj = F.transform(
+        F.sequence(F.lit(0), F.lit(N_PLANES - 1)),
+        lambda p: F.aggregate(
+            F.sequence(F.lit(1), F.size("embedding")),
+            F.lit(0.0),
+            lambda acc, d: acc
+            + F.element_at(F.col("embedding"), d).cast("double")
+            * ((p.cast("long") * 73856093 + d * 19349663) % 2001 - 1000),
+        ),
+    )
+    # signature = Σ_p (proj_p > 0) * 2^p, via double pow (exact for
+    # p < 53) then cast — avoids column-shift SQL gymnastics.
+    bits = F.zip_with(
+        proj,
+        F.sequence(F.lit(0), F.lit(N_PLANES - 1)),
+        lambda pr, p: F.when(pr > 0, F.pow(F.lit(2.0), p)).otherwise(F.lit(0.0)),
+    )
+    sig = F.aggregate(bits, F.lit(0.0), lambda acc, x: acc + x).cast("long")
+    return e.select("vec_id", "label", "embedding", sig.alias("signature"))
+
+
+_SIG_SQL = f"""
+    SELECT vec_id, label, embedding,
+           CAST(list_sum(list_transform(generate_series(0, {N_PLANES - 1}),
+             p -> CASE WHEN list_sum(list_transform(generate_series(1, len(embedding)),
+                          d -> CAST(embedding[d] AS DOUBLE) * {_W_SQL.format(p="p", d="d")}))
+                        > 0
+                  THEN power(2.0, p) ELSE 0.0 END)) AS BIGINT) AS signature
+    FROM embeddings
+"""
+
+
+@register(
+    "ann_lsh_bucket_stats",
+    oracle=f"""
+    WITH sig AS ({_SIG_SQL})
+    SELECT signature, count(*) AS n_vectors,
+           count(DISTINCT label) AS n_labels
+    FROM sig GROUP BY signature
+    """,
+)
+def ann_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH bucket histogram: vectors per 16-bit signature.  The
+    signature computation is a narrow projection (no shuffle); the
+    histogram is one groupBy on an 8-byte key.  Bucket-size skew here
+    is the tuning signal for N_PLANES at scale."""
+    sig = _signatures(spark, sf_dir)
+    return sig.groupBy("signature").agg(
+        F.count("*").alias("n_vectors"),
+        F.countDistinct("label").alias("n_labels"),
+    )
+
+
+@register(
+    "ann_lsh_probe",
+    oracle=f"""
+    WITH sig AS ({_SIG_SQL}),
+    q AS (SELECT * FROM sig WHERE vec_id < 20),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_dot_sql("q.embedding", "c.embedding")}
+               / (sqrt({_dot_sql("q.embedding", "q.embedding")})
+                  * sqrt({_dot_sql("c.embedding", "c.embedding")})) AS cos
+      FROM q JOIN sig c
+        ON c.signature = q.signature AND c.vec_id != q.vec_id
+    )
+    SELECT query_id, neighbor_id, round(cos - 1e-9, {_R}) AS cosine, rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id) AS rnk
+          FROM pairs)
+    WHERE rnk <= 3
+    """,
+)
+def ann_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN: candidates are ONLY vectors sharing the
+    query's signature (equi-join on the bucket key — this is what
+    replaces the n² cross join at scale), then exact cosine re-rank
+    within the bucket.  Queries landing in singleton buckets return
+    no rows — the recall/multiprobe tradeoff made visible."""
+    sig = _signatures(spark, sf_dir)
+    q = sig.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("signature").alias("q_sig"),
+    )
+    pairs = (
+        sig.join(
+            F.broadcast(q),
+            (F.col("signature") == F.col("q_sig"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                _dot(F.col("q_emb"), F.col("embedding"))
+                / (_norm(F.col("q_emb")) * _norm(F.col("embedding")))
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("cos") - 1e-9, _R).alias("cosine"),
+            "rnk",
+        )
+    )
+
+
+@register(
+    "embedding_centroids",
+    oracle=f"""
+    WITH flat AS (
+      SELECT label, generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ), dims AS (
+      SELECT label, pos, avg(v) AS m FROM flat GROUP BY label, pos
+    )
+    SELECT label,
+           list(round(m - 1e-9, {_R}) ORDER BY pos) AS centroid,
+           count(*) AS dim
+    FROM dims GROUP BY label
+    """,
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid: explode to (label, pos, value), mean per
+    dimension, re-assemble ordered.  Shuffle key is (label, pos) —
+    10×64 groups — so partial aggregation does nearly all the work
+    map-side; the same plan at 100 TB moves only #groups rows."""
+    e = load_table(spark, sf_dir, "embeddings")
+    flat = e.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    dims = flat.groupBy("label", "pos").agg(F.avg("v").alias("m"))
+    return dims.groupBy("label").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "m"))),
+            lambda s: F.round(s.getField("m") - 1e-9, _R),
+        ).alias("centroid"),
+        F.count("*").alias("dim"),
+    )
+
+
+@register(
+    "embedding_centroid_distance",
+    oracle=f"""
+    WITH flat AS (
+      SELECT label, generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ), cent AS (
+      SELECT label, list(m ORDER BY pos) AS centroid FROM (
+        SELECT label, pos, avg(v) AS m FROM flat GROUP BY label, pos
+      ) GROUP BY label
+    )
+    SELECT e.vec_id, e.label,
+           round({_dot_sql("e.embedding", "c.centroid")}
+                 / (sqrt({_dot_sql("e.embedding", "e.embedding")})
+                    * sqrt({_dot_sql("c.centroid", "c.centroid")})) - 1e-9, {_R})
+             AS cos_to_centroid
+    FROM embeddings e JOIN cent c ON c.label = e.label
+    """,
+)
+def embedding_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine of every vector to its own label centroid — the
+    cluster-quality metric.  Centroids (10 rows) are broadcast; the
+    corpus is never shuffled."""
+    e = load_table(spark, sf_dir, "embeddings")
+    flat = e.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    cent = (
+        flat.groupBy("label", "pos")
+        .agg(F.avg("v").alias("m"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s.getField("m"),
+            ).alias("centroid")
+        )
+    )
+    j = e.join(F.broadcast(cent.withColumnRenamed("label", "c_label")),
+               F.col("label") == F.col("c_label"))
+    cos = _dot(F.col("embedding"), F.col("centroid")) / (
+        _norm(F.col("embedding")) * _norm(F.col("centroid"))
+    )
+    return j.select(
+        "vec_id", "label", F.round(cos - 1e-9, _R).alias("cos_to_centroid")
+    )

@@ -1,0 +1,220 @@
+"""§2.A — sources and sinks beyond parquet scans.
+
+The reference reads/writes csv, json, orc, text, sql and converts
+local frames (`from_pandas`).  Spark's readers/writers cover each;
+the queries here are ROUND-TRIPS: write the driver's parquet data out
+through the format under test into a scratch dir, read it back, and
+aggregate — the DuckDB oracle computes the same aggregate from the
+original parquet, so a hash match proves end-to-end format fidelity
+(types, nulls, encoding), not just "the write didn't crash".
+
+Explicit schemas are passed on every read (never inferSchema — at
+100 TB schema inference is an extra full scan, and inferred types
+drift).  `read_sql/to_sql` (JDBC) has no reachable database in this
+container: `jdbc_source` documents the mapping and is registered
+rows-only returning the would-be plan parameters.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ondemand_dask_spark.io import load_table
+from ondemand_dask_spark.registry import register
+
+_R = 4
+
+_SCRATCH = os.path.join(tempfile.gettempdir(), "ondemand_dask_spark_io")
+
+
+def _scratch(sf_dir: str, name: str) -> str:
+    sf = os.path.basename(sf_dir.rstrip("/"))
+    return os.path.join(_SCRATCH, sf, name)
+
+
+@register(
+    "source_csv_roundtrip",
+    oracle=f"""
+    SELECT c_mktsegment, count(*) AS n,
+           round(sum(c_acctbal) - 1e-9, {_R}) AS total_bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """read_csv/to_csv: parquet → csv (header) → read with explicit
+    schema → aggregate.  Hash-matching the parquet oracle proves the
+    csv codec preserved every value."""
+    path = _scratch(sf_dir, "customer_csv")
+    c = load_table(spark, sf_dir, "customer")
+    c.write.mode("overwrite").option("header", True).csv(path)
+    schema = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("c_nationkey", T.IntegerType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+            T.StructField("c_mktsegment", T.StringType()),
+        ]
+    )
+    back = spark.read.schema(schema).option("header", True).csv(path)
+    return back.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("c_acctbal") - 1e-9, _R).alias("total_bal"),
+    )
+
+
+@register(
+    "source_json_roundtrip",
+    oracle=f"""
+    SELECT event_type, count(*) AS n,
+           round(sum(value) - 1e-9, {_R}) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """read_json/to_json: line-delimited JSON round-trip (the nested
+    `props` string survives as an escaped JSON string field)."""
+    path = _scratch(sf_dir, "events_json")
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "props"
+    )
+    e.write.mode("overwrite").json(path)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    back = spark.read.schema(schema).json(path)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value") - 1e-9, _R).alias("total_value"),
+    )
+
+
+@register(
+    "source_orc_roundtrip",
+    oracle=f"""
+    SELECT l_returnflag, count(*) AS n,
+           round(sum(l_extendedprice) - 1e-9, {_R}) AS total_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """read_orc/to_orc: ORC round-trip.  DuckDB has no ORC reader, so
+    the oracle reads the ORIGINAL parquet — the hash match is the
+    fidelity proof (SURVEY §2.A marks orc ✖ for direct oracles; the
+    round-trip construction upgrades it to ✅)."""
+    path = _scratch(sf_dir, "lineitem_orc")
+    li = load_table(spark, sf_dir, "lineitem")
+    li.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_extendedprice") - 1e-9, _R).alias("total_price"),
+    )
+
+
+@register(
+    "source_text_lines",
+    oracle="""
+    SELECT count(*) AS n_lines,
+           sum(len(text)) AS total_chars,
+           min(len(text)) AS min_len,
+           max(len(text)) AS max_len
+    FROM documents
+    """,
+)
+def source_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """read_text (bag surface): documents written as raw lines, read
+    back with spark.read.text, line/char stats vs the source table."""
+    path = _scratch(sf_dir, "documents_txt")
+    d = load_table(spark, sf_dir, "documents")
+    d.select("text").write.mode("overwrite").text(path)
+    back = spark.read.text(path)
+    return back.agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.length("value")).alias("total_chars"),
+        F.min(F.length("value")).alias("min_len"),
+        F.max(F.length("value")).alias("max_len"),
+    )
+
+
+@register(
+    "sink_partitioned_parquet",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           round(sum(l_quantity) - 1e-9, {_R}) AS total_qty
+    FROM lineitem
+    WHERE l_returnflag = 'R'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """to_parquet(partition_on=…): hive-partitioned write + partition-
+    pruned read-back.  The filter on the partition column prunes at
+    the directory level (`PartitionFilters` in the scan node) — the
+    layout that makes 100 TB tables cheap to slice."""
+    path = _scratch(sf_dir, "lineitem_part")
+    li = load_table(spark, sf_dir, "lineitem")
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("l_returnflag") == "R")
+    return back.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_quantity") - 1e-9, _R).alias("total_qty"),
+    )
+
+
+@register(
+    "source_from_pandas",
+    oracle="""
+    SELECT n.n_name, t.tier
+    FROM nation n
+    JOIN (VALUES (0, 'low'), (1, 'mid'), (2, 'high'), (3, 'top'), (4, 'elite'))
+         t(r_regionkey, tier)
+      ON t.r_regionkey = n.n_regionkey
+    """,
+)
+def source_from_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_pandas: a driver-local pandas frame promoted to a
+    DataFrame (Arrow path) and broadcast-joined as a lookup dim — the
+    standard small-reference-table pattern."""
+    import pandas as pd
+
+    tiers = pd.DataFrame(
+        {"r_regionkey": [0, 1, 2, 3, 4], "tier": ["low", "mid", "high", "top", "elite"]}
+    )
+    lookup = spark.createDataFrame(tiers)
+    n = load_table(spark, sf_dir, "nation")
+    return n.join(
+        F.broadcast(lookup), n.n_regionkey == lookup.r_regionkey
+    ).select("n_name", "tier")
+
+
+@register("jdbc_source_plan", oracle=None)
+def jdbc_source_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """read_sql_table/read_sql_query → spark.read.jdbc mapping.  No
+    database is reachable in this container, so this returns the
+    partitioned-ingest plan the engine would issue: predicate ranges
+    for `partitionColumn` — the Spark analogue of the reference's
+    per-partition SQL ingestion."""
+    bounds = load_table(spark, sf_dir, "orders").agg(
+        F.min("o_orderkey").alias("lower"), F.max("o_orderkey").alias("upper")
+    )
+    n_parts = 8
+    return bounds.select(
+        F.lit("jdbc:postgresql://host/db").alias("url"),
+        F.lit("orders").alias("table"),
+        F.lit("o_orderkey").alias("partition_column"),
+        "lower",
+        "upper",
+        F.lit(n_parts).alias("num_partitions"),
+    )

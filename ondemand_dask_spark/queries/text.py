@@ -1,0 +1,265 @@
+"""§2.K — text analysis over the `documents` table.
+
+The LLM-pipeline text battery: language-ID, quality scoring, token
+counting, fingerprinting, TF-IDF.  Every query is a narrow
+scan+project or a token-level groupBy — the shapes that stay linear
+at 100 TB (token explode is the only fan-out, and it feeds partial
+aggregation, so the shuffle carries term counts, not tokens).
+
+All heuristics use engine-portable primitives (substring counting,
+md5-derived token ids, exact integer rolling hashes) so each query is
+fully oracle-checked — the point is proving the Spark plumbing, not
+linguistic accuracy on a synthetic corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ondemand_dask_spark.io import load_table
+from ondemand_dask_spark.registry import register
+
+_R = 4
+
+# lang → signature substrings (trigram-profile-lite).  Deliberately
+# tiny: the fixture vocabulary is shared across langs, so this tests
+# deterministic scoring/argmax plumbing, not real language ID.
+_PROFILES = {
+    "en": ["the", "and", "is "],
+    "es": ["el ", "de ", "os "],
+    "de": ["der", "ein", "ch "],
+    "fr": ["le ", "es ", "ou "],
+    "zh": ["zh ", "shi", "de "],
+}
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+# Rolling-hash params (exact 64-bit integer arithmetic both engines).
+_FP_MOD = 1_048_576  # token-id space: 2^20
+_FP_B = 131
+_H_SQL = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
+
+
+def _h(col: Column) -> Column:
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _count_occurrences(text: Column, pat: str) -> Column:
+    """Occurrences of a literal substring: (len - len(removed)) / len(pat)."""
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(pat), F.lit(""))))
+        / F.lit(len(pat))
+    ).cast("long")
+
+
+def _count_sql(x: str, pat: str) -> str:
+    return f"(len({x}) - len(replace({x}, '{pat}', ''))) // {len(pat)}"
+
+
+def _score_sql(lang: str) -> str:
+    return " + ".join(_count_sql("text", p) for p in _PROFILES[lang])
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {", ".join(f"({_score_sql(lg)}) AS s_{lg}" for lg in _PROFILES)}
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE {" ".join(
+               f"WHEN s_{lg} >= greatest(s_en, s_es, s_de, s_fr, s_zh) THEN '{lg}'"
+               for lg in _PROFILES)}
+           END AS predicted,
+           (CASE {" ".join(
+               f"WHEN s_{lg} >= greatest(s_en, s_es, s_de, s_fr, s_zh) THEN '{lg}'"
+               for lg in _PROFILES)}
+           END = lang) AS hit
+    FROM scored
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID via n-gram profile scoring: count signature
+    substrings per language, argmax (first-wins tie break, declared
+    identically in both engines).  Pure codegen — no UDF, no shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    scores = {lg: sum(
+        (_count_occurrences(t, p) for p in pats), F.lit(0).cast("long")
+    ) for lg, pats in _PROFILES.items()}
+    best = F.greatest(*scores.values())
+    pred = F
+    expr = None
+    for lg in _PROFILES:
+        cond = scores[lg] >= best
+        expr = F.when(cond, F.lit(lg)) if expr is None else expr.when(cond, F.lit(lg))
+    return d.select(
+        "doc_id",
+        expr.alias("predicted"),
+        (expr == F.col("lang")).alias("hit"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_words,
+           round(CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')) - 1e-9, {_R})
+             AS chars_per_word,
+           round(CAST(len(list_filter(string_split(text, ' '),
+                          x -> x IN {STOPWORDS})) AS DOUBLE)
+                 / len(string_split(text, ' ')) - 1e-9, {_R}) AS stopword_ratio,
+           round(least(1.0, len(string_split(text, ' ')) / 50.0)
+                 * (1.0 - CAST(len(list_filter(string_split(text, ' '),
+                               x -> x IN {STOPWORDS})) AS DOUBLE)
+                          / len(string_split(text, ' '))) - 1e-9, {_R}) AS quality
+    FROM documents
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score: word count, chars/word, stopword
+    ratio, combined into [0,1].  The filter-lambda runs inside
+    codegen (no Python)."""
+    d = load_table(spark, sf_dir, "documents")
+    arr = F.split("text", " ")
+    n_words = F.size(arr).cast("long")
+    stop_n = F.size(F.filter(arr, lambda x: x.isin(*STOPWORDS))).cast("double")
+    stop_ratio = stop_n / n_words
+    quality = F.least(F.lit(1.0), n_words / F.lit(50.0)) * (F.lit(1.0) - stop_ratio)
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(F.col("n_chars").cast("double") / n_words - 1e-9, _R).alias(
+            "chars_per_word"
+        ),
+        F.round(stop_ratio - 1e-9, _R).alias("stopword_ratio"),
+        F.round(quality - 1e-9, _R).alias("quality"),
+    )
+
+
+@register(
+    "text_token_count",
+    oracle="""
+    SELECT lang,
+           sum(len(string_split(text, ' ')))                   AS ws_tokens,
+           sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS bpe_ish_tokens,
+           count(*) AS n_docs
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways — whitespace split and a BPE-ish regex
+    lexer (letter runs / digit runs / single other chars) — rolled up
+    per language.  Counts aggregate map-side; the shuffle carries 5
+    rows."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.size(F.split("text", " ")).cast("long")
+    bpe = F.size(
+        F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)
+    ).cast("long")
+    return d.groupBy("lang").agg(
+        F.sum(ws).alias("ws_tokens"),
+        F.sum(bpe).alias("bpe_ish_tokens"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    WITH tids AS (
+      SELECT doc_id,
+             list_transform(string_split(text, ' '),
+                            x -> {_H_SQL.format(x="x")} % {_FP_MOD}) AS tid
+      FROM documents
+    )
+    SELECT doc_id,
+           list_min(list_transform(generate_series(1, len(tid) - 3),
+             i -> tid[i] * {_FP_B**3} + tid[i+1] * {_FP_B**2}
+                  + tid[i+2] * {_FP_B} + tid[i+3])) AS fingerprint
+    FROM tids
+    WHERE len(tid) >= 4
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: min of rolling polynomial hashes over
+    4-token windows (winnowing-lite).  Exact integer arithmetic —
+    token id < 2^20, polynomial < 2^44 — so both engines compute the
+    identical 64-bit fingerprint.  Narrow op; dedup on fingerprints
+    is then an 8-byte groupBy."""
+    d = load_table(spark, sf_dir, "documents")
+    tid = F.transform(F.split("text", " "), lambda x: _h(x) % _FP_MOD)
+    n = F.size(tid)
+    windows = F.transform(
+        F.sequence(F.lit(1), n - 3),
+        lambda i: F.element_at(tid, i) * (_FP_B**3)
+        + F.element_at(tid, i + 1) * (_FP_B**2)
+        + F.element_at(tid, i + 2) * _FP_B
+        + F.element_at(tid, i + 3),
+    )
+    return (
+        d.filter(F.size(F.split("text", " ")) >= 4)
+        .select("doc_id", F.array_min(windows).alias("fingerprint"))
+    )
+
+
+@register(
+    "text_tfidf_top_term",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term AS top_term, round(tfidf - 1e-9, {_R}) AS tfidf
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY tfidf DESC, term) AS rnk
+          FROM scored)
+    WHERE rnk = 1
+    """,
+)
+def text_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hand-rolled TF-IDF, most-distinctive term per document.
+    Two token-level groupBys (tf, df) + a broadcast of the df table
+    (vocabulary-sized, small) + per-doc top-1 window.  The ml-lib
+    HashingTF+IDF pipeline is the feature-vector variant; this SQL
+    formulation is the one that oracle-checks exactly."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df"))
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "doc_id",
+            F.col("term").alias("top_term"),
+            F.round(F.col("tfidf") - 1e-9, _R).alias("tfidf"),
+        )
+    )
