@@ -19,3 +19,4 @@ from ondemand_dask_spark.queries import (  # noqa: F401
     udfs,
     windows,
 )
+from ondemand_dask_spark import streaming  # noqa: F401  (§2.I jobs)

@@ -1,0 +1,310 @@
+"""§2.I — Structured Streaming surface over the `events` stream table.
+
+Dask has no streaming engine; this is the extension surface the
+driver's `events` table exists for.  Every job here is a real
+`readStream` → transform → `writeStream` pipeline run to completion
+with `trigger(availableNow=True)` against the parquet file — finite,
+deterministic, and convergent to the batch answer, so each query
+carries a full DuckDB oracle (the batch-equivalence check SURVEY §5.2
+calls for).  In production the same code points at a landing
+directory / Kafka topic and runs continuously.
+
+Semantics notes:
+- aggregations run in `complete` output mode: with a finite replay,
+  append mode would hold back windows the final watermark hasn't
+  passed, diverging from batch; complete emits the full converged
+  state.  (Watermarks are still declared — they bound state at scale.)
+- the whole input is one file → one micro-batch; per-user state in
+  the stateful job therefore converges in a single transition.
+- the memory sink keeps results queryable as a table; any prior run
+  of the same query name is stopped first so re-invocation is safe.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import os
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ondemand_dask_spark.registry import register
+
+_R = 4
+
+_EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # parquet TIMESTAMP(NANOS) via nanosAsLong
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _stream_dir(sf_dir: str) -> str:
+    """The file-stream source wants a DIRECTORY it can watch; the test
+    data is a single parquet file.  Stage a scratch dir holding a
+    symlink — in production this is the landing directory new files
+    arrive into."""
+    import tempfile
+
+    sf = os.path.basename(sf_dir.rstrip("/"))
+    d = os.path.join(tempfile.gettempdir(), "ondemand_dask_spark_stream", sf, "events")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    return d
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`spark.readStream` over the events parquet with the same ts
+    normalization as the batch scan (io.load_table)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = spark.readStream.schema(_EVENTS_SCHEMA).parquet(_stream_dir(sf_dir))
+    # Watermarks require tz-aware TIMESTAMP (not ntz); the session is
+    # UTC, so values still align with the oracle's naive timestamps.
+    return stream.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+
+
+def run_to_table(
+    spark: SparkSession, df: DataFrame, name: str, output_mode: str
+) -> DataFrame:
+    """Run a finite streaming query into the memory sink; return the
+    materialized result as a static DataFrame."""
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    query = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)
+
+
+@register(
+    "stream_tumbling_agg",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS w_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value) - 1e-9, {_R}) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windowed aggregation with a 10-minute
+    watermark.  The watermark bounds state: at scale, closed windows
+    are evicted instead of accumulating forever."""
+    e = read_events_stream(spark, sf_dir)
+    agg = (
+        e.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value") - 1e-9, _R).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("w_start"), "event_type", "n", "total_value"
+        )
+    )
+    return run_to_table(spark, agg, "stream_tumbling_agg", "complete")
+
+
+@register(
+    "stream_sliding_agg",
+    oracle=f"""
+    WITH buckets AS (
+      SELECT event_type, value,
+             unnest([
+               make_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 * 1000000 AS BIGINT)),
+               make_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 * 1000000 AS BIGINT))
+                 - INTERVAL 30 MINUTE
+             ]) AS w_start
+      FROM events
+    )
+    SELECT w_start, event_type, count(*) AS n,
+           round(sum(value) - 1e-9, {_R}) AS total_value
+    FROM buckets
+    GROUP BY 1, 2
+    """,
+)
+def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1 hour wide, 30-minute slide): each event lands
+    in exactly two windows.  The oracle materializes the same two
+    bucket starts per event explicitly."""
+    e = read_events_stream(spark, sf_dir)
+    agg = (
+        e.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value") - 1e-9, _R).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("w_start"), "event_type", "n", "total_value"
+        )
+    )
+    return run_to_table(spark, agg, "stream_sliding_agg", "complete")
+
+
+@register(
+    "stream_session_window",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id, min(ts) AS session_start,
+           count(*) AS n_events,
+           round(sum(value) - 1e-9, {_R}) AS sum_value
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization: `session_window` with a 30-minute
+    gap, per user — the streaming twin of the batch `sessionize_gap`
+    query (same gap-and-island oracle)."""
+    e = read_events_stream(spark, sf_dir)
+    agg = (
+        e.withWatermark("ts", "10 minutes")
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value") - 1e-9, _R).alias("sum_value"),
+        )
+        .select("user_id", "session_start", "n_events", "sum_value")
+    )
+    return run_to_table(spark, agg, "stream_session_window", "complete")
+
+
+@register(
+    "stream_dedup_watermark",
+    oracle="""
+    SELECT count(*) AS n_unique, count(DISTINCT user_id) AS n_users
+    FROM (SELECT DISTINCT ON (event_id) event_id, user_id FROM events)
+    """,
+)
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup: `dropDuplicatesWithinWatermark` on event_id —
+    state for an id is kept only within the watermark horizon (the
+    scalable at-least-once → exactly-once repair)."""
+    e = read_events_stream(spark, sf_dir)
+    deduped = (
+        e.withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id")
+    )
+    rows = run_to_table(spark, deduped, "stream_dedup_watermark", "append")
+    return rows.agg(
+        F.count("*").alias("n_unique"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@register(
+    "stream_static_join",
+    oracle=f"""
+    SELECT c.c_mktsegment, count(*) AS n,
+           round(sum(e.value) - 1e-9, {_R}) AS total_value
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY c.c_mktsegment
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched against the
+    static customer dimension (broadcast — the dimension is read once
+    per micro-batch, never shuffled with the stream)."""
+    from ondemand_dask_spark.io import load_table
+
+    e = read_events_stream(spark, sf_dir)
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = e.join(F.broadcast(c), e.user_id == c.c_custkey).select(
+        "event_id", "c_mktsegment", "value"
+    )
+    rows = run_to_table(spark, joined, "stream_static_join", "append")
+    return rows.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value") - 1e-9, _R).alias("total_value"),
+    )
+
+
+@register(
+    "stream_stateful_counter",
+    oracle=f"""
+    SELECT user_id, count(*) AS n_events,
+           round(sum(value) - 1e-9, {_R}) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful op: per-user running (count, sum) via
+    `applyInPandasWithState`.  The input replays as one micro-batch,
+    so the emitted update equals the batch aggregate — which is
+    exactly what the oracle checks.  In continuous operation the same
+    code emits monotone running totals per trigger."""
+    e = read_events_stream(spark, sf_dir)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+        ]
+    )
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf.value.sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total - 1e-9, _R)],
+            }
+        )
+
+    counted = (
+        e.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+    return run_to_table(spark, counted, "stream_stateful_counter", "update")
