@@ -25,16 +25,25 @@ from ondemand_dask_spark.registry import all_queries  # noqa: E402
 from ondemand_dask_spark.session import build_session  # noqa: E402
 
 HEADLINE = [
+    # TPC-H spine (comparable to BASELINE.md's Q1/Q3 probes)
     "tpch_q1",
     "tpch_q3",
     "tpch_q5",
     "tpch_q6",
+    # core relational / agg / window
     "join_inner",
     "agg_groupby_basic",
     "agg_groupby_quantile",
     "window_cumsum",
     "window_rank_family",
     "topk_nlargest",
+    # composed + extension operators (the engine's differentiators)
+    "asof_join_backward",
+    "sessionize_gap",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "text_tfidf_top_term",
 ]
 
 RUNS = 2

@@ -306,16 +306,18 @@ def agg_groupby_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ser.quantile(q) / groupby.quantile — exact percentile.  (At
     100 TB swap to percentile_approx: t-digest sketch, single pass,
     no per-group sort — same API shape.)"""
+    # Both quantiles from ONE percentile agg: the expensive part is
+    # collecting the group's values; asking for [0.5, 0.9] together
+    # collects once instead of twice (~2× on the bench).
+    q = F.percentile("l_extendedprice", F.array(F.lit(0.5), F.lit(0.9)))
     return (
         load_table(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(
-            F.round((F.percentile("l_extendedprice", F.lit(0.5))) - 1e-9, _R).alias(
-                "median_price"
-            ),
-            F.round((F.percentile("l_extendedprice", F.lit(0.9))) - 1e-9, _R).alias(
-                "p90_price"
-            ),
+        .agg(q.alias("qs"))
+        .select(
+            "l_returnflag",
+            F.round(F.element_at("qs", 1) - 1e-9, _R).alias("median_price"),
+            F.round(F.element_at("qs", 2) - 1e-9, _R).alias("p90_price"),
         )
     )
 

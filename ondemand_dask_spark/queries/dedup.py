@@ -36,6 +36,16 @@ BAND_ROWS = 2  # 4 bands x 2 rows
 SIMHASH_BITS = 32
 JACCARD_THRESHOLD = 0.5
 
+# Affine minhash permutation family over a 30-bit base hash:
+#   mh_s(x) = (A[s] * (h(x) % 2^30) + B[s]) % P
+# One md5 per shingle instead of one per (shingle, seed) — ~NUM_HASHES×
+# less hashing work, and the per-doc minimum folds into a single
+# groupBy.  Constants are arbitrary fixed odd ints < 2^20 (exact in
+# int64 on both engines: 2^30 * 2^20 < 2^63, no overflow divergence).
+_MH_P = 1_073_741_789  # prime < 2^30
+_MH_A = [963469, 558191, 891943, 729257, 383681, 106033, 572807, 264893]
+_MH_B = [1234577, 775807, 912491, 330467, 649657, 204749, 563117, 86243]
+
 # Shared 60-bit hash (see module docstring).
 _H_SQL = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
 
@@ -99,21 +109,25 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MH_MIN_SQL = ", ".join(
+    f"min(({_MH_A[s]} * (h % 1073741824) + {_MH_B[s]}) % {_MH_P}) AS mh{s}"
+    for s in range(NUM_HASHES)
+)
+_SIG_UNION_SQL = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, "
+    f"CAST(mh{b * BAND_ROWS} AS VARCHAR) || ',' || "
+    f"CAST(mh{b * BAND_ROWS + 1} AS VARCHAR) AS sig FROM mh"
+    for b in range(NUM_HASHES // BAND_ROWS)
+)
+
+
 @register(
     "dedup_minhash_lsh",
     oracle=f"""
     WITH sh AS ({_SHINGLES_SQL}),
-    mh AS (
-      SELECT doc_id, s.seed,
-             min({_H_SQL.format(x="shingle || '#' || s.seed")}) AS mh
-      FROM sh CROSS JOIN (SELECT unnest(generate_series(0, {NUM_HASHES - 1})) AS seed) s
-      GROUP BY doc_id, s.seed
-    ),
-    sig AS (
-      SELECT doc_id, seed // {BAND_ROWS} AS band,
-             string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS sig
-      FROM mh GROUP BY doc_id, band
-    ),
+    hashed AS (SELECT doc_id, {_H_SQL.format(x="shingle")} AS h FROM sh),
+    mh AS (SELECT doc_id, {_MH_MIN_SQL} FROM hashed GROUP BY doc_id),
+    sig AS ({_SIG_UNION_SQL}),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM sig a JOIN sig b
@@ -147,28 +161,35 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic and the whole pipeline oracle-checks exactly).
     """.format(n=NUM_HASHES, t=JACCARD_THRESHOLD)
     sh = _shingles(spark, sf_dir).cache()
-    seeds = spark.range(NUM_HASHES).select(F.col("id").cast("int").alias("seed"))
+    h30 = _h(F.col("shingle")) % F.lit(1_073_741_824)
+    # mh is one row per doc (tiny) but sits under a 4-way band union
+    # that feeds a self-join — cache it or the shingle scan + groupBy
+    # lineage re-executes 8×.
     mh = (
-        sh.crossJoin(F.broadcast(seeds))
-        .select(
-            "doc_id",
-            "seed",
-            _h(F.concat_ws("#", "shingle", "seed")).alias("h"),
+        sh.select("doc_id", h30.alias("h"))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.min(
+                    (F.lit(_MH_A[s]) * F.col("h") + F.lit(_MH_B[s])) % F.lit(_MH_P)
+                ).alias(f"mh{s}")
+                for s in range(NUM_HASHES)
+            ]
         )
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("mh"))
+        .cache()
     )
-    sig = mh.groupBy(
-        "doc_id", F.expr(f"seed div {BAND_ROWS}").alias("band")
-    ).agg(
-        F.array_join(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("seed", "mh"))),
-                lambda s: s.getField("mh").cast("string"),
-            ),
-            ",",
-        ).alias("sig")
-    )
+    sig = None
+    for b in range(NUM_HASHES // BAND_ROWS):
+        part = mh.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                ",",
+                F.col(f"mh{b * BAND_ROWS}").cast("string"),
+                F.col(f"mh{b * BAND_ROWS + 1}").cast("string"),
+            ).alias("sig"),
+        )
+        sig = part if sig is None else sig.unionByName(part)
     a, b = sig.alias("a"), sig.alias("b")
     cand = (
         a.join(
