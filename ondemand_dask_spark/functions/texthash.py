@@ -1,0 +1,73 @@
+"""Deterministic text-hashing primitives shared by the dedup /
+fingerprint operators (§2.K).
+
+`portable_hash64` is the engine's canonical string→int64 hash: the
+top 15 hex chars of md5 parsed as a 60-bit integer.  md5 is chosen
+because it is the one strong hash with identical output in Spark,
+DuckDB, Python hashlib, and nearly every other engine — results
+(minhash signatures, fingerprints) are portable across systems, which
+is what makes exact differential testing of LSH pipelines possible.
+
+The minhash family is affine over a 30-bit reduction of that hash:
+mh_s(x) = (A[s] * (h(x) % 2^30) + B[s]) % P, P prime < 2^30.  All
+arithmetic stays < 2^50 — exact in int64 everywhere (no overflow-
+semantics divergence: Spark wraps, DuckDB throws, neither is hit).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MH_PRIME = 1_073_741_789
+MH_A = [963469, 558191, 891943, 729257, 383681, 106033, 572807, 264893]
+MH_B = [1234577, 775807, 912491, 330467, 649657, 204749, 563117, 86243]
+
+FP_MOD = 1_048_576  # 2^20 token-id space
+FP_BASE = 131
+
+
+def portable_hash64(col: Column) -> Column:
+    """60-bit engine-portable hash of a string column."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def minhash(col: Column, seed: int) -> Column:
+    """The seed-th minhash-family hash of a string column."""
+    h30 = portable_hash64(col) % F.lit(2**30)
+    return (F.lit(MH_A[seed]) * h30 + F.lit(MH_B[seed])) % F.lit(MH_PRIME)
+
+
+def shingles(text: Column, n: int = 3, sep: str = " ") -> Column:
+    """Array of n-token shingles of a sep-delimited text column
+    (empty array when the text has fewer than n tokens)."""
+    arr = F.split(text, sep)
+    cnt = F.size(arr)
+    idx = F.when(cnt >= n, F.sequence(F.lit(1), cnt - (n - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            sep, *[F.element_at(arr, i + k) for k in range(n)]
+        ),
+    )
+
+
+def rolling_fingerprint(text: Column, window: int = 4, sep: str = " ") -> Column:
+    """Min of rolling polynomial hashes over `window`-token spans
+    (winnowing-lite document fingerprint).  NULL for texts shorter
+    than `window` tokens."""
+    tid = F.transform(F.split(text, sep), lambda x: portable_hash64(x) % FP_MOD)
+    n = F.size(tid)
+    windows = F.transform(
+        F.sequence(F.lit(1), n - (window - 1)),
+        lambda i: sum(
+            (
+                F.element_at(tid, i + k) * (FP_BASE ** (window - 1 - k))
+                for k in range(1, window)
+            ),
+            F.element_at(tid, i) * (FP_BASE ** (window - 1)),
+        ),
+    )
+    return F.when(n >= window, F.array_min(windows))

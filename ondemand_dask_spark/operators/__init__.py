@@ -1,0 +1,5 @@
+"""Composed operators Spark lacks natively (§2.C/§2.E hard parts) and
+the Dask-style frame façade."""
+
+from ondemand_dask_spark.operators.asof import merge_asof  # noqa: F401
+from ondemand_dask_spark.operators.frame import OnDemandFrame, from_spark  # noqa: F401

@@ -1,0 +1,350 @@
+"""OnDemandFrame — a Dask-DataFrame-style façade over pyspark.sql.
+
+The reference's users write `dd.read_parquet(...).merge(...).groupby
+(...).agg(...).compute()`.  This wrapper lets that code port almost
+verbatim while every call lowers to the idiomatic Spark DataFrame
+expression (SURVEY §2's mappings) — Catalyst sees only declarative
+plans, so pushdown/pruning/broadcast/AQE all still apply.  It is a
+thin veneer: `.to_spark()` is always available and zero-cost.
+
+Deviations from pandas, by design (SURVEY §7 hard parts):
+- SQL NULL semantics, never NaN quirks;
+- no implicit index: `set_index` records a sort/partition layout
+  (range-partitioned, sorted within partitions) but keys stay
+  ordinary columns;
+- `first/last`-style order-dependent ops require an explicit order.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterable
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ondemand_dask_spark.operators import asof as _asof
+
+_AGG_MAP: dict[str, Callable[[str], Column]] = {
+    "sum": F.sum,
+    "mean": F.avg,
+    "min": F.min,
+    "max": F.max,
+    "count": F.count,
+    "nunique": F.countDistinct,
+    "std": F.stddev_samp,
+    "var": F.var_samp,
+    "prod": F.product,
+    "median": F.median,
+    "any": lambda c: F.max(F.col(c).cast("boolean")),
+    "all": lambda c: F.min(F.col(c).cast("boolean")),
+    "list": F.collect_list,
+    "set": F.collect_set,
+}
+
+
+def from_spark(df: DataFrame) -> "OnDemandFrame":
+    return OnDemandFrame(df)
+
+
+def read_parquet(
+    spark: SparkSession, path: str, columns: list[str] | None = None
+) -> "OnDemandFrame":
+    """dd.read_parquet — `columns=` kept for API parity; Catalyst
+    prunes automatically, the explicit select only documents intent."""
+    df = spark.read.parquet(path)
+    return OnDemandFrame(df.select(*columns) if columns else df)
+
+
+class OnDemandFrame:
+    def __init__(self, df: DataFrame):
+        self._df = df
+
+    # -- plumbing ---------------------------------------------------------
+    def to_spark(self) -> DataFrame:
+        return self._df
+
+    @property
+    def columns(self) -> list[str]:
+        return self._df.columns
+
+    def _wrap(self, df: DataFrame) -> "OnDemandFrame":
+        return OnDemandFrame(df)
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"OnDemandFrame[{', '.join(self._df.columns)}]"
+
+    # -- projection / mutation (§2.B) ------------------------------------
+    def __getitem__(self, key):
+        if isinstance(key, Column):  # boolean mask → filter
+            return self._wrap(self._df.filter(key))
+        if isinstance(key, list):
+            return self._wrap(self._df.select(*key))
+        return self._df[key]  # column name → Column (expression building)
+
+    def assign(self, **kwargs) -> "OnDemandFrame":
+        cols = {
+            k: (v(self) if callable(v) else v) for k, v in kwargs.items()
+        }
+        return self._wrap(self._df.withColumns(cols))
+
+    def drop(self, columns: Iterable[str]) -> "OnDemandFrame":
+        return self._wrap(self._df.drop(*columns))
+
+    def rename(self, columns: dict[str, str]) -> "OnDemandFrame":
+        return self._wrap(self._df.withColumnsRenamed(columns))
+
+    def astype(self, dtypes: dict[str, str]) -> "OnDemandFrame":
+        return self._wrap(
+            self._df.withColumns(
+                {c: F.col(c).cast(t) for c, t in dtypes.items()}
+            )
+        )
+
+    def query(self, expr: str) -> "OnDemandFrame":
+        return self._wrap(self._df.filter(expr))
+
+    def where(self, cond: Column, other) -> "OnDemandFrame":
+        """pandas .where: keep values where cond, else `other`."""
+        return self._wrap(
+            self._df.withColumns(
+                {
+                    c: F.when(cond, F.col(c)).otherwise(F.lit(other))
+                    for c in self._df.columns
+                }
+            )
+        )
+
+    def dropna(
+        self, how: str = "any", subset: list[str] | None = None
+    ) -> "OnDemandFrame":
+        return self._wrap(self._df.na.drop(how=how, subset=subset))
+
+    def fillna(self, value) -> "OnDemandFrame":
+        return self._wrap(self._df.na.fill(value))
+
+    def replace(self, to_replace, value) -> "OnDemandFrame":
+        return self._wrap(self._df.na.replace(to_replace, value))
+
+    def sample(self, frac: float, random_state: int = 0) -> "OnDemandFrame":
+        return self._wrap(self._df.sample(fraction=frac, seed=random_state))
+
+    def isin_filter(self, col: str, values: Iterable) -> "OnDemandFrame":
+        return self._wrap(self._df.filter(F.col(col).isin(*values)))
+
+    # -- joins / concat (§2.C, §2.G) --------------------------------------
+    def merge(
+        self,
+        right: "OnDemandFrame",
+        on: str | list[str],
+        how: str = "inner",
+        indicator: bool = False,
+        broadcast: bool = False,
+    ) -> "OnDemandFrame":
+        """dd.merge: inner/left/right/outer plus Spark-native semi/anti.
+        `broadcast=True` hints the small side (dimension tables)."""
+        how = {"outer": "full"}.get(how, how)
+        r = right._df
+        on_list = [on] if isinstance(on, str) else list(on)
+        if indicator:
+            lt = self._df.withColumn("__l", F.lit(1))
+            rt = r.withColumn("__r", F.lit(1))
+            j = lt.join(F.broadcast(rt) if broadcast else rt, on_list, "full")
+            merge_col = (
+                F.when(F.col("__l").isNull(), "right_only")
+                .when(F.col("__r").isNull(), "left_only")
+                .otherwise("both")
+            )
+            return self._wrap(
+                j.withColumn("_merge", merge_col).drop("__l", "__r")
+            )
+        return self._wrap(
+            self._df.join(F.broadcast(r) if broadcast else r, on_list, how)
+        )
+
+    def merge_asof(self, right: "OnDemandFrame", **kwargs) -> "OnDemandFrame":
+        return self._wrap(_asof.merge_asof(self._df, right._df, **kwargs))
+
+    def concat(self, other: "OnDemandFrame") -> "OnDemandFrame":
+        """dd.concat(axis=0): union by name with schema union."""
+        return self._wrap(
+            self._df.unionByName(other._df, allowMissingColumns=True)
+        )
+
+    # -- groupby (§2.D) ---------------------------------------------------
+    def groupby(self, by: str | list[str]) -> "OnDemandGroupBy":
+        return OnDemandGroupBy(self, [by] if isinstance(by, str) else list(by))
+
+    def drop_duplicates(
+        self,
+        subset: list[str] | None = None,
+        keep_order: list[Column] | None = None,
+    ) -> "OnDemandFrame":
+        """keep='first' needs an explicit order (keep_order) — the
+        unordered variant maps to dropDuplicates."""
+        if keep_order is None:
+            return self._wrap(self._df.dropDuplicates(subset))
+        w = Window.partitionBy(*(subset or self._df.columns)).orderBy(*keep_order)
+        return self._wrap(
+            self._df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    def value_counts(self, col: str) -> "OnDemandFrame":
+        return self._wrap(
+            self._df.groupBy(col).count().orderBy(F.desc("count"), col)
+        )
+
+    def describe(self, *cols: str) -> "OnDemandFrame":
+        return self._wrap(self._df.select(*cols).summary())
+
+    def melt(
+        self, id_vars: list[str], value_vars: list[str]
+    ) -> "OnDemandFrame":
+        return self._wrap(
+            self._df.melt(id_vars, value_vars, "variable", "value")
+        )
+
+    def pivot_table(
+        self, index: str, columns: str, values: str, aggfunc: str = "sum"
+    ) -> "OnDemandFrame":
+        return self._wrap(
+            self._df.groupBy(index)
+            .pivot(columns)
+            .agg(_AGG_MAP[aggfunc](values))
+        )
+
+    # -- ordered analytics (§2.E/§2.F) ------------------------------------
+    def sort_values(
+        self, by: str | list[str], ascending: bool = True
+    ) -> "OnDemandFrame":
+        cols = [by] if isinstance(by, str) else list(by)
+        return self._wrap(
+            self._df.orderBy(*[F.asc(c) if ascending else F.desc(c) for c in cols])
+        )
+
+    def nlargest(self, n: int, col: str) -> "OnDemandFrame":
+        return self._wrap(self._df.orderBy(F.desc(col)).limit(n))
+
+    def nsmallest(self, n: int, col: str) -> "OnDemandFrame":
+        return self._wrap(self._df.orderBy(F.asc(col)).limit(n))
+
+    def shift(
+        self, col: str, periods: int, order_by: list[str], partition_by: list[str]
+    ) -> Column:
+        w = Window.partitionBy(*partition_by).orderBy(*order_by)
+        return F.lag(col, periods).over(w) if periods > 0 else F.lead(
+            col, -periods
+        ).over(w)
+
+    def rolling(
+        self, window: int, order_by: list[str], partition_by: list[str]
+    ) -> "OnDemandRolling":
+        return OnDemandRolling(self, window, order_by, partition_by)
+
+    def set_index(self, col: str, npartitions: int | None = None) -> "OnDemandFrame":
+        """Range-partition + sort on `col` — Dask's set_index with
+        known divisions.  Downstream merges/windows on `col` reuse the
+        layout (no re-shuffle) exactly like aligned divisions."""
+        df = (
+            self._df.repartitionByRange(npartitions, col)
+            if npartitions
+            else self._df.repartitionByRange(col)
+        )
+        return self._wrap(df.sortWithinPartitions(col))
+
+    # -- escape hatches (§2.J) --------------------------------------------
+    def map_partitions(self, fn, schema: str) -> "OnDemandFrame":
+        return self._wrap(self._df.mapInPandas(fn, schema))
+
+    # -- physical / actions (§2.A) ----------------------------------------
+    def repartition(self, npartitions: int) -> "OnDemandFrame":
+        return self._wrap(self._df.repartition(npartitions))
+
+    def persist(self) -> "OnDemandFrame":
+        return self._wrap(self._df.persist())
+
+    def compute(self) -> pd.DataFrame:
+        return self._df.toPandas()
+
+    def head(self, n: int = 5) -> pd.DataFrame:
+        return self._df.limit(n).toPandas()
+
+    def to_parquet(self, path: str, partition_on: list[str] | None = None) -> None:
+        w = self._df.write.mode("overwrite")
+        if partition_on:
+            w = w.partitionBy(*partition_on)
+        w.parquet(path)
+
+
+class OnDemandGroupBy:
+    def __init__(self, frame: OnDemandFrame, keys: list[str]):
+        self._frame = frame
+        self._keys = keys
+
+    def agg(self, spec: dict[str, str | list[str]]) -> OnDemandFrame:
+        """pandas-style {'col': 'sum'} / {'col': ['sum','mean']} —
+        outputs named col_fn (dask's flattened MultiIndex)."""
+        exprs = []
+        for col, fns in spec.items():
+            for fn in [fns] if isinstance(fns, str) else fns:
+                exprs.append(_AGG_MAP[fn](col).alias(f"{col}_{fn}"))
+        return self._frame._wrap(
+            self._frame._df.groupBy(*self._keys).agg(*exprs)
+        )
+
+    def __getattr__(self, fn: str):
+        if fn not in _AGG_MAP:
+            raise AttributeError(fn)
+
+        def all_cols() -> OnDemandFrame:
+            others = [
+                c for c in self._frame._df.columns if c not in self._keys
+            ]
+            return self.agg({c: fn for c in others})
+
+        return all_cols
+
+    def size(self) -> OnDemandFrame:
+        return self._frame._wrap(
+            self._frame._df.groupBy(*self._keys).agg(F.count("*").alias("size"))
+        )
+
+    def apply(self, fn, schema: str) -> OnDemandFrame:
+        return self._frame._wrap(
+            self._frame._df.groupBy(*self._keys).applyInPandas(fn, schema)
+        )
+
+    def transform(self, col: str, fn: str) -> Column:
+        """Per-group agg broadcast back to rows (window, no shuffle of
+        results back through a join)."""
+        w = Window.partitionBy(*self._keys)
+        return _AGG_MAP[fn](col).over(w)
+
+
+class OnDemandRolling:
+    def __init__(
+        self,
+        frame: OnDemandFrame,
+        window: int,
+        order_by: list[str],
+        partition_by: list[str],
+    ):
+        self._frame = frame
+        self._w = (
+            Window.partitionBy(*partition_by)
+            .orderBy(*order_by)
+            .rowsBetween(-(window - 1), 0)
+        )
+
+    def __getattr__(self, fn: str):
+        if fn not in _AGG_MAP:
+            raise AttributeError(fn)
+
+        def over(col: str) -> Column:
+            return _AGG_MAP[fn](col).over(self._w)
+
+        return over

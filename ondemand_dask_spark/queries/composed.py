@@ -23,11 +23,12 @@ therefore breaks on `diff >= gap`, not `>`.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ondemand_dask_spark.io import load_table
+from ondemand_dask_spark.operators.asof import merge_asof
 from ondemand_dask_spark.registry import register
 
 _R = 4
@@ -39,52 +40,38 @@ _RIGHT_SQL = """
 
 
 def _asof_carry(
-    spark: SparkSession, sf_dir: str, *, forward: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
-    """Union+window as-of matcher: every event matched to the latest
-    prior (or earliest following, if forward) 'purchase' of the same
-    user.  Returns left rows with purchase_{ts,event,value} columns
-    (NULL when no match) — callers slice inner/left/tolerance views.
-    """
+    """Every event matched to the latest prior (or earliest following)
+    'purchase' of the same user via the library operator
+    (operators/asof.py).  Returns left rows + purchase_{ts,event,value}
+    (NULL when no match)."""
     e = load_table(spark, sf_dir, "events")
+    left = e.select("user_id", "ts", "event_id")
     right = e.filter(F.col("event_type") == "purchase").select(
-        "user_id",
-        "ts",
-        F.lit(None).cast("long").alias("event_id"),
-        F.col("ts").alias("r_ts"),
-        F.col("event_id").alias("r_event"),
-        F.col("value").alias("r_value"),
-        F.lit(0).alias("prio"),  # right rows sort first at equal ts (>= semantics)
+        "user_id", "ts", "event_id", "value"
     )
-    left = e.select(
-        "user_id",
-        "ts",
-        "event_id",
-        F.lit(None).cast("timestamp_ntz").alias("r_ts"),
-        F.lit(None).cast("long").alias("r_event"),
-        F.lit(None).cast("double").alias("r_value"),
-        F.lit(1).alias("prio"),
+    out = merge_asof(
+        left,
+        right,
+        on="ts",
+        by="user_id",
+        direction=direction,
+        tolerance_seconds=tolerance_seconds,
+        suffix="_p",
     )
-    order: list[Column] = (
-        [F.desc("ts"), F.asc("prio"), F.desc("r_event")]
-        if forward
-        else [F.asc("ts"), F.asc("prio"), F.asc("r_event")]
-    )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = right.unionByName(left).select(
+    return out.select(
         "user_id",
         "ts",
         "event_id",
-        F.last("r_ts", ignorenulls=True).over(w).alias("purchase_ts"),
-        F.last("r_event", ignorenulls=True).over(w).alias("purchase_event"),
-        F.last("r_value", ignorenulls=True).over(w).alias("purchase_value"),
-        "prio",
+        F.col("ts_p").alias("purchase_ts"),
+        F.col("event_id_p").alias("purchase_event"),
+        F.col("value_p").alias("purchase_value"),
     )
-    return carried.filter(F.col("prio") == 1).drop("prio")
 
 
 @register(
@@ -149,11 +136,8 @@ def asof_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """merge_asof(tolerance='1h') — match only within the window."""
-    m = _asof_carry(spark, sf_dir)
-    age_s = F.col("ts").cast("timestamp").cast("long") - F.col("purchase_ts").cast(
-        "timestamp"
-    ).cast("long")
-    return m.filter(F.col("purchase_ts").isNotNull() & (age_s <= 3600)).select(
+    m = _asof_carry(spark, sf_dir, tolerance_seconds=3600)
+    return m.filter(F.col("purchase_ts").isNotNull()).select(
         "event_id", "user_id", "purchase_ts"
     )
 
@@ -169,7 +153,7 @@ def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     """merge_asof(direction='forward') — earliest following match."""
-    m = _asof_carry(spark, sf_dir, forward=True)
+    m = _asof_carry(spark, sf_dir, direction="forward")
     return m.filter(F.col("purchase_ts").isNotNull()).select(
         "event_id", "user_id", F.col("purchase_ts").alias("next_purchase_ts")
     )

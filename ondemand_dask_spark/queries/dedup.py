@@ -23,9 +23,16 @@ hash family is the same deterministic function on both engines).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ondemand_dask_spark.functions.texthash import (
+    MH_A as _MH_A,
+    MH_B as _MH_B,
+    MH_PRIME as _MH_P,
+    portable_hash64 as _h,
+    shingles as _shingle_array,
+)
 from ondemand_dask_spark.io import load_table
 from ondemand_dask_spark.registry import register
 
@@ -36,44 +43,17 @@ BAND_ROWS = 2  # 4 bands x 2 rows
 SIMHASH_BITS = 32
 JACCARD_THRESHOLD = 0.5
 
-# Affine minhash permutation family over a 30-bit base hash:
-#   mh_s(x) = (A[s] * (h(x) % 2^30) + B[s]) % P
-# One md5 per shingle instead of one per (shingle, seed) — ~NUM_HASHES×
-# less hashing work, and the per-doc minimum folds into a single
-# groupBy.  Constants are arbitrary fixed odd ints < 2^20 (exact in
-# int64 on both engines: 2^30 * 2^20 < 2^63, no overflow divergence).
-_MH_P = 1_073_741_789  # prime < 2^30
-_MH_A = [963469, 558191, 891943, 729257, 383681, 106033, 572807, 264893]
-_MH_B = [1234577, 775807, 912491, 330467, 649657, 204749, 563117, 86243]
-
-# Shared 60-bit hash (see module docstring).
+# SQL twin of functions.texthash.portable_hash64 (see that module for
+# the affine minhash family rationale).
 _H_SQL = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
-
-
-def _h(col: Column) -> Column:
-    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct 3-token shingles per doc: (doc_id, shingle)."""
     d = load_table(spark, sf_dir, "documents")
-    arr = F.split("text", " ")
-    n = F.size(arr)
-    idx = F.when(n >= 3, F.sequence(F.lit(1), n - 2)).otherwise(
-        F.array().cast("array<int>")
-    )
-    shingle = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(arr, i),
-            F.element_at(arr, i + 1),
-            F.element_at(arr, i + 2),
-        ),
-    )
-    return (
-        d.select("doc_id", F.explode(shingle).alias("shingle")).distinct()
-    )
+    return d.select(
+        "doc_id", F.explode(_shingle_array(F.col("text"), 3)).alias("shingle")
+    ).distinct()
 
 
 _SHINGLES_SQL = """

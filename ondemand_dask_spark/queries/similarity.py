@@ -21,10 +21,11 @@ oracle-checked, not statistically.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ondemand_dask_spark.functions.vectors import dot as _dot, l2_norm as _norm
 from ondemand_dask_spark.io import load_table
 from ondemand_dask_spark.registry import register
 
@@ -37,19 +38,6 @@ TOP_K = 5
 # 64-bit integer arithmetic (identical on both engines; int32 would
 # overflow differently — Spark wraps, DuckDB throws).
 _W_SQL = "((CAST({p} AS BIGINT) * 73856093 + {d} * 19349663) % 2001 - 1000)"
-
-
-def _dot(a: Column, b: Column) -> Column:
-    """Sequential double-precision fold of the element products."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-
-def _norm(a: Column) -> Column:
-    return F.sqrt(_dot(a, a))
 
 
 _DOT_SQL = """list_sum(list_transform(generate_series(1, len({a})),

@@ -26,6 +26,7 @@ from pyspark.sql import types as T
 
 from ondemand_dask_spark.io import load_table
 from ondemand_dask_spark.registry import register
+from ondemand_dask_spark.sources import readers
 
 _R = 4
 
@@ -61,7 +62,7 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("c_mktsegment", T.StringType()),
         ]
     )
-    back = spark.read.schema(schema).option("header", True).csv(path)
+    back = readers.read_csv(spark, path, schema, header=True)
     return back.groupBy("c_mktsegment").agg(
         F.count("*").alias("n"),
         F.round(F.sum("c_acctbal") - 1e-9, _R).alias("total_bal"),
@@ -93,7 +94,7 @@ def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("props", T.StringType()),
         ]
     )
-    back = spark.read.schema(schema).json(path)
+    back = readers.read_json(spark, path, schema)
     return back.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.round(F.sum("value") - 1e-9, _R).alias("total_value"),
@@ -197,6 +198,44 @@ def source_from_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n.join(
         F.broadcast(lookup), n.n_regionkey == lookup.r_regionkey
     ).select("n_name", "tier")
+
+
+@register(
+    "source_fwf_roundtrip",
+    oracle=f"""
+    SELECT c_nationkey, count(*) AS n,
+           round(sum(c_acctbal) - 1e-9, {_R}) AS total_bal
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def source_fwf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """read_fwf: customers formatted to fixed-width text
+    (10/4/12/12-char fields), read back via the substring-based fwf
+    reader (sources/readers.py — Spark has no native one), aggregated
+    against the parquet oracle.  acctbal is 2-decimal in the data, so
+    %12.2f is lossless."""
+    path = _scratch(sf_dir, "customer_fwf")
+    c = load_table(spark, sf_dir, "customer")
+    c.select(
+        F.format_string(
+            "%10d%4d%12.2f%-12s",
+            "c_custkey",
+            "c_nationkey",
+            "c_acctbal",
+            "c_mktsegment",
+        ).alias("value")
+    ).write.mode("overwrite").text(path)
+    back = readers.read_fwf(
+        spark,
+        path,
+        colspecs=[(0, 10), (10, 14), (14, 26), (26, 38)],
+        names=["c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment"],
+        dtypes=["bigint", "int", "double", "string"],
+    )
+    return back.groupBy("c_nationkey").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("c_acctbal") - 1e-9, _R).alias("total_bal"),
+    )
 
 
 @register("jdbc_source_plan", oracle=None)

@@ -18,6 +18,12 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ondemand_dask_spark.functions.texthash import (
+    FP_BASE,
+    FP_MOD,
+    portable_hash64,
+    rolling_fingerprint,
+)
 from ondemand_dask_spark.io import load_table
 from ondemand_dask_spark.registry import register
 
@@ -36,14 +42,12 @@ _PROFILES = {
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
 
-# Rolling-hash params (exact 64-bit integer arithmetic both engines).
-_FP_MOD = 1_048_576  # token-id space: 2^20
-_FP_B = 131
+# Rolling-hash params live in functions.texthash (shared with the
+# dedup family); SQL twin of portable_hash64 for the oracles.
+_FP_MOD = FP_MOD
+_FP_B = FP_BASE
 _H_SQL = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
-
-
-def _h(col: Column) -> Column:
-    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+_h = portable_hash64
 
 
 def _count_occurrences(text: Column, pat: str) -> Column:
@@ -195,18 +199,10 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical 64-bit fingerprint.  Narrow op; dedup on fingerprints
     is then an 8-byte groupBy."""
     d = load_table(spark, sf_dir, "documents")
-    tid = F.transform(F.split("text", " "), lambda x: _h(x) % _FP_MOD)
-    n = F.size(tid)
-    windows = F.transform(
-        F.sequence(F.lit(1), n - 3),
-        lambda i: F.element_at(tid, i) * (_FP_B**3)
-        + F.element_at(tid, i + 1) * (_FP_B**2)
-        + F.element_at(tid, i + 2) * _FP_B
-        + F.element_at(tid, i + 3),
-    )
+    fp = rolling_fingerprint(F.col("text"), window=4)
     return (
-        d.filter(F.size(F.split("text", " ")) >= 4)
-        .select("doc_id", F.array_min(windows).alias("fingerprint"))
+        d.select("doc_id", fp.alias("fingerprint"))
+        .filter(F.col("fingerprint").isNotNull())
     )
 
 

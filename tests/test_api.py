@@ -1,0 +1,231 @@
+"""Differential tests for the Dask-style façade (operators/frame.py)
+and the merge_asof operator — checked against pandas, the semantics
+the reference's users actually hold (oracle queries cover the SQL
+side; these cover the ported-code side)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from ondemand_dask_spark.io import load_table
+from ondemand_dask_spark.operators import OnDemandFrame, from_spark, merge_asof
+from tests.compare import assert_results_match
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir) -> OnDemandFrame:
+    return from_spark(load_table(spark, sf_dir, "events"))
+
+
+@pytest.fixture(scope="module")
+def events_pd(events) -> pd.DataFrame:
+    return events.compute()
+
+
+@pytest.fixture(scope="module")
+def customer(spark, sf_dir) -> OnDemandFrame:
+    return from_spark(load_table(spark, sf_dir, "customer"))
+
+
+def test_projection_mask_assign(events, events_pd):
+    got = (
+        events[["event_id", "user_id", "value"]][events["value"] > 50]
+        .assign(value_k=lambda f: f["value"] / 1000)
+        .compute()
+    )
+    exp = events_pd[events_pd.value > 50][["event_id", "user_id", "value"]].assign(
+        value_k=lambda d: d.value / 1000
+    )
+    assert_results_match(got, exp, "projection_mask_assign")
+
+
+def test_query_rename_astype(events, events_pd):
+    got = (
+        events.query("event_type = 'click' and value > 10")
+        .rename({"value": "v"})
+        .astype({"user_id": "int"})[["event_id", "user_id", "v"]]
+        .compute()
+    )
+    exp = (
+        events_pd.query("event_type == 'click' and value > 10")
+        .rename(columns={"value": "v"})
+        .astype({"user_id": "int32"})[["event_id", "user_id", "v"]]
+    )
+    assert_results_match(got, exp, "query_rename_astype")
+
+
+def test_merge_indicator(events, customer):
+    got = (
+        events[["event_id", "user_id"]]
+        .rename({"user_id": "c_custkey"})
+        .merge(customer[["c_custkey", "c_mktsegment"]], on="c_custkey",
+               how="outer", indicator=True)
+        .compute()
+    )
+    exp = pd.merge(
+        events.compute()[["event_id", "user_id"]].rename(
+            columns={"user_id": "c_custkey"}
+        ),
+        customer.compute()[["c_custkey", "c_mktsegment"]],
+        on="c_custkey",
+        how="outer",
+        indicator=True,
+    )
+    exp["_merge"] = exp["_merge"].astype(str)
+    assert_results_match(got, exp, "merge_indicator")
+
+
+def test_groupby_agg_spec(events, events_pd):
+    got = events.groupby("event_type").agg(
+        {"value": ["sum", "mean", "max"], "user_id": "nunique"}
+    ).compute()
+    exp = events_pd.groupby("event_type").agg(
+        value_sum=("value", "sum"),
+        value_mean=("value", "mean"),
+        value_max=("value", "max"),
+        user_id_nunique=("user_id", "nunique"),
+    ).reset_index()
+    assert_results_match(got, exp, "groupby_agg_spec")
+
+
+def test_groupby_size_and_transform(events, events_pd, spark):
+    got = events.groupby("user_id").size().compute()
+    exp = events_pd.groupby("user_id").size().rename("size").reset_index()
+    assert_results_match(got, exp, "groupby_size")
+
+    gb = events.groupby("user_id")
+    got2 = (
+        events.assign(user_mean=gb.transform("value", "mean"))[
+            ["event_id", "user_mean"]
+        ].compute()
+    )
+    exp2 = pd.DataFrame(
+        {
+            "event_id": events_pd.event_id,
+            "user_mean": events_pd.groupby("user_id").value.transform("mean"),
+        }
+    )
+    assert_results_match(got2, exp2, "groupby_transform")
+
+
+def test_drop_duplicates_keep_first(events, events_pd):
+    got = events.drop_duplicates(
+        subset=["user_id", "event_type"], keep_order=[F.asc("ts"), F.asc("event_id")]
+    )[["user_id", "event_type", "event_id"]].compute()
+    exp = (
+        events_pd.sort_values(["ts", "event_id"])
+        .drop_duplicates(subset=["user_id", "event_type"], keep="first")[
+            ["user_id", "event_type", "event_id"]
+        ]
+    )
+    assert_results_match(got, exp, "drop_duplicates_keep_first")
+
+
+def test_value_counts_nlargest(events, events_pd):
+    got = events.value_counts("event_type").compute()
+    exp = (
+        events_pd.event_type.value_counts()
+        .rename_axis("event_type")
+        .rename("count")
+        .reset_index()
+    )
+    assert_results_match(got, exp, "value_counts")
+
+    got2 = events.nlargest(5, "value")[["event_id", "value"]].compute()
+    exp2 = events_pd.nlargest(5, "value")[["event_id", "value"]]
+    assert_results_match(got2, exp2, "nlargest")
+
+
+def test_rolling_mean(events, events_pd):
+    roll = events.rolling(3, order_by=["ts", "event_id"], partition_by=["user_id"])
+    got = events.assign(r=roll.mean("value"))[["event_id", "r"]].compute()
+    exp_s = (
+        events_pd.sort_values(["ts", "event_id"])
+        .groupby("user_id")
+        .value.rolling(3, min_periods=1)
+        .mean()
+        .reset_index(level=0, drop=True)
+    )
+    exp = pd.DataFrame({"event_id": events_pd.event_id, "r": exp_s})
+    assert_results_match(got, exp, "rolling_mean")
+
+
+def _asof_frames(events):
+    left = events[["user_id", "ts", "event_id"]]
+    right = events.query("event_type = 'purchase'")[
+        ["user_id", "ts", "event_id", "value"]
+    ]
+    lpd = left.compute().sort_values("ts", kind="stable")
+    rpd = right.compute().sort_values("ts", kind="stable")
+    return left, right, lpd, rpd
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+def test_merge_asof_directions(events, direction):
+    left, right, lpd, rpd = _asof_frames(events)
+    got = (
+        merge_asof(
+            left.to_spark(), right.to_spark(), on="ts", by="user_id",
+            direction=direction, suffix="_p",
+        )
+        .select("event_id", "user_id", "event_id_p", "value_p")
+        .toPandas()
+    )
+    exp = pd.merge_asof(
+        lpd, rpd, on="ts", by="user_id", direction=direction,
+        suffixes=("", "_p"),
+    ).rename(columns={"value": "value_p"})[  # only clashing cols get suffixed
+        ["event_id", "user_id", "event_id_p", "value_p"]
+    ]
+    assert_results_match(got, exp, f"merge_asof_{direction}")
+
+
+def test_merge_asof_tolerance(events):
+    left, right, lpd, rpd = _asof_frames(events)
+    got = (
+        merge_asof(
+            left.to_spark(), right.to_spark(), on="ts", by="user_id",
+            direction="backward", tolerance_seconds=3600, suffix="_p",
+        )
+        .select("event_id", "event_id_p")
+        .toPandas()
+    )
+    exp = pd.merge_asof(
+        lpd, rpd, on="ts", by="user_id", direction="backward",
+        tolerance=pd.Timedelta(hours=1), suffixes=("", "_p"),
+    )[["event_id", "event_id_p"]]
+    assert_results_match(got, exp, "merge_asof_tolerance")
+
+
+def test_melt_pivot(events):
+    small = events[["event_id", "user_id", "value"]].assign(
+        value2=lambda f: f["value"] * 2
+    )
+    melted = small.melt(id_vars=["event_id"], value_vars=["value", "value2"])
+    assert melted.compute().shape[0] == 2 * small.compute().shape[0]
+
+    pv = events.pivot_table(
+        index="user_id", columns="event_type", values="value", aggfunc="sum"
+    ).compute()
+    assert "purchase" in pv.columns
+
+
+def test_set_index_layout(events):
+    idx = events.set_index("ts", npartitions=4)
+    sdf = idx.to_spark()
+    assert sdf.rdd.getNumPartitions() == 4
+    # within-partition sortedness
+    from pyspark.sql import functions as F  # noqa: F811
+
+    part = sdf.withColumn("p", F.spark_partition_id())
+    bad = (
+        part.groupBy("p")
+        .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+        .orderBy("p")
+        .toPandas()
+    )
+    # range partitions must not overlap
+    assert all(bad.hi.iloc[i] <= bad.lo.iloc[i + 1] for i in range(len(bad) - 1))

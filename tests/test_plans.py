@@ -1,0 +1,98 @@
+"""Plan-shape assertions — the scale posture as CI (SURVEY §7 hard
+part #5).  Correctness tests prove the answers match; these prove the
+PLANS are the ones that survive a 100×/1000× scale-up: filters reach
+scans, dimensions broadcast, shuffles are counted and bounded, and
+Python never leaks into relational paths."""
+
+from __future__ import annotations
+
+import pytest
+
+from ondemand_dask_spark.plans import (
+    broadcast_join_count,
+    codegen_span_count,
+    pushed_filters,
+    python_eval_count,
+    read_schemas,
+    shuffle_count,
+    sort_merge_join_count,
+)
+from ondemand_dask_spark.registry import all_queries
+
+QUERIES = all_queries()
+
+
+def _df(name, spark, sf_dir):
+    return QUERIES[name].fn(spark, sf_dir)
+
+
+def test_q6_pushdown_no_shuffle_needed(spark, sf_dir):
+    """Q6: filter+agg — predicates must reach the parquet scan and the
+    only exchange is the single-row final agg."""
+    df = _df("tpch_q6", spark, sf_dir)
+    assert pushed_filters(df), "filters did not reach the scan"
+    assert shuffle_count(df) <= 1
+    assert python_eval_count(df) == 0
+
+
+@pytest.mark.parametrize("name", ["tpch_q3", "tpch_q5"])
+def test_star_joins_broadcast(name, spark, sf_dir):
+    """Star joins: every dimension join must be broadcast — the fact
+    table is never shuffled for a join, only for the final agg."""
+    df = _df(name, spark, sf_dir)
+    assert sort_merge_join_count(df) == 0, "a dimension join fell to SMJ"
+    assert broadcast_join_count(df) >= 2
+    # fact-side shuffles: agg exchange (+ top-k/sort exchange)
+    assert shuffle_count(df) <= 2
+    assert python_eval_count(df) == 0
+
+
+def test_projection_prunes_columns(spark, sf_dir):
+    """A 2-column projection must read 2 columns, not the table."""
+    df = _df("proj_select", spark, sf_dir)
+    schemas = read_schemas(df)
+    assert schemas and all(len(s.split(",")) <= 3 for s in schemas), schemas
+
+
+def test_asof_join_single_shuffle(spark, sf_dir):
+    """merge_asof = union + one window: exactly one data shuffle (on
+    the by-key).  A second shuffle would mean the composition
+    regressed to join-per-candidate."""
+    df = _df("asof_join_backward", spark, sf_dir)
+    assert shuffle_count(df) == 1, "as-of join must cost exactly one shuffle"
+    assert python_eval_count(df) == 0
+
+
+def test_scalar_paths_are_pure_codegen(spark, sf_dir):
+    """§2.H scalar batteries: no shuffle, no Python, one fused span."""
+    for name in ("math_basic", "str_case_len", "array_hof", "json_extract"):
+        df = _df(name, spark, sf_dir)
+        assert shuffle_count(df) == 0, name
+        assert python_eval_count(df) == 0, name
+        assert codegen_span_count(df) >= 1, name
+
+
+def test_udf_paths_cross_python_once(spark, sf_dir):
+    """§2.J queries exist to exercise the Arrow boundary — assert the
+    boundary is present exactly where declared (and nowhere else)."""
+    assert python_eval_count(_df("udf_map_in_pandas", spark, sf_dir)) == 1
+    assert python_eval_count(_df("udf_apply_in_pandas", spark, sf_dir)) == 1
+    # ...and the window-based map_overlap twin stays JVM-side
+    assert python_eval_count(_df("udf_map_overlap", spark, sf_dir)) == 0
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    """nlargest must plan as TakeOrderedAndProject (per-partition
+    top-k + tree merge), never a global sort."""
+    from ondemand_dask_spark.plans import plan_string
+
+    plan = plan_string(_df("topk_nlargest", spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_broadcast_queries_in_ann(spark, sf_dir):
+    """ANN brute force: the query-vector side must broadcast — the
+    corpus is the streamed side at any scale."""
+    df = _df("ann_cosine_topk", spark, sf_dir)
+    assert broadcast_join_count(df) >= 1
+    assert sort_merge_join_count(df) == 0
