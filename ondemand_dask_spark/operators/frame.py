@@ -273,6 +273,11 @@ class OnDemandFrame:
     def head(self, n: int = 5) -> pd.DataFrame:
         return self._df.limit(n).toPandas()
 
+    def tail(self, n: int = 5) -> pd.DataFrame:
+        return pd.DataFrame(
+            [r.asDict() for r in self._df.tail(n)], columns=self._df.columns
+        )
+
     def to_parquet(self, path: str, partition_on: list[str] | None = None) -> None:
         w = self._df.write.mode("overwrite")
         if partition_on:

@@ -238,6 +238,39 @@ def source_fwf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "source_from_map",
+    oracle="""
+    SELECT i AS part_id, i * 100 + j AS row_id,
+           CAST(i * 100 + j AS DOUBLE) / 7 AS metric
+    FROM generate_series(0, 7) t(i),
+         generate_series(0, 99) u(j)
+    """,
+)
+def source_from_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_map / from_delayed: build a collection by running a task
+    per partition index.  Spark shape: `spark.range(n)` seeds one row
+    per task, `mapInPandas` expands each into its partition's rows —
+    generation happens ON the executors (the driver never holds the
+    data), which is the entire point of from_delayed at scale."""
+    import pandas as pd
+
+    def gen(it):
+        for pdf in it:
+            for i in pdf["id"]:
+                rows = pd.DataFrame({"j": range(100)})
+                yield pd.DataFrame(
+                    {
+                        "part_id": int(i),
+                        "row_id": int(i) * 100 + rows.j,
+                        "metric": (int(i) * 100 + rows.j) / 7.0,
+                    }
+                )
+
+    seeds = spark.range(8).repartition(8)
+    return seeds.mapInPandas(gen, "part_id bigint, row_id bigint, metric double")
+
+
 @register("jdbc_source_plan", oracle=None)
 def jdbc_source_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """read_sql_table/read_sql_query → spark.read.jdbc mapping.  No
