@@ -65,11 +65,23 @@ def _stream_dir(sf_dir: str) -> str:
     return d
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession,
+    sf_dir: str | None = None,
+    *,
+    directory: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """`spark.readStream` over the events parquet with the same ts
-    normalization as the batch scan (io.load_table)."""
+    normalization as the batch scan (io.load_table).  Pass `directory`
+    to stream an arbitrary landing dir; `max_files_per_trigger=1`
+    forces one micro-batch per file (multi-batch replays — how the
+    incremental tests exercise cross-batch state)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = spark.readStream.schema(_EVENTS_SCHEMA).parquet(_stream_dir(sf_dir))
+    reader = spark.readStream.schema(_EVENTS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(directory or _stream_dir(sf_dir))
     # Watermarks require tz-aware TIMESTAMP (not ntz); the session is
     # UTC, so values still align with the oracle's naive timestamps.
     return stream.withColumn(
@@ -96,6 +108,21 @@ def run_to_table(
     return spark.table(name)
 
 
+def tumbling_agg(e: DataFrame) -> DataFrame:
+    """1-hour tumbling windows per event_type (watermarked)."""
+    return (
+        e.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value") - 1e-9, _R).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("w_start"), "event_type", "n", "total_value"
+        )
+    )
+
+
 @register(
     "stream_tumbling_agg",
     oracle=f"""
@@ -111,18 +138,7 @@ def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour windowed aggregation with a 10-minute
     watermark.  The watermark bounds state: at scale, closed windows
     are evicted instead of accumulating forever."""
-    e = read_events_stream(spark, sf_dir)
-    agg = (
-        e.withWatermark("ts", "10 minutes")
-        .groupBy(F.window("ts", "1 hour"), "event_type")
-        .agg(
-            F.count("*").alias("n"),
-            F.round(F.sum("value") - 1e-9, _R).alias("total_value"),
-        )
-        .select(
-            F.col("window.start").alias("w_start"), "event_type", "n", "total_value"
-        )
-    )
+    agg = tumbling_agg(read_events_stream(spark, sf_dir))
     return run_to_table(spark, agg, "stream_tumbling_agg", "complete")
 
 
@@ -163,6 +179,22 @@ def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_table(spark, agg, "stream_sliding_agg", "complete")
 
 
+def session_agg(e: DataFrame) -> DataFrame:
+    """30-minute-gap session windows per user (watermarked) — session
+    state merges across micro-batches when a session spans a batch
+    boundary."""
+    return (
+        e.withWatermark("ts", "10 minutes")
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value") - 1e-9, _R).alias("sum_value"),
+        )
+        .select("user_id", "session_start", "n_events", "sum_value")
+    )
+
+
 @register(
     "stream_session_window",
     oracle=f"""
@@ -189,17 +221,7 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming sessionization: `session_window` with a 30-minute
     gap, per user — the streaming twin of the batch `sessionize_gap`
     query (same gap-and-island oracle)."""
-    e = read_events_stream(spark, sf_dir)
-    agg = (
-        e.withWatermark("ts", "10 minutes")
-        .groupBy("user_id", F.session_window("ts", "30 minutes"))
-        .agg(
-            F.min("ts").alias("session_start"),
-            F.count("*").alias("n_events"),
-            F.round(F.sum("value") - 1e-9, _R).alias("sum_value"),
-        )
-        .select("user_id", "session_start", "n_events", "sum_value")
-    )
+    agg = session_agg(read_events_stream(spark, sf_dir))
     return run_to_table(spark, agg, "stream_session_window", "complete")
 
 
