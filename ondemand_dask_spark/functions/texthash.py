@@ -38,36 +38,63 @@ def minhash(col: Column, seed: int) -> Column:
     return (F.lit(MH_A[seed]) * h30 + F.lit(MH_B[seed])) % F.lit(MH_PRIME)
 
 
+def _let(arr_expr: Column, build) -> Column:
+    """Let-bind a computed array: evaluate `arr_expr` ONCE per row and
+    pass the bound reference into `build`.
+
+    Without this, a lambda that references a computed array k times
+    makes Catalyst inline the full array expression at every
+    reference — `element_at(transform(...), i)` re-evaluates the
+    whole transform per element, turning an O(n) fingerprint into
+    O(n²) (measured: 52 s → 1 s on 5 000 docs at sf0.1).  Wrapping
+    the array as the element of a 1-element array and `transform`ing
+    over it makes it a lambda-bound variable, evaluated once.
+    """
+    return F.element_at(F.transform(F.array(arr_expr), build), 1)
+
+
 def shingles(text: Column, n: int = 3, sep: str = " ") -> Column:
     """Array of n-token shingles of a sep-delimited text column
     (empty array when the text has fewer than n tokens)."""
-    arr = F.split(text, sep)
-    cnt = F.size(arr)
-    idx = F.when(cnt >= n, F.sequence(F.lit(1), cnt - (n - 1))).otherwise(
-        F.array().cast("array<int>")
-    )
-    return F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            sep, *[F.element_at(arr, i + k) for k in range(n)]
-        ),
-    )
+
+    def build(arr: Column) -> Column:
+        cnt = F.size(arr)
+        idx = F.when(cnt >= n, F.sequence(F.lit(1), cnt - (n - 1))).otherwise(
+            F.array().cast("array<int>")
+        )
+        return F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                sep, *[F.element_at(arr, i + k) for k in range(n)]
+            ),
+        )
+
+    return _let(F.split(text, sep), build)
 
 
 def rolling_fingerprint(text: Column, window: int = 4, sep: str = " ") -> Column:
     """Min of rolling polynomial hashes over `window`-token spans
     (winnowing-lite document fingerprint).  NULL for texts shorter
     than `window` tokens."""
-    tid = F.transform(F.split(text, sep), lambda x: portable_hash64(x) % FP_MOD)
-    n = F.size(tid)
-    windows = F.transform(
-        F.sequence(F.lit(1), n - (window - 1)),
-        lambda i: sum(
-            (
-                F.element_at(tid, i + k) * (FP_BASE ** (window - 1 - k))
-                for k in range(1, window)
+
+    def build(tid: Column) -> Column:
+        n = F.size(tid)
+        idx = F.when(n >= window, F.sequence(F.lit(1), n - (window - 1))).otherwise(
+            F.array().cast("array<int>")
+        )
+        windows = F.transform(
+            idx,
+            lambda i: sum(
+                (
+                    F.element_at(tid, i + k) * (FP_BASE ** (window - 1 - k))
+                    for k in range(1, window)
+                ),
+                F.element_at(tid, i) * (FP_BASE ** (window - 1)),
             ),
-            F.element_at(tid, i) * (FP_BASE ** (window - 1)),
-        ),
+        )
+        return F.array_min(windows)
+
+    return _let(
+        F.transform(F.split(text, sep), lambda x: portable_hash64(x) % FP_MOD),
+        build,
     )
-    return F.when(n >= window, F.array_min(windows))

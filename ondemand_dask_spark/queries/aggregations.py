@@ -158,6 +158,31 @@ def agg_nunique_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_quantile_approx",
+    oracle=None,  # sketch cutpoints differ per engine — rows-only
+)
+def agg_quantile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ser.quantile via sketch (the t-digest analogue) —
+    percentile_approx: single pass, fixed memory, no per-group value
+    collection.  This is the 100 TB replacement for the exact
+    `agg_groupby_quantile`; exactness is the only thing traded."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx(
+                "l_extendedprice", F.array(F.lit(0.5), F.lit(0.9)), 10000
+            ).alias("approx_qs")
+        )
+        .select(
+            "l_returnflag",
+            F.element_at("approx_qs", 1).alias("median_approx"),
+            F.element_at("approx_qs", 2).alias("p90_approx"),
+        )
+    )
+
+
+@register(
     "agg_multi",
     oracle=f"""
     SELECT l_linestatus,

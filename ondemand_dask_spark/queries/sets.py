@@ -33,6 +33,30 @@ def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "set_union_schema_evolution",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+      WHERE o_totalprice > 400000
+    UNION ALL BY NAME
+    SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_orderstatus = 'O' AND o_totalprice > 400000
+    """,
+)
+def set_union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dd.concat with schema union — the second input lacks a column,
+    which comes back NULL-filled (`allowMissingColumns`): the pattern
+    for appending old-schema partitions to an evolved table."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_totalprice") > 400000).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    b = o.filter(
+        (F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 400000)
+    ).select("o_orderkey", "o_totalprice")
+    return a.unionByName(b, allowMissingColumns=True)
+
+
+@register(
     "set_union_distinct",
     oracle="""
     SELECT c_nationkey AS nationkey FROM customer
