@@ -105,7 +105,8 @@ _SIG_UNION_SQL = " UNION ALL ".join(
     "dedup_minhash_lsh",
     oracle=f"""
     WITH sh AS ({_SHINGLES_SQL}),
-    hashed AS (SELECT doc_id, {_H_SQL.format(x="shingle")} AS h FROM sh),
+    hashed AS (SELECT DISTINCT doc_id,
+                      ({_H_SQL.format(x="shingle")} % 1073741824) AS h FROM sh),
     mh AS (SELECT doc_id, {_MH_MIN_SQL} FROM hashed GROUP BY doc_id),
     sig AS ({_SIG_UNION_SQL}),
     cand AS (
@@ -113,12 +114,12 @@ _SIG_UNION_SQL = " UNION ALL ".join(
       FROM sig a JOIN sig b
         ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
     ),
-    counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    counts AS (SELECT doc_id, count(*) AS n FROM hashed GROUP BY doc_id),
     inter AS (
       SELECT c.doc_a, c.doc_b, count(*) AS i
       FROM cand c
-      JOIN sh x ON x.doc_id = c.doc_a
-      JOIN sh y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+      JOIN hashed x ON x.doc_id = c.doc_a
+      JOIN hashed y ON y.doc_id = c.doc_b AND y.h = x.h
       GROUP BY c.doc_a, c.doc_b
     )
     SELECT doc_a, doc_b,
@@ -140,14 +141,23 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     same; hand-rolled here so the hash family is cross-engine
     deterministic and the whole pipeline oracle-checks exactly).
     """.format(n=NUM_HASHES, t=JACCARD_THRESHOLD)
-    sh = _shingles(spark, sf_dir).cache()
+    # Hash shingles to 30-bit ids at the scan and never carry strings:
+    # the cached set / verification shuffles move (long, long) rows.
+    # Jaccard over hashed sets == Jaccard over shingles modulo hash
+    # collisions, and the oracle hashes identically, so the
+    # differential check stays exact.
     h30 = _h(F.col("shingle")) % F.lit(1_073_741_824)
+    sh = (
+        _shingles(spark, sf_dir)
+        .select("doc_id", h30.alias("h"))
+        .distinct()
+        .cache()
+    )
     # mh is one row per doc (tiny) but sits under a 4-way band union
     # that feeds a self-join — cache it or the shingle scan + groupBy
     # lineage re-executes 8×.
     mh = (
-        sh.select("doc_id", h30.alias("h"))
-        .groupBy("doc_id")
+        sh.groupBy("doc_id")
         .agg(
             *[
                 F.min(
@@ -188,7 +198,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(
             y,
             (F.col("y.doc_id") == F.col("doc_b"))
-            & (F.col("y.shingle") == F.col("x.shingle")),
+            & (F.col("y.h") == F.col("x.h")),
         )
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("i"))

@@ -116,6 +116,27 @@ def str_replace_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "str_edit_distance",
+    oracle="""
+    SELECT p_partkey,
+           levenshtein(p_name, 'small widget') AS dist_to_probe,
+           (levenshtein(p_name, 'small widget') <= 3) AS near_probe
+    FROM part
+    """,
+)
+def str_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein edit distance — fuzzy string matching for joins /
+    dedup blocking on short keys (names, codes)."""
+    p = load_table(spark, sf_dir, "part")
+    d = F.levenshtein("p_name", F.lit("small widget"))
+    return p.select(
+        "p_partkey",
+        d.alias("dist_to_probe"),
+        (d <= 3).alias("near_probe"),
+    )
+
+
+@register(
     "str_pad_concat",
     oracle="""
     SELECT c_custkey,

@@ -219,6 +219,51 @@ def ann_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH sig AS ({_SIG_SQL}),
+    pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             {_dot_sql("a.embedding", "b.embedding")}
+               / (sqrt({_dot_sql("a.embedding", "a.embedding")})
+                  * sqrt({_dot_sql("b.embedding", "b.embedding")})) AS cos
+      FROM sig a JOIN sig b
+        ON a.signature = b.signature AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, round(cos - 1e-9, {_R}) AS cosine
+    FROM pairs WHERE cos >= 0.2
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the semantic-dedup
+    member of the §2.K dedup family.  Candidates are blocked by LSH
+    signature (equi-join on the bucket key, never an n² cross join),
+    then verified with exact double-precision cosine ≥ threshold.
+    The threshold is low on this synthetic corpus (random vectors
+    cluster weakly); production semantic dedup runs ≥ 0.95 on real
+    embeddings with the identical plan."""
+    sig = _signatures(spark, sf_dir)
+    a, b = sig.alias("a"), sig.alias("b")
+    cos = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        _norm(F.col("a.embedding")) * _norm(F.col("b.embedding"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.signature") == F.col("b.signature"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.2)
+        .select("vec_a", "vec_b", F.round(F.col("cos") - 1e-9, _R).alias("cosine"))
+    )
+
+
+@register(
     "embedding_centroids",
     oracle=f"""
     WITH flat AS (
