@@ -73,9 +73,16 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (TakeOrderedAndProject shape), no corpus shuffle.  This is the
     oracle for any ANN index; at 100 TB run it on a sampled slice to
     measure the LSH variant's recall."""
-    e = load_table(spark, sf_dir, "embeddings")
+    # Norms are per-VECTOR, not per-pair: compute once on each side
+    # (HOF folds are interpreted, so per-pair work is the cost driver
+    # — this cuts 3 folds/pair to 1).
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "nrm", _norm(F.col("embedding"))
+    )
     q = e.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
     )
     pairs = (
         e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
@@ -84,7 +91,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("neighbor_id"),
             (
                 _dot(F.col("q_emb"), F.col("embedding"))
-                / (_norm(F.col("q_emb")) * _norm(F.col("embedding")))
+                / (F.col("q_nrm") * F.col("nrm"))
             ).alias("cos"),
         )
     )
@@ -123,7 +130,18 @@ def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda pr, p: F.when(pr > 0, F.pow(F.lit(2.0), p)).otherwise(F.lit(0.0)),
     )
     sig = F.aggregate(bits, F.lit(0.0), lambda acc, x: acc + x).cast("long")
-    return e.select("vec_id", "label", "embedding", sig.alias("signature"))
+    # cached: the signature fold is interpreted (HOFs don't codegen)
+    # and every caller joins this table against itself or probes it —
+    # without the cache the 16×dim fold runs once per join side.
+    return e.select(
+        "vec_id",
+        "label",
+        "embedding",
+        sig.alias("signature"),
+        # per-vector norm, computed once here so downstream pair joins
+        # never re-fold it per pair
+        _norm(F.col("embedding")).alias("nrm"),
+    ).cache()
 
 
 _SIG_SQL = f"""
@@ -189,6 +207,7 @@ def ann_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("signature").alias("q_sig"),
+        F.col("nrm").alias("q_nrm"),
     )
     pairs = (
         sig.join(
@@ -201,7 +220,7 @@ def ann_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("neighbor_id"),
             (
                 _dot(F.col("q_emb"), F.col("embedding"))
-                / (_norm(F.col("q_emb")) * _norm(F.col("embedding")))
+                / (F.col("q_nrm") * F.col("nrm"))
             ).alias("cos"),
         )
     )
@@ -245,7 +264,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = _signatures(spark, sf_dir)
     a, b = sig.alias("a"), sig.alias("b")
     cos = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
-        _norm(F.col("a.embedding")) * _norm(F.col("b.embedding"))
+        F.col("a.nrm") * F.col("b.nrm")
     )
     return (
         a.join(
