@@ -71,6 +71,10 @@ def main() -> None:
     names = [n for n in HEADLINE if n in queries]
 
     def run_once(name: str) -> float:
+        # Self-contained timing: drop cached tables left by previous
+        # queries (minhash/LSH cache intermediates) so no query is
+        # timed under another's memory pressure or warm cache.
+        spark.catalog.clearCache()
         df = queries[name].fn(spark, sf_dir)
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()

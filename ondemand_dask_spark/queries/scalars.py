@@ -537,6 +537,39 @@ def map_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "map_functions",
+    oracle="""
+    SELECT event_id,
+           list_sort(map_keys(map_concat(
+             MAP(['type', 'val'], [event_type, CAST(value AS VARCHAR)]),
+             MAP(['uid'], [CAST(user_id AS VARCHAR)])))) AS all_keys,
+           cardinality(map_concat(
+             MAP(['type', 'val'], [event_type, CAST(value AS VARCHAR)]),
+             MAP(['uid'], [CAST(user_id AS VARCHAR)]))) AS n_entries,
+           (MAP(['type', 'val'], [event_type, CAST(value AS VARCHAR)])['type'])[1]
+             AS type_val
+    FROM events
+    """,
+)
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map accessor family — map_keys / map_concat / size / lookup
+    (dict-valued object columns in the reference).  Keys sorted for
+    deterministic comparison (map iteration order is unspecified)."""
+    e = load_table(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("val"), F.col("value").cast("string"),
+    )
+    m2 = F.map_concat(m, F.create_map(F.lit("uid"), F.col("user_id").cast("string")))
+    return e.select(
+        "event_id",
+        F.array_sort(F.map_keys(m2)).alias("all_keys"),
+        F.size(m2).alias("n_entries"),
+        F.element_at(m, "type").alias("type_val"),
+    )
+
+
+@register(
     "null_funcs",
     oracle="""
     SELECT event_id,
