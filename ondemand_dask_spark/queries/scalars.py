@@ -537,6 +537,36 @@ def map_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "try_ops",
+    oracle=f"""
+    SELECT event_id,
+           round(value / nullif(CAST(floor(value) AS BIGINT) % 3, 0) - 1e-9, {_R})
+             AS safe_div,
+           TRY_CAST(substr(event_type, 1, 1) AS INTEGER) AS bad_cast,
+           TRY_CAST(CAST(user_id AS VARCHAR) AS BIGINT)  AS good_cast
+    FROM events
+    """,
+)
+def try_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe arithmetic — try_divide / try_cast return NULL where
+    ANSI mode would raise (÷0, bad casts).  The right default inside
+    100 TB pipelines: one malformed row must not kill a 6-hour job."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        # floor, not cast: DuckDB's double→int cast rounds to nearest
+        # while Spark truncates — floor is the portable semantics
+        F.round(
+            F.try_divide("value", F.floor("value") % 3) - 1e-9, _R
+        ).alias("safe_div"),
+        F.try_to_number(F.substring("event_type", 1, 1), F.lit("9")).cast(
+            "int"
+        ).alias("bad_cast"),
+        F.col("user_id").cast("string").try_cast("bigint").alias("good_cast"),
+    )
+
+
+@register(
     "map_functions",
     oracle="""
     SELECT event_id,
