@@ -214,6 +214,41 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("dedup_minhash_ml", oracle=None)
+def dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pyspark.ml MinHashLSH variant of the near-dup pipeline:
+    RegexTokenizer → NGram(3) → HashingTF → MinHashLSH →
+    approxSimilarityJoin.  Rows-only: ml's hash seeds are engine-
+    internal, so unlike the hand-rolled pipeline it cannot be
+    oracle-checked exactly — the hand-rolled `dedup_minhash_lsh` is
+    the correctness anchor, this is the library-integration path
+    (same algorithmic shape, banded hash buckets then distance
+    verification)."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH, NGram, RegexTokenizer
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = RegexTokenizer(
+        inputCol="text", outputCol="tokens", pattern=" "
+    ).transform(d)
+    grams = NGram(n=3, inputCol="tokens", outputCol="shingles").transform(toks)
+    tf = HashingTF(
+        inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True
+    ).transform(grams)
+    tf = tf.filter(F.expr("size(shingles) > 0"))
+    model = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=8, seed=42
+    ).fit(tf)
+    pairs = model.approxSimilarityJoin(tf, tf, 0.5, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round(F.lit(1.0) - F.col("jaccard_dist"), 4).alias("jaccard"),
+        )
+    )
+
+
 @register(
     "dedup_simhash",
     oracle=f"""
