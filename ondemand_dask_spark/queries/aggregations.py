@@ -328,22 +328,23 @@ def agg_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_groupby_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ser.quantile(q) / groupby.quantile — exact percentile.  (At
-    100 TB swap to percentile_approx: t-digest sketch, single pass,
-    no per-group sort — same API shape.)"""
-    # Both quantiles from ONE percentile agg: the expensive part is
-    # collecting the group's values; asking for [0.5, 0.9] together
-    # collects once instead of twice (~2× on the bench).
-    q = F.percentile("l_extendedprice", F.array(F.lit(0.5), F.lit(0.9)))
-    return (
-        load_table(spark, sf_dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(q.alias("qs"))
-        .select(
-            "l_returnflag",
-            F.round(F.element_at("qs", 1) - 1e-9, _R).alias("median_price"),
-            F.round(F.element_at("qs", 2) - 1e-9, _R).alias("p90_price"),
-        )
+    """ser.quantile(q) / groupby.quantile — exact percentile via the
+    distributed sort-based operator (operators/quantile.py):
+    `F.percentile` collects whole groups into single aggregation
+    buffers (the 100 TB OOM shape); rank-interpolation over a window
+    sort keeps per-task memory O(1) with identical quantile_cont
+    semantics.  The sketch path is `agg_quantile_approx`."""
+    from ondemand_dask_spark.operators.quantile import exact_group_quantiles
+
+    li = load_table(spark, sf_dir, "lineitem")
+    qdf = exact_group_quantiles(
+        li, ["l_returnflag"], "l_extendedprice",
+        {"median_price": 0.5, "p90_price": 0.9},
+    )
+    return qdf.select(
+        "l_returnflag",
+        F.round(F.col("median_price") - 1e-9, _R).alias("median_price"),
+        F.round(F.col("p90_price") - 1e-9, _R).alias("p90_price"),
     )
 
 

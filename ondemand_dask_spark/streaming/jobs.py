@@ -277,6 +277,60 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_foreachbatch_sink",
+    oracle=f"""
+    SELECT event_type, count(*) AS n,
+           round(sum(value) - 1e-9, {_R}) AS total_value
+    FROM events WHERE value > 500 GROUP BY event_type
+    """,
+)
+def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary sink via foreachBatch: each micro-batch lands in a
+    parquet sink dir with exactly-once-per-batch semantics (batch_id
+    available for idempotent writes).  The query then reads the sink
+    back and aggregates — oracle-matching proves the sink round-trip,
+    not just that the stream ran."""
+    import shutil
+    import tempfile
+
+    sink = os.path.join(
+        tempfile.gettempdir(),
+        "ondemand_dask_spark_stream",
+        os.path.basename(sf_dir.rstrip("/")),
+        "foreachbatch_sink",
+    )
+    # clear sink AND checkpoint together: a stale checkpoint over an
+    # emptied sink would mark every file processed and emit nothing
+    shutil.rmtree(sink, ignore_errors=True)
+    shutil.rmtree(sink + "_chk", ignore_errors=True)
+
+    e = read_events_stream(spark, sf_dir).filter(F.col("value") > 500)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.select("event_id", "event_type", "value")
+            .write.mode("append")
+            .parquet(sink)
+        )
+
+    q = (
+        e.writeStream.foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            os.path.join(sink + "_chk"),
+        )
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(sink)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value") - 1e-9, _R).alias("total_value"),
+    )
+
+
+@register(
     "stream_stateful_counter",
     oracle=f"""
     SELECT user_id, count(*) AS n_events,
