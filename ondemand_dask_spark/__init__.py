@@ -11,6 +11,28 @@ multimodal decode).
 
 from ondemand_dask_spark.session import build_session
 from ondemand_dask_spark.io import load_table, register_views
+from ondemand_dask_spark.cluster import ClusterSpec, spawn, teardown
+from ondemand_dask_spark.operators import (
+    OnDemandFrame,
+    exact_group_quantiles,
+    from_spark,
+    merge_asof,
+    salted_agg,
+    salted_join,
+)
 
-__all__ = ["build_session", "load_table", "register_views"]
+__all__ = [
+    "build_session",
+    "load_table",
+    "register_views",
+    "ClusterSpec",
+    "spawn",
+    "teardown",
+    "OnDemandFrame",
+    "from_spark",
+    "merge_asof",
+    "exact_group_quantiles",
+    "salted_agg",
+    "salted_join",
+]
 __version__ = "0.1.0"

@@ -229,3 +229,62 @@ def test_set_index_layout(events):
     )
     # range partitions must not overlap
     assert all(bad.hi.iloc[i] <= bad.lo.iloc[i + 1] for i in range(len(bad) - 1))
+
+
+def test_where_replace_sample(events, events_pd):
+    got = (
+        events[["event_id", "value"]]
+        .where(events["value"] > 100, -1.0)
+        .compute()
+    )
+    import numpy as np
+
+    exp = pd.DataFrame(
+        {
+            "event_id": np.where(events_pd.value > 100, events_pd.event_id, -1.0),
+            "value": np.where(events_pd.value > 100, events_pd.value, -1.0),
+        }
+    )
+    assert_results_match(got, exp, "where_other")
+
+    s = events.sample(0.3, random_state=7)
+    n = s.compute().shape[0]
+    assert 0 < n < events_pd.shape[0]
+    # seeded → reproducible
+    assert events.sample(0.3, random_state=7).compute().shape[0] == n
+
+
+def test_concat_and_isin(events, events_pd):
+    a = events.query("event_type = 'click'")[["event_id", "value"]]
+    b = events.query("event_type = 'error'")[["event_id"]]
+    both = a.concat(b).compute()
+    n_click = (events_pd.event_type == "click").sum()
+    n_error = (events_pd.event_type == "error").sum()
+    assert both.shape[0] == n_click + n_error
+    assert both.value.isna().sum() == n_error  # missing col NULL-filled
+
+    f = events.isin_filter("event_type", ["click", "view"]).compute()
+    assert f.shape[0] == events_pd.event_type.isin(["click", "view"]).sum()
+
+
+def test_map_partitions_and_head_tail(events, events_pd):
+    def double(it):
+        for pdf in it:
+            out = pdf[["event_id"]].copy()
+            out["v2"] = pdf.value * 2
+            yield out
+
+    got = events.map_partitions(double, "event_id bigint, v2 double").compute()
+    exp = pd.DataFrame({"event_id": events_pd.event_id, "v2": events_pd.value * 2})
+    assert_results_match(got, exp, "map_partitions")
+
+    assert events.head(7).shape[0] == 7
+    t = events.sort_values("event_id").tail(3)
+    assert list(t.event_id) == sorted(events_pd.event_id)[-3:]
+
+
+def test_facade_merge_asof(events):
+    left = events[["user_id", "ts", "event_id"]]
+    right = events.query("event_type = 'purchase'")[["user_id", "ts", "value"]]
+    out = left.merge_asof(right, on="ts", by="user_id", suffix="_p").compute()
+    assert "value_p" in out.columns and out.shape[0] == left.compute().shape[0]
