@@ -185,6 +185,32 @@ def str_split_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "array_explode_outer",
+    oracle="""
+    SELECT doc_id,
+           unnest(CASE WHEN len(arr) = 0 THEN [NULL] ELSE arr END) AS token
+    FROM (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN []
+                  ELSE string_split(text, ' ')[1:3] END AS arr
+      FROM documents WHERE doc_id < 100
+    )
+    """,
+)
+def array_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer — rows with empty/NULL arrays survive with a
+    NULL element (plain explode drops them: the silent row-loss bug
+    in fan-out pipelines).  Every 5th doc gets an empty array so the
+    two semantics actually differ on this fixture; DuckDB emulates
+    with a [NULL] substitution."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    arr = F.when(
+        F.col("doc_id") % 5 == 0, F.array().cast("array<string>")
+    ).otherwise(F.slice(F.split("text", " "), 1, 3))
+    return d.select("doc_id", F.explode_outer(arr).alias("token"))
+
+
+@register(
     "dt_parts",
     oracle="""
     SELECT event_id,
