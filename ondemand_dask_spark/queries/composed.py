@@ -160,6 +160,53 @@ def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_join_nearest",
+    oracle="""
+    WITH b AS (
+      SELECT l.event_id, l.user_id, l.ts,
+             r.ts AS bts, r.event_id AS bev
+      FROM events l
+      ASOF LEFT JOIN ({right}) r
+        ON l.user_id = r.user_id AND l.ts >= r.ts
+    ), f AS (
+      SELECT l.event_id, r.ts AS fts, r.event_id AS fev
+      FROM events l
+      ASOF LEFT JOIN ({right}) r
+        ON l.user_id = r.user_id AND l.ts <= r.ts
+    )
+    SELECT b.event_id, b.user_id,
+           CASE WHEN b.bts IS NOT NULL
+                     AND (f.fts IS NULL OR (b.ts - b.bts) <= (f.fts - b.ts))
+                THEN b.bts ELSE f.fts END AS near_ts,
+           CASE WHEN b.bts IS NOT NULL
+                     AND (f.fts IS NULL OR (b.ts - b.bts) <= (f.fts - b.ts))
+                THEN b.bev ELSE f.fev END AS near_event
+    FROM b JOIN f ON b.event_id = f.event_id
+    """.format(right=_RIGHT_SQL),
+)
+def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """merge_asof(direction='nearest') — whichever neighbor is closer
+    in time, ties resolved backward (pandas semantics).  DuckDB has no
+    nearest ASOF, so the oracle composes a backward and a forward ASOF
+    join and picks per-row; the Spark operator does the equivalent two
+    carry passes internally (operators/asof.py)."""
+    e = load_table(spark, sf_dir, "events")
+    left = e.select("user_id", "ts", "event_id")
+    right = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    out = merge_asof(
+        left, right, on="ts", by="user_id", direction="nearest", suffix="_p"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ts_p").alias("near_ts"),
+        F.col("event_id_p").alias("near_event"),
+    )
+
+
+@register(
     "sessionize_gap",
     oracle=f"""
     WITH flagged AS (

@@ -237,6 +237,122 @@ def ann_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_LISTS = 8
+N_PROBE = 2
+
+_SEEDS_SQL = f"""
+    SELECT vec_id AS list_id, embedding AS seed
+    FROM embeddings ORDER BY vec_id LIMIT {N_LISTS}
+"""
+
+
+@register(
+    "ann_ivf_probe",
+    oracle=f"""
+    WITH seeds AS ({_SEEDS_SQL}),
+    scored AS (
+      SELECT e.vec_id, e.embedding, s.list_id,
+             {_dot_sql("e.embedding", "s.seed")}
+               / (sqrt({_dot_sql("e.embedding", "e.embedding")})
+                  * sqrt({_dot_sql("s.seed", "s.seed")})) AS cos
+      FROM embeddings e CROSS JOIN seeds s
+    ),
+    assign AS (
+      SELECT vec_id, embedding, list_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cos DESC, list_id) AS rn
+        FROM scored) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, list_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cos DESC, list_id) AS rn
+        FROM scored WHERE vec_id < 10) WHERE rn <= {N_PROBE}
+    ),
+    pairs AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             {_dot_sql("q.embedding", "a.embedding")}
+               / (sqrt({_dot_sql("q.embedding", "q.embedding")})
+                  * sqrt({_dot_sql("a.embedding", "a.embedding")})) AS cos
+      FROM probes p
+      JOIN assign a ON a.list_id = p.list_id AND a.vec_id != p.query_id
+      JOIN embeddings q ON q.vec_id = p.query_id
+    )
+    SELECT query_id, neighbor_id, round(cos - 1e-9, {_R}) AS cosine, rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id) AS rnk
+          FROM pairs)
+    WHERE rnk <= 3
+    """,
+)
+def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: the corpus is coarsely quantized into N_LISTS
+    inverted lists (nearest of N_LISTS deterministic seed vectors —
+    the k-means-free stand-in for IVF centroids), each query probes
+    its N_PROBE nearest lists, and only those lists' members get the
+    exact cosine re-rank.  Plan shape at 100 TB: seeds broadcast →
+    assignment is one narrow pass + a groupBy-sized shuffle keyed on
+    vec_id (build cost, amortized across queries); probing touches
+    |corpus| * nprobe / nlists rows instead of |corpus| — the
+    complement of the LSH variant (ann_lsh_probe), which buckets by
+    signature instead of proximity."""
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "nrm", _norm(F.col("embedding"))
+    )
+    seeds = (
+        e.orderBy("vec_id")
+        .limit(N_LISTS)
+        .select(
+            F.col("vec_id").alias("list_id"),
+            F.col("embedding").alias("seed"),
+            F.col("nrm").alias("s_nrm"),
+        )
+    )
+    scored = e.crossJoin(F.broadcast(seeds)).select(
+        "vec_id",
+        "embedding",
+        "nrm",
+        "list_id",
+        (_dot(F.col("embedding"), F.col("seed")) / (F.col("nrm") * F.col("s_nrm"))
+         ).alias("cos"),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("list_id"))
+    ranked = scored.withColumn("rn", F.row_number().over(w_assign)).cache()
+    assign = ranked.filter(F.col("rn") == 1).select(
+        "vec_id", "embedding", "nrm", "list_id"
+    )
+    probes = (
+        ranked.filter((F.col("vec_id") < 10) & (F.col("rn") <= N_PROBE))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+            F.col("list_id").alias("p_list"),
+        )
+    )
+    pairs = assign.join(
+        F.broadcast(probes),
+        (F.col("list_id") == F.col("p_list"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (_dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_nrm") * F.col("nrm"))
+         ).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("cos") - 1e-9, _R).alias("cosine"),
+            "rnk",
+        )
+    )
+
+
 @register(
     "dedup_embedding_cosine",
     oracle=f"""
