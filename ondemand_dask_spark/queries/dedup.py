@@ -145,10 +145,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the cached set / verification shuffles move (long, long) rows.
     # Jaccard over hashed sets == Jaccard over shingles modulo hash
     # collisions, and the oracle hashes identically, so the
-    # differential check stays exact.
+    # differential check stays exact.  Note: NOT built on _shingles()
+    # — that helper distincts on the shingle STRING, which would be a
+    # second (wider) shuffle; dedup over the hash alone is equivalent
+    # (distinct-by-hash ∘ distinct-by-string ≡ distinct-by-hash) and
+    # keeps the only wide op on (long, long) rows.
+    d = load_table(spark, sf_dir, "documents")
     h30 = _h(F.col("shingle")) % F.lit(1_073_741_824)
     sh = (
-        _shingles(spark, sf_dir)
+        d.select(
+            "doc_id", F.explode(_shingle_array(F.col("text"), 3)).alias("shingle")
+        )
         .select("doc_id", h30.alias("h"))
         .distinct()
         .cache()

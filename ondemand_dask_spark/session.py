@@ -57,6 +57,13 @@ def build_session(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Coalesce post-shuffle partitions by the 64MB advisory size
+        # instead of stopping at default parallelism: tiny shuffles
+        # collapse to a handful of tasks (scheduling overhead is the
+        # dominant cost at test SFs), and at real scale the byte-sized
+        # target is the right knob anyway (per Spark's own tuning
+        # guidance for this flag).
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Dimension tables (region/nation/supplier/part) are tiny at
         # every SF; raise the auto-broadcast threshold so they always

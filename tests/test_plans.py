@@ -96,3 +96,48 @@ def test_broadcast_queries_in_ann(spark, sf_dir):
     df = _df("ann_cosine_topk", spark, sf_dir)
     assert broadcast_join_count(df) >= 1
     assert sort_merge_join_count(df) == 0
+
+
+@pytest.mark.parametrize(
+    "name,min_bcast,max_shuffle",
+    [
+        # dims broadcast; the one shuffle is the final agg (the
+        # lineitem⋈orders fact join broadcasts at test SF and would
+        # shuffle-on-orderkey at scale — both acceptable plans).
+        ("tpch_q7", 4, 2),
+        ("tpch_q8", 6, 2),
+        ("tpch_q9", 3, 2),
+        # left join + double agg / decorrelated-subquery shapes: at
+        # most two wide exchanges, never a Python boundary.
+        ("tpch_q13", 1, 3),
+        ("tpch_q15", 1, 3),
+        ("tpch_q17", 1, 3),
+        ("tpch_q19", 1, 2),
+        ("tpch_q22", 2, 3),
+    ],
+)
+def test_new_goldens_plan_shape(name, min_bcast, max_shuffle, spark, sf_dir):
+    """Q7-Q22-shape goldens: dimensions broadcast, shuffles bounded,
+    all-JVM execution."""
+    df = _df(name, spark, sf_dir)
+    assert broadcast_join_count(df) >= min_bcast, name
+    assert shuffle_count(df) <= max_shuffle, name
+    assert python_eval_count(df) == 0, name
+
+
+def test_asof_nearest_two_passes(spark, sf_dir):
+    """direction='nearest' runs a backward and a forward carry pass —
+    exactly two window shuffles on the by-key, still no join-per-
+    candidate blowup and no Python."""
+    df = _df("asof_join_nearest", spark, sf_dir)
+    assert shuffle_count(df) == 2
+    assert python_eval_count(df) == 0
+
+
+def test_ivf_probes_broadcast(spark, sf_dir):
+    """IVF ANN: seeds and probe lists are the small sides — both must
+    broadcast; the corpus assignment costs bounded shuffles."""
+    df = _df("ann_ivf_probe", spark, sf_dir)
+    assert broadcast_join_count(df) >= 2
+    assert shuffle_count(df) <= 2
+    assert python_eval_count(df) == 0
