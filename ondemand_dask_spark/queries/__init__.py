@@ -13,6 +13,7 @@ from ondemand_dask_spark.queries import (  # noqa: F401
     scalars,
     sets,
     similarity,
+    skew,
     sources,
     text,
     tpch,

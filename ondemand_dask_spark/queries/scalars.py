@@ -648,3 +648,115 @@ def null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         et_nullable.isNull().alias("was_error"),
         F.ifnull(F.nullif(F.col("value"), F.lit(0.0)), F.lit(-1.0)).alias("v_nonzero"),
     )
+
+
+@register(
+    "dt_calendar",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR)          AS month_end,
+           CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE)
+                AS VARCHAR)                                              AS plus_2m,
+           date_diff('day',  DATE '1995-01-01',
+                     CAST(o_orderdate AS DATE))                          AS days_since_epoch0,
+           date_diff('month', DATE '1995-01-01',
+                     CAST(o_orderdate AS DATE))                          AS months_since_epoch0
+    FROM orders
+    """,
+)
+def dt_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar arithmetic — dt.is_month_end/last_day, DateOffset
+    months (with end-of-month clamping, identical in both engines),
+    and boundary-counting day/month diffs.  Month diff is computed as
+    (year*12+month) deltas — the same boundary-crossing count DuckDB's
+    date_diff('month') uses (Spark's months_between has different,
+    fractional semantics).  Dates are cast to string on both sides
+    (pandas widens DuckDB DATE to midnight timestamps otherwise)."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    months = (F.year(d) - F.lit(1995)) * 12 + (F.month(d) - F.lit(1))
+    return o.select(
+        "o_orderkey",
+        F.last_day(d).cast("string").alias("month_end"),
+        F.add_months(d, 2).cast("string").alias("plus_2m"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).alias("days_since_epoch0"),
+        months.alias("months_since_epoch0"),
+    )
+
+
+@register(
+    "agg_mode",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag AS v, count(*) AS n FROM lineitem GROUP BY 1
+    )
+    SELECT v AS mode_returnflag, n AS n_rows
+    FROM (SELECT v, n, row_number() OVER (ORDER BY n DESC, v) AS rn FROM c)
+    WHERE rn = 1
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ser.mode() — most frequent value.  Built-in `mode()` breaks
+    ties arbitrarily in BOTH engines, so the implementation is the
+    deterministic count + rank composition (ties → smallest value),
+    which is also the shape that scales: a 1-key groupBy plus a
+    1-row top-k, never a value collection."""
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    c = li.groupBy(F.col("l_returnflag").alias("v")).agg(F.count("*").alias("n"))
+    w = Window.orderBy(F.desc("n"), F.asc("v"))
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("v").alias("mode_returnflag"), F.col("n").alias("n_rows"))
+    )
+
+
+@register(
+    "str_count_occurrences",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, 'data')) - 1       AS n_data,
+           len(string_split(text, ' ')) - 1          AS n_spaces
+    FROM documents
+    """,
+)
+def str_count_occurrences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """str.count(pat) — substring occurrence counting.  Spark ≥ 3.5
+    has regexp_count but DuckDB 1.0.0 does not, so both sides use the
+    engine-portable split-length identity |split(s, pat)| - 1 (exact
+    for literal patterns; split with limit -1 keeps trailing empty
+    strings, which the identity requires)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        (F.size(F.split(F.col("text"), "data", -1)) - 1).alias("n_data"),
+        (F.size(F.split(F.col("text"), " ", -1)) - 1).alias("n_spaces"),
+    )
+
+
+@register(
+    "str_char_classes",
+    oracle="""
+    SELECT p_partkey,
+           regexp_matches(p_name,  '^[A-Za-z]+$')  AS name_alpha,
+           regexp_matches(p_brand, '[0-9]')        AS brand_has_digit,
+           regexp_matches(p_name,  '^[A-Z]')       AS name_starts_upper,
+           regexp_matches(p_type,  '^[A-Z ]+$')    AS type_upper
+    FROM part
+    """,
+)
+def str_char_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """str.isalpha/isdigit/isupper-style character-class predicates —
+    anchored regex on both engines (DuckDB regexp_matches is
+    unanchored search, so the full-string classes carry explicit
+    ^...$ anchors; Spark rlike is identical semantics)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.col("p_name").rlike("^[A-Za-z]+$").alias("name_alpha"),
+        F.col("p_brand").rlike("[0-9]").alias("brand_has_digit"),
+        F.col("p_name").rlike("^[A-Z]").alias("name_starts_upper"),
+        F.col("p_type").rlike("^[A-Z ]+$").alias("type_upper"),
+    )

@@ -277,6 +277,71 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_stream_join",
+    oracle="""
+    SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id,
+           v.ts AS view_ts, p.ts AS purchase_ts
+    FROM events v
+    JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: each 'view' matched to the same
+    user's 'purchase's within the following hour.  Both sides carry
+    watermarks and the join condition carries the time-range bound —
+    that pair is what lets the engine expire buffered state instead
+    of holding both streams forever (the unbounded-state trap).
+    Inner-join matches emit as soon as both rows arrive; with the
+    finite availableNow replay the result converges to the batch
+    (DuckDB) answer."""
+    joined = view_purchase_pairs(read_events_stream(spark, sf_dir))
+    return run_to_table(spark, joined, "stream_stream_join", "append")
+
+
+def view_purchase_pairs(events: DataFrame) -> DataFrame:
+    """views ⋈ purchases (same user, within the following hour) — the
+    stream-stream self-join body; also runs on a batch frame (where
+    the watermarks are no-ops) for convergence tests."""
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    return views.join(
+        purchases,
+        F.expr(
+            """
+            v_user = p_user
+            AND purchase_ts >= view_ts
+            AND purchase_ts <= view_ts + INTERVAL 1 HOUR
+            """
+        ),
+    ).select(
+        "view_id",
+        "purchase_id",
+        F.col("v_user").alias("user_id"),
+        "view_ts",
+        "purchase_ts",
+    )
+
+
+@register(
     "stream_foreachbatch_sink",
     oracle=f"""
     SELECT event_type, count(*) AS n,

@@ -139,5 +139,7 @@ def test_ivf_probes_broadcast(spark, sf_dir):
     broadcast; the corpus assignment costs bounded shuffles."""
     df = _df("ann_ivf_probe", spark, sf_dir)
     assert broadcast_join_count(df) >= 2
-    assert shuffle_count(df) <= 2
+    # seed top-k + assignment window + per-query re-rank window: three
+    # bounded exchanges, none proportional to corpus × queries.
+    assert shuffle_count(df) <= 3
     assert python_eval_count(df) == 0

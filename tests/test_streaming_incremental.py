@@ -27,6 +27,7 @@ from ondemand_dask_spark.streaming.jobs import (
     run_to_table,
     session_agg,
     tumbling_agg,
+    view_purchase_pairs,
 )
 from tests.compare import assert_results_match
 
@@ -136,3 +137,19 @@ def test_dedup_across_batches(spark, chunked_dir, batch_events):
     )
     got = run_to_table(spark, deduped, "inc_dedup", "append")
     assert got.count() == batch_events.select("event_id").distinct().count()
+
+
+def test_stream_stream_join_across_batches(spark, chunked_dir, batch_events):
+    """A view in one micro-batch joined to a purchase arriving in a
+    LATER micro-batch: the view must stay buffered in join state
+    across the batch boundary (watermark hasn't passed view_ts+1h
+    yet) and emit when its match lands."""
+    got = run_to_table(
+        spark,
+        view_purchase_pairs(_stream(spark, chunked_dir)),
+        "inc_ssj",
+        "append",
+    ).toPandas()
+    exp = view_purchase_pairs(batch_events).toPandas()
+    assert len(exp) > 0
+    assert_results_match(got, exp, "inc_ssj")
