@@ -152,3 +152,31 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select("doc_id", "payload").mapInPandas(
         frames, "doc_id bigint, frame_idx int, frame_len int"
     )
+
+
+@register("multimodal_resize", oracle=None)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize/thumbnail analogue: each payload is downsampled to a
+    bounded 'thumbnail' (every 4th byte, capped at 64 bytes) and
+    shipped BACK through Arrow as a new binary column — the
+    round-trip (binary in → Python → binary out) a real image resize
+    performs, with the pixel math stubbed to byte-stride sampling
+    (no image libs in this container).  Narrow mapInPandas: no
+    shuffle, payload bytes never leave the executor."""
+    m = _media(spark, sf_dir).filter(F.col("meta.mime").isin(*_DECODABLE))
+
+    def resize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            thumbs = [bytes(p[::4][:64]) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "thumb": thumbs,
+                    "orig_len": [len(p) for p in pdf["payload"]],
+                    "thumb_len": [len(t) for t in thumbs],
+                }
+            )
+
+    return m.select("doc_id", "payload").mapInPandas(
+        resize, "doc_id bigint, thumb binary, orig_len int, thumb_len int"
+    )

@@ -278,6 +278,49 @@ def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_q11",
+    oracle=f"""
+    SELECT n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)) - 1e-9, {_R})
+             AS value
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    GROUP BY n.n_name
+    HAVING sum(l.l_extendedprice * (1 - l.l_discount)) > (
+      SELECT 0.04 * sum(l2.l_extendedprice * (1 - l2.l_discount))
+      FROM lineitem l2
+    )
+    """,
+)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Important-stock identification (Q11 shape): GROUP BY ... HAVING
+    against a scalar fraction of the GLOBAL total (no partsupp in the
+    fixture, so value = supplier-nation revenue).  The global sum is
+    a 1-row aggregate broadcast into the HAVING filter via cross
+    join — the fact table is scanned twice but shuffled once per agg,
+    never joined to itself."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_nation = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev).alias("__value"))
+    )
+    total = li.agg((F.lit(0.04) * F.sum(rev)).alias("__threshold"))
+    return (
+        per_nation.crossJoin(F.broadcast(total))
+        .filter(F.col("__value") > F.col("__threshold"))
+        .select(
+            "n_name", F.round(F.col("__value") - 1e-9, _R).alias("value")
+        )
+    )
+
+
+@register(
     "tpch_q12",
     oracle="""
     SELECT l.l_returnflag AS ship_class,
@@ -671,6 +714,127 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) - 1e-9, _R
             ).alias("revenue")
         )
+    )
+
+
+@register(
+    "tpch_q20",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+      SELECT l.l_suppkey
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_type = 'PROMO'
+        AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY l.l_suppkey
+      HAVING sum(l.l_quantity) > 400
+    )
+    """,
+)
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Potential promotion suppliers (Q20 shape): a semi-join chain —
+    supplier IN (aggregated, HAVING-filtered subquery over a
+    dimension-filtered fact).  No partsupp/availqty in the fixture,
+    so the threshold is shipped quantity > 400 of PROMO parts in
+    1996 (the cross-SF median is ~400, so the HAVING genuinely
+    selects); quantities are integral doubles, so the HAVING comparison
+    is exact on both engines.  The qualifying-key set is tiny after
+    the HAVING → broadcast left-semi."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = load_table(spark, sf_dir, "supplier")
+    qualifying = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 400)
+        .select("l_suppkey")
+    )
+    return s.join(
+        F.broadcast(qualifying), s.s_suppkey == qualifying.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+@register(
+    "tpch_q21",
+    oracle="""
+    SELECT s.s_name, count(*) AS numwait
+    FROM lineitem l1
+    JOIN orders o   ON o.o_orderkey = l1.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY s.s_name
+    """,
+)
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who kept orders waiting (Q21 shape): the classic
+    EXISTS + NOT-EXISTS double self-reference — multi-supplier orders
+    where exactly this supplier was the late one.  'Late' adapts to
+    shipped > 60 days after the order date (no commit/receipt dates
+    in the fixture).  Both correlated subqueries become one semi and
+    one anti self-join on (orderkey, suppkey≠), each a single
+    shuffle-bounded pass over lineitem."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o_f = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+    l1 = (
+        li.join(o_f, li.l_orderkey == o_f.o_orderkey)
+        .filter(late)
+        .select("l_orderkey", "l_suppkey")
+    )
+    all_pairs = li.select(
+        F.col("l_orderkey").alias("a_orderkey"),
+        F.col("l_suppkey").alias("a_suppkey"),
+    )
+    # the NOT EXISTS side re-derives lateness against the (same)
+    # order's date via its own orders join, exactly as the SQL does
+    late_pairs = (
+        li.join(
+            load_table(spark, sf_dir, "orders"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .filter(late)
+        .select(
+            F.col("l_orderkey").alias("t_orderkey"),
+            F.col("l_suppkey").alias("t_suppkey"),
+        )
+    )
+    waiting = l1.join(
+        all_pairs,
+        (F.col("a_orderkey") == F.col("l_orderkey"))
+        & (F.col("a_suppkey") != F.col("l_suppkey")),
+        "left_semi",
+    ).join(
+        late_pairs,
+        (F.col("t_orderkey") == F.col("l_orderkey"))
+        & (F.col("t_suppkey") != F.col("l_suppkey")),
+        "left_anti",
+    )
+    return (
+        waiting.join(F.broadcast(s), waiting.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
     )
 
 
