@@ -512,3 +512,26 @@ def agg_collect_list_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_regionkey")
         .agg(F.sort_array(F.collect_list("n_name")).alias("nations"))
     )
+
+
+@register(
+    "agg_product",
+    oracle=f"""
+    SELECT l_orderkey,
+           round(product(1 + l_tax) - 1e-9, {_R}) AS tax_factor,
+           count(*) AS n_lines
+    FROM lineitem
+    GROUP BY l_orderkey
+    """,
+)
+def agg_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupby(k).prod — multiplicative aggregation (compounded tax
+    factor per order).  F.product is a decomposable agg (partials
+    multiply), so it partial-aggregates map-side like sum; groups here
+    are order-sized (≤ 7 rows), keeping the product numerically tame —
+    for long groups use exp∘sum∘ln (the cumprod pattern)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.round(F.product(1 + F.col("l_tax")) - 1e-9, _R).alias("tax_factor"),
+        F.count("*").alias("n_lines"),
+    )

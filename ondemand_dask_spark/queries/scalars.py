@@ -760,3 +760,41 @@ def str_char_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_name").rlike("^[A-Z]").alias("name_starts_upper"),
         F.col("p_type").rlike("^[A-Z ]+$").alias("type_upper"),
     )
+
+
+_STOPWORDS_SQL = "['the', 'a', 'of', 'and', 'to']"
+
+
+@register(
+    "array_set_ops",
+    oracle=f"""
+    SELECT doc_id,
+           list_sort(list_distinct(list_filter(t,
+             x -> list_contains({_STOPWORDS_SQL}, x))))      AS stop_hits,
+           list_sort(list_distinct(list_filter(t,
+             x -> NOT list_contains({_STOPWORDS_SQL}, x))))  AS content_terms,
+           len(list_distinct(list_concat(t, {_STOPWORDS_SQL}))) AS n_union,
+           list_has_any(t, {_STOPWORDS_SQL})                 AS has_stopword
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    """,
+)
+def array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set algebra — intersect / except / union-cardinality /
+    overlap of each document's token array against a constant
+    vocabulary.  Both engines sort + distinct the set results before
+    comparison (Spark preserves left-operand order, DuckDB does not —
+    set semantics are the contract, order is not)."""
+    stop = F.array(*[F.lit(w) for w in ["the", "a", "of", "and", "to"]])
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.sort_array(F.array_distinct(F.array_intersect(t, stop))).alias(
+            "stop_hits"
+        ),
+        F.sort_array(F.array_distinct(F.array_except(t, stop))).alias(
+            "content_terms"
+        ),
+        F.size(F.array_distinct(F.array_union(t, stop))).alias("n_union"),
+        F.arrays_overlap(t, stop).alias("has_stopword"),
+    )
