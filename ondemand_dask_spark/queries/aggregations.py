@@ -28,9 +28,9 @@ _R = 4
     "agg_groupby_basic",
     oracle=f"""
     SELECT l_returnflag,
-           round((sum(l_quantity)) - 1e-9, {_R})  AS sum_qty,
-           round((min(l_quantity)) - 1e-9, {_R})  AS min_qty,
-           round((max(l_quantity)) - 1e-9, {_R})  AS max_qty,
+           round((sum(l_quantity)) - 1e-9, {_R}) + 0.0  AS sum_qty,
+           round((min(l_quantity)) - 1e-9, {_R}) + 0.0  AS min_qty,
+           round((max(l_quantity)) - 1e-9, {_R}) + 0.0  AS max_qty,
            count(*)                      AS n_rows,
            count(l_quantity)             AS n_qty
     FROM lineitem GROUP BY l_returnflag
@@ -55,10 +55,10 @@ def agg_groupby_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_groupby_stats",
     oracle=f"""
     SELECT c_nationkey,
-           round((avg(c_acctbal)) - 1e-9, {_R})          AS mean_bal,
-           round((var_samp(c_acctbal)) - 1e-9, {_R})     AS var_bal,
-           round((stddev_samp(c_acctbal)) - 1e-9, {_R})  AS std_bal,
-           round((stddev_samp(c_acctbal) / sqrt(count(c_acctbal))) - 1e-9, {_R}) AS sem_bal
+           round((avg(c_acctbal)) - 1e-9, {_R}) + 0.0          AS mean_bal,
+           round((var_samp(c_acctbal)) - 1e-9, {_R}) + 0.0     AS var_bal,
+           round((stddev_samp(c_acctbal)) - 1e-9, {_R}) + 0.0  AS std_bal,
+           round((stddev_samp(c_acctbal) / sqrt(count(c_acctbal))) - 1e-9, {_R}) + 0.0 AS sem_bal
     FROM customer GROUP BY c_nationkey
     """,
 )
@@ -186,9 +186,9 @@ def agg_quantile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_multi",
     oracle=f"""
     SELECT l_linestatus,
-           round((sum(l_extendedprice)) - 1e-9, {_R}) AS price_sum,
-           round((avg(l_extendedprice)) - 1e-9, {_R}) AS price_mean,
-           round((max(l_discount)) - 1e-9, {_R})      AS disc_max,
+           round((sum(l_extendedprice)) - 1e-9, {_R}) + 0.0 AS price_sum,
+           round((avg(l_extendedprice)) - 1e-9, {_R}) + 0.0 AS price_mean,
+           round((max(l_discount)) - 1e-9, {_R}) + 0.0      AS disc_max,
            count(DISTINCT l_suppkey)         AS n_supps
     FROM lineitem GROUP BY l_linestatus
     """,
@@ -211,7 +211,7 @@ def agg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_custom_geomean",
     oracle=f"""
     SELECT l_returnflag,
-           round((exp(avg(ln(l_extendedprice)))) - 1e-9, {_R}) AS geo_mean_price
+           round((exp(avg(ln(l_extendedprice)))) - 1e-9, {_R}) + 0.0 AS geo_mean_price
     FROM lineitem WHERE l_extendedprice > 0
     GROUP BY l_returnflag
     """,
@@ -292,13 +292,13 @@ def agg_drop_duplicates_keep_first(spark: SparkSession, sf_dir: str) -> DataFram
     "agg_describe",
     oracle=f"""
     SELECT count(o_totalprice)                                  AS count,
-           round((avg(o_totalprice)) - 1e-9, {_R})                       AS mean,
-           round((stddev_samp(o_totalprice)) - 1e-9, {_R})               AS std,
-           round((min(o_totalprice)) - 1e-9, {_R})                       AS min,
-           round((quantile_cont(o_totalprice, 0.25)) - 1e-9, {_R})       AS p25,
-           round((quantile_cont(o_totalprice, 0.50)) - 1e-9, {_R})       AS p50,
-           round((quantile_cont(o_totalprice, 0.75)) - 1e-9, {_R})       AS p75,
-           round((max(o_totalprice)) - 1e-9, {_R})                       AS max
+           round((avg(o_totalprice)) - 1e-9, {_R}) + 0.0                       AS mean,
+           round((stddev_samp(o_totalprice)) - 1e-9, {_R}) + 0.0               AS std,
+           round((min(o_totalprice)) - 1e-9, {_R}) + 0.0                       AS min,
+           round((quantile_cont(o_totalprice, 0.25)) - 1e-9, {_R}) + 0.0       AS p25,
+           round((quantile_cont(o_totalprice, 0.50)) - 1e-9, {_R}) + 0.0       AS p50,
+           round((quantile_cont(o_totalprice, 0.75)) - 1e-9, {_R}) + 0.0       AS p75,
+           round((max(o_totalprice)) - 1e-9, {_R}) + 0.0                       AS max
     FROM orders
     """,
 )
@@ -322,8 +322,8 @@ def agg_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_groupby_quantile",
     oracle=f"""
     SELECT l_returnflag,
-           round((quantile_cont(l_extendedprice, 0.5)) - 1e-9, {_R})  AS median_price,
-           round((quantile_cont(l_extendedprice, 0.9)) - 1e-9, {_R})  AS p90_price
+           round((quantile_cont(l_extendedprice, 0.5)) - 1e-9, {_R}) + 0.0  AS median_price,
+           round((quantile_cont(l_extendedprice, 0.9)) - 1e-9, {_R}) + 0.0  AS p90_price
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -351,8 +351,8 @@ def agg_groupby_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_cov_corr",
     oracle=f"""
-    SELECT round((covar_samp(l_quantity, l_extendedprice)) - 1e-9, {_R}) AS cov_qty_price,
-           round((corr(l_quantity, l_extendedprice)) - 1e-9, {_R})       AS corr_qty_price
+    SELECT round((covar_samp(l_quantity, l_extendedprice)) - 1e-9, {_R}) + 0.0 AS cov_qty_price,
+           round((corr(l_quantity, l_extendedprice)) - 1e-9, {_R}) + 0.0       AS corr_qty_price
     FROM lineitem
     """,
 )
@@ -370,7 +370,7 @@ def agg_cov_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_rollup",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           round((sum(l_quantity)) - 1e-9, {_R}) AS sum_qty,
+           round((sum(l_quantity)) - 1e-9, {_R}) + 0.0 AS sum_qty,
            count(*) AS n
     FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
@@ -391,7 +391,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_cube",
     oracle=f"""
     SELECT o_orderstatus, o_orderpriority,
-           round((sum(o_totalprice)) - 1e-9, {_R}) AS sum_price
+           round((sum(o_totalprice)) - 1e-9, {_R}) + 0.0 AS sum_price
     FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
 )
@@ -408,7 +408,7 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_grouping_sets",
     oracle=f"""
     SELECT c_mktsegment, c_nationkey,
-           round((sum(c_acctbal)) - 1e-9, {_R}) AS sum_bal
+           round((sum(c_acctbal)) - 1e-9, {_R}) + 0.0 AS sum_bal
     FROM customer
     GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))
     """,
@@ -419,7 +419,7 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         f"""
         SELECT c_mktsegment, c_nationkey,
-               round((sum(c_acctbal)) - 1e-9, {_R}) AS sum_bal
+               round((sum(c_acctbal)) - 1e-9, {_R}) + 0.0 AS sum_bal
         FROM customer
         GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))
         """
@@ -430,9 +430,9 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_pivot",
     oracle=f"""
     SELECT c_mktsegment,
-           round((sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END)) - 1e-9, {_R}) AS F,
-           round((sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END)) - 1e-9, {_R}) AS O,
-           round((sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END)) - 1e-9, {_R}) AS P
+           round((sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END)) - 1e-9, {_R}) + 0.0 AS F,
+           round((sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END)) - 1e-9, {_R}) + 0.0 AS O,
+           round((sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END)) - 1e-9, {_R}) + 0.0 AS P
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment
     """,
@@ -453,10 +453,10 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_melt",
     oracle="""
-    SELECT p_partkey, 'p_size' AS variable, round((CAST(p_size AS DOUBLE)) - 1e-9, 4) AS value
+    SELECT p_partkey, 'p_size' AS variable, round((CAST(p_size AS DOUBLE)) - 1e-9, 4) + 0.0 AS value
     FROM part
     UNION ALL
-    SELECT p_partkey, 'p_retailprice' AS variable, round((p_retailprice) - 1e-9, 4) AS value
+    SELECT p_partkey, 'p_retailprice' AS variable, round((p_retailprice) - 1e-9, 4) + 0.0 AS value
     FROM part
     """,
 )
@@ -478,10 +478,10 @@ def agg_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_frame_reduce",
     oracle=f"""
-    SELECT round((sum(l_quantity)) - 1e-9, {_R})       AS total_qty,
-           round((avg(l_discount)) - 1e-9, {_R})       AS mean_disc,
-           round((min(l_extendedprice)) - 1e-9, {_R})  AS min_price,
-           round((max(l_extendedprice)) - 1e-9, {_R})  AS max_price,
+    SELECT round((sum(l_quantity)) - 1e-9, {_R}) + 0.0       AS total_qty,
+           round((avg(l_discount)) - 1e-9, {_R}) + 0.0       AS mean_disc,
+           round((min(l_extendedprice)) - 1e-9, {_R}) + 0.0  AS min_price,
+           round((max(l_extendedprice)) - 1e-9, {_R}) + 0.0  AS max_price,
            count(*)                           AS n
     FROM lineitem
     """,
@@ -518,7 +518,7 @@ def agg_collect_list_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_product",
     oracle=f"""
     SELECT l_orderkey,
-           round(product(1 + l_tax) - 1e-9, {_R}) AS tax_factor,
+           round(product(1 + l_tax) - 1e-9, {_R}) + 0.0 AS tax_factor,
            count(*) AS n_lines
     FROM lineitem
     GROUP BY l_orderkey

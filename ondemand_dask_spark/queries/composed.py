@@ -79,7 +79,7 @@ def _asof_carry(
     oracle=f"""
     SELECT l.event_id, l.user_id, l.ts,
            r.ts AS purchase_ts, r.event_id AS purchase_event,
-           round(r.value - 1e-9, {_R}) AS purchase_value
+           round(r.value - 1e-9, {_R}) + 0.0 AS purchase_value
     FROM events l
     ASOF JOIN ({_RIGHT_SQL}) r
       ON l.user_id = r.user_id AND l.ts >= r.ts
@@ -226,7 +226,7 @@ def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
            min(ts) AS session_start,
            max(ts) AS last_event_ts,
            count(*) AS n_events,
-           round(sum(value) - 1e-9, {_R}) AS sum_value
+           round(sum(value) - 1e-9, {_R}) + 0.0 AS sum_value
     FROM sess
     GROUP BY user_id, sid
     """,

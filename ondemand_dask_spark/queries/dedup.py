@@ -123,7 +123,7 @@ _SIG_UNION_SQL = " UNION ALL ".join(
       GROUP BY c.doc_a, c.doc_b
     )
     SELECT doc_a, doc_b,
-           round(CAST(i AS DOUBLE) / (na.n + nb.n - i) - 1e-9, {_R}) AS jaccard
+           round(CAST(i AS DOUBLE) / (na.n + nb.n - i) - 1e-9, {_R}) + 0.0 AS jaccard
     FROM inter
     JOIN counts na ON na.doc_id = doc_a
     JOIN counts nb ON nb.doc_id = doc_b
@@ -373,7 +373,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1, 2
     )
     SELECT doc_a, doc_b,
-           round(CAST(i AS DOUBLE) / (na.n + nb.n - i) - 1e-9, {_R}) AS jaccard
+           round(CAST(i AS DOUBLE) / (na.n + nb.n - i) - 1e-9, {_R}) + 0.0 AS jaccard
     FROM inter
     JOIN counts na ON na.doc_id = doc_a
     JOIN counts nb ON nb.doc_id = doc_b

@@ -79,7 +79,7 @@ def join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH hi_cust AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 9000),
          hi_ord  AS (SELECT o_custkey, o_orderkey FROM orders WHERE o_totalprice > 300000)
-    SELECT c_custkey, round((c_acctbal) - 1e-9, 4) AS acctbal, o_orderkey
+    SELECT c_custkey, round((c_acctbal) - 1e-9, 4) + 0.0 AS acctbal, o_orderkey
     FROM hi_cust FULL JOIN hi_ord ON c_custkey = o_custkey
     """,
 )
@@ -255,7 +255,7 @@ def join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH a AS (SELECT c_custkey, c_name FROM customer),
          b AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 0)
-    SELECT a.c_custkey, c_name, round((c_acctbal) - 1e-9, 4) AS acctbal
+    SELECT a.c_custkey, c_name, round((c_acctbal) - 1e-9, 4) + 0.0 AS acctbal
     FROM a LEFT JOIN b ON a.c_custkey = b.c_custkey
     """,
 )

@@ -35,7 +35,7 @@ def proj_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     "proj_assign",
     oracle="""
     SELECT o_orderkey,
-           round((o_totalprice * 0.9) - 1e-9, 4) AS disc_total,
+           round((o_totalprice * 0.9) - 1e-9, 4) + 0.0 AS disc_total,
            o_orderpriority
     FROM orders
     """,
@@ -124,7 +124,7 @@ def filter_isin(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cond_where_mask",
     oracle="""
     SELECT c_custkey,
-           CASE WHEN c_acctbal < 0 THEN 0.0 ELSE round((c_acctbal) - 1e-9, 4) END AS bal_clipped,
+           CASE WHEN c_acctbal < 0 THEN 0.0 ELSE round((c_acctbal) - 1e-9, 4) + 0.0 END AS bal_clipped,
            CASE WHEN c_acctbal >= 5000 THEN 'high'
                 WHEN c_acctbal >= 0    THEN 'mid'
                 ELSE 'neg' END AS bal_band

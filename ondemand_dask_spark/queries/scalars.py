@@ -315,7 +315,7 @@ def dt_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
            floor(l_quantity)                            AS qty_floor,
            ceil(l_extendedprice / 1000)                 AS price_kceil,
            CAST(l_orderkey % 7 AS BIGINT)               AS key_mod7,
-           round(power(1 + l_tax, 2) - 1e-9, {_R})      AS tax_sq,
+           round(power(1 + l_tax, 2) - 1e-9, {_R}) + 0.0      AS tax_sq,
            greatest(least(l_quantity, 40.0), 10.0)      AS qty_clipped
     FROM lineitem
     """,
@@ -342,13 +342,13 @@ def math_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     "math_transcendental",
     oracle=f"""
     SELECT event_id,
-           round(exp(value / 100)  - 1e-9, {_R}) AS e_x,
-           round(ln(value + 1)     - 1e-9, {_R}) AS ln_x,
-           round(log10(value + 1)  - 1e-9, {_R}) AS log10_x,
-           round(log2(value + 1)   - 1e-9, {_R}) AS log2_x,
-           round(sqrt(abs(value))  - 1e-9, {_R}) AS sqrt_x,
-           round(sin(value)        - 1e-9, {_R}) AS sin_x,
-           round(cos(value)        - 1e-9, {_R}) AS cos_x
+           round(exp(value / 100)  - 1e-9, {_R}) + 0.0 AS e_x,
+           round(ln(value + 1)     - 1e-9, {_R}) + 0.0 AS ln_x,
+           round(log10(value + 1)  - 1e-9, {_R}) + 0.0 AS log10_x,
+           round(log2(value + 1)   - 1e-9, {_R}) + 0.0 AS log2_x,
+           round(sqrt(abs(value))  - 1e-9, {_R}) + 0.0 AS sqrt_x,
+           round(sin(value)        - 1e-9, {_R}) + 0.0 AS sin_x,
+           round(cos(value)        - 1e-9, {_R}) + 0.0 AS cos_x
     FROM events
     """,
 )
@@ -473,10 +473,10 @@ def array_sort_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT vec_id,
            round(sqrt(list_sum(list_transform(embedding,
-                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) - 1e-9, {_R}) AS l2_norm,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) - 1e-9, {_R}) + 0.0 AS l2_norm,
            len(list_filter(embedding, x -> x > 0)) AS n_positive,
            round(list_sum(list_transform(embedding,
-                 x -> CAST(x AS DOUBLE))) - 1e-9, {_R})        AS vec_sum
+                 x -> CAST(x AS DOUBLE))) - 1e-9, {_R}) + 0.0        AS vec_sum
     FROM embeddings
     """,
 )
@@ -566,7 +566,7 @@ def map_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "try_ops",
     oracle=f"""
     SELECT event_id,
-           round(value / nullif(CAST(floor(value) AS BIGINT) % 3, 0) - 1e-9, {_R})
+           round(value / nullif(CAST(floor(value) AS BIGINT) % 3, 0) - 1e-9, {_R}) + 0.0
              AS safe_div,
            TRY_CAST(substr(event_type, 1, 1) AS INTEGER) AS bad_cast,
            TRY_CAST(CAST(user_id AS VARCHAR) AS BIGINT)  AS good_cast

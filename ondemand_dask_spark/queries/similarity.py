@@ -59,7 +59,7 @@ def _dot_sql(a: str, b: str) -> str:
                   * sqrt({_dot_sql("c.embedding", "c.embedding")})) AS cos
       FROM q JOIN embeddings c ON c.vec_id != q.vec_id
     )
-    SELECT query_id, neighbor_id, round(cos - 1e-9, {_R}) AS cosine, rnk
+    SELECT query_id, neighbor_id, round(cos - 1e-9, {_R}) + 0.0 AS cosine, rnk
     FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                                        ORDER BY cos DESC, neighbor_id) AS rnk
           FROM pairs)
@@ -189,7 +189,7 @@ def ann_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM q JOIN sig c
         ON c.signature = q.signature AND c.vec_id != q.vec_id
     )
-    SELECT query_id, neighbor_id, round(cos - 1e-9, {_R}) AS cosine, rnk
+    SELECT query_id, neighbor_id, round(cos - 1e-9, {_R}) + 0.0 AS cosine, rnk
     FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                                        ORDER BY cos DESC, neighbor_id) AS rnk
           FROM pairs)
@@ -278,7 +278,7 @@ _SEEDS_SQL = f"""
       JOIN assign a ON a.list_id = p.list_id AND a.vec_id != p.query_id
       JOIN embeddings q ON q.vec_id = p.query_id
     )
-    SELECT query_id, neighbor_id, round(cos - 1e-9, {_R}) AS cosine, rnk
+    SELECT query_id, neighbor_id, round(cos - 1e-9, {_R}) + 0.0 AS cosine, rnk
     FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                                        ORDER BY cos DESC, neighbor_id) AS rnk
           FROM pairs)
@@ -365,7 +365,7 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM sig a JOIN sig b
         ON a.signature = b.signature AND a.vec_id < b.vec_id
     )
-    SELECT vec_a, vec_b, round(cos - 1e-9, {_R}) AS cosine
+    SELECT vec_a, vec_b, round(cos - 1e-9, {_R}) + 0.0 AS cosine
     FROM pairs WHERE cos >= 0.2
     """,
 )
@@ -409,7 +409,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT label, pos, avg(v) AS m FROM flat GROUP BY label, pos
     )
     SELECT label,
-           list(round(m - 1e-9, {_R}) ORDER BY pos) AS centroid,
+           list(round(m - 1e-9, {_R}) + 0.0 ORDER BY pos) AS centroid,
            count(*) AS dim
     FROM dims GROUP BY label
     """,
@@ -448,7 +448,7 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT e.vec_id, e.label,
            round({_dot_sql("e.embedding", "c.centroid")}
                  / (sqrt({_dot_sql("e.embedding", "e.embedding")})
-                    * sqrt({_dot_sql("c.centroid", "c.centroid")})) - 1e-9, {_R})
+                    * sqrt({_dot_sql("c.centroid", "c.centroid")})) - 1e-9, {_R}) + 0.0
              AS cos_to_centroid
     FROM embeddings e JOIN cent c ON c.label = e.label
     """,

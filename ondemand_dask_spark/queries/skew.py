@@ -26,10 +26,10 @@ _R = 4
     "agg_salted_skew",
     oracle=f"""
     SELECT event_type,
-           round(sum(value) - 1e-9, {_R}) AS sum_value,
+           round(sum(value) - 1e-9, {_R}) + 0.0 AS sum_value,
            count(event_id)                AS n,
-           round(min(value) - 1e-9, {_R}) AS min_value,
-           round(max(value) - 1e-9, {_R}) AS max_value
+           round(min(value) - 1e-9, {_R}) + 0.0 AS min_value,
+           round(max(value) - 1e-9, {_R}) + 0.0 AS max_value
     FROM events
     GROUP BY event_type
     """,
@@ -71,7 +71,7 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT e.event_id, e.user_id, e.event_type,
            p.first_seen, p.user_events,
-           round(e.value - 1e-9, {_R}) AS value
+           round(e.value - 1e-9, {_R}) + 0.0 AS value
     FROM events e JOIN prof p ON e.user_id = p.user_id
     """,
 )

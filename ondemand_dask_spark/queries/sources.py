@@ -42,7 +42,7 @@ def _scratch(sf_dir: str, name: str) -> str:
     "source_csv_roundtrip",
     oracle=f"""
     SELECT c_mktsegment, count(*) AS n,
-           round(sum(c_acctbal) - 1e-9, {_R}) AS total_bal
+           round(sum(c_acctbal) - 1e-9, {_R}) + 0.0 AS total_bal
     FROM customer GROUP BY c_mktsegment
     """,
 )
@@ -73,7 +73,7 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "source_json_roundtrip",
     oracle=f"""
     SELECT event_type, count(*) AS n,
-           round(sum(value) - 1e-9, {_R}) AS total_value
+           round(sum(value) - 1e-9, {_R}) + 0.0 AS total_value
     FROM events GROUP BY event_type
     """,
 )
@@ -105,7 +105,7 @@ def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "source_orc_roundtrip",
     oracle=f"""
     SELECT l_returnflag, count(*) AS n,
-           round(sum(l_extendedprice) - 1e-9, {_R}) AS total_price
+           round(sum(l_extendedprice) - 1e-9, {_R}) + 0.0 AS total_price
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -153,7 +153,7 @@ def source_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sink_partitioned_parquet",
     oracle=f"""
     SELECT l_returnflag, l_linestatus, count(*) AS n,
-           round(sum(l_quantity) - 1e-9, {_R}) AS total_qty
+           round(sum(l_quantity) - 1e-9, {_R}) + 0.0 AS total_qty
     FROM lineitem
     WHERE l_returnflag = 'R'
     GROUP BY l_returnflag, l_linestatus
@@ -204,7 +204,7 @@ def source_from_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     "source_fwf_roundtrip",
     oracle=f"""
     SELECT c_nationkey, count(*) AS n,
-           round(sum(c_acctbal) - 1e-9, {_R}) AS total_bal
+           round(sum(c_acctbal) - 1e-9, {_R}) + 0.0 AS total_bal
     FROM customer GROUP BY c_nationkey
     """,
 )

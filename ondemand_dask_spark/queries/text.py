@@ -114,15 +114,15 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT doc_id,
            len(string_split(text, ' ')) AS n_words,
-           round(CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')) - 1e-9, {_R})
+           round(CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')) - 1e-9, {_R}) + 0.0
              AS chars_per_word,
            round(CAST(len(list_filter(string_split(text, ' '),
                           x -> x IN {STOPWORDS})) AS DOUBLE)
-                 / len(string_split(text, ' ')) - 1e-9, {_R}) AS stopword_ratio,
+                 / len(string_split(text, ' ')) - 1e-9, {_R}) + 0.0 AS stopword_ratio,
            round(least(1.0, len(string_split(text, ' ')) / 50.0)
                  * (1.0 - CAST(len(list_filter(string_split(text, ' '),
                                x -> x IN {STOPWORDS})) AS DOUBLE)
-                          / len(string_split(text, ' '))) - 1e-9, {_R}) AS quality
+                          / len(string_split(text, ' '))) - 1e-9, {_R}) + 0.0 AS quality
     FROM documents
     """,
 )
@@ -220,7 +220,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
              tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS tfidf
       FROM tf JOIN df USING (term) CROSS JOIN n
     )
-    SELECT doc_id, term AS top_term, round(tfidf - 1e-9, {_R}) AS tfidf
+    SELECT doc_id, term AS top_term, round(tfidf - 1e-9, {_R}) + 0.0 AS tfidf
     FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
                                        ORDER BY tfidf DESC, term) AS rnk
           FROM scored)

@@ -33,13 +33,13 @@ _R = 4
     SELECT
       l_returnflag,
       l_linestatus,
-      round((sum(l_quantity)) - 1e-9, {_R})                                        AS sum_qty,
-      round((sum(l_extendedprice)) - 1e-9, {_R})                                   AS sum_base_price,
-      round((sum(l_extendedprice * (1 - l_discount))) - 1e-9, {_R})                AS sum_disc_price,
-      round((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) - 1e-9, {_R}) AS sum_charge,
-      round((avg(l_quantity)) - 1e-9, {_R})                                        AS avg_qty,
-      round((avg(l_extendedprice)) - 1e-9, {_R})                                   AS avg_price,
-      round((avg(l_discount)) - 1e-9, {_R})                                        AS avg_disc,
+      round((sum(l_quantity)) - 1e-9, {_R}) + 0.0                                        AS sum_qty,
+      round((sum(l_extendedprice)) - 1e-9, {_R}) + 0.0                                   AS sum_base_price,
+      round((sum(l_extendedprice * (1 - l_discount))) - 1e-9, {_R}) + 0.0                AS sum_disc_price,
+      round((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) - 1e-9, {_R}) + 0.0 AS sum_charge,
+      round((avg(l_quantity)) - 1e-9, {_R}) + 0.0                                        AS avg_qty,
+      round((avg(l_extendedprice)) - 1e-9, {_R}) + 0.0                                   AS avg_price,
+      round((avg(l_discount)) - 1e-9, {_R}) + 0.0                                        AS avg_disc,
       count(*)                                                            AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -72,7 +72,7 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT
       l_orderkey,
-      round((sum(l_extendedprice * (1 - l_discount))) - 1e-9, {_R}) AS revenue,
+      round((sum(l_extendedprice * (1 - l_discount))) - 1e-9, {_R}) + 0.0 AS revenue,
       o_orderdate,
       o_orderpriority
     FROM customer
@@ -117,7 +117,7 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT
       n_name,
-      round((sum(l_extendedprice * (1 - l_discount))) - 1e-9, {_R}) AS revenue
+      round((sum(l_extendedprice * (1 - l_discount))) - 1e-9, {_R}) + 0.0 AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -162,7 +162,7 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q6",
     oracle=f"""
-    SELECT round((sum(l_extendedprice * l_discount)) - 1e-9, {_R}) AS revenue
+    SELECT round((sum(l_extendedprice * l_discount)) - 1e-9, {_R}) + 0.0 AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
@@ -198,7 +198,7 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem GROUP BY l_partkey, l_suppkey
     )
     SELECT p.p_partkey, p.p_name, s.s_name,
-           round(c.unit_cost - 1e-9, {_R}) AS unit_cost
+           round(c.unit_cost - 1e-9, {_R}) + 0.0 AS unit_cost
     FROM cost c
     JOIN part p     ON p.p_partkey = c.l_partkey
     JOIN supplier s ON s.s_suppkey = c.l_suppkey
@@ -281,7 +281,7 @@ def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q11",
     oracle=f"""
     SELECT n.n_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)) - 1e-9, {_R})
+           round(sum(l.l_extendedprice * (1 - l.l_discount)) - 1e-9, {_R}) + 0.0
              AS value
     FROM lineitem l
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -400,7 +400,7 @@ def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q7",
     oracle=f"""
     SELECT supp_nation, cust_nation, l_year,
-           round(sum(volume) - 1e-9, {_R}) AS revenue
+           round(sum(volume) - 1e-9, {_R}) + 0.0 AS revenue
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              year(l.l_shipdate) AS l_year,
@@ -457,7 +457,7 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT o_year,
            round(sum(CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE 0 END)
-                 / sum(volume) - 1e-9, {_R}) AS mkt_share
+                 / sum(volume) - 1e-9, {_R}) + 0.0 AS mkt_share
     FROM (
       SELECT year(o.o_orderdate) AS o_year,
              l.l_extendedprice * (1 - l.l_discount) AS volume,
@@ -510,7 +510,7 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q9",
     oracle=f"""
-    SELECT nation, o_year, round(sum(amount) - 1e-9, {_R}) AS sum_profit
+    SELECT nation, o_year, round(sum(amount) - 1e-9, {_R}) + 0.0 AS sum_profit
     FROM (
       SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
              l.l_extendedprice * (1 - l.l_discount)
@@ -598,7 +598,7 @@ def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY l_suppkey
     )
     SELECT s.s_suppkey, s.s_name,
-           round(r.total_revenue - 1e-9, {_R}) AS total_revenue
+           round(r.total_revenue - 1e-9, {_R}) + 0.0 AS total_revenue
     FROM supplier s
     JOIN revenue r ON s.s_suppkey = r.supplier_no
     WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
@@ -639,7 +639,7 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q17",
     oracle=f"""
-    SELECT round(sum(l.l_extendedprice) / 7.0 - 1e-9, {_R}) AS avg_yearly
+    SELECT round(sum(l.l_extendedprice) / 7.0 - 1e-9, {_R}) + 0.0 AS avg_yearly
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     WHERE p.p_brand = 'Brand#11'
@@ -675,7 +675,7 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q19",
     oracle=f"""
-    SELECT round(sum(l_extendedprice * (1 - l_discount)) - 1e-9, {_R}) AS revenue
+    SELECT round(sum(l_extendedprice * (1 - l_discount)) - 1e-9, {_R}) + 0.0 AS revenue
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     WHERE (p.p_brand = 'Brand#1'  AND p.p_size BETWEEN 1 AND 15
@@ -843,7 +843,7 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT c.c_nationkey AS cntrycode,
            count(*) AS numcust,
-           round(sum(c.c_acctbal) - 1e-9, {_R}) AS totacctbal
+           round(sum(c.c_acctbal) - 1e-9, {_R}) + 0.0 AS totacctbal
     FROM customer c
     WHERE c.c_acctbal > (
         SELECT avg(c2.c_acctbal) FROM customer c2 WHERE c2.c_acctbal > 0.0
@@ -887,7 +887,7 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q10",
     oracle=f"""
     SELECT c.c_custkey, c.c_name, n.n_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)) - 1e-9, {_R}) AS revenue
+           round(sum(l.l_extendedprice * (1 - l.l_discount)) - 1e-9, {_R}) + 0.0 AS revenue
     FROM customer c
     JOIN orders o   ON o.o_custkey = c.c_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -931,7 +931,7 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
              100.0 * sum(CASE WHEN p.p_type = 'PROMO'
                               THEN l.l_extendedprice * (1 - l.l_discount)
                               ELSE 0 END)
-             / sum(l.l_extendedprice * (1 - l.l_discount)) - 1e-9, {_R})
+             / sum(l.l_extendedprice * (1 - l.l_discount)) - 1e-9, {_R}) + 0.0
            AS promo_revenue_pct
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -967,8 +967,8 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY l_orderkey HAVING sum(l_quantity) > 150
     )
     SELECT c.c_name, o.o_orderkey, o.o_orderdate,
-           round(o.o_totalprice - 1e-9, {_R}) AS o_totalprice,
-           round(sum(l.l_quantity) - 1e-9, {_R}) AS total_qty
+           round(o.o_totalprice - 1e-9, {_R}) + 0.0 AS o_totalprice,
+           round(sum(l.l_quantity) - 1e-9, {_R}) + 0.0 AS total_qty
     FROM orders o
     JOIN customer c ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey

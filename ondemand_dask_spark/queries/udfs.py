@@ -36,7 +36,7 @@ _R = 4
     "udf_map_in_pandas",
     oracle=f"""
     SELECT l_orderkey, l_linenumber,
-           round(l_extendedprice * (1 - l_discount) - 1e-9, {_R}) AS net_revenue
+           round(l_extendedprice * (1 - l_discount) - 1e-9, {_R}) + 0.0 AS net_revenue
     FROM lineitem
     """,
 )
@@ -83,7 +83,7 @@ def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     "udf_apply_in_pandas",
     oracle=f"""
     SELECT event_id, user_id,
-           round(value - avg(value) OVER (PARTITION BY user_id) - 1e-9, {_R})
+           round(value - avg(value) OVER (PARTITION BY user_id) - 1e-9, {_R}) + 0.0
              AS value_demeaned
     FROM events
     """,
@@ -109,7 +109,7 @@ def udf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     "udf_grouped_agg",
     oracle=f"""
     SELECT l_returnflag,
-           round(sum(l_extendedprice * l_quantity) / sum(l_quantity) - 1e-9, {_R})
+           round(sum(l_extendedprice * l_quantity) / sum(l_quantity) - 1e-9, {_R}) + 0.0
              AS wavg_price
     FROM lineitem
     GROUP BY l_returnflag
@@ -136,11 +136,11 @@ def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH c AS (
       SELECT user_id, count(*) AS n_clicks,
-             round(sum(value) - 1e-9, {_R}) AS click_value
+             round(sum(value) - 1e-9, {_R}) + 0.0 AS click_value
       FROM events WHERE event_type = 'click' GROUP BY user_id
     ), p AS (
       SELECT user_id, count(*) AS n_purchases,
-             round(sum(value) - 1e-9, {_R}) AS purchase_value
+             round(sum(value) - 1e-9, {_R}) + 0.0 AS purchase_value
       FROM events WHERE event_type = 'purchase' GROUP BY user_id
     )
     SELECT coalesce(c.user_id, p.user_id) AS user_id,

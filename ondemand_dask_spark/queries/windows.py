@@ -32,9 +32,9 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_lag_lead",
     oracle=f"""
     SELECT event_id, user_id,
-           round((lag(value)  OVER w) - 1e-9, {_R}) AS prev_value,
-           round((lead(value) OVER w) - 1e-9, {_R}) AS next_value,
-           round((value - lag(value) OVER w) - 1e-9, {_R}) AS diff_value
+           round((lag(value)  OVER w) - 1e-9, {_R}) + 0.0 AS prev_value,
+           round((lead(value) OVER w) - 1e-9, {_R}) + 0.0 AS next_value,
+           round((value - lag(value) OVER w) - 1e-9, {_R}) + 0.0 AS diff_value
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
@@ -57,7 +57,7 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT event_id, user_id,
            round((sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) - 1e-9, {_R})
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) - 1e-9, {_R}) + 0.0
              AS running_total,
            count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n
@@ -83,8 +83,8 @@ def window_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_cummax_cummin",
     oracle=f"""
     SELECT event_id, user_id,
-           round((max(value) OVER w) - 1e-9, {_R}) AS cum_max,
-           round((min(value) OVER w) - 1e-9, {_R}) AS cum_min
+           round((max(value) OVER w) - 1e-9, {_R}) + 0.0 AS cum_max,
+           round((min(value) OVER w) - 1e-9, {_R}) + 0.0 AS cum_min
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -111,7 +111,7 @@ def window_cummax_cummin(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, user_id,
            round((exp(sum(ln(1 + value / 1000)) OVER (
              PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))) - 1e-9, {_R}) AS cum_growth
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))) - 1e-9, {_R}) + 0.0 AS cum_growth
     FROM events
     """,
 )
@@ -137,8 +137,8 @@ def window_cumprod(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_rolling_rows",
     oracle=f"""
     SELECT event_id, user_id,
-           round((avg(value) OVER w) - 1e-9, {_R}) AS ma3,
-           round((sum(value) OVER w) - 1e-9, {_R}) AS sum3,
+           round((avg(value) OVER w) - 1e-9, {_R}) + 0.0 AS ma3,
+           round((sum(value) OVER w) - 1e-9, {_R}) + 0.0 AS sum3,
            count(*) OVER w AS n3
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
@@ -167,7 +167,7 @@ def window_rolling_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, user_id,
            round((sum(value) OVER (
              PARTITION BY user_id ORDER BY epoch_us(ts)
-             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)) - 1e-9, {_R}) AS sum_1h
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)) - 1e-9, {_R}) + 0.0 AS sum_1h
     FROM events
     """,
 )
@@ -191,7 +191,7 @@ def window_rolling_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT event_id, user_id,
            round((avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) - 1e-9, {_R})
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) - 1e-9, {_R}) + 0.0
              AS expanding_mean
     FROM events
     """,
@@ -217,9 +217,9 @@ def window_expanding(spark: SparkSession, sf_dir: str) -> DataFrame:
            rank()         OVER w AS rnk,
            dense_rank()   OVER w AS drnk,
            row_number()   OVER w AS rn,
-           round((percent_rank() OVER w) - 1e-9, 4) AS prnk,
+           round((percent_rank() OVER w) - 1e-9, 4) + 0.0 AS prnk,
            ntile(4)       OVER w AS quartile,
-           round((cume_dist() OVER w) - 1e-9, 4) AS cdist
+           round((cume_dist() OVER w) - 1e-9, 4) + 0.0 AS cdist
     FROM orders
     WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
     """,
@@ -244,7 +244,7 @@ def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_transform_broadcast",
     oracle=f"""
     SELECT c_custkey,
-           round((c_acctbal - avg(c_acctbal) OVER (PARTITION BY c_nationkey)) - 1e-9, {_R})
+           round((c_acctbal - avg(c_acctbal) OVER (PARTITION BY c_nationkey)) - 1e-9, {_R}) + 0.0
              AS bal_vs_nation
     FROM customer
     """,
@@ -265,7 +265,7 @@ def window_transform_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     "resample_day",
     oracle=f"""
     SELECT date_trunc('day', ts) AS day,
-           round((sum(value)) - 1e-9, {_R}) AS daily_value,
+           round((sum(value)) - 1e-9, {_R}) + 0.0 AS daily_value,
            count(*) AS n_events
     FROM events GROUP BY date_trunc('day', ts)
     """,
@@ -287,7 +287,7 @@ def resample_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     "resample_hour_window",
     oracle=f"""
     SELECT time_bucket(INTERVAL 6 HOURS, ts) AS bucket_start,
-           round((avg(value)) - 1e-9, {_R}) AS avg_value
+           round((avg(value)) - 1e-9, {_R}) + 0.0 AS avg_value
     FROM events GROUP BY 1
     """,
 )

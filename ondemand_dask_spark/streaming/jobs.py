@@ -129,7 +129,7 @@ def tumbling_agg(e: DataFrame) -> DataFrame:
     SELECT date_trunc('hour', ts) AS w_start,
            event_type,
            count(*) AS n,
-           round(sum(value) - 1e-9, {_R}) AS total_value
+           round(sum(value) - 1e-9, {_R}) + 0.0 AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -155,7 +155,7 @@ def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT w_start, event_type, count(*) AS n,
-           round(sum(value) - 1e-9, {_R}) AS total_value
+           round(sum(value) - 1e-9, {_R}) + 0.0 AS total_value
     FROM buckets
     GROUP BY 1, 2
     """,
@@ -213,7 +213,7 @@ def session_agg(e: DataFrame) -> DataFrame:
     )
     SELECT user_id, min(ts) AS session_start,
            count(*) AS n_events,
-           round(sum(value) - 1e-9, {_R}) AS sum_value
+           round(sum(value) - 1e-9, {_R}) + 0.0 AS sum_value
     FROM sess GROUP BY user_id, sid
     """,
 )
@@ -253,7 +253,7 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_static_join",
     oracle=f"""
     SELECT c.c_mktsegment, count(*) AS n,
-           round(sum(e.value) - 1e-9, {_R}) AS total_value
+           round(sum(e.value) - 1e-9, {_R}) + 0.0 AS total_value
     FROM events e JOIN customer c ON c.c_custkey = e.user_id
     GROUP BY c.c_mktsegment
     """,
@@ -345,7 +345,7 @@ def view_purchase_pairs(events: DataFrame) -> DataFrame:
     "stream_foreachbatch_sink",
     oracle=f"""
     SELECT event_type, count(*) AS n,
-           round(sum(value) - 1e-9, {_R}) AS total_value
+           round(sum(value) - 1e-9, {_R}) + 0.0 AS total_value
     FROM events WHERE value > 500 GROUP BY event_type
     """,
 )
@@ -399,7 +399,7 @@ def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_stateful_counter",
     oracle=f"""
     SELECT user_id, count(*) AS n_events,
-           round(sum(value) - 1e-9, {_R}) AS total_value
+           round(sum(value) - 1e-9, {_R}) + 0.0 AS total_value
     FROM events GROUP BY user_id
     """,
 )

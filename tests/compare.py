@@ -21,6 +21,12 @@ def _norm_cell(v):
         return None
     if isinstance(v, float) and math.isnan(v):
         return None
+    if isinstance(v, (float, np.floating)) and v == 0:
+        # -0.0 == 0.0 as floats, but str(-0.0) != str(0.0): the row
+        # sort key would diverge between engines (DuckDB round keeps
+        # the sign of zero, Spark's BigDecimal round does not) and
+        # misalign the whole comparison.
+        return 0.0
     if isinstance(v, Decimal):
         return float(v)
     if isinstance(v, (np.integer,)):
