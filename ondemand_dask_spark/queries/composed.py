@@ -267,3 +267,42 @@ def qcut_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     w = Window.orderBy("value", "event_id")
     return e.select("event_id", F.ntile(4).over(w).alias("quartile"))
+
+
+@register(
+    "qcut_by_cutpoints",
+    oracle="""
+    WITH cuts AS (
+      SELECT quantile_cont(value, [0.25, 0.5, 0.75]) AS q FROM events
+    )
+    SELECT e.event_id,
+           CASE WHEN e.value <= q[1] THEN 1
+                WHEN e.value <= q[2] THEN 2
+                WHEN e.value <= q[3] THEN 3
+                ELSE 4 END AS bucket
+    FROM events e CROSS JOIN cuts
+    """,
+)
+def qcut_by_cutpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pd.qcut — the SCALE path promised in qcut_quartiles' docstring:
+    compute the three quartile cutpoints once (a 1-row aggregate,
+    broadcast), then bucket every row with a CASE — constant memory,
+    fully parallel, no global window.  Value-based bucketing: ties at
+    a boundary all land in the lower bucket (pandas qcut semantics
+    for duplicate edge values; exact-rank ntile differs there).  At
+    100 TB swap `percentile` for `percentile_approx` — the plan shape
+    does not change."""
+    e = load_table(spark, sf_dir, "events")
+    cuts = e.agg(
+        F.percentile("value", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))).alias(
+            "q"
+        )
+    )
+    return e.crossJoin(F.broadcast(cuts)).select(
+        "event_id",
+        F.when(F.col("value") <= F.element_at("q", 1), 1)
+        .when(F.col("value") <= F.element_at("q", 2), 2)
+        .when(F.col("value") <= F.element_at("q", 3), 3)
+        .otherwise(4)
+        .alias("bucket"),
+    )
