@@ -535,3 +535,57 @@ def agg_product(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.product(1 + F.col("l_tax")) - 1e-9, _R).alias("tax_factor"),
         F.count("*").alias("n_lines"),
     )
+
+
+@register(
+    "agg_any_all",
+    oracle="""
+    SELECT event_type,
+           bool_or(value > 900)  AS any_big,
+           bool_and(value >= 0)  AS all_nonneg,
+           count(*) FILTER (WHERE value > 900) AS n_big
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_any_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ser.any() / ser.all() — boolean aggregation per group, plus the
+    conditional-count FILTER idiom.  bool_and/bool_or are decomposable
+    (partial-agg map-side) like sum."""
+    e = load_table(spark, sf_dir, "events")
+    big = F.col("value") > 900
+    return e.groupBy("event_type").agg(
+        F.bool_or(big).alias("any_big"),
+        F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
+        F.count_if(big).alias("n_big"),
+    )
+
+
+@register(
+    "agg_skew_kurt",
+    oracle=f"""
+    SELECT event_type,
+           round(skewness(value) - 1e-9, {{_R}}) + 0.0 AS skew,
+           round(kurtosis(value) - 1e-9, {{_R}}) + 0.0 AS kurt
+    FROM events
+    GROUP BY event_type
+    """.format(_R=_R),
+)
+def agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ser.skew() / ser.kurt() — third/fourth standardized moments.
+    Definition trap: Spark's skewness/kurtosis are POPULATION moments
+    (g1, g2); pandas and DuckDB report bias-corrected SAMPLE versions
+    (G1, G2).  The engine converts explicitly —
+    G1 = g1·√(n(n−1))/(n−2),  G2 = ((n+1)·g2 + 6)·(n−1)/((n−2)(n−3))
+    — so users get the pandas-compatible numbers a Dask migrant
+    expects."""
+    e = load_table(spark, sf_dir, "events")
+    n = F.count("*").cast("double")
+    g1 = F.skewness("value")
+    g2 = F.kurtosis("value")
+    G1 = g1 * F.sqrt(n * (n - 1)) / (n - 2)
+    G2 = ((n + 1) * g2 + 6) * (n - 1) / ((n - 2) * (n - 3))
+    return e.groupBy("event_type").agg(
+        (F.round(G1 - 1e-9, _R) + F.lit(0.0)).alias("skew"),
+        (F.round(G2 - 1e-9, _R) + F.lit(0.0)).alias("kurt"),
+    )

@@ -798,3 +798,26 @@ def array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct(F.array_union(t, stop))).alias("n_union"),
         F.arrays_overlap(t, stop).alias("has_stopword"),
     )
+
+
+@register(
+    "str_format",
+    oracle="""
+    SELECT o_orderkey,
+           printf('%s-%05d', o_orderstatus, o_orderkey) AS order_tag,
+           printf('%.2f', o_totalprice)                 AS price_str
+    FROM orders
+    """,
+)
+def str_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C-style string formatting (the str.format / % idiom) —
+    format_string on Spark, printf on DuckDB; both delegate to the
+    same printf conventions, including %.2f rounding of doubles."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.format_string("%s-%05d", F.col("o_orderstatus"), F.col("o_orderkey")).alias(
+            "order_tag"
+        ),
+        F.format_string("%.2f", F.col("o_totalprice")).alias("price_str"),
+    )

@@ -143,3 +143,26 @@ def test_ivf_probes_broadcast(spark, sf_dir):
     # bounded exchanges, none proportional to corpus × queries.
     assert shuffle_count(df) <= 3
     assert python_eval_count(df) == 0
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "dedup_minhash_lsh",
+        "dedup_simhash_pairs",
+        "dedup_ngram_jaccard",
+        "dedup_embedding_cosine",
+        "ann_lsh_probe",
+        "ann_ivf_probe",
+    ],
+)
+def test_pair_generation_never_cartesian(name, spark, sf_dir):
+    """The whole point of LSH/SimHash/IVF blocking: candidate pairs
+    form through bucket equi-joins, so no plan may contain a
+    Cartesian product — the n² shape that cannot survive scale.
+    (Brute-force ann_cosine_topk is the deliberate exception and is
+    excluded.)"""
+    from ondemand_dask_spark.plans import plan_string
+
+    plan = plan_string(_df(name, spark, sf_dir))
+    assert "CartesianProduct" not in plan, name
