@@ -589,3 +589,76 @@ def agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(G1 - 1e-9, _R) + F.lit(0.0)).alias("skew"),
         (F.round(G2 - 1e-9, _R) + F.lit(0.0)).alias("kurt"),
     )
+
+
+@register(
+    "agg_string_concat",
+    oracle="""
+    SELECT user_id,
+           string_agg(event_type, ',' ORDER BY ts, event_id) AS journey,
+           count(*) AS n
+    FROM events
+    WHERE event_id % 97 = 0
+    GROUP BY user_id
+    """,
+)
+def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (str.cat on a groupby — the user-
+    journey idiom).  Spark's listagg is unordered, so the engine
+    builds it deterministically: collect structs keyed by the sort
+    columns, array_sort (struct ordering is field-by-field), then
+    project + join — all JVM-side."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 97 == 0)
+    journey = F.concat_ws(
+        ",",
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+            lambda s: s.getField("event_type"),
+        ),
+    )
+    return e.groupBy("user_id").agg(
+        journey.alias("journey"), F.count("*").alias("n")
+    )
+
+
+@register(
+    "agg_quantile_disc",
+    oracle=f"""
+    SELECT event_type,
+           round(quantile_disc(value, 0.5) - 1e-9, {{_R}}) + 0.0 AS median_disc,
+           round(quantile_disc(value, 0.9) - 1e-9, {{_R}}) + 0.0 AS p90_disc
+    FROM events
+    GROUP BY event_type
+    """.format(_R=_R),
+)
+def agg_quantile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete (no-interpolation) grouped quantile — returns an
+    actual data value, the variant for non-interpolable types.
+    Implemented with the same sort-rank machinery as the continuous
+    operator: the smallest value whose cumulative distribution ≥ q,
+    i.e. 0-based rank ceil(q·n)−1 (the PostgreSQL/DuckDB
+    percentile_disc rule — NOT floor(q·(n−1)), which differs above
+    the median), via one window sort — never a per-group value
+    collection."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w_sort = Window.partitionBy("event_type").orderBy("value")
+    w_all = Window.partitionBy("event_type")
+    d = (
+        e.select("event_type", F.col("value").cast("double").alias("value"))
+        .withColumn("__rn", F.row_number().over(w_sort) - 1)
+        .withColumn("__n", F.count("*").over(w_all))
+    )
+    picks = []
+    for name, q in [("median_disc", 0.5), ("p90_disc", 0.9)]:
+        rank = F.ceil(F.lit(q) * F.col("__n")) - 1
+        picks.append(
+            F.max(F.when(F.col("__rn") == rank, F.col("value"))).alias(name)
+        )
+    g = d.groupBy("event_type").agg(*picks)
+    return g.select(
+        "event_type",
+        (F.round(F.col("median_disc") - 1e-9, _R) + F.lit(0.0)).alias("median_disc"),
+        (F.round(F.col("p90_disc") - 1e-9, _R) + F.lit(0.0)).alias("p90_disc"),
+    )

@@ -290,3 +290,45 @@ def jdbc_source_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "upper",
         F.lit(n_parts).alias("num_partitions"),
     )
+
+
+@register(
+    "source_binaryfile",
+    oracle="""
+    SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+           md5(text) AS digest
+    FROM documents WHERE doc_id < 50
+    """,
+)
+def source_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """spark.read.format('binaryFile') — the multimodal ingestion
+    path (SURVEY §2.K): opaque files land as (path, length, content
+    binary) rows.  Staged here by writing 50 documents as .bin files
+    named by doc_id, reading them back through the binaryFile source,
+    and recovering doc_id from the filename — checked against the
+    documents the bytes came from (length + md5 must round-trip).
+    At 100 TB this source partitions by file and never decodes
+    payloads in the scan."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 50)
+        .select("doc_id", "text")
+    )
+    sf = os.path.basename(sf_dir.rstrip("/"))
+    out = os.path.join(tempfile.gettempdir(), "ondemand_dask_spark_binfiles", sf)
+    if not os.path.exists(os.path.join(out, "_STAGED")):
+        os.makedirs(out, exist_ok=True)
+        for r in d.collect():  # 50 bounded rows: staging only, not an operator path
+            with open(os.path.join(out, f"{r['doc_id']}.bin"), "wb") as f:
+                f.write(r["text"].encode("utf-8"))
+        open(os.path.join(out, "_STAGED"), "w").close()
+    bf = spark.read.format("binaryFile").load(out).filter(
+        ~F.col("path").endswith("_STAGED")
+    )
+    return bf.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1).cast("bigint").alias(
+            "doc_id"
+        ),
+        F.col("length").cast("bigint").alias("n_bytes"),
+        F.md5(F.col("content")).alias("digest"),
+    )

@@ -358,3 +358,36 @@ def topk_nsmallest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("s_acctbal"), F.asc("s_suppkey"))
         .limit(5)
     )
+
+
+@register(
+    "window_nth_first_last",
+    oracle=f"""
+    SELECT event_id, user_id,
+           round(first_value(value) OVER w - 1e-9, {_R}) + 0.0 AS first_v,
+           round(nth_value(value, 3) OVER w - 1e-9, {_R}) + 0.0 AS third_v,
+           round(last_value(value) OVER w - 1e-9, {_R}) + 0.0 AS last_v
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_nth_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupby.nth / first / last as window transforms — broadcast a
+    positional pick back to every row.  The frame is pinned to the
+    FULL partition explicitly: both engines default last_value to the
+    growing frame (…AND CURRENT ROW), which silently returns the
+    current row instead of the partition's last."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    v = F.col("value")
+    return _events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        (F.round(F.first_value(v).over(w) - 1e-9, _R) + F.lit(0.0)).alias("first_v"),
+        (F.round(F.nth_value(v, 3).over(w) - 1e-9, _R) + F.lit(0.0)).alias("third_v"),
+        (F.round(F.last_value(v).over(w) - 1e-9, _R) + F.lit(0.0)).alias("last_v"),
+    )
