@@ -821,3 +821,34 @@ def str_format(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.format_string("%.2f", F.col("o_totalprice")).alias("price_str"),
     )
+
+
+@register(
+    "math_bitwise",
+    oracle="""
+    SELECT event_id,
+           event_id & 255            AS low_byte,
+           event_id | 4096           AS with_flag,
+           xor(event_id, 21845)      AS xored,
+           (event_id & 7) << 4       AS shifted_l,
+           event_id >> 8             AS shifted_r,
+           CAST(bit_count(CAST(event_id AS BIGINT)) AS INTEGER) AS popcount
+    FROM events
+    """,
+)
+def math_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer bitwise algebra (pandas &, |, ^, shifts on int series)
+    — the primitive layer under SimHash banding, bloom-filter
+    membership, and flag columns.  All JVM-side int64 ops; popcount
+    via bit_count on both engines."""
+    e = load_table(spark, sf_dir, "events")
+    i = F.col("event_id")
+    return e.select(
+        "event_id",
+        i.bitwiseAND(F.lit(255)).alias("low_byte"),
+        i.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        i.bitwiseXOR(F.lit(21845)).alias("xored"),
+        F.shiftleft(i.bitwiseAND(F.lit(7)), 4).alias("shifted_l"),
+        F.shiftright(i, 8).alias("shifted_r"),
+        F.bit_count(i).alias("popcount"),
+    )
