@@ -15,6 +15,7 @@ from ondemand_dask_spark.cluster import ClusterSpec, spawn, teardown
 from ondemand_dask_spark.operators import (
     OnDemandFrame,
     exact_group_quantiles,
+    exact_group_quantiles_select,
     from_spark,
     merge_asof,
     salted_agg,
@@ -32,6 +33,7 @@ __all__ = [
     "from_spark",
     "merge_asof",
     "exact_group_quantiles",
+    "exact_group_quantiles_select",
     "salted_agg",
     "salted_join",
 ]

@@ -3,5 +3,8 @@ the Dask-style frame façade."""
 
 from ondemand_dask_spark.operators.asof import merge_asof  # noqa: F401
 from ondemand_dask_spark.operators.frame import OnDemandFrame, from_spark  # noqa: F401
-from ondemand_dask_spark.operators.quantile import exact_group_quantiles  # noqa: F401
+from ondemand_dask_spark.operators.quantile import (  # noqa: F401
+    exact_group_quantiles,
+    exact_group_quantiles_select,
+)
 from ondemand_dask_spark.operators.skew import salted_agg, salted_join  # noqa: F401

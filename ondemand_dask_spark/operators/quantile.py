@@ -2,28 +2,87 @@
 
 `F.percentile` (and any ObjectHashAggregate) collects every group
 value into one aggregation buffer — at 100 TB a low-cardinality
-groupBy means multi-GB buffers on single tasks: the OOM shape.  This
-operator computes the same linearly-interpolated quantile
-(`quantile_cont` semantics: value at rank h = (n-1)·q, interpolating
-between floor(h) and ceil(h)) through a distributed SORT instead:
+groupBy means multi-GB buffers on single tasks: the OOM shape.  Two
+implementations with the same `quantile_cont` semantics (value at
+rank h = (n-1)·q, linearly interpolated between floor(h) and
+ceil(h), NULLs ignored):
 
-  1. window rank over (keys, value) — a range-partitioned sort, the
-     same machinery as orderBy, no per-task value collection;
-  2. keep only the (at most 2·|qs|) boundary rows per group via
-     conditional aggregation;
-  3. interpolate post-aggregation.
+`exact_group_quantiles` — sort-based.  Rank via `row_number` over a
+per-group window (a hash-partitioned sort, no per-task value
+collection); group sizes via a plain partial-agg count broadcast
+back on; only the ≤ 2·|qs| boundary rows per group survive into the
+final aggregation.  One sort shuffle of the (keys, value) pairs;
+memory per task O(1).  The right shape when |groups| ≫ cores (the
+common 100 TB case: quantiles per tenant / per day) — each group's
+sort is one task, and there are plenty.
 
-Cost: one sort shuffle of the input vs one collect-everything agg;
-memory per task is O(1).  Exactness is bit-identical to
-`quantile_cont` — differentially proven by the `agg_groupby_quantile`
-oracle query which runs on this operator.
+`exact_group_quantiles_select` — selection-based, for FEW huge
+groups where one-task-per-group sorts serialize.  One `approxQuantile`
+sketch pass yields ~`buckets` global cutpoints (GK sketch, single
+pass, driver receives only the cutpoints); rows get a bucket id from
+the broadcast cutpoints (codegen'd comparison chain, no shuffle);
+per-(group, bucket) counts — |groups|·|buckets| rows — carry rank
+offsets and group sizes via a window over that tiny table only;
+buckets containing a target rank floor/ceil((n-1)·q) survive a
+broadcast join (~2·|qs|/buckets of the input) and only THEY are
+sorted; local rank + bucket offset = exact global rank.  Equal
+values always share a bucket, so per-bucket rank concatenation is a
+valid global sort order even with ties.  Shuffle cost ≈ 2·|qs|/
+buckets of the input instead of all of it; parallelism = groups ×
+targeted buckets.  Measured at sf0.1 (600k rows, 3 groups,
+local[8]): the sketch + extra scans cost more than simply sorting
+(≈4s vs ≈0.6s) — the crossover is where a group's sort no longer
+fits one task, NOT at toy scale, which is why the sort path stays
+the default.
+
+Exactness of both is differentially proven by the
+`agg_groupby_quantile` oracle query and property-tested against
+numpy in tests/test_quantile_property.py.
 """
 
 from __future__ import annotations
 
+import functools
+import operator
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+
+def _h(q: float):
+    """Fractional target rank for quantile q, as a column over __n."""
+    return (F.col("__n") - 1) * F.lit(float(q))
+
+
+def _boundary_rows(ranked: DataFrame, keys: list[str], qs: dict[str, float]):
+    """Filter to rows at floor/ceil target ranks, aggregate, interpolate."""
+    keep = functools.reduce(
+        operator.or_,
+        [
+            (F.col("__rn") == F.floor(_h(q))) | (F.col("__rn") == F.ceil(_h(q)))
+            for q in qs.values()
+        ],
+    )
+    aggs = [F.max("__n").alias("__n")]
+    for name, q in qs.items():
+        aggs.append(
+            F.max(F.when(F.col("__rn") == F.floor(_h(q)), F.col("__v"))).alias(
+                f"__lo_{name}"
+            )
+        )
+        aggs.append(
+            F.max(F.when(F.col("__rn") == F.ceil(_h(q)), F.col("__v"))).alias(
+                f"__hi_{name}"
+            )
+        )
+    grouped = ranked.filter(keep).groupBy(*keys).agg(*aggs)
+    outs = []
+    for name, q in qs.items():
+        frac = _h(q) - F.floor(_h(q))
+        lo, hi = F.col(f"__lo_{name}"), F.col(f"__hi_{name}")
+        outs.append((lo + frac * (hi - lo)).alias(name))
+    return grouped.select(*keys, *outs)
 
 
 def exact_group_quantiles(
@@ -32,37 +91,87 @@ def exact_group_quantiles(
     col: str,
     qs: dict[str, float],
 ) -> DataFrame:
-    """One row per group with a column per requested quantile.
+    """One row per group with a column per requested quantile (sort path).
 
     qs: output_column_name -> quantile in [0, 1].
     """
-    # rank over the normalized __v column (ties get arbitrary ranks —
-    # harmless: interpolating between equal values returns that value)
-    w_sort = Window.partitionBy(*keys).orderBy("__v")
-    w_all = Window.partitionBy(*keys)
-    d = (
-        df.select(*keys, F.col(col).cast("double").alias("__v"))
-        .withColumn("__rn", F.row_number().over(w_sort) - 1)  # 0-based rank
-        .withColumn("__n", F.count("*").over(w_all))
+    d = df.select(*keys, F.col(col).cast("double").alias("__v")).filter(
+        F.col("__v").isNotNull()
     )
-    aggs = [F.max("__n").alias("__n")]
-    for name, q in qs.items():
-        h = (F.col("__n") - 1) * F.lit(float(q))
-        aggs.append(
-            F.max(F.when(F.col("__rn") == F.floor(h), F.col("__v"))).alias(
-                f"__lo_{name}"
-            )
+    # Group sizes: decomposable agg → map-side combine, tiny result.
+    counts = d.groupBy(*keys).agg(F.count("*").alias("__n"))
+    # Rank over the __v sort (ties get arbitrary ranks — harmless:
+    # interpolating between equal values returns that value).
+    w_sort = Window.partitionBy(*keys).orderBy("__v")
+    ranked = d.withColumn("__rn", F.row_number().over(w_sort) - 1).join(
+        F.broadcast(counts), on=list(keys)
+    )
+    return _boundary_rows(ranked, keys, qs)
+
+
+def exact_group_quantiles_select(
+    df: DataFrame,
+    keys: list[str],
+    col: str,
+    qs: dict[str, float],
+    buckets: int = 64,
+) -> DataFrame:
+    """Selection-based variant for few huge groups (see module doc).
+
+    buckets: value-range fan-out; higher = less data sorted but more
+    count rows (|groups|·|buckets|) in the routing table.
+    """
+    d = df.select(*keys, F.col(col).cast("double").alias("__v")).filter(
+        F.col("__v").isNotNull()
+    )
+    # 1. global cutpoints from a single sketch pass (approximation only
+    # routes ranks to buckets; it never affects the exact result).
+    probs = [i / buckets for i in range(1, buckets)]
+    cuts = sorted(set(d.stat.approxQuantile("__v", probs, 1.0 / (2 * buckets))))
+
+    # 2. bucket id = #cutpoints below the value (codegen'd int adds).
+    if cuts:
+        bucket = functools.reduce(
+            operator.add,
+            [(F.col("__v") > F.lit(c)).cast("int") for c in cuts],
         )
-        aggs.append(
-            F.max(F.when(F.col("__rn") == F.ceil(h), F.col("__v"))).alias(
-                f"__hi_{name}"
-            )
+    else:  # empty input or single distinct value — one bucket
+        bucket = F.lit(0)
+    db = d.withColumn("__b", bucket)
+
+    # 3. per-(group, bucket) counts; offsets + group size via a window
+    # over this small table only.
+    wb = Window.partitionBy(*keys).orderBy("__b")
+    bc = (
+        db.groupBy(*keys, "__b")
+        .agg(F.count("*").alias("__cnt"))
+        .withColumn(
+            "__off",
+            F.coalesce(
+                F.sum("__cnt").over(wb.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ),
         )
-    grouped = d.groupBy(*keys).agg(*aggs)
-    outs = []
-    for name, q in qs.items():
-        h = (F.col("__n") - 1) * F.lit(float(q))
-        frac = h - F.floor(h)
-        lo, hi = F.col(f"__lo_{name}"), F.col(f"__hi_{name}")
-        outs.append((lo + frac * (hi - lo)).alias(name))
-    return grouped.select(*keys, *outs)
+        .withColumn("__n", F.sum("__cnt").over(Window.partitionBy(*keys)))
+    )
+
+    # 4. keep only buckets holding a target rank.
+    def _in_bucket(rank):
+        return (rank >= F.col("__off")) & (rank < F.col("__off") + F.col("__cnt"))
+
+    is_target = functools.reduce(
+        operator.or_,
+        [
+            _in_bucket(F.floor(_h(q))) | _in_bucket(F.ceil(_h(q)))
+            for q in qs.values()
+        ],
+    )
+    targets = bc.filter(is_target).select(*keys, "__b", "__off", "__n")
+    narrowed = db.join(F.broadcast(targets), on=[*keys, "__b"])
+
+    # 5. exact global rank inside the targeted buckets only.
+    w_sort = Window.partitionBy(*keys, "__b").orderBy("__v")
+    ranked = narrowed.withColumn(
+        "__rn", F.col("__off") + F.row_number().over(w_sort) - 1
+    )
+    return _boundary_rows(ranked, keys, qs)

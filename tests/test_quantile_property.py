@@ -13,7 +13,10 @@ import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
-from ondemand_dask_spark.operators.quantile import exact_group_quantiles
+from ondemand_dask_spark.operators.quantile import (
+    exact_group_quantiles,
+    exact_group_quantiles_select,
+)
 
 # (group label, value) rows; values quantized to avoid float-noise
 # flakiness in the == comparison below (we assert near-equality anyway)
@@ -28,17 +31,22 @@ _rows = st.lists(
 
 
 @pytest.mark.usefixtures("spark")
+@pytest.mark.parametrize(
+    "impl",
+    [exact_group_quantiles, exact_group_quantiles_select],
+    ids=["sort", "select"],
+)
 @given(rows=_rows, q=st.sampled_from([0.0, 0.1, 0.25, 0.5, 0.9, 1.0]))
 @settings(
     max_examples=25,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
-def test_exact_group_quantiles_matches_numpy(spark, rows, q):
+def test_exact_group_quantiles_matches_numpy(spark, impl, rows, q):
     pdf = pd.DataFrame(rows, columns=["k", "v"])
     sdf = spark.createDataFrame(pdf)
     got = (
-        exact_group_quantiles(sdf, ["k"], "v", {"qv": q})
+        impl(sdf, ["k"], "v", {"qv": q})
         .toPandas()
         .set_index("k")["qv"]
         .sort_index()
