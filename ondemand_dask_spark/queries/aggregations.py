@@ -662,3 +662,34 @@ def agg_quantile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.col("median_disc") - 1e-9, _R) + F.lit(0.0)).alias("median_disc"),
         (F.round(F.col("p90_disc") - 1e-9, _R) + F.lit(0.0)).alias("p90_disc"),
     )
+
+
+@register(
+    "agg_regression",
+    oracle=f"""
+    SELECT l_returnflag,
+           round((regr_slope(l_extendedprice, l_quantity)) - 1e-9, {_R}) + 0.0     AS slope,
+           round((regr_intercept(l_extendedprice, l_quantity)) - 1e-9, {_R}) + 0.0 AS intercept,
+           round((regr_r2(l_extendedprice, l_quantity)) - 1e-9, {_R}) + 0.0        AS r2,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT)                 AS n,
+           round((regr_avgx(l_extendedprice, l_quantity)) - 1e-9, {_R}) + 0.0      AS avg_x,
+           round((regr_avgy(l_extendedprice, l_quantity)) - 1e-9, {_R}) + 0.0      AS avg_y
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregate family — regr_slope/intercept/r2/
+    count/avgx/avgy (the pandas idiom is cov(x,y)/var(x) per group;
+    both engines have the SQL-standard aggregates natively).  Fully
+    decomposable moments → partial/final hash agg, one shuffle of
+    6 doubles per group regardless of group size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    y, x = "l_extendedprice", "l_quantity"
+    return li.groupBy("l_returnflag").agg(
+        F.round((F.regr_slope(y, x)) - 1e-9, _R).alias("slope"),
+        F.round((F.regr_intercept(y, x)) - 1e-9, _R).alias("intercept"),
+        F.round((F.regr_r2(y, x)) - 1e-9, _R).alias("r2"),
+        F.regr_count(y, x).cast("long").alias("n"),
+        F.round((F.regr_avgx(y, x)) - 1e-9, _R).alias("avg_x"),
+        F.round((F.regr_avgy(y, x)) - 1e-9, _R).alias("avg_y"),
+    )

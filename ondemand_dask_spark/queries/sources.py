@@ -332,3 +332,24 @@ def source_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").cast("bigint").alias("n_bytes"),
         F.md5(F.col("content")).alias("digest"),
     )
+
+
+@register(
+    "source_range",
+    oracle="""
+    SELECT id, id % 7 AS bucket, id * id AS sq
+    FROM range(0, 10000) t(id)
+    """,
+)
+def source_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """spark.range — the generate_series/range source (the reference
+    builds these via from_delayed over np.arange chunks).  Generated
+    DISTRIBUTED: numPartitions=8 slices the [0, n) interval so each
+    task materializes its own slice; at 100 TB this is the seed for
+    synthetic-data generation with zero input I/O."""
+    r = spark.range(0, 10_000, 1, 8)
+    return r.select(
+        "id",
+        (F.col("id") % 7).alias("bucket"),
+        (F.col("id") * F.col("id")).alias("sq"),
+    )

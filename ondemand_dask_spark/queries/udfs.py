@@ -257,3 +257,46 @@ def udf_map_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.round(F.avg("value").over(w) - 1e-9, _R).alias("smoothed"),
     )
+
+
+@register(
+    "udf_map_in_arrow",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1 - l_discount) * (1 + l_tax) - 1e-9, {_R}) + 0.0
+             AS charge
+    FROM lineitem
+    """,
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow — the zero-copy tier below mapInPandas: batches
+    arrive as pyarrow RecordBatch, no pandas materialization, so
+    columnar libs (arrow compute here; at 100 TB think tokenizers /
+    image decoders with arrow bindings) run without the
+    arrow→pandas→arrow double conversion."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def batches(it):
+        for b in it:
+            charge = pc.multiply(
+                pc.multiply(
+                    b.column("l_extendedprice"),
+                    pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+                ),
+                pc.add(pa.scalar(1.0), b.column("l_tax")),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column("l_orderkey"),
+                    b.column("l_linenumber"),
+                    pc.round(pc.subtract(charge, pa.scalar(1e-9)), ndigits=_R),
+                ],
+                names=["l_orderkey", "l_linenumber", "charge"],
+            )
+
+    return li.mapInArrow(
+        batches, "l_orderkey bigint, l_linenumber int, charge double"
+    )

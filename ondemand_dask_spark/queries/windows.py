@@ -139,14 +139,21 @@ def window_cumprod(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, user_id,
            round((avg(value) OVER w) - 1e-9, {_R}) + 0.0 AS ma3,
            round((sum(value) OVER w) - 1e-9, {_R}) + 0.0 AS sum3,
-           count(*) OVER w AS n3
+           count(*) OVER w AS n3,
+           round((min(value) OVER w) - 1e-9, {_R}) + 0.0 AS min3,
+           round((max(value) OVER w) - 1e-9, {_R}) + 0.0 AS max3,
+           CASE WHEN count(*) OVER w > 1
+                THEN round((stddev_samp(value) OVER w) - 1e-9, {_R}) + 0.0
+           END AS sd3
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
     """,
 )
 def window_rolling_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """df.rolling(3).mean/sum/count — fixed row-count sliding frame."""
+    """df.rolling(3).mean/sum/count/min/max/std — fixed row-count
+    sliding frame (std guarded to n>1: single-row samples are NULL on
+    both engines by construction, not engine-dependent NaN)."""
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -158,6 +165,12 @@ def window_rolling_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.avg("value").over(w)) - 1e-9, _R).alias("ma3"),
         F.round((F.sum("value").over(w)) - 1e-9, _R).alias("sum3"),
         F.count("*").over(w).alias("n3"),
+        F.round((F.min("value").over(w)) - 1e-9, _R).alias("min3"),
+        F.round((F.max("value").over(w)) - 1e-9, _R).alias("max3"),
+        F.when(
+            F.count("*").over(w) > 1,
+            F.round((F.stddev_samp("value").over(w)) - 1e-9, _R),
+        ).alias("sd3"),
     )
 
 
