@@ -879,3 +879,34 @@ def json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.variant_get(v, "$.k", "double").alias("k_dbl"),
         F.try_parse_json("props").isNotNull().alias("ok"),
     )
+
+
+@register(
+    "str_slice_parse",
+    oracle="""
+    SELECT event_id,
+           substr(event_type, 1, 3)                  AS type3,
+           substr(event_type, 2)                     AS type_tail,
+           substr(event_type, length(event_type), 1) AS last_char,
+           CAST(strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'),
+                         '%Y-%m-%d %H:%M:%S') AS VARCHAR) AS ts_roundtrip
+    FROM events
+    """,
+)
+def str_slice_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """str.slice / str[i] (1-based substring incl. negative-index
+    tail) and pd.to_datetime — format→parse round-trip through
+    to_timestamp, the string-ingest path for timestamps."""
+    e = load_table(spark, sf_dir, "events")
+    t = F.col("event_type")
+    return e.select(
+        "event_id",
+        F.substring(t, 1, 3).alias("type3"),
+        F.expr("substring(event_type, 2)").alias("type_tail"),
+        F.substring(t, -1, 1).alias("last_char"),
+        F.to_timestamp(
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss"), "yyyy-MM-dd HH:mm:ss"
+        )
+        .cast("string")
+        .alias("ts_roundtrip"),
+    )
