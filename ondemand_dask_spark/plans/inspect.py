@@ -53,7 +53,7 @@ def python_eval_count(df: DataFrame) -> int:
     return len(
         re.findall(
             r"\(\d+\) (ArrowEvalPython|BatchEvalPython|MapInPandas|"
-            r"FlatMapGroupsInPandas|PythonMapInArrow)\b",
+            r"FlatMapGroupsInPandas|PythonMapInArrow|MapInArrow)\b",
             plan,
         )
     )

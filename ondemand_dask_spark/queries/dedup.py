@@ -101,9 +101,9 @@ _SIG_UNION_SQL = " UNION ALL ".join(
 )
 
 
-@register(
-    "dedup_minhash_lsh",
-    oracle=f"""
+# The full pairs pipeline as one SQL block — the dedup_minhash_lsh
+# oracle, and the seed relation for the connected-components oracle.
+_MINHASH_PAIRS_SQL = f"""
     WITH sh AS ({_SHINGLES_SQL}),
     hashed AS (SELECT DISTINCT doc_id,
                       ({_H_SQL.format(x="shingle")} % 1073741824) AS h FROM sh),
@@ -128,8 +128,10 @@ _SIG_UNION_SQL = " UNION ALL ".join(
     JOIN counts na ON na.doc_id = doc_a
     JOIN counts nb ON nb.doc_id = doc_b
     WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= {JACCARD_THRESHOLD}
-    """,
-)
+    """
+
+
+@register("dedup_minhash_lsh", oracle=_MINHASH_PAIRS_SQL)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup dedup: shingle → MinHash({n}) → LSH band buckets →
     candidate pairs → exact-Jaccard verification ≥ {t}.
@@ -409,4 +411,88 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(counts.alias("nb"), F.col("nb.doc_id") == F.col("doc_b"))
         .filter(jac >= 0.4)
         .select("doc_a", "doc_b", F.round(jac - 1e-9, _R).alias("jaccard"))
+    )
+
+
+@register(
+    "dedup_connected_components",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ({_MINHASH_PAIRS_SQL})),
+    nodes AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_a AS doc_id FROM pairs
+        UNION ALL SELECT doc_b FROM pairs
+      )
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(node, lbl) AS (
+      SELECT doc_id, doc_id FROM nodes
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS doc_id, min(lbl) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs → duplicate CLUSTERS: connected components over the
+    LSH-verified near-dup pairs by iterative min-label propagation
+    (the Pregel superstep shape: each round every node takes the min
+    label among itself and its neighbors; fixpoint when no label
+    drops).  This is the step that turns pairwise dedup output into
+    the keep/drop decision — min doc_id per component is the
+    canonical survivor.
+
+    Each round is one join + one partial-agg groupBy, both JVM-side;
+    the driver sees only a scalar changed-count per round (the
+    standard convergence action for iterative algorithms — no data is
+    ever collected).  Labels persist per round and the previous
+    round's cache is released, so lineage stays one round deep.
+    Rounds needed = component diameter (dup clusters are near-cliques
+    → 2-3); at 100 TB swap min-propagation for the large-star/
+    small-star alternation (Kiveris et al., "Connected Components in
+    MapReduce"), which converges in O(log n) rounds on path-shaped
+    graphs — the per-round plan here is unchanged.
+
+    The DuckDB oracle computes the same fixpoint as a recursive CTE —
+    exact differential proof that an ITERATIVE DataFrame algorithm
+    terminates at the right answer."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).toDF("src", "dst").cache()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .persist()
+    )
+    for _ in range(10):  # >= diameter of any dup cluster in practice
+        prop = edges.join(labels, edges["src"] == labels["node"]).select(
+            F.col("dst").alias("node"), "lbl"
+        )
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lbl") < F.col("o.lbl"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id")
     )

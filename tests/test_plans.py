@@ -166,3 +166,26 @@ def test_pair_generation_never_cartesian(name, spark, sf_dir):
 
     plan = plan_string(_df(name, spark, sf_dir))
     assert "CartesianProduct" not in plan, name
+
+
+def test_new_scalar_paths_jvm(spark, sf_dir):
+    """Variant / substring-parse / bitwise batteries stay JVM-side
+    with no shuffle — parse_json and variant_get are native
+    expressions, not UDFs."""
+    for name in ("json_variant", "str_slice_parse", "math_bitwise"):
+        df = _df(name, spark, sf_dir)
+        assert shuffle_count(df) == 0, name
+        assert python_eval_count(df) == 0, name
+
+
+def test_regression_aggs_single_shuffle(spark, sf_dir):
+    """regr_* family: decomposable moments → one partial/final agg
+    exchange, nothing collected per group."""
+    df = _df("agg_regression", spark, sf_dir)
+    assert shuffle_count(df) <= 1
+    assert python_eval_count(df) == 0
+
+
+def test_map_in_arrow_crosses_python_once(spark, sf_dir):
+    """mapInArrow is a declared Python boundary — exactly one."""
+    assert python_eval_count(_df("udf_map_in_arrow", spark, sf_dir)) == 1
