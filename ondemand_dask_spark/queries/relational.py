@@ -253,3 +253,38 @@ def sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .sample(fraction=0.1, seed=42)
         .select("o_orderkey", "o_totalprice")
     )
+
+
+@register(
+    "sample_hash_split",
+    oracle="""
+    SELECT doc_id, lang,
+           CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                          AS BIGINT) % 100 < 80
+                THEN 'train' ELSE 'eval' END AS split
+    FROM documents
+    WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+               AS BIGINT) % 100 < 90
+    """,
+)
+def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sampling + train/eval split — the
+    training-pipeline replacement for RNG sampling (`sample_seeded`):
+    membership is a pure function of the row KEY, so the sample is
+    reproducible across runs, engines, repartitions, and appends
+    (`df.sample`'s Bernoulli draw is none of these — it depends on
+    partition iteration order).  90% keep → 80/20 split inside the
+    keep-set, all from one md5; a narrow op with no shuffle, and the
+    filter prunes before any downstream join."""
+    from ondemand_dask_spark.functions.texthash import portable_hash64
+
+    d = load_table(spark, sf_dir, "documents")
+    bucket = portable_hash64(F.col("doc_id").cast("string")) % 100
+    return (
+        d.filter(bucket < 90)
+        .select(
+            "doc_id",
+            "lang",
+            F.when(bucket < 80, "train").otherwise("eval").alias("split"),
+        )
+    )

@@ -480,3 +480,125 @@ def embedding_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select(
         "vec_id", "label", F.round(cos - 1e-9, _R).alias("cos_to_centroid")
     )
+
+
+_SQDIST_SQL = """list_sum(list_transform(generate_series(1, len({a})),
+    i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))
+       * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))))"""
+
+
+def _sqdist_sql(a: str, b: str) -> str:
+    return _SQDIST_SQL.format(a=a, b=b)
+
+
+def _sqdist(a, b):
+    """Sequential double fold of squared differences (bit-stable:
+    same element order on both engines, no partial-sum reordering)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") - y.cast("double")),
+        F.lit(0.0),
+        lambda acc, d: acc + d * d,
+    )
+
+
+@register(
+    "kmeans_lloyd",
+    oracle=f"""
+    WITH seeds AS (
+      SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 4
+    ),
+    d1 AS (
+      SELECT e.vec_id, e.embedding, s.cid,
+             {_sqdist_sql("e.embedding", "s.cemb")} AS dist
+      FROM embeddings e CROSS JOIN seeds s
+    ),
+    a1 AS (
+      SELECT vec_id, embedding, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY round(dist, 6), cid) AS rn
+        FROM d1) WHERE rn = 1
+    ),
+    flat AS (
+      SELECT cid, generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM a1
+    ),
+    cent AS (
+      SELECT cid, list(m ORDER BY pos) AS cemb FROM (
+        SELECT cid, pos, avg(v) AS m FROM flat GROUP BY cid, pos
+      ) GROUP BY cid
+    ),
+    d2 AS (
+      SELECT e.vec_id, c.cid,
+             {_sqdist_sql("e.embedding", "c.cemb")} AS dist
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    a2 AS (
+      SELECT vec_id, cid, dist FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY round(dist, 6), cid) AS rn
+        FROM d2) WHERE rn = 1
+    )
+    SELECT cid AS cluster_id, count(*) AS n_members,
+           round(avg(dist) - 1e-9, {_R}) + 0.0 AS avg_sqdist
+    FROM a2 GROUP BY cid
+    """,
+)
+def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means, two deterministic Lloyd rounds (k=4, seeds = first 4
+    vectors): assign → recompute centroids (posexplode + per-dim avg,
+    reassembled in pos order) → reassign; report cluster sizes and
+    mean squared distance.  The iterative-ML shape on DataFrames:
+    each round is a broadcast of k centroid rows against the corpus
+    (never a corpus×corpus join) + one (cid, pos)-keyed partial agg,
+    so a round costs one corpus scan and moves only k·dim rows —
+    at 100 TB rounds are scans, centroids stay driver-sized, and
+    more rounds = a driver loop over the same two stages (the
+    fixpoint machinery is demonstrated in
+    dedup_connected_components).  Fixed round count keeps the whole
+    computation one declarative plan, which the recursive-free DuckDB
+    oracle reproduces exactly — distances fold sequentially in
+    element order on BOTH engines, so ranking ties cannot diverge;
+    rank keys are rounded to 6 dp to absorb the avg()'s partial-sum
+    reordering."""
+    e = load_table(spark, sf_dir, "embeddings")
+    seeds = e.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+    )
+    d1 = e.crossJoin(F.broadcast(seeds)).select(
+        "vec_id", "embedding", "cid",
+        _sqdist(F.col("embedding"), F.col("cemb")).alias("dist"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.round(F.col("dist"), 6), "cid")
+    a1 = (
+        d1.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cid")
+    )
+    flat = a1.select(
+        "cid", F.posexplode("embedding").alias("pos", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    cent = (
+        flat.groupBy("cid", "pos")
+        .agg(F.avg("v").alias("m"))
+        .groupBy("cid")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s.getField("m"),
+            ).alias("cemb")
+        )
+    )
+    d2 = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "cid",
+        _sqdist(F.col("embedding"), F.col("cemb")).alias("dist"),
+    )
+    a2 = (
+        d2.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid", "dist")
+    )
+    return a2.groupBy(F.col("cid").alias("cluster_id")).agg(
+        F.count("*").alias("n_members"),
+        F.round(F.avg("dist") - 1e-9, _R).alias("avg_sqdist"),
+    )
