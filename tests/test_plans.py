@@ -189,3 +189,22 @@ def test_regression_aggs_single_shuffle(spark, sf_dir):
 def test_map_in_arrow_crosses_python_once(spark, sf_dir):
     """mapInArrow is a declared Python boundary — exactly one."""
     assert python_eval_count(_df("udf_map_in_arrow", spark, sf_dir)) == 1
+
+
+def test_kmeans_broadcasts_centroids(spark, sf_dir):
+    """k-means rounds: centroid sides broadcast (k rows), the corpus
+    streams — no corpus×corpus join, no Python."""
+    from ondemand_dask_spark.plans import plan_string
+
+    df = _df("kmeans_lloyd", spark, sf_dir)
+    assert broadcast_join_count(df) >= 2
+    assert "CartesianProduct" not in plan_string(df)
+    assert python_eval_count(df) == 0
+
+
+def test_hash_split_is_narrow(spark, sf_dir):
+    """Deterministic hash sampling: pure filter+project — no shuffle,
+    no Python, so it composes under any downstream plan for free."""
+    df = _df("sample_hash_split", spark, sf_dir)
+    assert shuffle_count(df) == 0
+    assert python_eval_count(df) == 0
