@@ -449,3 +449,103 @@ def stream_stateful_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_table(spark, counted, "stream_stateful_counter", "update")
+
+
+def _has_protobuf() -> bool:
+    """transformWithState's worker protocol needs google.protobuf —
+    absent in some runtimes (including this one); the job registers
+    only where it can actually run."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def stream_stateful_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful op on the Spark-4 `transformWithState`
+    API: a StatefulProcessor with a typed ValueState handle — the
+    successor to `applyInPandasWithState` (stream_stateful_counter is
+    the same computation on the older API).  Differences that matter
+    at scale: named state variables with independent schemas +
+    per-state TTL, timers, and mandatory RocksDB state store
+    (incremental checkpointing, state far beyond executor heap).
+    The finite replay converges to the batch aggregate the oracle
+    computes."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("max_value", T.DoubleType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+
+    class TypeStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState(
+                "agg", "n BIGINT, mx DOUBLE, total DOUBLE"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._agg.exists():
+                n, mx, total = self._agg.get()
+            else:
+                n, mx, total = 0, float("-inf"), 0.0
+            for pdf in rows:
+                n += len(pdf)
+                mx = max(mx, float(pdf.value.max()))
+                total += float(pdf.value.sum())
+            self._agg.update((n, mx, total))
+            yield pd.DataFrame(
+                {
+                    "event_type": [key[0]],
+                    "n_events": [n],
+                    "max_value": [round(mx - 1e-9, _R)],
+                    "total_value": [round(total - 1e-9, _R)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    e = read_events_stream(spark, sf_dir)
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        out = (
+            e.select("event_type", "value")
+            .groupBy("event_type")
+            .transformWithStateInPandas(
+                TypeStats(), out_schema, "update", "none"
+            )
+        )
+        return run_to_table(spark, out, "stream_stateful_tws", "update")
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+
+
+if _has_protobuf():
+    stream_stateful_tws = register(
+        "stream_stateful_tws",
+        oracle=f"""
+        SELECT event_type, count(*) AS n_events,
+               round(max(value) - 1e-9, {_R}) + 0.0 AS max_value,
+               round(sum(value) - 1e-9, {_R}) + 0.0 AS total_value
+        FROM events GROUP BY event_type
+        """,
+    )(stream_stateful_tws)
