@@ -910,3 +910,55 @@ def str_slice_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("string")
         .alias("ts_roundtrip"),
     )
+
+
+@register(
+    "array_mutation",
+    oracle="""
+    SELECT doc_id,
+           list_append(string_split(text, ' '), '<eos>')      AS with_eos,
+           list_prepend('<bos>', string_split(text, ' '))     AS with_bos,
+           list_position(string_split(text, ' '), 'join')     AS join_pos,
+           list_filter(string_split(text, ' '), t -> t != 'the') AS no_the
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def array_mutation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array mutation — append/prepend (the BOS/EOS tokenizer idiom),
+    1-based position (0 = absent on both engines), remove-all-equal.
+    All narrow codegen'd ops."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    arr = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.array_append(arr, "<eos>").alias("with_eos"),
+        F.array_prepend(arr, "<bos>").alias("with_bos"),
+        F.array_position(arr, "join").cast("int").alias("join_pos"),
+        F.array_remove(arr, "the").alias("no_the"),
+    )
+
+
+@register(
+    "dt_boundaries",
+    oracle="""
+    SELECT event_id,
+           CAST(last_day(CAST(ts AS DATE)) AS VARCHAR)           AS month_end,
+           CAST(date_trunc('week', CAST(ts AS DATE)) AS VARCHAR) AS week_start,
+           CAST(date_trunc('quarter', CAST(ts AS DATE)) AS VARCHAR) AS quarter_start,
+           CAST(date_trunc('year', CAST(ts AS DATE)) AS VARCHAR) AS year_start
+    FROM events
+    """,
+)
+def dt_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar boundaries — last_day + week/quarter/year truncation
+    (pandas Period/offset idioms).  Dates stringified for the
+    cross-engine compare; both engines start ISO weeks on Monday."""
+    e = load_table(spark, sf_dir, "events")
+    d = F.to_date("ts")
+    return e.select(
+        "event_id",
+        F.last_day(d).cast("string").alias("month_end"),
+        F.date_trunc("week", d).cast("date").cast("string").alias("week_start"),
+        F.date_trunc("quarter", d).cast("date").cast("string").alias("quarter_start"),
+        F.date_trunc("year", d).cast("date").cast("string").alias("year_start"),
+    )
