@@ -208,3 +208,30 @@ def test_hash_split_is_narrow(spark, sf_dir):
     df = _df("sample_hash_split", spark, sf_dir)
     assert shuffle_count(df) == 0
     assert python_eval_count(df) == 0
+
+
+def test_partitioned_readback_prunes(spark, sf_dir, tmp_path):
+    """Hive-partitioned layout must prune at the source: a filter on
+    the partition column becomes PartitionFilters on the scan (only
+    matching directories are listed), not a post-scan Filter over
+    everything — the difference between reading 1/5th and 5/5ths of
+    100 TB."""
+    from pyspark.sql import functions as F
+
+    from ondemand_dask_spark.io import load_table
+    from ondemand_dask_spark.plans import plan_string
+
+    out = str(tmp_path / "orders_by_priority")
+    load_table(spark, sf_dir, "orders").write.partitionBy(
+        "o_orderpriority"
+    ).parquet(out)
+    df = (
+        spark.read.parquet(out)
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey", "o_totalprice")
+    )
+    plan = plan_string(df)
+    start = plan.index("PartitionFilters")
+    seg = plan[start : plan.index("]", start) + 1]
+    assert "o_orderpriority" in seg, plan
+    assert df.count() > 0
