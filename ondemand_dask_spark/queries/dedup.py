@@ -496,3 +496,82 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id")
     )
+
+
+@register(
+    "dedup_report",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ({_MINHASH_PAIRS_SQL})),
+    nodes AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_a AS doc_id FROM pairs
+        UNION ALL SELECT doc_b FROM pairs
+      )
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(node, lbl) AS (
+      SELECT doc_id, doc_id FROM nodes
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    cc AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node),
+    exact_groups AS (
+      SELECT doc_id, min(doc_id) OVER (PARTITION BY digest) AS keeper
+      FROM (SELECT doc_id, md5(lower(trim(text))) AS digest FROM documents)
+    ),
+    exact_drops AS (
+      SELECT doc_id, 'exact' AS reason, keeper AS canonical_id
+      FROM exact_groups WHERE doc_id != keeper
+    ),
+    near_keeper AS (
+      SELECT doc_id, min(doc_id) OVER (PARTITION BY cluster_id) AS keeper
+      FROM cc
+    ),
+    near_drops AS (
+      SELECT doc_id, 'near' AS reason, keeper AS canonical_id
+      FROM near_keeper
+      WHERE doc_id != keeper
+        AND doc_id NOT IN (SELECT doc_id FROM exact_drops)
+    )
+    SELECT * FROM exact_drops UNION ALL SELECT * FROM near_drops
+    """,
+)
+def dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup END PRODUCT: one drop-list combining every signal —
+    exact duplicates (normalized-text digest groups, keep min doc_id)
+    and near-duplicates (LSH pairs → connected components, keep min
+    doc per cluster, minus docs the exact pass already dropped).
+    Each dropped doc carries its reason and the canonical survivor to
+    attribute it to; the keep-set is the complement.  This is the
+    table a 100 TB curation run actually materializes: downstream
+    training jobs anti-join it, auditors group by reason/canonical.
+    All signals compose via keys (digest / cluster label) — adding a
+    SimHash or embedding-cosine signal is one more UNION branch."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    digest = F.md5(F.lower(F.trim(F.col("text"))))
+    eg = d.select("doc_id", digest.alias("digest")).withColumn(
+        "keeper", F.min("doc_id").over(Window.partitionBy("digest"))
+    )
+    exact_drops = eg.filter(F.col("doc_id") != F.col("keeper")).select(
+        "doc_id", F.lit("exact").alias("reason"),
+        F.col("keeper").alias("canonical_id"),
+    )
+    cc = dedup_connected_components(spark, sf_dir)
+    near_drops = (
+        cc.withColumn(
+            "keeper", F.min("doc_id").over(Window.partitionBy("cluster_id"))
+        )
+        .filter(F.col("doc_id") != F.col("keeper"))
+        .join(exact_drops.select("doc_id"), on="doc_id", how="left_anti")
+        .select(
+            "doc_id", F.lit("near").alias("reason"),
+            F.col("keeper").alias("canonical_id"),
+        )
+    )
+    return exact_drops.unionByName(near_drops)
