@@ -9,6 +9,7 @@ from ondemand_dask_spark.queries import (  # noqa: F401
     dedup,
     joins,
     multimodal,
+    pipeline,
     relational,
     scalars,
     sets,

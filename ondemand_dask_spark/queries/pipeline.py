@@ -1,0 +1,503 @@
+"""§2.K extensions — training-data pipeline operators.
+
+The ops a 100 TB pretraining-data pipeline runs after dedup/quality
+(covered in dedup.py / text.py): sequence packing, chunking with
+overlap, stratified + mixture sampling, heavy hitters, PII redaction,
+inverted-index construction, deterministic shuffle-sharding, length
+histograms, and per-group top-k selection.
+
+Design rules shared by every query here:
+
+- **Sampling is a pure function of the row key** (salted
+  `portable_hash64`), never an RNG draw — reproducible across runs,
+  engines, repartitions, and appends, and it composes (different
+  salts → independent samples).
+- **Sequential-looking ops are keyed.** Packing and shuffling are
+  partitioned by `source` / shard so every window is
+  `partitionBy(...)`-bounded — no global single-partition window
+  anywhere; each shard's state fits one task at any scale.
+- **Everything stays in codegen** — string/array/hash built-ins only,
+  zero Python UDFs, so each query is exactly oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ondemand_dask_spark.functions.texthash import portable_hash64
+from ondemand_dask_spark.io import load_table
+from ondemand_dask_spark.registry import register
+
+_R = 4
+
+# SQL twin of portable_hash64 (top 15 md5 hex chars as int64).
+_H_SQL = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
+
+
+def _salted_hash(salt: str, col) -> F.Column:
+    return portable_hash64(F.concat(F.lit(salt + "|"), col.cast("string")))
+
+
+def _salted_sql(salt: str, x: str) -> str:
+    return _H_SQL.format(x=f"'{salt}|' || CAST({x} AS VARCHAR)")
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 512  # tokens per packed training sequence
+
+
+@register(
+    "pipeline_pack_sequences",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, doc_id, len(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    c AS (
+      SELECT source, doc_id, tok,
+             COALESCE(sum(tok) OVER (PARTITION BY source ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM t
+    )
+    SELECT source,
+           cum_before // {_PACK_BUDGET} AS seq_id,
+           count(*) AS n_docs,
+           sum(tok) AS seq_tokens
+    FROM c
+    GROUP BY source, seq_id
+    """,
+)
+def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are laid out in a
+    deterministic order (doc_id) per source and cut into
+    {budget}-token training sequences; a document belongs to the
+    sequence its first token lands in.  One running sum partitioned
+    by `source` + one small groupBy — the cumsum is per-source, so at
+    100 TB each source packs independently in parallel (add a
+    hash-prefix subkey if one source dominates)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = F.size(F.split("text", " ")).cast("long")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = d.select(
+        "source",
+        "doc_id",
+        tok.alias("tok"),
+    ).withColumn("cum_before", F.coalesce(F.sum("tok").over(w), F.lit(0)))
+    return (
+        c.withColumn(
+            "seq_id", F.floor(F.col("cum_before") / F.lit(_PACK_BUDGET))
+        )
+        .groupBy("source", "seq_id")
+        .agg(F.count("*").alias("n_docs"), F.sum("tok").alias("seq_tokens"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chunking with overlap
+# ---------------------------------------------------------------------------
+
+_CHUNK_W = 64
+_CHUNK_STRIDE = 48
+
+
+@register(
+    "pipeline_chunk_overlap",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+    ),
+    s AS (
+      SELECT doc_id, arr,
+             unnest(generate_series(0, len(arr) - 1, {_CHUNK_STRIDE})) AS start
+      FROM t
+    )
+    SELECT doc_id,
+           start // {_CHUNK_STRIDE} AS chunk_id,
+           len(arr[start + 1 : start + {_CHUNK_W}]) AS n_tok,
+           arr[start + 1] AS first_tok,
+           arr[least(start + {_CHUNK_W}, len(arr))] AS last_tok
+    FROM s
+    """,
+)
+def pipeline_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking: each document's token array is cut
+    into windows of {W} tokens every {stride} tokens ({W-stride}
+    tokens of overlap) — the context-window preparation step for long
+    documents.  `sequence()` + `explode` + `slice` all run inside
+    codegen; fan-out is bounded by len/stride per row and feeds no
+    shuffle at all (narrow op — chunks stay co-partitioned with their
+    document)."""
+    d = load_table(spark, sf_dir, "documents")
+    arr = F.split("text", " ")
+    c = d.select(
+        "doc_id",
+        arr.alias("arr"),
+        F.explode(
+            F.sequence(
+                F.lit(0), F.size(arr) - 1, F.lit(_CHUNK_STRIDE)
+            )
+        ).alias("start"),
+    )
+    chunk = F.slice(F.col("arr"), F.col("start") + 1, _CHUNK_W)
+    return c.select(
+        "doc_id",
+        F.floor(F.col("start") / F.lit(_CHUNK_STRIDE)).alias("chunk_id"),
+        F.size(chunk).cast("long").alias("n_tok"),
+        F.element_at(chunk, 1).alias("first_tok"),
+        F.element_at(chunk, F.size(chunk)).alias("last_tok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stratified + mixture sampling
+# ---------------------------------------------------------------------------
+
+_STRAT_RATES = {"en": 90, "es": 60, "de": 60, "fr": 30, "zh": 30}  # per-100
+
+
+@register(
+    "pipeline_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE {_salted_sql("strat", "doc_id")} % 100 <
+          CASE lang {" ".join(f"WHEN '{lg}' THEN {r}" for lg, r in _STRAT_RATES.items())}
+          ELSE 0 END
+    """,
+)
+def pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling (`df.sampleBy` semantics) with a
+    deterministic keep rate per language stratum — the downsampling
+    step that rebalances a corpus.  Hash-threshold membership instead
+    of `sampleBy`'s RNG: same sample on every run/engine/partition
+    layout, and a different salt gives an independent sample.  Pure
+    narrow filter — prunes before any downstream shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = _salted_hash("strat", F.col("doc_id")) % 100
+    rate = None
+    for lg, r in _STRAT_RATES.items():
+        rate = (
+            F.when(F.col("lang") == lg, r)
+            if rate is None
+            else rate.when(F.col("lang") == lg, r)
+        )
+    rate = rate.otherwise(0)
+    return d.filter(bucket < rate).select("doc_id", "lang")
+
+
+@register(
+    "pipeline_mixture_sample",
+    oracle=f"""
+    WITH rated AS (
+      SELECT source,
+             10 + (CAST(substr(source, 4) AS INT) * 7) % 80 AS target_rate,
+             {_salted_sql("mix", "doc_id")} % 100 AS bucket
+      FROM documents
+    )
+    SELECT source,
+           any_value(target_rate) AS target_rate,
+           count(*) AS n_total,
+           sum(CASE WHEN bucket < target_rate THEN 1 ELSE 0 END) AS n_kept
+    FROM rated
+    GROUP BY source
+    """,
+)
+def pipeline_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture weighting: every source gets its own deterministic
+    keep rate (here a function of the source id; in production a
+    broadcast weights table) and rows are kept by salted hash
+    threshold — how a training mixture ("3 parts web, 1 part code")
+    is materialized.  Reported as per-source kept/total so the
+    achieved mixture is itself the query result.  Map-side
+    conditional agg: the shuffle carries one row per source."""
+    d = load_table(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 8).cast("int")
+    rate = F.lit(10) + (src_num * 7) % 80
+    bucket = _salted_hash("mix", F.col("doc_id")) % 100
+    return (
+        d.select(
+            "source",
+            rate.alias("target_rate"),
+            bucket.alias("bucket"),
+        )
+        .groupBy("source")
+        .agg(
+            F.any_value(F.col("target_rate")).alias("target_rate"),
+            F.count("*").alias("n_total"),
+            F.sum(
+                F.when(F.col("bucket") < F.col("target_rate"), 1).otherwise(0)
+            ).alias("n_kept"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters
+# ---------------------------------------------------------------------------
+
+_HH_K = 50  # report terms with frequency > 1/K of all tokens
+
+
+@register(
+    "pipeline_heavy_hitters",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    counts AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
+    total AS (SELECT sum(cnt) AS n FROM counts)
+    SELECT term, cnt,
+           round(CAST(cnt AS DOUBLE) / n - 1e-9, {_R}) + 0.0 AS share
+    FROM counts CROSS JOIN total
+    WHERE cnt * {_HH_K} > n
+    """,
+)
+def pipeline_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters: every term holding > 1/K of total token
+    mass — the vocabulary-skew / boilerplate detector.  Token counts
+    aggregate map-side (the shuffle carries the vocabulary, not the
+    tokens); the total is a 1-row broadcast.  The streaming analogue
+    at unbounded scale is a Misra-Gries / count-min sketch; on a
+    bounded corpus the exact two-phase agg is one pass and
+    cheaper."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    total = counts.agg(F.sum("cnt").alias("n"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * _HH_K > F.col("n"))
+        .select(
+            "term",
+            "cnt",
+            F.round(F.col("cnt").cast("double") / F.col("n") - 1e-9, _R).alias(
+                "share"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+_EMAIL_PAT = "[a-z0-9]+@[a-z.]+"
+_NUM_PAT = "[0-9]{3,}"
+
+
+@register(
+    "pipeline_pii_redact",
+    oracle=f"""
+    WITH synth AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@mail.example ref ' || CAST((doc_id * 7919) % 100000 AS VARCHAR)
+               AS synth
+      FROM documents
+    ),
+    pass1 AS (
+      SELECT doc_id, synth,
+             regexp_replace(synth, '{_EMAIL_PAT}', '<EMAIL>', 'g') AS no_email
+      FROM synth
+    )
+    SELECT doc_id,
+           regexp_replace(no_email, '{_NUM_PAT}', '<NUM>', 'g') AS redacted,
+           len(regexp_extract_all(synth, '{_EMAIL_PAT}')) AS n_emails,
+           len(regexp_extract_all(no_email, '{_NUM_PAT}')) AS n_nums
+    FROM pass1
+    """,
+)
+def pipeline_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: emails then long digit runs replaced with
+    typed placeholders, with per-document redaction counts for the
+    audit trail.  (The fixture corpus has no real PII, so a synthetic
+    email + reference number derived from doc_id is appended first —
+    identically on both engines.)  Counts are taken per pattern
+    *after* the earlier pass so overlapping matches aren't
+    double-counted.  Pure regexp codegen, zero shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    synth = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example ref "),
+        ((F.col("doc_id") * 7919) % 100000).cast("string"),
+    )
+    c = d.select("doc_id", synth.alias("synth"))
+    c = c.withColumn(
+        "no_email", F.regexp_replace("synth", _EMAIL_PAT, "<EMAIL>")
+    )
+    return c.select(
+        "doc_id",
+        F.regexp_replace("no_email", _NUM_PAT, "<NUM>").alias("redacted"),
+        F.regexp_count("synth", F.lit(_EMAIL_PAT)).cast("long").alias("n_emails"),
+        F.regexp_count("no_email", F.lit(_NUM_PAT)).cast("long").alias("n_nums"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inverted index
+# ---------------------------------------------------------------------------
+
+_POSTINGS_CAP = 10
+
+
+@register(
+    "pipeline_inverted_index",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT DISTINCT doc_id, term
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents)
+    )
+    SELECT term,
+           count(*) AS df,
+           (list(doc_id ORDER BY doc_id))[1 : {_POSTINGS_CAP}] AS postings
+    FROM pairs
+    GROUP BY term
+    """,
+)
+def pipeline_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction: term → document frequency +
+    sorted posting list, truncated to the first {cap} postings so no
+    single row can blow up on a stopword-grade term (the full
+    postings for those belong in a bucketed sink, not one array).
+    distinct(doc, term) collapses within-doc repeats map-side before
+    the term shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).distinct()
+    return pairs.groupBy("term").agg(
+        F.count("*").alias("df"),
+        F.slice(
+            F.sort_array(F.collect_list("doc_id")), 1, _POSTINGS_CAP
+        ).alias("postings"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic shuffle-sharding
+# ---------------------------------------------------------------------------
+
+_N_SHARDS = 64
+
+
+@register(
+    "pipeline_shard_shuffle",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, {_salted_sql("shuf", "doc_id")} AS hk FROM documents
+    )
+    SELECT doc_id,
+           hk % {_N_SHARDS} AS shard,
+           row_number() OVER (PARTITION BY hk % {_N_SHARDS}
+                              ORDER BY hk, doc_id) AS pos
+    FROM h
+    """,
+)
+def pipeline_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training-order randomization:
+    rows land in hash shards, ordered inside each shard by a salted
+    hash — reading shards 0..N-1 in pos order is a reproducible
+    pseudo-random permutation of the corpus.  Crucially NOT a global
+    `row_number() OVER (ORDER BY random())` (single-partition window,
+    nondeterministic): the window is partitioned by shard, so every
+    shard sorts independently — the same pattern scales to any corpus
+    by raising the shard count."""
+    d = load_table(spark, sf_dir, "documents")
+    hk = _salted_hash("shuf", F.col("doc_id"))
+    w = Window.partitionBy("shard").orderBy("hk", "doc_id")
+    return (
+        d.select("doc_id", hk.alias("hk"))
+        .withColumn("shard", F.col("hk") % _N_SHARDS)
+        .withColumn("pos", F.row_number().over(w))
+        .select("doc_id", "shard", "pos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Length histogram
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_length_histogram",
+    oracle=f"""
+    SELECT CAST(floor(log2(CAST(n_chars AS DOUBLE))) AS BIGINT) AS bucket,
+           count(*) AS n_docs,
+           min(n_chars) AS min_chars,
+           max(n_chars) AS max_chars,
+           round(avg(CAST(n_chars AS DOUBLE)) - 1e-9, {_R}) + 0.0 AS avg_chars
+    FROM documents
+    WHERE n_chars > 0
+    GROUP BY bucket
+    """,
+)
+def pipeline_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed document-length histogram — the corpus-shape
+    diagnostic run before choosing chunking/packing parameters.
+    Bucket boundaries are powers of two, where log2 is IEEE-exact, so
+    both engines bin identically.  Fully map-side partial agg; the
+    shuffle carries ~30 buckets."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    bucket = F.floor(F.log2(F.col("n_chars").cast("double")))
+    return d.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.round(F.avg(F.col("n_chars").cast("double")) - 1e-9, _R).alias(
+            "avg_chars"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-group top-k selection
+# ---------------------------------------------------------------------------
+
+_TOPK_PER_GROUP = 3
+
+
+@register(
+    "topk_per_group",
+    oracle=f"""
+    SELECT o_orderpriority, rnk, o_orderkey, o_totalprice
+    FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders
+    )
+    WHERE rnk <= {_TOPK_PER_GROUP}
+    """,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-limit: the k best rows per group (here: 3 priciest
+    orders per priority) — the 'keep the best examples per bucket'
+    selection step.  Spark ≥ 3.5 plans rank-then-filter as
+    WindowGroupLimit: each map task pre-prunes to its local top-k
+    BEFORE the shuffle, so the exchange carries k·partitions rows,
+    not the table — the distributed version of a per-group heap."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOPK_PER_GROUP)
+        .select("o_orderpriority", "rnk", "o_orderkey", "o_totalprice")
+    )

@@ -235,3 +235,41 @@ def test_partitioned_readback_prunes(spark, sf_dir, tmp_path):
     seg = plan[start : plan.index("]", start) + 1]
     assert "o_orderpriority" in seg, plan
     assert df.count() > 0
+
+
+def test_topk_per_group_window_group_limit(spark, sf_dir):
+    """Group-limit: rank-then-filter must plan as WindowGroupLimit so
+    each map task pre-prunes to its local top-k BEFORE the shuffle —
+    the exchange carries k·partitions rows, not the table."""
+    from ondemand_dask_spark.plans import plan_string
+
+    df = _df("topk_per_group", spark, sf_dir)
+    assert "WindowGroupLimit" in plan_string(df)
+    assert python_eval_count(df) == 0
+
+
+def test_chunk_overlap_is_narrow(spark, sf_dir):
+    """Sliding-window chunking: sequence+explode+slice is a pure
+    fan-out — chunks stay co-partitioned with their document, zero
+    shuffles, zero Python."""
+    df = _df("pipeline_chunk_overlap", spark, sf_dir)
+    assert shuffle_count(df) == 0
+    assert python_eval_count(df) == 0
+
+
+def test_sampling_filters_are_narrow(spark, sf_dir):
+    """Hash-threshold sampling (stratified): filter+project only —
+    the sample composes under any downstream plan for free."""
+    df = _df("pipeline_stratified_sample", spark, sf_dir)
+    assert shuffle_count(df) == 0
+    assert python_eval_count(df) == 0
+
+
+def test_heavy_hitters_two_aggs_one_broadcast(spark, sf_dir):
+    """Heavy hitters: token counts reduce map-side (shuffle carries
+    the vocabulary), the grand total joins back as a broadcast — no
+    second full shuffle of counts."""
+    df = _df("pipeline_heavy_hitters", spark, sf_dir)
+    assert broadcast_join_count(df) >= 1
+    assert shuffle_count(df) <= 3
+    assert python_eval_count(df) == 0
