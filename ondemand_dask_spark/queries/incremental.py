@@ -1,0 +1,195 @@
+"""Incremental-maintenance operators — upsert MERGE, SCD-2, CDC diff.
+
+The warehouse side of a continuously-refreshed corpus: applying a
+change batch onto a snapshot (MERGE INTO semantics), compressing an
+event stream into validity intervals (SCD type 2), and diffing two
+snapshots back into a changelog.  Dask expresses these as
+concat + drop_duplicates(keep='last') / groupby.apply idioms; here
+each is a declarative join/window plan.
+
+No table format (Delta/Iceberg) is assumed: these queries produce the
+post-merge RESULT as a DataFrame — on a real lake the same plan runs
+inside `MERGE INTO` / `writeStream.foreachBatch`.  Change batches are
+derived deterministically from the fixtures (key arithmetic) so every
+query is exactly oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ondemand_dask_spark.io import load_table
+from ondemand_dask_spark.registry import register
+
+_R = 4
+
+
+@register(
+    "merge_upsert",
+    oracle=f"""
+    SELECT o_orderkey,
+           round(o_totalprice * 1.05 - 1e-9, {_R}) + 0.0 AS o_totalprice,
+           'update' AS src
+    FROM orders WHERE o_orderkey % 10 = 0
+    UNION ALL
+    SELECT o_orderkey,
+           round(o_totalprice - 1e-9, {_R}) + 0.0 AS o_totalprice,
+           'base' AS src
+    FROM orders WHERE o_orderkey % 10 <> 0
+    """,
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (SCD type 1, last-wins upsert): a change batch
+    (every 10th order, repriced) applied onto the base snapshot —
+    matched keys take the update, unmatched keep the base row.
+    Expressed as anti-join + union: ONE shuffle of the base on the
+    merge key (the update side piggybacks; at real scale it
+    broadcasts — change batches are small — making the merge
+    shuffle-free on the base).  concat + drop_duplicates(keep='last')
+    is the Dask idiom; the anti-join form never materializes the
+    conflict rows twice."""
+    o = load_table(spark, sf_dir, "orders")
+    updates = (
+        o.filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 1.05 - 1e-9, _R).alias(
+                "o_totalprice"
+            ),
+            F.lit("update").alias("src"),
+        )
+    )
+    base = o.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") - 1e-9, _R).alias("o_totalprice"),
+        F.lit("base").alias("src"),
+    )
+    kept = base.join(
+        F.broadcast(updates.select("o_orderkey")), "o_orderkey", "left_anti"
+    )
+    return kept.unionByName(updates)
+
+
+@register(
+    "scd2_intervals",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    ch AS (
+      SELECT user_id, ts, event_id, event_type FROM o
+      WHERE prev IS NULL OR prev <> event_type
+    )
+    SELECT user_id, event_type,
+           ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS valid_to,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS version,
+           (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             IS NULL) AS is_current
+    FROM ch
+    """,
+)
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type 2: the per-user event-type stream compressed into
+    validity intervals — change rows detected with lag (gaps-and-
+    islands), then valid_from/valid_to/version/is_current stitched
+    with lead/row_number over the (much smaller) change set.  Two
+    windows, but both partition on user_id with the same ordering, so
+    Catalyst plans ONE shuffle+sort and evaluates them in place — the
+    history table at 100 TB costs the same exchange as a single
+    lag."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = load_table(spark, sf_dir, "events")
+    ch = (
+        e.withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+        .select("user_id", "ts", "event_id", "event_type")
+    )
+    return ch.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.row_number().over(w).alias("version"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )
+
+
+@register(
+    "snapshot_diff_cdc",
+    oracle=f"""
+    WITH new_snap AS (
+      SELECT o_orderkey + 10000000 AS o_orderkey, o_totalprice
+      FROM orders WHERE o_orderkey % 97 = 0          -- inserts
+      UNION ALL
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 5 = 0
+                  THEN round(o_totalprice * 1.1 - 1e-9, 2) ELSE o_totalprice END
+      FROM orders WHERE o_orderkey % 7 <> 0          -- deletes dropped
+    )
+    SELECT COALESCE(b.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN b.o_orderkey IS NULL THEN 'insert'
+                WHEN n.o_orderkey IS NULL THEN 'delete'
+                ELSE 'update' END AS change_type,
+           round(b.o_totalprice - 1e-9, {_R}) + 0.0 AS old_price,
+           round(n.o_totalprice - 1e-9, {_R}) + 0.0 AS new_price
+    FROM orders b
+    FULL JOIN new_snap n ON b.o_orderkey = n.o_orderkey
+    WHERE b.o_orderkey IS NULL OR n.o_orderkey IS NULL
+          OR b.o_totalprice <> n.o_totalprice
+    """,
+)
+def snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC extraction: two snapshots diffed back into a changelog of
+    insert/update/delete rows (merge(indicator=True) in the Dask
+    idiom).  A full outer join on the key, keeping only rows that
+    differ — unchanged rows (the overwhelming majority at scale) are
+    filtered before anything is materialized.  The join shuffles both
+    snapshots on the key once; on bucketed/partitioned layouts it
+    degrades to a zip of co-located partitions with zero exchange."""
+    o = load_table(spark, sf_dir, "orders")
+    new_snap = (
+        o.filter(F.col("o_orderkey") % 97 == 0)
+        .select(
+            (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+            "o_totalprice",
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 7 != 0).select(
+                "o_orderkey",
+                F.when(
+                    F.col("o_orderkey") % 5 == 0,
+                    F.round(F.col("o_totalprice") * 1.1 - 1e-9, 2),
+                )
+                .otherwise(F.col("o_totalprice"))
+                .alias("o_totalprice"),
+            )
+        )
+    )
+    b = o.select(
+        F.col("o_orderkey").alias("b_key"), F.col("o_totalprice").alias("b_price")
+    )
+    n = new_snap.select(
+        F.col("o_orderkey").alias("n_key"), F.col("o_totalprice").alias("n_price")
+    )
+    j = b.join(n, b.b_key == n.n_key, "full_outer")
+    return j.filter(
+        F.col("b_key").isNull()
+        | F.col("n_key").isNull()
+        | (F.col("b_price") != F.col("n_price"))
+    ).select(
+        F.coalesce("b_key", "n_key").alias("o_orderkey"),
+        F.when(F.col("b_key").isNull(), "insert")
+        .when(F.col("n_key").isNull(), "delete")
+        .otherwise("update")
+        .alias("change_type"),
+        F.round(F.col("b_price") - 1e-9, _R).alias("old_price"),
+        F.round(F.col("n_price") - 1e-9, _R).alias("new_price"),
+    )

@@ -404,3 +404,65 @@ def window_nth_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.nth_value(v, 3).over(w) - 1e-9, _R) + F.lit(0.0)).alias("third_v"),
         (F.round(F.last_value(v).over(w) - 1e-9, _R) + F.lit(0.0)).alias("last_v"),
     )
+
+
+_EWM_ALPHA = 0.3
+_EWM_L = 32  # lookback: (1-a)^32 ≈ 1e-5 — below the 4-dp round
+_EWM_W = [(1.0 - _EWM_ALPHA) ** i for i in range(_EWM_L - 1, -1, -1)]
+_EWM_W_SQL = "CAST([" + ", ".join(repr(x) for x in _EWM_W) + "] AS DOUBLE[])"
+
+
+@register(
+    "window_ewm_bounded",
+    oracle=f"""
+    WITH fr AS (
+      SELECT event_id, user_id,
+             list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN {_EWM_L - 1} PRECEDING AND CURRENT ROW)
+               AS chunk
+      FROM events
+    )
+    SELECT event_id, user_id,
+           round(
+             list_dot_product(chunk,
+                              ({_EWM_W_SQL})[{_EWM_L} - len(chunk) + 1 : {_EWM_L}])
+             / ((1 - pow({1.0 - _EWM_ALPHA}, len(chunk))) / {_EWM_ALPHA})
+             - 1e-9, {_R}) + 0.0 AS ewm_value
+    FROM fr
+    """,
+)
+def window_ewm_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ser.ewm(alpha).mean() with a bounded lookback — the
+    ORACLE-CHECKED sibling of `udf_ewm`: truncating the recursion at
+    L=32 terms (weight (1-a)^32 ≈ 1e-5, below the rounding grid)
+    turns the sequential recurrence into a per-row dot product over a
+    sliding frame, expressible as pure window + higher-order-function
+    codegen — no Python, no cross-row state, same single
+    user_id-shuffle as every other window here, so it scales like
+    rolling-mean instead of like a stateful scan.  Weight vector is a
+    32-element literal broadcast into codegen; the denominator is the
+    closed-form geometric sum over however many rows the frame
+    actually holds (exact for the first L-1 rows of each key)."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_EWM_L - 1), 0)
+    )
+    warr = F.array(*[F.lit(x) for x in _EWM_W])
+    chunk = F.collect_list("value").over(w)
+    d = _events(spark, sf_dir).select(
+        "event_id", "user_id", chunk.alias("chunk")
+    )
+    n = F.size("chunk")
+    wslice = F.slice(warr, F.lit(_EWM_L) - n + 1, n)
+    num = F.aggregate(
+        F.zip_with(F.col("chunk"), wslice, lambda x, wt: x * wt),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    den = (F.lit(1.0) - F.pow(F.lit(1.0 - _EWM_ALPHA), n)) / F.lit(_EWM_ALPHA)
+    return d.select(
+        "event_id",
+        "user_id",
+        F.round(num / den - 1e-9, _R).alias("ewm_value"),
+    )

@@ -273,3 +273,20 @@ def test_heavy_hitters_two_aggs_one_broadcast(spark, sf_dir):
     assert broadcast_join_count(df) >= 1
     assert shuffle_count(df) <= 3
     assert python_eval_count(df) == 0
+
+
+def test_scd2_single_shuffle(spark, sf_dir):
+    """SCD-2: both windows share partitioning+ordering — Catalyst
+    must plan ONE shuffle+sort, not one per window."""
+    df = _df("scd2_intervals", spark, sf_dir)
+    assert shuffle_count(df) <= 1
+    assert python_eval_count(df) == 0
+
+
+def test_merge_upsert_broadcasts_changes(spark, sf_dir):
+    """MERGE upsert: the change-batch anti-join must broadcast — the
+    base snapshot is never shuffled just to find conflicts."""
+    df = _df("merge_upsert", spark, sf_dir)
+    assert broadcast_join_count(df) >= 1
+    assert sort_merge_join_count(df) == 0
+    assert python_eval_count(df) == 0
