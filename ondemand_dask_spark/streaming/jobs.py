@@ -342,6 +342,38 @@ def view_purchase_pairs(events: DataFrame) -> DataFrame:
 
 
 @register(
+    "stream_running_topk",
+    oracle=f"""
+    SELECT user_id, count(*) AS n,
+           round(sum(value) - 1e-9, {_R}) + 0.0 AS total_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY n DESC, user_id
+    LIMIT 10
+    """,
+)
+def stream_running_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained leaderboard: per-user counts ranked and
+    truncated to the top 10 on every trigger — complete output mode
+    is the one mode that permits sort+limit AFTER a streaming
+    aggregation, because the full aggregate state is re-emitted each
+    batch.  State is the per-user running aggregate (bounded by
+    |users|); the sort runs over that state table, never the stream.
+    The batch twin of `topk_per_group`/`topk_nlargest` for §2.F."""
+    e = read_events_stream(spark, sf_dir)
+    agg = (
+        e.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value") - 1e-9, _R).alias("total_value"),
+        )
+        .orderBy(F.desc("n"), F.asc("user_id"))
+        .limit(10)
+    )
+    return run_to_table(spark, agg, "stream_running_topk", "complete")
+
+
+@register(
     "stream_foreachbatch_sink",
     oracle=f"""
     SELECT event_type, count(*) AS n,
