@@ -725,3 +725,43 @@ def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("rel_err"),
     )
+
+
+@register(
+    "stat_crosstab",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS F,
+           sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS O,
+           sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS P
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def stat_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pd.crosstab / df.stat.crosstab — contingency table of two
+    categoricals.  Spark's native crosstab plans the same single
+    partial+final pivot-agg as groupBy().pivot(); columns are pinned
+    explicitly because crosstab orders them by discovery."""
+    o = load_table(spark, sf_dir, "orders")
+    ct = o.stat.crosstab("o_orderpriority", "o_orderstatus")
+    return ct.select(
+        F.col("o_orderpriority_o_orderstatus").alias("priority"),
+        F.col("F").cast("long").alias("F"),
+        F.col("O").cast("long").alias("O"),
+        F.col("P").cast("long").alias("P"),
+    )
+
+
+@register(
+    "stat_freq_items",
+    oracle=None,  # approximate by contract (false positives allowed)
+)
+def stat_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ser.value_counts head / df.stat.freqItems — single-pass
+    frequent-item candidates (Karp-Schenker-Papadimitriou): every item
+    above the support threshold is GUARANTEED present, false positives
+    allowed — hence rows-only (the exact twin is `pipeline_heavy_
+    hitters`).  Fixed memory per partition at any scale."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.stat.freqItems(["o_orderpriority", "o_orderstatus"], support=0.1)

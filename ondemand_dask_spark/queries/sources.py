@@ -353,3 +353,36 @@ def source_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("id") % 7).alias("bucket"),
         (F.col("id") * F.col("id")).alias("sq"),
     )
+
+
+@register(
+    "source_xml_roundtrip",
+    oracle=f"""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+)
+def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML round-trip — Spark 4's built-in xml data source (rowTag
+    records), a format Dask never had; DuckDB has no XML reader
+    either, so as with ORC the oracle reads the ORIGINAL table and
+    the hash match proves write→read fidelity.  XML is a row-at-a-
+    time text format: fine for config-sized dimension feeds (nation
+    here), never for fact tables — the engine treats it as an ingest
+    edge, immediately re-landed as parquet."""
+    path = _scratch(sf_dir, "nation_xml")
+    n = load_table(spark, sf_dir, "nation")
+    (
+        n.select("n_nationkey", "n_name", "n_regionkey")
+        .write.format("xml")
+        .option("rootTag", "nations")
+        .option("rowTag", "nation")
+        .mode("overwrite")
+        .save(path)
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "nation")
+        .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+        .load(path)
+    )
+    return back.select("n_nationkey", "n_name", "n_regionkey")
