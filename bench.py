@@ -44,6 +44,12 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "ann_cosine_topk",
     "text_tfidf_top_term",
+    # incremental + training-pipeline surface
+    "topk_per_group",
+    "merge_upsert",
+    "scd2_intervals",
+    "pipeline_heavy_hitters",
+    "window_ewm_bounded",
 ]
 
 RUNS = 2

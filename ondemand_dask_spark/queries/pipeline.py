@@ -375,18 +375,34 @@ def pipeline_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     sorted posting list, truncated to the first {cap} postings so no
     single row can blow up on a stopword-grade term (the full
     postings for those belong in a bucketed sink, not one array).
-    distinct(doc, term) collapses within-doc repeats map-side before
-    the term shuffle."""
+    Within-doc repeats collapse via array_distinct BEFORE the explode
+    — a narrow per-row op, so the (doc, term) stream is unique with
+    ZERO dedup shuffle (doc_ids are unique; a groupBy-distinct here
+    would exchange every pair on the widest key).  The truncation
+    happens BEFORE any array exists: rank-filter plans as
+    WindowGroupLimit, pruning every map partition to its local
+    first-{cap} before the exchange, so collect_list only ever sees
+    ≤ {cap} rows per term (the naive sort_array(collect_list)[1:cap]
+    materializes the full posting array first — the blow-up this
+    module doc warns about, measured on a 100k-doc corpus whose
+    tiny vocabulary makes every term stopword-grade).  df counts are
+    a plain partial-agg count over the same stream; both sides end
+    term-partitioned, so the final join broadcasts or zips without
+    re-exchanging the big side."""
     d = load_table(spark, sf_dir, "documents")
     pairs = d.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("term")
-    ).distinct()
-    return pairs.groupBy("term").agg(
-        F.count("*").alias("df"),
-        F.slice(
-            F.sort_array(F.collect_list("doc_id")), 1, _POSTINGS_CAP
-        ).alias("postings"),
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("term"),
     )
+    df_tab = pairs.groupBy("term").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("term").orderBy("doc_id")
+    top = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _POSTINGS_CAP)
+        .groupBy("term")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("postings"))
+    )
+    return top.join(df_tab, "term").select("term", "df", "postings")
 
 
 # ---------------------------------------------------------------------------

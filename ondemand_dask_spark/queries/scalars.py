@@ -962,3 +962,45 @@ def dt_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("quarter", d).cast("date").cast("string").alias("quarter_start"),
         F.date_trunc("year", d).cast("date").cast("string").alias("year_start"),
     )
+
+
+@register(
+    "json_corrupt_tolerant",
+    oracle="""
+    WITH synth AS (
+      SELECT event_type,
+             CASE WHEN event_id % 3 = 0
+                  THEN substr(props, 1, len(props) - 1)  -- strip '}' → invalid
+                  ELSE props END AS s
+      FROM events
+    )
+    SELECT event_type,
+           count(*) AS n_total,
+           sum(CASE WHEN json_valid(s) THEN 1 ELSE 0 END) AS n_valid,
+           sum(CASE WHEN json_valid(s) THEN 0 ELSE 1 END) AS n_invalid,
+           sum(CASE WHEN json_valid(s)
+                    THEN CAST(json_extract(s, '$.k') AS BIGINT) END) AS sum_k
+    FROM synth GROUP BY event_type
+    """,
+)
+def json_corrupt_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-JSON tolerance (the PERMISSIVE-mode contract): a
+    third of the props payloads are corrupted (truncated brace), and
+    the pipeline must classify + skip them without failing the job —
+    `get_json_object` returns NULL on unparseable input where DuckDB
+    needs an explicit json_valid guard (its extract THROWS — exactly
+    the engine difference this query pins down).  Corruption never
+    reaches an exception path on either engine; bad rows are counted,
+    good rows aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    s = F.when(
+        F.col("event_id") % 3 == 0,
+        F.expr("substring(props, 1, length(props) - 1)"),
+    ).otherwise(F.col("props"))
+    k = F.get_json_object(s, "$.k").cast("bigint")
+    return e.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count("*").alias("n_total"),
+        F.sum(F.when(F.col("k").isNotNull(), 1).otherwise(0)).alias("n_valid"),
+        F.sum(F.when(F.col("k").isNull(), 1).otherwise(0)).alias("n_invalid"),
+        F.sum("k").alias("sum_k"),
+    )

@@ -174,6 +174,50 @@ def main() -> None:
         all_queries()["dedup_minhash_lsh"].fn(spark, link_dir),
     )
 
+    # training-pipeline ops on the same 100k-doc corpus
+    for qname in (
+        "pipeline_pack_sequences",
+        "pipeline_chunk_overlap",
+        "pipeline_heavy_hitters",
+        "pipeline_inverted_index",
+        "pipeline_shard_shuffle",
+    ):
+        timed(f"{qname}_100k_docs", all_queries()[qname].fn(spark, link_dir))
+
+    # events-shaped ops at 5M rows (inline: the synthetic events carry
+    # real timestamps, not the fixture's ns-int column, so the
+    # registered loaders don't apply)
+    from ondemand_dask_spark.queries.windows import _EWM_ALPHA, _EWM_L, _EWM_W
+
+    wo_ewm = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    num = None
+    for i, wt in enumerate(reversed(_EWM_W)):
+        term = F.coalesce(F.lag("value", i).over(wo_ewm) * F.lit(wt), F.lit(0.0))
+        num = term if num is None else num + term
+    n = F.least(F.row_number().over(wo_ewm), F.lit(_EWM_L))
+    den = (F.lit(1.0) - F.pow(F.lit(1.0 - _EWM_ALPHA), n)) / F.lit(_EWM_ALPHA)
+    timed(
+        "ewm_bounded_5m",
+        events.select("event_id", "user_id", (num / den).alias("ewm_value")),
+    )
+
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ch = (
+        events.withColumn("prev", F.lag("event_type").over(wo))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+        .select("user_id", "ts", "event_id", "event_type")
+    )
+    timed(
+        "scd2_5m",
+        ch.select(
+            "user_id",
+            "event_type",
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(wo).alias("valid_to"),
+            F.row_number().over(wo).alias("version"),
+        ),
+    )
+
     print(
         json.dumps(
             {
