@@ -7,6 +7,7 @@ from ondemand_dask_spark.queries import (  # noqa: F401
     aggregations,
     composed,
     dedup,
+    encoding,
     incremental,
     joins,
     multimodal,

@@ -1,0 +1,177 @@
+"""Feature-encoding operators — the ML-prep surface.
+
+pandas/Dask expose these as `get_dummies`, `factorize`, scaler
+idioms; pyspark.ml as StringIndexer / OneHotEncoder / StandardScaler
+/ MinMaxScaler / FeatureHasher.  Each is re-expressed here as a plain
+DataFrame plan (the ml-lib Transformers wrap the same shapes) so it
+is exactly oracle-checkable and composes with the rest of the engine.
+
+Scale shapes: one-hot is a narrow projection; label encoding joins a
+broadcast vocabulary built by a tiny distinct-agg (never a global
+window over the data); scalers broadcast a 1-row stats aggregate back
+over the stream; feature hashing is the stateless trick that needs no
+vocabulary at all — the only one of these that works on unbounded
+category spaces, which is why it is the 100 TB default.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ondemand_dask_spark.functions.texthash import portable_hash64
+from ondemand_dask_spark.io import load_table
+from ondemand_dask_spark.registry import register
+
+_R = 4
+
+_LANGS = ("de", "en", "es", "fr", "zh")
+
+
+@register(
+    "encode_one_hot",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN lang = 'de' THEN 1 ELSE 0 END AS lang_de,
+           CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS lang_en,
+           CASE WHEN lang = 'es' THEN 1 ELSE 0 END AS lang_es,
+           CASE WHEN lang = 'fr' THEN 1 ELSE 0 END AS lang_fr,
+           CASE WHEN lang = 'zh' THEN 1 ELSE 0 END AS lang_zh
+    FROM documents
+    """,
+)
+def encode_one_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pd.get_dummies — one indicator column per category.  Pure
+    narrow projection (codegen CASE chain); the category list is
+    declared, as it must be at scale — discovering it would be a
+    distinct-agg run once and pinned, never re-inferred per batch
+    (training and serving must agree on columns)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        *[
+            F.when(F.col("lang") == lg, 1).otherwise(0).alias(f"lang_{lg}")
+            for lg in _LANGS
+        ],
+    )
+
+
+@register(
+    "encode_label",
+    oracle="""
+    WITH vocab AS (
+      SELECT lang, dense_rank() OVER (ORDER BY lang) - 1 AS lang_id
+      FROM (SELECT DISTINCT lang FROM documents)
+    )
+    SELECT d.doc_id, d.lang, v.lang_id
+    FROM documents d JOIN vocab v USING (lang)
+    """,
+)
+def encode_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pd.factorize / StringIndexer — category → dense integer id.
+    The vocabulary is a distinct-agg (tiny) ranked by a window over
+    ITSELF — |categories| rows, not the data — then broadcast-joined
+    back.  The anti-pattern this replaces is dense_rank over the full
+    table: a global single-partition sort of everything."""
+    d = load_table(spark, sf_dir, "documents")
+    vocab = (
+        d.select("lang")
+        .distinct()
+        .withColumn(
+            "lang_id",
+            F.dense_rank().over(Window.orderBy("lang")) - 1,
+        )
+    )
+    return d.join(F.broadcast(vocab), "lang").select("doc_id", "lang", "lang_id")
+
+
+_HASH_DIM = 1024
+
+
+@register(
+    "encode_feature_hash",
+    oracle=f"""
+    SELECT doc_id,
+           CAST('0x' || substr(md5('feat|' || source), 1, 15) AS BIGINT)
+             % {_HASH_DIM} AS source_bucket,
+           CAST('0x' || substr(md5('feat|' || lang), 1, 15) AS BIGINT)
+             % {_HASH_DIM} AS lang_bucket
+    FROM documents
+    """,
+)
+def encode_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FeatureHasher (the hashing trick): category → hash-bucket id
+    in a fixed {dim}-dimensional space.  No vocabulary, no state, no
+    shuffle — a pure function of the value, so it handles unbounded /
+    drifting category spaces (user ids, URLs) where label encoding
+    cannot, at the cost of collisions.  The 100 TB default encoder."""
+    d = load_table(spark, sf_dir, "documents")
+
+    def bucket(col: str):
+        return (
+            portable_hash64(F.concat(F.lit("feat|"), F.col(col))) % _HASH_DIM
+        ).alias(f"{col}_bucket")
+
+    return d.select("doc_id", bucket("source"), bucket("lang"))
+
+
+@register(
+    "encode_standardize",
+    oracle=f"""
+    WITH stats AS (
+      SELECT avg(o_totalprice) AS mu, stddev_samp(o_totalprice) AS sigma
+      FROM orders
+    )
+    SELECT o_orderkey,
+           round((o_totalprice - mu) / sigma - 1e-9, {_R}) + 0.0 AS price_z
+    FROM orders CROSS JOIN stats
+    """,
+)
+def encode_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StandardScaler — z-score normalization against global mean/std.
+    The stats are one decomposable partial+final aggregate (1 row)
+    broadcast back over the stream: two passes over the data, zero
+    data shuffles, no collect to the driver."""
+    o = load_table(spark, sf_dir, "orders")
+    stats = o.agg(
+        F.avg("o_totalprice").alias("mu"),
+        F.stddev_samp("o_totalprice").alias("sigma"),
+    )
+    return o.crossJoin(F.broadcast(stats)).select(
+        "o_orderkey",
+        F.round(
+            (F.col("o_totalprice") - F.col("mu")) / F.col("sigma") - 1e-9, _R
+        ).alias("price_z"),
+    )
+
+
+@register(
+    "encode_minmax",
+    oracle=f"""
+    WITH stats AS (
+      SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders
+    )
+    SELECT o_orderkey,
+           round((o_totalprice - lo) / (hi - lo) - 1e-9, {_R}) + 0.0
+             AS price_01
+    FROM orders CROSS JOIN stats
+    """,
+)
+def encode_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinMaxScaler — rescale to [0, 1] against the global range.
+    Same broadcast-stats shape as standardization (min/max are the
+    cheapest decomposable aggs there are)."""
+    o = load_table(spark, sf_dir, "orders")
+    stats = o.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    return o.crossJoin(F.broadcast(stats)).select(
+        "o_orderkey",
+        F.round(
+            (F.col("o_totalprice") - F.col("lo"))
+            / (F.col("hi") - F.col("lo"))
+            - 1e-9,
+            _R,
+        ).alias("price_01"),
+    )
