@@ -517,3 +517,87 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _TOPK_PER_GROUP)
         .select("o_orderpriority", "rnk", "o_orderkey", "o_totalprice")
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end composition golden
+# ---------------------------------------------------------------------------
+
+_E2E_MIN_WORDS = 10
+
+
+@register(
+    "pipeline_end_to_end",
+    oracle=f"""
+    WITH dd AS (
+      SELECT doc_id, source, lang, text,
+             row_number() OVER (PARTITION BY md5(lower(trim(text)))
+                                ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    kept AS (
+      SELECT doc_id, source, len(string_split(text, ' ')) AS tok
+      FROM dd
+      WHERE rn = 1
+        AND len(string_split(text, ' ')) >= {_E2E_MIN_WORDS}
+        AND {_salted_sql("e2e", "doc_id")} % 100 <
+            CASE lang {" ".join(f"WHEN '{lg}' THEN {r}" for lg, r in _STRAT_RATES.items())}
+            ELSE 0 END
+    ),
+    c AS (
+      SELECT source, doc_id, tok,
+             COALESCE(sum(tok) OVER (PARTITION BY source ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM kept
+    )
+    SELECT source,
+           cum_before // {_PACK_BUDGET} AS seq_id,
+           count(*) AS n_docs,
+           sum(tok) AS seq_tokens
+    FROM c
+    GROUP BY source, seq_id
+    """,
+)
+def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole corpus pipeline as ONE plan: exact dedup (first doc
+    per normalized digest) → quality gate (min word count) →
+    stratified language sampling → per-source sequence packing.  The
+    golden that proves the stages COMPOSE — each stage is tested
+    alone elsewhere; pipelines fail in the seams.  Plan-wise the
+    narrow stages (quality, sampling) are free riders fused into the
+    dedup window's scan, so the composition costs exactly: one digest
+    shuffle, one per-source window, one final agg — three exchanges
+    for four logical stages, each on a different (and each time
+    smaller) keyspace."""
+    d = load_table(spark, sf_dir, "documents")
+    wd = Window.partitionBy(F.md5(F.lower(F.trim("text")))).orderBy("doc_id")
+    tok = F.size(F.split("text", " ")).cast("long")
+    rate = None
+    for lg, r in _STRAT_RATES.items():
+        rate = (
+            F.when(F.col("lang") == lg, r)
+            if rate is None
+            else rate.when(F.col("lang") == lg, r)
+        )
+    rate = rate.otherwise(0)
+    kept = (
+        d.withColumn("rn", F.row_number().over(wd))
+        .filter(
+            (F.col("rn") == 1)
+            & (tok >= _E2E_MIN_WORDS)
+            & (_salted_hash("e2e", F.col("doc_id")) % 100 < rate)
+        )
+        .select("doc_id", "source", tok.alias("tok"))
+    )
+    wp = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = kept.withColumn("cum_before", F.coalesce(F.sum("tok").over(wp), F.lit(0)))
+    return (
+        c.withColumn("seq_id", F.floor(F.col("cum_before") / F.lit(_PACK_BUDGET)))
+        .groupBy("source", "seq_id")
+        .agg(F.count("*").alias("n_docs"), F.sum("tok").alias("seq_tokens"))
+    )

@@ -457,3 +457,40 @@ def window_ewm_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.round(num / den - 1e-9, _R).alias("ewm_value"),
     )
+
+
+@register(
+    "window_rolling_median",
+    oracle=f"""
+    SELECT event_id, user_id,
+           round(median(value) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+                 - 1e-9, {_R}) + 0.0 AS med5
+    FROM events
+    """,
+)
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.rolling(5).median() — the one rolling agg Spark's window
+    aggregates don't cover (no ordered-statistic window over a row
+    frame).  The frame is BOUNDED (5 rows), so sorting a collected
+    frame array per row is O(k log k) constant work — legitimate
+    here, unlike the unbounded collect shapes the quantile operator
+    exists to avoid.  Interpolation matches quantile_cont: mean of
+    the two middle elements on even frames (the first 4 rows of each
+    key)."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, 0)
+    )
+    arr = F.sort_array(F.collect_list("value").over(w))
+    n = F.size(arr)
+    lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+    med = (lo + hi) / 2.0
+    return _events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        F.round(med - 1e-9, _R).alias("med5"),
+    )
