@@ -494,3 +494,117 @@ def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.round(med - 1e-9, _R).alias("med5"),
     )
+
+
+@register(
+    "window_fill_forward",
+    oracle=f"""
+    WITH gappy AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+      FROM events
+    )
+    SELECT event_id, user_id,
+           round(last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1e-9, {_R})
+             + 0.0 AS ffilled,
+           round(first_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) - 1e-9, {_R})
+             + 0.0 AS bfilled
+    FROM gappy
+    """,
+)
+def window_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ser.ffill() / bfill() — gap filling by carrying the last (next)
+    observation over an ordered per-key window, the time-series
+    repair step (a fifth of the values are NULLed deterministically
+    first).  `last(ignorenulls)` over the expanding frame IS the
+    carry-forward scan, distributed: one user_id shuffle, both
+    directions computed in the same sort (Catalyst flips the frame,
+    not the data).  The same primitive the as-of join composition is
+    built on (operators/asof.py)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    v = F.when(F.col("event_id") % 5 == 0, F.lit(None)).otherwise(F.col("value"))
+    g = _events(spark, sf_dir).select("event_id", "user_id", "ts", v.alias("v"))
+    return g.select(
+        "event_id",
+        "user_id",
+        F.round(
+            F.last("v", ignorenulls=True).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            )
+            - 1e-9,
+            _R,
+        ).alias("ffilled"),
+        F.round(
+            F.first("v", ignorenulls=True).over(
+                w.rowsBetween(0, Window.unboundedFollowing)
+            )
+            - 1e-9,
+            _R,
+        ).alias("bfilled"),
+    )
+
+
+@register(
+    "window_pct_change",
+    oracle=f"""
+    SELECT event_id, user_id,
+           round((value / lag(value) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) - 1)
+                 - 1e-9, {_R}) + 0.0 AS pct_change
+    FROM events
+    WHERE value IS NOT NULL
+    """,
+)
+def window_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ser.pct_change() — relative step change against the previous
+    observation per key (first row NULL).  One lag over the shared
+    user window."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        _events(spark, sf_dir)
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            F.round(
+                F.col("value") / F.lag("value").over(w) - 1 - 1e-9, _R
+            ).alias("pct_change"),
+        )
+    )
+
+
+@register(
+    "window_distinct_expanding",
+    oracle="""
+    SELECT event_id, user_id,
+           count(DISTINCT event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS types_seen
+    FROM events
+    """,
+)
+def window_distinct_expanding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expanding distinct count per key (how many event types has
+    this user touched so far) — Spark has no COUNT(DISTINCT) OVER, so
+    the set itself is the window state: size(collect_set(...)) over
+    the expanding frame.  Legitimate because the domain is bounded
+    (event types), the same reason a per-key HLL sketch would replace
+    it for unbounded domains (agg_hll_sketch_merge is that scale
+    path)."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return _events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        F.size(F.collect_set("event_type").over(w)).cast("long").alias(
+            "types_seen"
+        ),
+    )
