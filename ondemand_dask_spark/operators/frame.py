@@ -245,6 +245,35 @@ class OnDemandFrame:
     ) -> "OnDemandRolling":
         return OnDemandRolling(self, window, order_by, partition_by)
 
+    def ffill(
+        self, col: str, order_by: list[str], partition_by: list[str]
+    ) -> Column:
+        """ser.ffill — carry the last non-null observation forward."""
+        w = (
+            Window.partitionBy(*partition_by)
+            .orderBy(*order_by)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        return F.last(col, ignorenulls=True).over(w)
+
+    def bfill(
+        self, col: str, order_by: list[str], partition_by: list[str]
+    ) -> Column:
+        """ser.bfill — carry the next non-null observation backward."""
+        w = (
+            Window.partitionBy(*partition_by)
+            .orderBy(*order_by)
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        return F.first(col, ignorenulls=True).over(w)
+
+    def pct_change(
+        self, col: str, order_by: list[str], partition_by: list[str]
+    ) -> Column:
+        """ser.pct_change — relative step vs the previous row per key."""
+        w = Window.partitionBy(*partition_by).orderBy(*order_by)
+        return F.col(col) / F.lag(col).over(w) - 1
+
     def set_index(self, col: str, npartitions: int | None = None) -> "OnDemandFrame":
         """Range-partition + sort on `col` — Dask's set_index with
         known divisions.  Downstream merges/windows on `col` reuse the

@@ -288,3 +288,33 @@ def test_facade_merge_asof(events):
     right = events.query("event_type = 'purchase'")[["user_id", "ts", "value"]]
     out = left.merge_asof(right, on="ts", by="user_id", suffix="_p").compute()
     assert "value_p" in out.columns and out.shape[0] == left.compute().shape[0]
+
+
+def test_ffill_bfill_pct_change(events, events_pd):
+    """ffill/bfill/pct_change vs pandas groupby.transform."""
+    gappy = events.assign(
+        v=F.when(F.col("event_id") % 5 == 0, F.lit(None)).otherwise(
+            F.col("value")
+        )
+    )
+    got = (
+        gappy.assign(
+            ff=gappy.ffill("v", ["ts", "event_id"], ["user_id"]),
+            bf=gappy.bfill("v", ["ts", "event_id"], ["user_id"]),
+            pc=gappy.pct_change("value", ["ts", "event_id"], ["user_id"]),
+        )[["event_id", "ff", "bf", "pc"]]
+        .compute()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+    pdf = events_pd.sort_values(["ts", "event_id"]).copy()
+    pdf["v"] = pdf["value"].where(pdf["event_id"] % 5 != 0)
+    g = pdf.groupby("user_id")
+    pdf["ff"] = g["v"].ffill()
+    pdf["bf"] = g["v"].bfill()
+    pdf["pc"] = g["value"].transform(lambda s: s.pct_change())
+    exp = pdf[["event_id", "ff", "bf", "pc"]].sort_values("event_id").reset_index(
+        drop=True
+    )
+    assert_results_match(got, exp, "ffill_bfill_pct_change")
