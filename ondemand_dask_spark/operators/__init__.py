@@ -7,4 +7,5 @@ from ondemand_dask_spark.operators.quantile import (  # noqa: F401
     exact_group_quantiles,
     exact_group_quantiles_select,
 )
+from ondemand_dask_spark.operators.rangejoin import bucketed_range_join  # noqa: F401
 from ondemand_dask_spark.operators.skew import salted_agg, salted_join  # noqa: F401

@@ -271,3 +271,47 @@ def concat_axis1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(b, a.c_custkey == b.bk, "left").select(
         "c_custkey", "c_name", F.round(F.col("c_acctbal") - 1e-9, 4).alias("acctbal")
     )
+
+
+@register(
+    "join_range_bucketed",
+    oracle="""
+    WITH err AS (
+      SELECT event_id AS err_id, ts AS lo FROM events
+      WHERE event_type = 'error'
+    )
+    SELECT err_id, e.event_id,
+           epoch_us(e.ts) - epoch_us(lo) AS gap_us
+    FROM events e JOIN err
+      ON e.ts >= lo AND e.ts < lo + INTERVAL 10 MINUTE
+    """,
+)
+def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PURE range join (no equi key): every event inside the 10-minute
+    window after any error event.  Written naively this is
+    BroadcastNestedLoopJoin — O(|events|·|errors|) comparisons; the
+    bucketed_range_join operator manufactures a 10-minute-bucket equi
+    key (intervals replicated into ≤ 2 buckets each) so the planner
+    hashes/merges on the bucket and only co-bucketed rows are
+    compared.  Plan-asserted: no BNLJ, no cartesian."""
+    from ondemand_dask_spark.operators.rangejoin import bucketed_range_join
+
+    e = load_table(spark, sf_dir, "events")
+    ev = e.select(
+        "event_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("p")
+    )
+    err = (
+        e.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("err_id"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("lo"),
+        )
+        .withColumn("hi", F.col("lo") + F.lit(600_000_000))
+    )
+    joined = bucketed_range_join(
+        ev, err, left_point="p", right_lo="lo", right_hi="hi",
+        bucket_width=600_000_000,
+    )
+    return joined.select(
+        "err_id", "event_id", (F.col("p") - F.col("lo")).alias("gap_us")
+    )

@@ -290,3 +290,17 @@ def test_merge_upsert_broadcasts_changes(spark, sf_dir):
     assert broadcast_join_count(df) >= 1
     assert sort_merge_join_count(df) == 0
     assert python_eval_count(df) == 0
+
+
+def test_range_join_bucketed_no_bnlj(spark, sf_dir):
+    """Pure range join via manufactured bucket key: must plan as a
+    hash/sort-merge equi join — a BroadcastNestedLoopJoin or
+    CartesianProduct here is the O(L·R) cliff the operator exists to
+    avoid."""
+    from ondemand_dask_spark.plans import plan_string
+
+    df = _df("join_range_bucketed", spark, sf_dir)
+    plan = plan_string(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert python_eval_count(df) == 0
