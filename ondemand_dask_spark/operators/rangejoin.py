@@ -59,3 +59,48 @@ def bucketed_range_join(
         & (lb[left_point] < rb[right_hi])
     )
     return lb.join(rb, cond, how).drop("__bucket")
+
+
+def bucketed_interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_lo: str,
+    left_hi: str,
+    right_lo: str,
+    right_hi: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Interval×interval overlap join ([lo, hi) intersect) via the
+    same bucket trick.  Unlike point-in-interval, a pair of intervals
+    can co-occupy MANY buckets; emitting on every shared bucket would
+    duplicate pairs, so a pair is emitted only in the bucket holding
+    the overlap's START (max of the two lo values) — exactly one
+    bucket per pair, no post-join dedup shuffle."""
+    lb = left.withColumn(
+        "__bl",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(left_lo) / F.lit(bucket_width)),
+                F.floor((F.col(left_hi) - 1) / F.lit(bucket_width)),
+            )
+        ),
+    )
+    rb = right.withColumn(
+        "__br",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(right_lo) / F.lit(bucket_width)),
+                F.floor((F.col(right_hi) - 1) / F.lit(bucket_width)),
+            )
+        ),
+    )
+    overlap_start_bucket = F.floor(
+        F.greatest(lb[left_lo], rb[right_lo]) / F.lit(bucket_width)
+    )
+    cond = (
+        (lb["__bl"] == rb["__br"])
+        & (lb[left_lo] < rb[right_hi])
+        & (rb[right_lo] < lb[left_hi])
+        & (lb["__bl"] == overlap_start_bucket)
+    )
+    return lb.join(rb, cond, "inner").drop("__bl", "__br")

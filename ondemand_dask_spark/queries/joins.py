@@ -315,3 +315,58 @@ def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "err_id", "event_id", (F.col("p") - F.col("lo")).alias("gap_us")
     )
+
+
+@register(
+    "join_interval_overlap",
+    oracle="""
+    WITH err AS (
+      SELECT event_id AS err_id, epoch_us(ts) AS e_lo,
+             epoch_us(ts) + 600000000 AS e_hi
+      FROM events WHERE event_type = 'error'
+    ),
+    pur AS (
+      SELECT event_id AS pur_id, epoch_us(ts) AS p_lo,
+             epoch_us(ts) + 600000000 AS p_hi
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT err_id, pur_id,
+           greatest(e_lo, p_lo) AS overlap_lo,
+           least(e_hi, p_hi) AS overlap_hi
+    FROM err JOIN pur ON e_lo < p_hi AND p_lo < e_hi
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval OVERLAP join (no keys at all): error windows × purchase
+    windows that intersect.  The bucketed operator emits each pair
+    exactly once — in the bucket holding the overlap start — so the
+    equi-join plan needs no dedup; the oracle is the naive overlap
+    predicate.  Same no-BNLJ guarantee as join_range_bucketed."""
+    from ondemand_dask_spark.operators.rangejoin import (
+        bucketed_interval_overlap_join,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+
+    def windows(etype: str, tag: str) -> DataFrame:
+        return (
+            e.filter(F.col("event_type") == etype)
+            .select(
+                F.col("event_id").alias(f"{tag}_id"),
+                us.alias(f"{tag[0]}_lo"),
+                (us + F.lit(600_000_000)).alias(f"{tag[0]}_hi"),
+            )
+        )
+
+    joined = bucketed_interval_overlap_join(
+        windows("error", "err"), windows("purchase", "pur"),
+        left_lo="e_lo", left_hi="e_hi", right_lo="p_lo", right_hi="p_hi",
+        bucket_width=600_000_000,
+    )
+    return joined.select(
+        "err_id",
+        "pur_id",
+        F.greatest("e_lo", "p_lo").alias("overlap_lo"),
+        F.least("e_hi", "p_hi").alias("overlap_hi"),
+    )

@@ -304,3 +304,14 @@ def test_range_join_bucketed_no_bnlj(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert python_eval_count(df) == 0
+
+
+def test_interval_overlap_no_bnlj(spark, sf_dir):
+    """Interval-overlap join: bucketed to an equi join, one emission
+    per pair (overlap-start bucket) — no nested loop, no dedup agg."""
+    from ondemand_dask_spark.plans import plan_string
+
+    df = _df("join_interval_overlap", spark, sf_dir)
+    plan = plan_string(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
