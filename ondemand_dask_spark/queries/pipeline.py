@@ -601,3 +601,114 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "seq_id")
         .agg(F.count("*").alias("n_docs"), F.sum("tok").alias("seq_tokens"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Contrastive negative pairs
+# ---------------------------------------------------------------------------
+
+_NEG_BUCKETS = 64
+_NEG_OFFSETS = (1, 7)
+
+
+@register(
+    "pipeline_negative_pairs",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, {_salted_sql("neg", "doc_id")} % {_NEG_BUCKETS} AS bucket
+      FROM documents
+    ),
+    rep AS (SELECT bucket, min(doc_id) AS rep_id FROM b GROUP BY bucket)
+    SELECT doc_id, off, rep_id AS neg_id
+    FROM (
+      SELECT doc_id, bucket, unnest([{", ".join(map(str, _NEG_OFFSETS))}]) AS off
+      FROM b
+    ) x JOIN rep ON rep.bucket = (x.bucket + x.off) % {_NEG_BUCKETS}
+    WHERE rep_id <> doc_id
+    """,
+)
+def pipeline_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    document is paired with the representative of {offsets} other hash
+    buckets — pseudo-random partners that are stable across runs and
+    appends, with NO cross join and no RNG: the representatives table
+    is |buckets| rows, broadcast, and the pairing is a narrow
+    map-side join.  (Hard-negative mining plugs in by replacing the
+    representative table with ANN candidates — ann_lsh_probe.)"""
+    d = load_table(spark, sf_dir, "documents")
+    b = d.select(
+        "doc_id",
+        (_salted_hash("neg", F.col("doc_id")) % _NEG_BUCKETS).alias("bucket"),
+    )
+    rep = (
+        b.groupBy("bucket")
+        .agg(F.min("doc_id").alias("rep_id"))
+        .select(F.col("bucket").alias("rep_bucket"), "rep_id")
+    )
+    x = b.select(
+        "doc_id",
+        "bucket",
+        F.explode(F.array(*[F.lit(o) for o in _NEG_OFFSETS])).alias("off"),
+    )
+    return (
+        x.join(
+            F.broadcast(rep),
+            F.col("rep_bucket") == (x["bucket"] + x["off"]) % _NEG_BUCKETS,
+        )
+        .filter(F.col("rep_id") != F.col("doc_id"))
+        .select("doc_id", "off", F.col("rep_id").alias("neg_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted source interleave (curriculum order)
+# ---------------------------------------------------------------------------
+
+_INTERLEAVE_TAKE = 200
+
+
+@register(
+    "pipeline_interleave_sources",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn,
+             1 + CAST(substr(source, 4) AS INT) % 3 AS w
+      FROM documents
+    )
+    SELECT source, doc_id,
+           round(CAST(rn AS DOUBLE) / w - 1e-9, {_R}) + 0.0 AS priority
+    FROM ranked
+    ORDER BY priority, source, doc_id
+    LIMIT {_INTERLEAVE_TAKE}
+    """,
+)
+def pipeline_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted round-robin interleave: the first {take} examples of a
+    training order where source s appears w(s) times as often —
+    priority = position-in-source / weight, smallest first (the
+    classic fair-queueing virtual-time schedule).  Per-source
+    row_number is a keyed window (parallel per source); the global
+    'first N by priority' plans as TakeOrderedAndProject — per-
+    partition top-N then a tree merge of N-row heaps, never a global
+    sort of the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    w_src = F.lit(1) + F.substring("source", 4, 8).cast("int") % 3
+    wn = Window.partitionBy("source").orderBy("doc_id")
+    ranked = d.select(
+        "source",
+        "doc_id",
+        F.row_number().over(wn).alias("rn"),
+        w_src.alias("w"),
+    )
+    return (
+        ranked.select(
+            "source",
+            "doc_id",
+            F.round(F.col("rn").cast("double") / F.col("w") - 1e-9, _R).alias(
+                "priority"
+            ),
+        )
+        .orderBy("priority", "source", "doc_id")
+        .limit(_INTERLEAVE_TAKE)
+    )
