@@ -712,3 +712,67 @@ def pipeline_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("priority", "source", "doc_id")
         .limit(_INTERLEAVE_TAKE)
     )
+
+
+# ---------------------------------------------------------------------------
+# Eval-set decontamination
+# ---------------------------------------------------------------------------
+
+_DECON_N = 4  # shingle width: production uses 8-13; the synthetic
+# corpus' near-dup construction only collides at ≤ 4-grams, and a
+# non-empty result is what proves the match plumbing
+
+
+@register(
+    "pipeline_decontaminate",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, len(string_split(text, ' ')) - {_DECON_N - 1}),
+               i -> {_H_SQL.format(
+                   x="list_aggregate((string_split(text, ' '))"
+                     f"[i : i + {_DECON_N - 1}], 'string_agg', ' ')")}
+             )) AS sh_hash
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= {_DECON_N}
+    ),
+    bench AS (
+      SELECT DISTINCT sh_hash FROM sh WHERE doc_id % 97 = 0
+    )
+    SELECT doc_id, count(*) AS n_hits
+    FROM sh JOIN bench USING (sh_hash)
+    WHERE doc_id % 97 <> 0
+    GROUP BY doc_id
+    """,
+)
+def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training documents sharing any
+    {n}-gram with the held-out set (doc_id % 97 — the stand-in for an
+    eval suite), with the overlap count as evidence.  Shingles are
+    HASHED before anything shuffles (8-byte keys, not n-gram text —
+    the same discipline as the minhash family), the benchmark side is
+    tiny by construction and broadcasts, and the join is a
+    hash-semi-join per shingle followed by a per-doc count.  At
+    100 TB this is THE standard pre-training hygiene pass; the flag
+    threshold (here ≥ 1 hit) is the only policy knob."""
+    from ondemand_dask_spark.functions.texthash import shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = (
+        d.filter(F.size(F.split("text", " ")) >= _DECON_N)
+        .select(
+            "doc_id",
+            F.explode(shingles(F.col("text"), n=_DECON_N)).alias("shingle"),
+        )
+        .select("doc_id", portable_hash64(F.col("shingle")).alias("sh_hash"))
+    )
+    bench = (
+        sh.filter(F.col("doc_id") % 97 == 0).select("sh_hash").distinct()
+    )
+    return (
+        sh.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(bench), "sh_hash")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )

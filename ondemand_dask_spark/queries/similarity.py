@@ -602,3 +602,74 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_members"),
         F.round(F.avg("dist") - 1e-9, _R).alias("avg_sqdist"),
     )
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+             CAST(list_min(embedding) AS DOUBLE) AS lo,
+             CAST(list_max(embedding) AS DOUBLE) AS hi
+      FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, e, lo,
+             greatest((hi - lo) / 255, 1e-12) AS scale
+      FROM v
+    )
+    SELECT vec_id,
+           round(lo - 1e-9, {_R}) + 0.0 AS lo,
+           round(scale - 1e-9, {_R}) + 0.0 AS scale,
+           list_transform(e, x -> CAST(floor((x - lo) / scale + 0.5) AS INT))
+             AS q,
+           round(list_sum(list_transform(e,
+                   x -> abs(lo + floor((x - lo) / scale + 0.5) * scale - x)))
+                 / len(e) - 1e-9, {_R}) + 0.0 AS mae
+    FROM s
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector affine int8 quantization (min/max calibration) with
+    reconstruction error — the 4× compression step before shipping an
+    ANN corpus to serving.  All array HOFs in codegen; floor(x+0.5)
+    instead of round() because the engines disagree on half-even vs
+    half-up exactly at the quantization grid points.  Narrow op:
+    nothing shuffles."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ed = F.transform("embedding", lambda x: x.cast("double"))
+    # Internal names (__lo/__scale) must differ from the rounded
+    # output aliases: Spark 4 resolves lateral column aliases within
+    # a select list, so naming an output "lo" would make the q/mae
+    # lambdas silently read the 4-dp ROUNDED value (caught by the
+    # oracle diff — DuckDB prefers the base column).
+    v = e.select(
+        "vec_id",
+        ed.alias("e"),
+        F.array_min(ed).alias("__lo"),
+        F.array_max(ed).alias("__hi"),
+    ).withColumn(
+        "__scale", F.greatest((F.col("__hi") - F.col("__lo")) / 255, F.lit(1e-12))
+    )
+    lo, sc = F.col("__lo"), F.col("__scale")
+
+    def qz(x):
+        return F.floor((x - lo) / sc + 0.5)
+
+    return v.select(
+        "vec_id",
+        F.round(lo - 1e-9, _R).alias("lo"),
+        F.round(sc - 1e-9, _R).alias("scale"),
+        F.transform("e", lambda x: qz(x).cast("int")).alias("q"),
+        F.round(
+            F.aggregate(
+                F.transform("e", lambda x: F.abs(lo + qz(x) * sc - x)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / F.size("e")
+            - 1e-9,
+            _R,
+        ).alias("mae"),
+    )

@@ -259,3 +259,45 @@ def text_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("tfidf") - 1e-9, _R).alias("tfidf"),
         )
     )
+
+
+@register(
+    "text_unigram_surprisal",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    cnt AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+    tot AS (SELECT sum(c) AS n FROM cnt)
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           round(sum(-ln(CAST(c AS DOUBLE) / n)) - 1e-9, {_R}) + 0.0
+             AS surprisal,
+           round(sum(-ln(CAST(c AS DOUBLE) / n)) / count(*) - 1e-9, {_R}) + 0.0
+             AS bits_per_token
+    FROM tok JOIN cnt USING (term) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram LM surprisal per document — the cheapest perplexity
+    proxy for quality filtering (gibberish scores high, boilerplate
+    low).  Corpus term counts are one token-level agg whose shuffle
+    carries the vocabulary; they join back per token via broadcast,
+    and the per-doc sum is a second partial agg.  Two shuffles total,
+    both on keys orders of magnitude smaller than the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    cnt = tok.groupBy("term").agg(F.count("*").alias("c"))
+    tot = cnt.agg(F.sum("c").alias("n"))
+    s = -F.log(F.col("c").cast("double") / F.col("n"))
+    return (
+        tok.join(F.broadcast(cnt), "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.sum(s) - 1e-9, _R).alias("surprisal"),
+            F.round(F.sum(s) / F.count("*") - 1e-9, _R).alias("bits_per_token"),
+        )
+    )
