@@ -175,3 +175,32 @@ def encode_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
             _R,
         ).alias("price_01"),
     )
+
+
+_KEYWORDS = ("the", "data", "error", "model")
+
+
+@register(
+    "encode_multi_hot",
+    oracle=f"""
+    SELECT doc_id,
+           {", ".join(
+               f"CAST(list_contains(string_split(text, ' '), '{k}') AS INT)"
+               f" AS has_{k}" for k in _KEYWORDS)}
+    FROM documents
+    """,
+)
+def encode_multi_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """str.get_dummies over a token set — multi-hot membership flags
+    for a declared keyword list (tag presence features).  One
+    split + array_contains per flag, all codegen, no shuffle; at real
+    scale the keyword list is a broadcast lookup, not a literal."""
+    d = load_table(spark, sf_dir, "documents")
+    arr = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        *[
+            F.array_contains(arr, k).cast("int").alias(f"has_{k}")
+            for k in _KEYWORDS
+        ],
+    )

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ondemand_dask_spark.functions.texthash import portable_hash64
 from ondemand_dask_spark.io import load_table
 from ondemand_dask_spark.registry import register
 
@@ -192,4 +193,53 @@ def snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("change_type"),
         F.round(F.col("b_price") - 1e-9, _R).alias("old_price"),
         F.round(F.col("n_price") - 1e-9, _R).alias("new_price"),
+    )
+
+
+_CKSUM_BUCKETS = 64
+_CKSUM_MOD = 2**30
+
+
+@register(
+    "checksum_buckets",
+    oracle=f"""
+    SELECT CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)
+                AS BIGINT) % {_CKSUM_BUCKETS} AS bucket,
+           count(*) AS n_rows,
+           sum(CAST('0x' || substr(md5(
+                 CAST(o_orderkey AS VARCHAR) || '|' ||
+                 CAST(o_custkey AS VARCHAR) || '|' ||
+                 o_orderstatus || '|' ||
+                 CAST(round(o_totalprice - 1e-9, 2) AS VARCHAR)
+               ), 1, 15) AS BIGINT) % {_CKSUM_MOD}) AS checksum
+    FROM orders
+    GROUP BY bucket
+    """,
+)
+def checksum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed order-insensitive table checksum — replication /
+    migration validation without moving data: two systems each
+    compute 64 (bucket, count, sum-of-row-hashes) rows and diff THOSE
+    to localize divergence to a bucket (then drill down by splitting
+    that bucket).  Row hashes are the engine-portable md5-derived
+    int64 reduced mod 2^30 so the per-bucket sum stays far from int64
+    overflow at any realistic bucket population (2^30 · 2^33 rows);
+    addition is commutative, so the checksum is partition-order
+    independent — a pure partial+final agg, one 64-row shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    key_h = portable_hash64(F.col("o_orderkey").cast("string"))
+    row_str = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.round(F.col("o_totalprice") - 1e-9, 2).cast("string"),
+    )
+    return (
+        o.select(
+            (key_h % _CKSUM_BUCKETS).alias("bucket"),
+            (portable_hash64(row_str) % _CKSUM_MOD).alias("rh"),
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_rows"), F.sum("rh").alias("checksum"))
     )
