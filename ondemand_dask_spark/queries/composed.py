@@ -306,3 +306,112 @@ def qcut_by_cutpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(4)
         .alias("bucket"),
     )
+
+
+@register(
+    "funnel_three_step",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(ts) AS t2
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(ts) AS t3
+      FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM s1) AS n_view,
+           (SELECT count(*) FROM s2) AS n_view_click,
+           (SELECT count(*) FROM s3) AS n_view_click_purchase
+    """,
+)
+def funnel_three_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users who viewed, then clicked AFTER the first
+    view, then purchased AFTER that click — the event-sequence
+    conversion query (strictly ordered, not mere co-occurrence).
+    Each stage is a per-user min-aggregate joined forward into the
+    next — three shuffles on user_id that AQE collapses onto the same
+    partitioning, and every stage's output is |users| rows, never
+    events.  (The stateful-streaming twin is stream_stateful_counter's
+    pattern with a step machine in state.)"""
+    e = load_table(spark, sf_dir, "events")
+    s1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        e.join(s1, "user_id")
+        .filter((F.col("event_type") == "click") & (F.col("ts") > F.col("t1")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.join(s2, "user_id")
+        .filter(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.agg(F.count("*").alias("n_view"))
+        .crossJoin(s2.agg(F.count("*").alias("n_view_click")))
+        .crossJoin(s3.agg(F.count("*").alias("n_view_click_purchase")))
+    )
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+    WITH first_day AS (
+      SELECT user_id, min(CAST(date_trunc('day', ts) AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_day,
+             datediff('day', f.cohort_day,
+                      CAST(date_trunc('day', e.ts) AS DATE)) AS offset_days
+      FROM events e JOIN first_day f USING (user_id)
+    )
+    SELECT CAST(cohort_day AS VARCHAR) AS cohort_day,
+           offset_days, count(*) AS n_users
+    FROM activity
+    WHERE offset_days <= 7
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users bucketed by first-seen day, counted on
+    each subsequent active day (first week) — the DAU-retention
+    triangle.  First-seen is one per-user agg broadcast back; the
+    distinct (user, day) collapse happens map-side before the final
+    (cohort, offset) count, whose keyspace is days² — trivially small
+    no matter the corpus."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    first_day = e.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    activity = (
+        e.join(F.broadcast(first_day), "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(day, F.col("cohort_day")).alias("offset_days"),
+        )
+        .distinct()
+    )
+    return (
+        activity.filter(F.col("offset_days") <= 7)
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            "offset_days",
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
