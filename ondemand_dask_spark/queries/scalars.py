@@ -1004,3 +1004,55 @@ def json_corrupt_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("k").isNull(), 1).otherwise(0)).alias("n_invalid"),
         F.sum("k").alias("sum_k"),
     )
+
+
+@register(
+    "json_normalize_nested",
+    oracle="""
+    WITH nested AS (
+      SELECT event_id,
+             '{"meta": {"type": "' || event_type || '", "k": '
+               || CAST(json_extract(props, '$.k') AS VARCHAR)
+               || '}, "vals": [' || CAST(event_id % 7 AS VARCHAR) || ', '
+               || CAST(event_id % 3 AS VARCHAR) || ']}' AS payload
+      FROM events
+    )
+    SELECT event_id,
+           json_extract_string(payload, '$.meta.type') AS meta_type,
+           CAST(json_extract(payload, '$.meta.k') AS BIGINT) AS meta_k,
+           CAST(json_extract(payload, '$.vals[0]') AS BIGINT) AS val0,
+           len(CAST(json_extract(payload, '$.vals') AS BIGINT[])) AS n_vals
+    FROM nested
+    """,
+)
+def json_normalize_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pd.json_normalize — nested JSON (object-in-object + array)
+    flattened to typed columns.  A nested payload is synthesized from
+    the fixture identically on both engines, then parsed ONCE with
+    from_json against an explicit nested schema and field-accessed —
+    the schema-on-read path (get_json_object per field would re-parse
+    the document per column; from_json parses once per row).  All
+    codegen, no shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    payload = F.concat(
+        F.lit('{"meta": {"type": "'),
+        F.col("event_type"),
+        F.lit('", "k": '),
+        F.get_json_object("props", "$.k"),
+        F.lit('}, "vals": ['),
+        (F.col("event_id") % 7).cast("string"),
+        F.lit(", "),
+        (F.col("event_id") % 3).cast("string"),
+        F.lit("]}"),
+    )
+    schema = "meta STRUCT<type: STRING, k: BIGINT>, vals ARRAY<BIGINT>"
+    parsed = e.select(
+        "event_id", F.from_json(payload, schema).alias("j")
+    )
+    return parsed.select(
+        "event_id",
+        F.col("j.meta.type").alias("meta_type"),
+        F.col("j.meta.k").alias("meta_k"),
+        F.element_at("j.vals", 1).alias("val0"),
+        F.size("j.vals").cast("long").alias("n_vals"),
+    )

@@ -315,3 +315,14 @@ def test_interval_overlap_no_bnlj(spark, sf_dir):
     plan = plan_string(df)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_headline_queries_stay_jvm_side(spark, sf_dir):
+    """Every benched query must be pure JVM (no Python operators) —
+    the bench is the scale contract, and a Python stage sneaking into
+    a headline path is a 10-100x regression at 100 TB."""
+    import bench
+
+    for name in bench.HEADLINE:
+        df = _df(name, spark, sf_dir)
+        assert python_eval_count(df) == 0, name
