@@ -288,3 +288,54 @@ def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(bucket < 80, "train").otherwise("eval").alias("split"),
         )
     )
+
+
+@register(
+    "combine_first",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_totalprice END AS price,
+             o_orderstatus
+      FROM orders WHERE o_orderkey % 3 <> 0
+    ), b AS (
+      SELECT o_orderkey, o_totalprice * 0.5 AS price, o_orderpriority
+      FROM orders
+    )
+    SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+           round(COALESCE(a.price, b.price) - 1e-9, 4) + 0.0 AS price,
+           a.o_orderstatus AS o_orderstatus,
+           b.o_orderpriority AS o_orderpriority
+    FROM a FULL JOIN b ON a.o_orderkey = b.o_orderkey
+    """,
+)
+def combine_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.combine_first(other) — patch one frame's holes with another,
+    keeping the union of rows and columns: full outer join on the row
+    key + per-column COALESCE preferring self.  The primary frame
+    here is missing a third of the rows and a seventh of its prices;
+    the fallback frame supplies a default price for both kinds of
+    hole.  A single hash-partitioned equi full-join on a unique key —
+    no skew, and at 100 TB both sides co-shuffle once on o_orderkey
+    (unlike pandas' index alignment, which needs the index
+    materialized and sorted)."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None))
+        .otherwise(F.col("o_totalprice"))
+        .alias("price_a"),
+        "o_orderstatus",
+    )
+    b = o.select(
+        "o_orderkey",
+        (F.col("o_totalprice") * 0.5).alias("price_b"),
+        "o_orderpriority",
+    )
+    j = a.join(b, "o_orderkey", "full")
+    return j.select(
+        "o_orderkey",
+        F.round(F.coalesce("price_a", "price_b") - 1e-9, 4).alias("price"),
+        "o_orderstatus",
+        "o_orderpriority",
+    )

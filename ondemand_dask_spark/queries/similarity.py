@@ -673,3 +673,119 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             _R,
         ).alias("mae"),
     )
+
+
+@register(
+    "embedding_pca_power",
+    oracle=f"""
+    WITH mu AS (
+      SELECT list(m ORDER BY pos) AS mu FROM (
+        SELECT pos, avg(v) AS m FROM (
+          SELECT generate_subscripts(embedding, 1) AS pos,
+                 CAST(unnest(embedding) AS DOUBLE) AS v
+          FROM embeddings) GROUP BY pos)
+    ), cent AS (
+      SELECT vec_id,
+             list_transform(generate_series(1, len(embedding)),
+                            i -> CAST(embedding[i] AS DOUBLE) - mu[i]) AS c
+      FROM embeddings, mu
+    ), s1 AS (
+      SELECT vec_id, c, 0.125 * list_sum(c) AS s FROM cent
+    ), w1d AS (
+      SELECT pos, sum(cv * s) AS w FROM (
+        SELECT generate_subscripts(c, 1) AS pos, unnest(c) AS cv, s
+        FROM s1) GROUP BY pos
+    ), v1n AS (
+      SELECT list_transform(w1,
+               x -> x / sqrt(list_sum(list_transform(w1, y -> y * y)))) AS v1
+      FROM (SELECT list(w ORDER BY pos) AS w1 FROM w1d)
+    ), s2 AS (
+      SELECT vec_id, c,
+             list_sum(list_transform(generate_series(1, len(c)),
+                                     i -> c[i] * v1[i])) AS s
+      FROM cent, v1n
+    ), w2d AS (
+      SELECT pos, sum(cv * s) AS w FROM (
+        SELECT generate_subscripts(c, 1) AS pos, unnest(c) AS cv, s
+        FROM s2) GROUP BY pos
+    ), fin AS (
+      SELECT v1, w2,
+             sqrt(list_sum(list_transform(w2, x -> x * x))) AS nrm,
+             list_sum(list_transform(generate_series(1, len(w2)),
+                                     i -> v1[i] * w2[i])) AS lam,
+             CASE WHEN w2[1] < 0 THEN -1.0 ELSE 1.0 END AS sgn
+      FROM v1n, (SELECT list(w ORDER BY pos) AS w2 FROM w2d)
+    )
+    SELECT pos,
+           round((sgn * wv / nrm) - 1e-9, {_R}) + 0.0 AS loading,
+           round(lam - 1e-9, {_R}) + 0.0 AS eig_scatter
+    FROM (SELECT generate_subscripts(w2, 1) AS pos, unnest(w2) AS wv,
+                 nrm, lam, sgn
+          FROM fin)
+    """,
+)
+def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus by two unrolled
+    power-iteration steps over the mean-centered data — distributed
+    PCA with NO driver-side loop, no collect, and no d x d covariance
+    matrix ever materialized.  Each matrix-vector product A^T(A v) is:
+    a per-row dot against the broadcast direction (narrow), then a
+    64-group tree aggregate of c[d]*s by dimension — the corpus is
+    scanned, never shuffled; only #dims rows move per iteration, so
+    the same plan holds at 100 TB.  Start vector is uniform 1/8
+    (deterministic); sign is fixed by the first loading; `eig_scatter`
+    is the Rayleigh quotient v1.(A^T A v1) — the scatter-matrix
+    eigenvalue, i.e. (n-1) x variance along the PC.  Output: one row
+    per dimension (1-based pos to match SQL subscripts)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("x")
+    )
+    ordered = lambda pairs: F.transform(  # noqa: E731 — (pos,val) structs -> ordered array
+        F.sort_array(pairs), lambda s: s.getField("m")
+    )
+    mu = (
+        e.select(F.posexplode("x").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.avg("v").alias("m"))
+        .groupBy()
+        .agg(ordered(F.collect_list(F.struct("pos", "m"))).alias("mu"))
+    )
+    c = e.crossJoin(F.broadcast(mu)).select(
+        "vec_id", F.zip_with("x", "mu", lambda a, b: a - b).alias("c")
+    )
+    # iteration 1: v0 uniform => dot(c, v0) = 0.125 * sum(c)
+    s1 = c.withColumn(
+        "s", F.lit(0.125) * F.aggregate("c", F.lit(0.0), lambda acc, v: acc + v)
+    )
+    w1 = (
+        s1.select(F.posexplode("c").alias("pos", "cv"), "s")
+        .groupBy("pos")
+        .agg(F.sum(F.col("cv") * F.col("s")).alias("m"))
+        .groupBy()
+        .agg(ordered(F.collect_list(F.struct("pos", "m"))).alias("w1"))
+    )
+    v1 = w1.select(
+        F.transform("w1", lambda x: x / _norm(F.col("w1"))).alias("v1")
+    )
+    # iteration 2 against the normalized direction
+    s2 = c.crossJoin(F.broadcast(v1)).withColumn("s", _dot(F.col("c"), F.col("v1")))
+    w2 = (
+        s2.select(F.posexplode("c").alias("pos", "cv"), "s")
+        .groupBy("pos")
+        .agg(F.sum(F.col("cv") * F.col("s")).alias("m"))
+        .groupBy()
+        .agg(ordered(F.collect_list(F.struct("pos", "m"))).alias("w2"))
+    )
+    fin = v1.crossJoin(F.broadcast(w2)).select(
+        "w2",
+        _norm(F.col("w2")).alias("nrm"),
+        _dot(F.col("v1"), F.col("w2")).alias("lam"),
+        F.when(F.element_at("w2", 1) < 0, F.lit(-1.0)).otherwise(F.lit(1.0)).alias("sgn"),
+    )
+    return fin.select(
+        F.posexplode("w2").alias("pos0", "wv"), "nrm", "lam", "sgn"
+    ).select(
+        (F.col("pos0") + 1).alias("pos"),
+        F.round(F.col("sgn") * F.col("wv") / F.col("nrm") - 1e-9, _R).alias("loading"),
+        F.round(F.col("lam") - 1e-9, _R).alias("eig_scatter"),
+    )

@@ -608,3 +608,67 @@ def window_distinct_expanding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "types_seen"
         ),
     )
+
+
+@register(
+    "resample_asfreq_gapfill",
+    oracle=f"""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             sum(value) AS v, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), spine AS (
+      SELECT user_id,
+             CAST(unnest(generate_series(CAST(mn AS TIMESTAMP),
+                                         CAST(mx AS TIMESTAMP),
+                                         INTERVAL 1 DAY)) AS DATE) AS day
+      FROM (SELECT user_id, min(day) AS mn, max(day) AS mx
+            FROM daily GROUP BY user_id)
+    )
+    SELECT s.user_id, CAST(s.day AS TIMESTAMP) AS day,
+           CAST(COALESCE(d.n, 0) AS BIGINT) AS n_events,
+           round(last_value(d.v IGNORE NULLS) OVER (
+             PARTITION BY s.user_id ORDER BY s.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1e-9, {_R})
+             + 0.0 AS v_ffill
+    FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+    """,
+)
+def resample_asfreq_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.resample('1D').asfreq() + ffill — upsample to a dense daily
+    spine per key and carry the last observation across the gaps (the
+    other half of resampling: `resample_day` downsamples, this one
+    fills the missing buckets in).  The spine is GENERATED, not read:
+    per-user min/max day (a tiny agg) exploded through `sequence()`,
+    then left-joined back to the observed daily aggregates and
+    forward-filled with `last(ignorenulls)`.  Scale shape: the dense
+    spine is #users x #days rows — far smaller than the event corpus
+    — and the join + window both partition by user_id, so one
+    shuffle of the small side; the corpus is touched once by the
+    daily pre-aggregation (map-side partials)."""
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.sum("value").alias("v"), F.count("*").alias("n"))
+    )
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 DAY"))).alias("d"),
+        )
+        .select("user_id", F.col("d").cast("date").alias("day"))
+    )
+    g = spine.join(daily, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return g.select(
+        "user_id",
+        F.col("day").cast("timestamp_ntz").alias("day"),
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+        F.round(F.last("v", ignorenulls=True).over(w) - 1e-9, _R).alias("v_ffill"),
+    )
