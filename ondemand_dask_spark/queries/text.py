@@ -301,3 +301,54 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(s) / F.count("*") - 1e-9, _R).alias("bits_per_token"),
         )
     )
+
+
+@register(
+    "text_zipf_fit",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ), cnt AS (
+      SELECT token, count(*) AS c FROM tok GROUP BY token
+    ), ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, token) AS r
+      FROM cnt ORDER BY c DESC, token LIMIT 1000
+    )
+    SELECT round(regr_slope(ln(c), ln(r)) - 1e-9, 4) + 0.0     AS zipf_slope,
+           round(regr_intercept(ln(c), ln(r)) - 1e-9, 4) + 0.0 AS zipf_intercept,
+           CAST(count(*) AS BIGINT)                            AS n_ranked
+    FROM ranked
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit of the corpus token distribution — the
+    corpus-health diagnostic (natural text gives slope near -1;
+    boilerplate-heavy or synthetic corpora flatten or steepen it).
+    Tokens are counted distributed (map-side partials), then only the
+    top-1000 vocabulary rows pass through TakeOrderedAndProject to a
+    single-task ranking — the corpus never sorts globally, so the
+    plan is corpus-size-independent past the count.  The fit itself
+    is the decomposable regr_slope/regr_intercept aggregate over
+    (ln rank, ln count)."""
+    d = load_table(spark, sf_dir, "documents")
+    cnt = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("c"))
+    )
+    ranked = (
+        cnt.orderBy(F.desc("c"), "token")
+        .limit(1000)
+        .select(
+            "c",
+            F.row_number()
+            .over(Window.orderBy(F.desc("c"), "token"))
+            .alias("r"),
+        )
+    )
+    lnc, lnr = F.log(F.col("c").cast("double")), F.log(F.col("r").cast("double"))
+    return ranked.agg(
+        F.round(F.regr_slope(lnc, lnr) - 1e-9, 4).alias("zipf_slope"),
+        F.round(F.regr_intercept(lnc, lnr) - 1e-9, 4).alias("zipf_intercept"),
+        F.count("*").alias("n_ranked"),
+    )

@@ -672,3 +672,47 @@ def resample_asfreq_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
         F.round(F.last("v", ignorenulls=True).over(w) - 1e-9, _R).alias("v_ffill"),
     )
+
+
+@register(
+    "window_rolling_corr",
+    oracle=f"""
+    SELECT event_id, user_id,
+           round((covar_samp(value, m) OVER w
+                  / NULLIF(stddev_samp(value) OVER w
+                           * stddev_samp(m) OVER w, 0)) - 1e-9, {_R})
+             + 0.0 AS roll_corr
+    FROM (SELECT event_id, user_id, ts, value,
+                 CAST(event_id % 97 AS DOUBLE) AS m
+          FROM events WHERE value IS NOT NULL)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.rolling(20).corr(other) — rolling correlation between two
+    aligned series per key (here: value vs a deterministic companion
+    series), the co-movement diagnostic.  Algebraic aggregates inside
+    an ordinary window frame — one user_id shuffle, no per-frame
+    recomputation.  Built as covar/(sd*sd) EXPLICITLY on both engines
+    rather than corr(): the native corr divides by zero on
+    single-point / zero-variance frames (an ANSI-mode runtime error
+    on a plain Spark 4 session, engine-dependent NaN-vs-NULL
+    otherwise); try_divide/NULLIF pins those frames to SQL NULL
+    identically (SURVEY §7 hard-part 1)."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, 0)
+    )
+    e = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    m = (F.col("event_id") % 97).cast("double")
+    c = F.try_divide(
+        F.covar_samp(F.col("value"), m).over(w),
+        F.stddev_samp("value").over(w) * F.stddev_samp(m).over(w),
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(c - 1e-9, _R).alias("roll_corr"),
+    )

@@ -8,7 +8,7 @@ shuffle merge_asof, sessionization, windowed analytics, MinHash-LSH
 dedup, fingerprints, and salted vs plain aggregation under a 25%-hot
 key.  Prints one JSON line; run ad-hoc, not part of the driver bench.
 
-  python tools/scale_probe.py [--rows 5000000] [--docs 100000]
+  python tools/scale_probe.py [--rows 5000000] [--docs 100000] [--vecs 1000000]
 """
 
 from __future__ import annotations
@@ -85,6 +85,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=5_000_000)
     ap.add_argument("--docs", type=int, default=100_000)
+    ap.add_argument("--vecs", type=int, default=1_000_000)
     args = ap.parse_args()
 
     spark = build_session(app_name="scale_probe", shuffle_partitions=64)
@@ -183,6 +184,32 @@ def main() -> None:
         "pipeline_shard_shuffle",
     ):
         timed(f"{qname}_100k_docs", all_queries()[qname].fn(spark, link_dir))
+
+    # embeddings-shaped ops at --vecs vectors x 64 dims (10x the sf0.1
+    # corpus by default): the iterative PCA (two full matrix-vector
+    # passes, corpus never shuffled) and the broadcast brute-force ANN
+    if not os.path.exists(f"{link_dir}/embeddings.parquet/_SUCCESS"):
+        (
+            spark.range(args.vecs)
+            .select(
+                F.col("id").alias("vec_id"),
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(64)),
+                    lambda i: (
+                        (F.pmod(F.xxhash64(F.col("id") * 64 + i), F.lit(2001)) - 1000)
+                        / 1000.0
+                    ).cast("float"),
+                ).alias("embedding"),
+                F.pmod(F.xxhash64("id", F.lit(5)), F.lit(10))
+                .cast("int")
+                .alias("label"),
+            )
+            .coalesce(16)
+            .write.mode("overwrite")
+            .parquet(f"{link_dir}/embeddings.parquet")
+        )
+    for qname in ("embedding_pca_power", "ann_cosine_topk"):
+        timed(f"{qname}_{args.vecs // 1000}k_vecs", all_queries()[qname].fn(spark, link_dir))
 
     # events-shaped ops at 5M rows (inline: the synthetic events carry
     # real timestamps, not the fixture's ns-int column, so the
