@@ -765,3 +765,95 @@ def stat_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     hitters`).  Fixed memory per partition at any scale."""
     o = load_table(spark, sf_dir, "orders")
     return o.stat.freqItems(["o_orderpriority", "o_orderstatus"], support=0.1)
+
+
+@register(
+    "agg_entropy",
+    oracle=f"""
+    WITH c AS (
+      SELECT user_id, event_type, count(*) AS c
+      FROM events GROUP BY user_id, event_type
+    ), w AS (
+      SELECT user_id, c,
+             sum(c) OVER (PARTITION BY user_id) AS n
+      FROM c
+    )
+    SELECT user_id,
+           round((-sum((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)))
+                 - 1e-9, {_R}) + 0.0 AS entropy,
+           CAST(max(n) AS BIGINT) AS n_events
+    FROM w GROUP BY user_id
+    """,
+)
+def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type mix (-sum p ln p) —
+    the behavioral-diversity / class-balance diagnostic, composed
+    from decomposable aggregates only: counts per (user, type), a
+    per-user total via window (reuses the rows already grouped), and
+    a final per-user sum.  No value collection anywhere — every stage
+    is a hash aggregate, so the plan is identical at 100 TB; the
+    widest intermediate is #users x #event_types rows."""
+    from pyspark.sql.window import Window
+
+    c = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("c"))
+    )
+    n = F.sum("c").over(Window.partitionBy("user_id"))
+    p = F.col("c").cast("double") / F.col("n")
+    return (
+        c.withColumn("n", n)
+        .groupBy("user_id")
+        .agg(
+            F.round((-F.sum(p * F.log(p))) - 1e-9, _R).alias("entropy"),
+            F.max("n").cast("long").alias("n_events"),
+        )
+    )
+
+
+@register(
+    "agg_gini",
+    oracle=f"""
+    WITH r AS (
+      SELECT o_orderpriority AS pri, o_totalprice AS x,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice, o_orderkey) AS r
+      FROM orders
+    )
+    SELECT pri,
+           round((2.0 * sum(r * x) / (count(*) * sum(x))
+                  - (count(*) + 1.0) / count(*)) - 1e-9, {_R}) + 0.0 AS gini,
+           CAST(count(*) AS BIGINT) AS n
+    FROM r GROUP BY pri
+    """,
+)
+def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of order value per priority class — the
+    inequality/concentration measure, via the rank formulation
+    G = 2*sum(r_i*x_i)/(n*sum(x)) - (n+1)/n over values ranked
+    ascending within each group (deterministic tiebreak on the key).
+    One shuffle on the group key + per-group sort for row_number,
+    then a plain hash aggregate.  Scale note: groups here are few and
+    huge, the same shape as exact quantiles — the sort is
+    per-partition after the hash exchange, and a selection-based
+    rewrite (operators/quantile.py) applies if a single group ever
+    outgrows a task."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    r = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_totalprice").alias("x"),
+        F.row_number().over(w).alias("r"),
+    )
+    n = F.count("*")
+    return r.groupBy("pri").agg(
+        F.round(
+            2.0 * F.sum(F.col("r") * F.col("x")) / (n * F.sum("x"))
+            - (n + 1.0) / n
+            - 1e-9,
+            _R,
+        ).alias("gini"),
+        n.cast("long").alias("n"),
+    )
