@@ -245,6 +245,56 @@ class OnDemandFrame:
     ) -> "OnDemandRolling":
         return OnDemandRolling(self, window, order_by, partition_by)
 
+    def expanding(
+        self, order_by: list[str], partition_by: list[str]
+    ) -> "OnDemandRolling":
+        """df.expanding() — unbounded-preceding frame (cumsum/cummax/
+        cumcount are `expanding(...).sum/max/count`)."""
+        return OnDemandRolling(self, None, order_by, partition_by)
+
+    def resample(self, rule: str, on: str) -> "OnDemandResample":
+        """df.resample('1D', on=ts) — time-bucket regrouping; agg()
+        downsamples via date_trunc (a plain hash aggregate)."""
+        return OnDemandResample(self, rule, on)
+
+    def nunique(self, col: str) -> "OnDemandFrame":
+        """ser.nunique — exact distinct count (one row)."""
+        return self._wrap(
+            self._df.agg(F.countDistinct(col).alias(f"{col}_nunique"))
+        )
+
+    def quantile(self, col: str, q: float | list[float]) -> "OnDemandFrame":
+        """ser.quantile — approximate by default, matching Dask's
+        t-digest semantics (`percentile_approx` sketch: single pass,
+        mergeable, fixed memory).  Exact grouped quantiles live in
+        operators/quantile.py."""
+        qs = [q] if isinstance(q, float) else list(q)
+        out = self._df.agg(
+            F.percentile_approx(
+                col, F.array(*[F.lit(x) for x in qs]), 10000
+            ).alias("qs")
+        )
+        return self._wrap(
+            out.select(
+                *[
+                    F.element_at("qs", i + 1).alias(f"{col}_q{str(x).replace('.', '_')}")
+                    for i, x in enumerate(qs)
+                ]
+            )
+        )
+
+    def explode(self, col: str) -> "OnDemandFrame":
+        """ser.explode — one row per array element, other columns
+        repeated (a narrow op; no shuffle)."""
+        others = [c for c in self._df.columns if c != col]
+        return self._wrap(self._df.select(*others, F.explode(col).alias(col)))
+
+    def cov(self, a: str, b: str) -> "OnDemandFrame":
+        return self._wrap(self._df.agg(F.covar_samp(a, b).alias("cov")))
+
+    def corr(self, a: str, b: str) -> "OnDemandFrame":
+        return self._wrap(self._df.agg(F.corr(a, b).alias("corr")))
+
     def ffill(
         self, col: str, order_by: list[str], partition_by: list[str]
     ) -> Column:
@@ -363,15 +413,16 @@ class OnDemandRolling:
     def __init__(
         self,
         frame: OnDemandFrame,
-        window: int,
+        window: int | None,
         order_by: list[str],
         partition_by: list[str],
     ):
         self._frame = frame
+        lo = Window.unboundedPreceding if window is None else -(window - 1)
         self._w = (
             Window.partitionBy(*partition_by)
             .orderBy(*order_by)
-            .rowsBetween(-(window - 1), 0)
+            .rowsBetween(lo, 0)
         )
 
     def __getattr__(self, fn: str):
@@ -382,3 +433,39 @@ class OnDemandRolling:
             return _AGG_MAP[fn](col).over(self._w)
 
         return over
+
+
+_RULE_MAP = {
+    "1D": "day", "D": "day",
+    "1H": "hour", "H": "hour", "h": "hour",
+    "1W": "week", "W": "week",
+    "1M": "month", "M": "month", "MS": "month",
+    "1T": "minute", "T": "minute", "min": "minute",
+}
+
+
+class OnDemandResample:
+    """df.resample(rule, on=ts).agg({...}) — downsampling to calendar
+    buckets.  date_trunc keeps the bucket key a plain column, so the
+    aggregate is an ordinary partial+final hash agg (no windowing)."""
+
+    def __init__(self, frame: OnDemandFrame, rule: str, on: str):
+        if rule not in _RULE_MAP:
+            raise ValueError(f"unsupported resample rule {rule!r}")
+        self._frame = frame
+        self._bucket = F.date_trunc(_RULE_MAP[rule], F.col(on)).alias(on)
+        self._on = on
+
+    def agg(self, spec: dict[str, str | list[str]]) -> OnDemandFrame:
+        exprs = []
+        for col, fns in spec.items():
+            for fn in [fns] if isinstance(fns, str) else fns:
+                exprs.append(_AGG_MAP[fn](col).alias(f"{col}_{fn}"))
+        return self._frame._wrap(
+            self._frame._df.groupBy(self._bucket).agg(*exprs)
+        )
+
+    def size(self) -> OnDemandFrame:
+        return self._frame._wrap(
+            self._frame._df.groupBy(self._bucket).agg(F.count("*").alias("size"))
+        )

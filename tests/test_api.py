@@ -318,3 +318,55 @@ def test_ffill_bfill_pct_change(events, events_pd):
         drop=True
     )
     assert_results_match(got, exp, "ffill_bfill_pct_change")
+
+
+def test_expanding_cumsum(events, events_pd):
+    exp_w = events.expanding(order_by=["ts", "event_id"], partition_by=["user_id"])
+    got = events.assign(cs=exp_w.sum("value"))[["event_id", "cs"]].compute()
+    exp_s = (
+        events_pd.sort_values(["ts", "event_id"])
+        .groupby("user_id")
+        .value.cumsum()
+    )
+    exp = pd.DataFrame({"event_id": events_pd.event_id, "cs": exp_s})
+    assert_results_match(got, exp, "expanding_cumsum")
+
+
+def test_resample_day_agg(events, events_pd):
+    got = events.resample("1D", on="ts").agg({"value": "sum"}).compute()
+    exp = (
+        events_pd.set_index("ts")
+        .resample("1D")["value"]
+        .sum(min_count=1)
+        .dropna()
+        .rename("value_sum")
+        .reset_index()
+    )
+    assert_results_match(got, exp, "resample_day_agg")
+
+
+def test_nunique_explode_cov_corr(events, events_pd):
+    assert (
+        events.nunique("event_type").compute().iloc[0, 0]
+        == events_pd.event_type.nunique()
+    )
+    arr = events.assign(a=F.array(F.lit(1), F.lit(2)))[["event_id", "a"]]
+    got = arr.explode("a").compute()
+    assert len(got) == 2 * len(events_pd)
+    cov = events.cov("value", "event_id").compute().iloc[0, 0]
+    exp_cov = events_pd.value.cov(events_pd.event_id.astype("float64"))
+    assert abs(cov - exp_cov) / abs(exp_cov) < 1e-9
+    corr = events.corr("value", "event_id").compute().iloc[0, 0]
+    exp_corr = events_pd.value.corr(events_pd.event_id.astype("float64"))
+    assert abs(corr - exp_corr) < 1e-9
+
+
+def test_quantile_monotone(events, events_pd):
+    row = events.quantile("value", [0.25, 0.5, 0.75]).compute().iloc[0]
+    q25, q50, q75 = row["value_q0_25"], row["value_q0_5"], row["value_q0_75"]
+    assert q25 <= q50 <= q75
+    # sketch answers are actual data values within the hull, close to
+    # pandas' interpolated quantiles at this accuracy
+    for got, q in ((q25, 0.25), (q50, 0.5), (q75, 0.75)):
+        exp = events_pd.value.quantile(q)
+        assert abs(got - exp) <= abs(exp) * 0.05 + 1.0
