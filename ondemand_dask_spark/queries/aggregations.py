@@ -857,3 +857,30 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("gini"),
         n.cast("long").alias("n"),
     )
+
+
+@register(
+    "agg_weighted_avg",
+    oracle=f"""
+    SELECT l_returnflag,
+           round((sum(l_extendedprice * l_quantity) / sum(l_quantity))
+                 - 1e-9, {_R}) + 0.0 AS wavg_price,
+           round((sum(l_extendedprice * (1 - l_discount))
+                  / sum(1 - l_discount)) - 1e-9, {_R}) + 0.0 AS wavg_net,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted mean per group — sum(w*x)/sum(w), the estimator every
+    sampled/importance-weighted pipeline needs.  Pure decomposable
+    sums (two per output), map-side partials, one shuffle of #groups
+    rows; no pandas-style per-group apply."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w1, w2 = F.col("l_quantity"), 1 - F.col("l_discount")
+    x = F.col("l_extendedprice")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.sum(x * w1) / F.sum(w1) - 1e-9, _R).alias("wavg_price"),
+        F.round(F.sum(x * w2) / F.sum(w2) - 1e-9, _R).alias("wavg_net"),
+        F.count("*").cast("long").alias("n"),
+    )

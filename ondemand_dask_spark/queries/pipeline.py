@@ -776,3 +776,54 @@ def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_hits"))
     )
+
+
+_CURRICULUM_SHARDS = 16
+
+
+@register(
+    "pipeline_curriculum_order",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             CASE WHEN n_chars < 200 THEN 0
+                  WHEN n_chars < 400 THEN 1
+                  ELSE 2 END AS phase,
+             {_salted_sql("curr", "doc_id")} AS hk
+      FROM documents
+    )
+    SELECT doc_id, phase,
+           hk % {_CURRICULUM_SHARDS} AS shard,
+           row_number() OVER (PARTITION BY phase, hk % {_CURRICULUM_SHARDS}
+                              ORDER BY hk, doc_id) AS pos
+    FROM scored
+    """,
+)
+def pipeline_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum training order: easy -> hard phases (difficulty proxy
+    = document length at fixed thresholds — a pure narrow expression,
+    NOT a global ntile, which would need a corpus-wide sort), with a
+    deterministic salted-hash shuffle inside each phase.  The shuffle
+    position is keyed by (phase, shard) — {_CURRICULUM_SHARDS} shards
+    per phase — so no window ever covers a whole phase: the reader
+    consumes phases in order, round-robining shards by pos, and gets
+    a reproducible curriculum permutation.  Same scale pattern as
+    pipeline_shard_shuffle; the phase dimension adds zero extra
+    shuffles (one exchange on the compound key)."""
+    d = load_table(spark, sf_dir, "documents")
+    phase = (
+        F.when(F.col("n_chars") < 200, 0)
+        .when(F.col("n_chars") < 400, 1)
+        .otherwise(2)
+    )
+    hk = _salted_hash("curr", F.col("doc_id"))
+    scored = d.select(
+        "doc_id", phase.alias("phase"), hk.alias("hk"),
+        (hk % _CURRICULUM_SHARDS).alias("shard"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("phase", "shard").orderBy("hk", "doc_id")
+    return scored.select(
+        "doc_id", "phase", "shard", F.row_number().over(w).alias("pos")
+    )
