@@ -138,20 +138,47 @@ class OnDemandFrame:
     def merge(
         self,
         right: "OnDemandFrame",
-        on: str | list[str],
+        on: str | list[str] | None = None,
         how: str = "inner",
         indicator: bool = False,
         broadcast: bool = False,
+        left_on: str | list[str] | None = None,
+        right_on: str | list[str] | None = None,
+        suffixes: tuple[str, str] = ("_x", "_y"),
     ) -> "OnDemandFrame":
         """dd.merge: inner/left/right/outer plus Spark-native semi/anti.
-        `broadcast=True` hints the small side (dimension tables)."""
+        `broadcast=True` hints the small side (dimension tables).
+        pandas parity: `left_on`/`right_on` join differently-named keys
+        (both key columns kept, as pandas does), and clashing non-key
+        columns get `suffixes` — Spark would otherwise emit ambiguous
+        duplicate names."""
         how = {"outer": "full"}.get(how, how)
-        r = right._df
+        if left_on is not None or right_on is not None:
+            lks = [left_on] if isinstance(left_on, str) else list(left_on)
+            rks = [right_on] if isinstance(right_on, str) else list(right_on)
+            lt, rt = self._df, right._df
+            clash = (set(lt.columns) & set(rt.columns)) - (set(lks) & set(rks))
+            lt = lt.withColumnsRenamed({c: c + suffixes[0] for c in clash})
+            rt = rt.withColumnsRenamed({c: c + suffixes[1] for c in clash})
+            lks = [k + suffixes[0] if k in clash else k for k in lks]
+            rks = [k + suffixes[1] if k in clash else k for k in rks]
+            cond = None
+            for lk, rk in zip(lks, rks):
+                c = lt[lk] == rt[rk]
+                cond = c if cond is None else cond & c
+            return self._wrap(
+                lt.join(F.broadcast(rt) if broadcast else rt, cond, how)
+            )
         on_list = [on] if isinstance(on, str) else list(on)
+        lt, r = self._df, right._df
+        clash = (set(lt.columns) & set(r.columns)) - set(on_list)
+        if clash:
+            lt = lt.withColumnsRenamed({c: c + suffixes[0] for c in clash})
+            r = r.withColumnsRenamed({c: c + suffixes[1] for c in clash})
         if indicator:
-            lt = self._df.withColumn("__l", F.lit(1))
+            ltag = lt.withColumn("__l", F.lit(1))
             rt = r.withColumn("__r", F.lit(1))
-            j = lt.join(F.broadcast(rt) if broadcast else rt, on_list, "full")
+            j = ltag.join(F.broadcast(rt) if broadcast else rt, on_list, "full")
             merge_col = (
                 F.when(F.col("__l").isNull(), "right_only")
                 .when(F.col("__r").isNull(), "left_only")
@@ -161,7 +188,7 @@ class OnDemandFrame:
                 j.withColumn("_merge", merge_col).drop("__l", "__r")
             )
         return self._wrap(
-            self._df.join(F.broadcast(r) if broadcast else r, on_list, how)
+            lt.join(F.broadcast(r) if broadcast else r, on_list, how)
         )
 
     def merge_asof(self, right: "OnDemandFrame", **kwargs) -> "OnDemandFrame":

@@ -370,3 +370,36 @@ def test_quantile_monotone(events, events_pd):
     for got, q in ((q25, 0.25), (q50, 0.5), (q75, 0.75)):
         exp = events_pd.value.quantile(q)
         assert abs(got - exp) <= abs(exp) * 0.05 + 1.0
+
+
+def test_merge_suffixes_and_left_right_on(events, events_pd):
+    # self-merge on user_id: value/ts/event_type clash -> suffixed
+    small = events[["user_id", "event_id", "value"]]
+    agg = small.groupby("user_id").agg({"value": "max"}).rename(
+        {"value_max": "value"}
+    )
+    got = small.merge(agg, on="user_id", how="inner").compute()
+    exp = events_pd[["user_id", "event_id", "value"]].merge(
+        events_pd.groupby("user_id", as_index=False)["value"]
+        .max(),
+        on="user_id",
+        how="inner",
+        suffixes=("_x", "_y"),
+    )
+    assert_results_match(got, exp, "merge_suffixes")
+
+    # left_on/right_on with different key names keeps both keys
+    renamed = agg.rename({"user_id": "uid"})
+    got2 = small.merge(
+        renamed, left_on="user_id", right_on="uid", how="inner"
+    ).compute()
+    exp2 = events_pd[["user_id", "event_id", "value"]].merge(
+        events_pd.groupby("user_id", as_index=False)["value"]
+        .max()
+        .rename(columns={"user_id": "uid"}),
+        left_on="user_id",
+        right_on="uid",
+        how="inner",
+        suffixes=("_x", "_y"),
+    )
+    assert_results_match(got2, exp2, "merge_left_right_on")
