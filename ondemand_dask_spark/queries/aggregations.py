@@ -884,3 +884,36 @@ def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(x * w2) / F.sum(w2) - 1e-9, _R).alias("wavg_net"),
         F.count("*").cast("long").alias("n"),
     )
+
+
+@register(
+    "agg_conditional_filter",
+    oracle=f"""
+    SELECT l_returnflag,
+           count(*) FILTER (WHERE l_discount > 0.05) AS n_disc,
+           round((sum(l_extendedprice) FILTER (WHERE l_quantity > 25))
+                 - 1e-9, {_R}) + 0.0 AS big_qty_rev,
+           round((avg(l_extendedprice) FILTER (WHERE l_tax = 0))
+                 - 1e-9, {_R}) + 0.0 AS tax_free_avg
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_conditional_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregates — SQL's FILTER clause, pandas'
+    masked-column agg idiom.  count_if and when()-guarded sum/avg
+    keep everything one hash aggregate over a single scan (three
+    filters share the pass; no per-condition subqueries), with the
+    empty-set convention preserved: a group with no qualifying rows
+    yields NULL for sum/avg, 0 for count, identically on both
+    engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_extendedprice")
+    return li.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_discount") > 0.05).alias("n_disc"),
+        F.round(
+            F.sum(F.when(F.col("l_quantity") > 25, x)) - 1e-9, _R
+        ).alias("big_qty_rev"),
+        F.round(
+            F.avg(F.when(F.col("l_tax") == 0, x)) - 1e-9, _R
+        ).alias("tax_free_avg"),
+    )

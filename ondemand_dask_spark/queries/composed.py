@@ -415,3 +415,47 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_users"))
     )
+
+
+@register(
+    "path_common_sequences",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type,
+             lead(event_type)    OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_type || '>' || e2 || '>' || e3 AS path,
+           count(*) AS n
+    FROM s WHERE e3 IS NOT NULL
+    GROUP BY 1 ORDER BY n DESC, path LIMIT 10
+    """,
+)
+def path_common_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most frequent 3-step event paths — the open-ended
+    companion to the fixed-sequence funnel: every consecutive
+    event-type trigram per user (two leads over the shared user
+    window — ONE shuffle), counted and top-k'd.  The path vocabulary
+    is bounded (|event_types|^3), so the count shuffle carries at
+    most that many rows per partition and the top-10 plans as
+    TakeOrderedAndProject."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = load_table(spark, sf_dir, "events")
+    s = e.select(
+        "event_type",
+        F.lead("event_type").over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    return (
+        s.select(
+            F.concat_ws(">", "event_type", "e2", "e3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(10)
+    )

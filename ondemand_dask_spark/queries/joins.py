@@ -370,3 +370,44 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest("e_lo", "p_lo").alias("overlap_lo"),
         F.least("e_hi", "p_hi").alias("overlap_hi"),
     )
+
+
+@register(
+    "join_null_safe",
+    oracle="""
+    WITH s AS (
+      SELECT s_suppkey,
+             CASE WHEN s_suppkey % 7 = 0 THEN NULL ELSE s_nationkey END AS nk
+      FROM supplier
+    ), n AS (
+      SELECT n_name,
+             CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_nationkey END AS nk
+      FROM nation
+    )
+    SELECT s.s_suppkey, n.n_name
+    FROM s JOIN n ON s.nk IS NOT DISTINCT FROM n.nk
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi join (pandas merge treats NaN keys as equal —
+    SQL '=' does not): Spark's `eqNullSafe` (<=>) against DuckDB's
+    IS NOT DISTINCT FROM.  <=> is still a hash-joinable equi key, so
+    the plan stays a broadcast/shuffled HASH join — no fallback to a
+    nested-loop predicate join; NULL keys co-locate like any other
+    key value (and at scale a heavily-NULL key is a skew key — the
+    same salting lever applies)."""
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.when(F.col("s_suppkey") % 7 == 0, F.lit(None))
+        .otherwise(F.col("s_nationkey"))
+        .alias("nk"),
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_name",
+        F.when(F.col("n_nationkey") % 5 == 0, F.lit(None))
+        .otherwise(F.col("n_nationkey"))
+        .alias("nk"),
+    )
+    return s.join(F.broadcast(n), s["nk"].eqNullSafe(n["nk"])).select(
+        "s_suppkey", "n_name"
+    )
