@@ -326,3 +326,31 @@ def test_headline_queries_stay_jvm_side(spark, sf_dir):
     for name in bench.HEADLINE:
         df = _df(name, spark, sf_dir)
         assert python_eval_count(df) == 0, name
+
+
+def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path):
+    """Star-schema DPP: joining a hive-partitioned fact to a dim
+    filtered only at runtime must inject a dynamicpruning expression
+    into the fact scan's PartitionFilters — at 100 TB this is the
+    difference between listing every date partition and only the ones
+    the dim filter selects (static pruning can't see through the
+    join)."""
+    from pyspark.sql import functions as F
+
+    from ondemand_dask_spark.io import load_table
+
+    out = str(tmp_path / "orders_dpp")
+    load_table(spark, sf_dir, "orders").write.partitionBy(
+        "o_orderpriority"
+    ).parquet(out)
+    fact = spark.read.parquet(out)
+    dim = (
+        spark.read.parquet(out)
+        .select("o_orderpriority", "o_orderstatus")
+        .distinct()
+        .filter(F.col("o_orderstatus") == "F")
+        .withColumnRenamed("o_orderstatus", "d_status")
+    )
+    j = fact.join(dim, "o_orderpriority").groupBy("d_status").count()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
