@@ -827,3 +827,52 @@ def pipeline_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(
         "doc_id", "phase", "shard", F.row_number().over(w).alias("pos")
     )
+
+
+@register(
+    "pipeline_filter_cascade",
+    oracle=f"""
+    WITH flags AS (
+      SELECT doc_id,
+             (lang IN ('en', 'de', 'fr'))            AS f_lang,
+             (n_chars BETWEEN 80 AND 1000)           AS f_len,
+             (len(string_split(text, ' ')) >= 12)    AS f_tok,
+             ({_salted_sql("casc", "doc_id")} % 100 < 90) AS f_samp
+      FROM documents
+    )
+    SELECT count(*)                                          AS n_total,
+           count(*) FILTER (WHERE f_lang)                    AS n_lang,
+           count(*) FILTER (WHERE f_lang AND f_len)          AS n_len,
+           count(*) FILTER (WHERE f_lang AND f_len AND f_tok) AS n_tok,
+           count(*) FILTER (WHERE f_lang AND f_len AND f_tok AND f_samp)
+                                                             AS n_kept
+    FROM flags
+    """,
+)
+def pipeline_filter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-curation funnel report: how many documents survive each
+    CUMULATIVE filter stage (language allowlist -> length band ->
+    minimum token count -> deterministic 90% hash sample).  One scan,
+    one row out: every stage is a boolean flag and the cascade is
+    conditional counts over the conjunctions — no per-stage subquery,
+    no repeated scans (at 100 TB each extra pass over the corpus is
+    the cost that matters).  The hash-sample stage reuses the salted
+    split convention, so the report matches what the real sampled
+    pipeline would keep."""
+    d = load_table(spark, sf_dir, "documents")
+    f_lang = F.col("lang").isin("en", "de", "fr")
+    f_len = F.col("n_chars").between(80, 1000)
+    f_tok = F.size(F.split("text", " ")) >= 12
+    f_samp = _salted_hash("casc", F.col("doc_id")) % 100 < 90
+    return d.select(
+        f_lang.alias("f_lang"), f_len.alias("f_len"),
+        f_tok.alias("f_tok"), f_samp.alias("f_samp"),
+    ).agg(
+        F.count("*").alias("n_total"),
+        F.count_if(F.col("f_lang")).alias("n_lang"),
+        F.count_if(F.col("f_lang") & F.col("f_len")).alias("n_len"),
+        F.count_if(F.col("f_lang") & F.col("f_len") & F.col("f_tok")).alias("n_tok"),
+        F.count_if(
+            F.col("f_lang") & F.col("f_len") & F.col("f_tok") & F.col("f_samp")
+        ).alias("n_kept"),
+    )

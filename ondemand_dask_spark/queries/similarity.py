@@ -789,3 +789,40 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("sgn") * F.col("wv") / F.col("nrm") - 1e-9, _R).alias("loading"),
         F.round(F.col("lam") - 1e-9, _R).alias("eig_scatter"),
     )
+
+
+@register(
+    "embedding_dim_stats",
+    oracle=f"""
+    SELECT pos,
+           round((avg(v)) - 1e-9, {_R}) + 0.0         AS dim_mean,
+           round((stddev_samp(v)) - 1e-9, {_R}) + 0.0 AS dim_std,
+           round((min(v)) - 1e-9, {_R}) + 0.0         AS dim_min,
+           round((max(v)) - 1e-9, {_R}) + 0.0         AS dim_max,
+           count(*)                                   AS n
+    FROM (
+      SELECT generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ) GROUP BY pos
+    """,
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding health check (mean/std/min/max): dead
+    dimensions (std~0), mean drift, and range blowups are the
+    standard corpus-embedding diagnostics before any similarity or
+    clustering work.  posexplode -> 64-group hash aggregate: partials
+    do the work map-side, the exchange carries #dims rows per
+    partition — corpus-size-independent, like every stats pass in
+    this module (1-based pos to match SQL subscripts)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    flat = e.select(F.posexplode("embedding").alias("pos0", "vf")).select(
+        (F.col("pos0") + 1).alias("pos"), F.col("vf").cast("double").alias("v")
+    )
+    return flat.groupBy("pos").agg(
+        F.round(F.avg("v") - 1e-9, _R).alias("dim_mean"),
+        F.round(F.stddev_samp("v") - 1e-9, _R).alias("dim_std"),
+        F.round(F.min("v") - 1e-9, _R).alias("dim_min"),
+        F.round(F.max("v") - 1e-9, _R).alias("dim_max"),
+        F.count("*").alias("n"),
+    )
