@@ -917,3 +917,50 @@ def agg_conditional_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg(F.when(F.col("l_tax") == 0, x)) - 1e-9, _R
         ).alias("tax_free_avg"),
     )
+
+
+@register(
+    "agg_mad",
+    oracle=f"""
+    WITH med AS (
+      SELECT l_returnflag AS k, quantile_cont(l_extendedprice, 0.5) AS m
+      FROM lineitem GROUP BY 1
+    )
+    SELECT k AS l_returnflag,
+           round((quantile_cont(abs(l_extendedprice - m), 0.5))
+                 - 1e-9, {_R}) + 0.0 AS mad,
+           round(m - 1e-9, {_R}) + 0.0 AS median_price
+    FROM lineitem l JOIN med ON med.k = l.l_returnflag
+    GROUP BY k, m
+    """,
+)
+def agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per group — the robust spread
+    estimator (outlier-proof where stddev is not): group median,
+    broadcast it back, median of |x - m|.  Two median passes; the
+    join side is #groups rows, so the fact table never shuffles for
+    the join.  Uses the exact interpolated median (quantile_cont
+    semantics on both engines); for few-huge-group corpora swap in
+    the selection-based exact quantiles (operators/quantile.py) —
+    same answer, bounded task memory."""
+    li = load_table(spark, sf_dir, "lineitem")
+    med = li.groupBy(F.col("l_returnflag").alias("k")).agg(
+        F.median("l_extendedprice").alias("m")
+    )
+    j = li.join(
+        F.broadcast(med), F.col("l_returnflag") == F.col("k")
+    )
+    return (
+        j.groupBy("k", "m")
+        .agg(
+            F.round(
+                F.median(F.abs(F.col("l_extendedprice") - F.col("m"))) - 1e-9,
+                _R,
+            ).alias("mad")
+        )
+        .select(
+            F.col("k").alias("l_returnflag"),
+            "mad",
+            F.round(F.col("m") - 1e-9, _R).alias("median_price"),
+        )
+    )

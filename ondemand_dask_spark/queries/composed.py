@@ -459,3 +459,56 @@ def path_common_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "path")
         .limit(10)
     )
+
+
+@register(
+    "events_active_users",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), dau AS (
+      SELECT day, count(*) AS dau FROM ud GROUP BY day
+    ), contrib AS (
+      SELECT user_id,
+             CAST(unnest(generate_series(CAST(day AS TIMESTAMP),
+                                         CAST(day + INTERVAL 6 DAY AS TIMESTAMP),
+                                         INTERVAL 1 DAY)) AS DATE) AS day
+      FROM ud
+    ), wau AS (
+      SELECT day, count(DISTINCT user_id) AS wau FROM contrib GROUP BY day
+    )
+    SELECT CAST(dau.day AS TIMESTAMP) AS day, dau.dau, wau.wau
+    FROM dau JOIN wau ON dau.day = wau.day
+    """,
+)
+def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU per day — the canonical engagement
+    rollup.  COUNT(DISTINCT) over a sliding window isn't a legal
+    window aggregate, so WAU is computed by CONTRIBUTION EXPANSION:
+    dedup events to (user, day) pairs first (the corpus-size ->
+    user-day-size collapse happens before anything else), then each
+    pair contributes to the 7 days it keeps the user 'weekly-active',
+    and a distinct-count per contributed day gives WAU.  All hash
+    aggregates; the 7x expansion applies to the deduped pairs, never
+    the raw events.  The same pattern gives MAU with a 30-day
+    sequence."""
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    dau = ud.groupBy("day").agg(F.count("*").alias("dau"))
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence("day", F.date_add("day", 6), F.expr("INTERVAL 1 DAY"))
+        ).alias("wd"),
+    ).select("user_id", F.col("wd").cast("date").alias("day"))
+    wau = (
+        contrib.distinct()
+        .groupBy("day")
+        .agg(F.count("*").alias("wau"))
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            F.col("day").cast("timestamp_ntz").alias("day"), "dau", "wau"
+        )
+    )
