@@ -575,3 +575,52 @@ def dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return exact_drops.unionByName(near_drops)
+
+
+@register(
+    "dedup_incremental_batch",
+    oracle="""
+    WITH hashed AS (
+      SELECT doc_id, sha256(lower(trim(text))) AS digest FROM documents
+    ), existing AS (
+      SELECT DISTINCT digest FROM hashed WHERE doc_id < 300
+    ), batch AS (
+      SELECT * FROM hashed WHERE doc_id >= 300
+    )
+    SELECT b.doc_id, b.digest,
+           CASE WHEN e.digest IS NOT NULL THEN 'dup_of_corpus'
+                WHEN b.doc_id <> min(b.doc_id) OVER (PARTITION BY b.digest)
+                  THEN 'dup_in_batch'
+                ELSE 'new' END AS status
+    FROM batch b LEFT JOIN existing e ON b.digest = e.digest
+    """,
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingestion dedup — the production shape: a NEW batch
+    is checked against the EXISTING corpus's digest index (left join
+    on 32-byte hashes; the index never rescans document bodies), and
+    then within-batch first-per-digest picks one survivor among the
+    genuinely new documents.  Each new doc gets a status:
+    dup_of_corpus / dup_in_batch / new.  At 100 TB the existing-digest
+    side is an append-only table partitioned by digest prefix; the
+    batch (always the small side) broadcasts against it, so daily
+    ingestion cost scales with the batch, not the corpus."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.sha2(F.lower(F.trim(F.col("text"))), 256).alias("digest")
+    )
+    existing = d.filter(F.col("doc_id") < 300).select("digest").distinct()
+    batch = d.filter(F.col("doc_id") >= 300)
+    j = batch.join(
+        existing.withColumnRenamed("digest", "e_digest"),
+        F.col("digest") == F.col("e_digest"),
+        "left",
+    )
+    from pyspark.sql.window import Window
+
+    first_in_batch = F.min("doc_id").over(Window.partitionBy("digest"))
+    status = (
+        F.when(F.col("e_digest").isNotNull(), "dup_of_corpus")
+        .when(F.col("doc_id") != first_in_batch, "dup_in_batch")
+        .otherwise("new")
+    )
+    return j.select("doc_id", "digest", status.alias("status"))

@@ -352,3 +352,53 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_intercept(lnc, lnr) - 1e-9, 4).alias("zipf_intercept"),
         F.count("*").alias("n_ranked"),
     )
+
+
+@register(
+    "text_oov_rate",
+    oracle=f"""
+    WITH tok AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
+    ), vocab AS (
+      SELECT token FROM (
+        SELECT token, count(*) AS c FROM tok GROUP BY token
+        ORDER BY c DESC, token LIMIT 500
+      )
+    )
+    SELECT lang,
+           count(*) AS n_tokens,
+           count(*) FILTER (WHERE v.token IS NULL) AS n_oov,
+           round((CAST(count(*) FILTER (WHERE v.token IS NULL) AS DOUBLE)
+                  / count(*)) - 1e-9, {_R}) + 0.0 AS oov_rate
+    FROM tok t LEFT JOIN vocab v ON t.token = v.token
+    GROUP BY lang
+    """,
+)
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per language against a top-500
+    frequency vocabulary — the tokenizer-coverage metric run before
+    committing to a vocab.  The vocab is built with
+    TakeOrderedAndProject (the corpus never sorts globally) and then
+    BROADCAST to the token stream: the big side is joined without a
+    shuffle, and the per-language rates are one hash aggregate.  The
+    same plan at 100 TB: vocab is always tiny, tokens always stream."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("lang", F.explode(F.split("text", " ")).alias("token"))
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), "token")
+        .limit(500)
+        .select(F.col("token").alias("v_token"))
+    )
+    j = tok.join(
+        F.broadcast(vocab), F.col("token") == F.col("v_token"), "left"
+    )
+    oov = F.col("v_token").isNull()
+    return j.groupBy("lang").agg(
+        F.count("*").alias("n_tokens"),
+        F.count_if(oov).alias("n_oov"),
+        F.round(
+            F.count_if(oov).cast("double") / F.count("*") - 1e-9, _R
+        ).alias("oov_rate"),
+    )
