@@ -512,3 +512,48 @@ def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("day").cast("timestamp_ntz").alias("day"), "dau", "wau"
         )
     )
+
+
+@register(
+    "events_longest_streak",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), isl AS (
+      SELECT user_id, day,
+             day - CAST(row_number() OVER (PARTITION BY user_id
+                                           ORDER BY day) AS INT) AS grp
+      FROM ud
+    ), streaks AS (
+      SELECT user_id, grp, count(*) AS streak
+      FROM isl GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           max(streak) AS longest_streak,
+           CAST(sum(streak) AS BIGINT) AS n_active_days
+    FROM streaks GROUP BY user_id
+    """,
+)
+def events_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest run of consecutive active days per user — the
+    retention streak metric, via the row-number-offset
+    gaps-and-islands identity: within a user's sorted distinct days,
+    `day - row_number days` is constant exactly along a consecutive
+    run, so islands fall out of a plain groupBy with no
+    self-join/lag-cascade.  Everything after the (user, day) dedup
+    is keyed by user — one shuffle reused by the window and both
+    aggregates."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    isl = ud.select(
+        "user_id",
+        F.date_sub("day", F.row_number().over(w)).alias("grp"),
+    )
+    streaks = isl.groupBy("user_id", "grp").agg(F.count("*").alias("streak"))
+    return streaks.groupBy("user_id").agg(
+        F.max("streak").alias("longest_streak"),
+        F.sum("streak").cast("long").alias("n_active_days"),
+    )
