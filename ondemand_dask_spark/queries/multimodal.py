@@ -180,3 +180,43 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select("doc_id", "payload").mapInPandas(
         resize, "doc_id bigint, thumb binary, orig_len int, thumb_len int"
     )
+
+
+@register(
+    "multimodal_dedup_content_hash",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0 THEN 'image/png'
+                  WHEN doc_id % 10 = 1 THEN 'audio/wav'
+                  ELSE 'text/plain' END AS mime,
+             md5(text) AS digest
+      FROM documents
+    )
+    SELECT mime, digest,
+           min(doc_id) AS keeper,
+           count(*)    AS n_copies
+    FROM m GROUP BY mime, digest
+    HAVING count(*) >= 1
+    """,
+)
+def multimodal_dedup_content_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload dedup by content digest, partitioned by mime
+    type (an image never dedups against an audio clip even on a
+    digest collision): digest the payload JVM-side, group on
+    (mime, digest), keep the first asset.  The multimodal analogue of
+    `dedup_exact` — the shuffle moves 16-byte digests + mime strings,
+    never payload bytes, which is the only workable shape when the
+    payload column is megabytes per row at 100 TB."""
+    m = _media(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        m.join(d, "doc_id")
+        .select(
+            F.col("meta.mime").alias("mime"),
+            F.md5("text").alias("digest"),
+            "doc_id",
+        )
+        .groupBy("mime", "digest")
+        .agg(F.min("doc_id").alias("keeper"), F.count("*").alias("n_copies"))
+    )

@@ -716,3 +716,44 @@ def window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.round(c - 1e-9, _R).alias("roll_corr"),
     )
+
+
+@register(
+    "window_zscore_anomaly",
+    oracle=f"""
+    SELECT event_id, user_id,
+           round(((value - avg(value) OVER w)
+                  / NULLIF(stddev_samp(value) OVER w, 0)) - 1e-9, {_R})
+             + 0.0 AS zscore,
+           (abs((value - avg(value) OVER w)
+                / NULLIF(stddev_samp(value) OVER w, 0)) > 2.0) AS is_anomaly
+    FROM events
+    WHERE value IS NOT NULL
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 19 PRECEDING AND 1 PRECEDING)
+    """,
+)
+def window_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing z-score anomaly flag — each value scored against the
+    PRECEDING 19 observations only (frame ends at 1 PRECEDING: the
+    current point never contaminates its own baseline, the standard
+    leak-free monitoring setup).  One user_id shuffle; mean and std
+    share the frame.  Degenerate baselines (one point, zero
+    variance) are NULL via try_divide/NULLIF on both engines, never
+    a divide-by-zero or NaN."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, -1)
+    )
+    e = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    z = F.try_divide(
+        F.col("value") - F.avg("value").over(w),
+        F.stddev_samp("value").over(w),
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(z - 1e-9, _R).alias("zscore"),
+        (F.abs(z) > 2.0).alias("is_anomaly"),
+    )
