@@ -145,40 +145,72 @@ def agg_nunique(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_nunique_approx",
-    oracle=None,  # HLL estimates differ per engine — rows-only
+    oracle="""
+    SELECT count(DISTINCT o_custkey) AS exact_custs,
+           TRUE AS within_bound
+    FROM orders
+    """,
 )
 def agg_nunique_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ser.nunique_approx() — HyperLogLog distinct estimate.  At
     100 TB this is the right default for high-cardinality columns:
-    fixed-size sketch, no distinct shuffle."""
-    return (
-        load_table(spark, sf_dir, "orders")
-        .agg(F.approx_count_distinct("o_custkey", 0.02).alias("approx_custs"))
+    fixed-size sketch, no distinct shuffle.  The raw estimate differs
+    per engine, so the banded oracle hashes the exact count plus an
+    in-query certificate that the estimate landed within 3x the
+    configured relative standard deviation (rsd=0.02 → bound 6%)."""
+    o = load_table(spark, sf_dir, "orders")
+    est = o.agg(F.approx_count_distinct("o_custkey", 0.02).alias("approx_custs"))
+    exact = o.agg(F.countDistinct("o_custkey").alias("exact_custs"))
+    return est.crossJoin(F.broadcast(exact)).select(
+        "exact_custs",
+        (
+            F.abs(F.col("approx_custs") - F.col("exact_custs"))
+            / F.col("exact_custs")
+            <= F.lit(0.06)
+        ).alias("within_bound"),
     )
 
 
 @register(
     "agg_quantile_approx",
-    oracle=None,  # sketch cutpoints differ per engine — rows-only
+    oracle=f"""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5) - 1e-9, {_R}) + 0.0
+               AS median_exact,
+           round(quantile_cont(l_extendedprice, 0.9) - 1e-9, {_R}) + 0.0
+               AS p90_exact,
+           TRUE AS within_bound
+    FROM lineitem GROUP BY l_returnflag
+    """,
 )
 def agg_quantile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ser.quantile via sketch (the t-digest analogue) —
     percentile_approx: single pass, fixed memory, no per-group value
     collection.  This is the 100 TB replacement for the exact
-    `agg_groupby_quantile`; exactness is the only thing traded."""
-    return (
+    `agg_groupby_quantile`; exactness is the only thing traded.
+    Sketch cutpoints differ per engine, so the banded oracle hashes
+    the exact interpolated quantiles plus an in-query certificate
+    that each approx cutpoint lands within 1% (relative) of exact."""
+    agg = (
         load_table(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
             F.percentile_approx(
                 "l_extendedprice", F.array(F.lit(0.5), F.lit(0.9)), 10000
-            ).alias("approx_qs")
+            ).alias("approx_qs"),
+            F.percentile(
+                F.col("l_extendedprice"), F.array(F.lit(0.5), F.lit(0.9))
+            ).alias("exact_qs"),
         )
-        .select(
-            "l_returnflag",
-            F.element_at("approx_qs", 1).alias("median_approx"),
-            F.element_at("approx_qs", 2).alias("p90_approx"),
-        )
+    )
+    rel_err = lambda i: F.abs(  # noqa: E731
+        F.element_at("approx_qs", i) - F.element_at("exact_qs", i)
+    ) / F.element_at("exact_qs", i)
+    return agg.select(
+        "l_returnflag",
+        F.round(F.element_at("exact_qs", 1) - 1e-9, _R).alias("median_exact"),
+        F.round(F.element_at("exact_qs", 2) - 1e-9, _R).alias("p90_exact"),
+        ((rel_err(1) <= 0.01) & (rel_err(2) <= 0.01)).alias("within_bound"),
     )
 
 
@@ -500,17 +532,24 @@ def agg_frame_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_collect_list_sorted",
     oracle="""
-    SELECT n_regionkey, list(n_name ORDER BY n_name) AS nations
+    SELECT n_regionkey,
+           array_to_string(list(n_name ORDER BY n_name), ',') AS nations
     FROM nation GROUP BY n_regionkey
     """,
 )
 def agg_collect_list_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """groupby.agg(list) — collect_list, sorted inside the array for
-    determinism (collect order is partition-dependent otherwise)."""
+    determinism (collect order is partition-dependent otherwise).
+    Emitted as a comma-joined string: the driver hashes output values
+    through pandas, where raw array cells are unhashable."""
     return (
         load_table(spark, sf_dir, "nation")
         .groupBy("n_regionkey")
-        .agg(F.sort_array(F.collect_list("n_name")).alias("nations"))
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_list("n_name")), ","
+            ).alias("nations")
+        )
     )
 
 
@@ -695,7 +734,14 @@ def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_hll_sketch_merge", oracle=None)
+@register(
+    "agg_hll_sketch_merge",
+    oracle="""
+    SELECT count(DISTINCT user_id) AS exact_users,
+           TRUE AS within_bound
+    FROM events
+    """,
+)
 def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct-count sketches — the incremental-pipeline
     shape approx_count_distinct (agg_nunique_approx) can't express:
@@ -703,11 +749,11 @@ def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     the day sketches (hll_union_agg) into the full-range estimate.
     At 100 TB this is how nightly partitions pre-aggregate once and
     every later rollup (week / month / ad-hoc range) is a merge of
-    kilobyte sketches instead of a rescan.  Rows-only by necessity
-    (sketch binaries are engine-internal); the result carries its own
-    evidence: the merged estimate, the exact distinct count, and the
-    relative error (HLL lgk=12 ⇒ ~1.6% rsd; a wrong merge shows up
-    as rel_err far beyond that)."""
+    kilobyte sketches instead of a rescan.  The merged estimate is
+    engine-internal, so the banded oracle hashes the exact distinct
+    count plus an in-query certificate that the merged estimate lands
+    within 5% (HLL lgk=12 ⇒ ~1.6% rsd; a wrong merge blows far past
+    that)."""
     e = load_table(spark, sf_dir, "events")
     daily = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
         F.hll_sketch_agg("user_id").alias("sk")
@@ -716,14 +762,13 @@ def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users")
     )
     exact = e.agg(F.countDistinct("user_id").alias("exact_users"))
-    return merged.crossJoin(exact).select(
-        "est_users",
+    return merged.crossJoin(F.broadcast(exact)).select(
         "exact_users",
-        F.round(
+        (
             F.abs(F.col("est_users") - F.col("exact_users"))
-            / F.col("exact_users"),
-            4,
-        ).alias("rel_err"),
+            / F.col("exact_users")
+            <= F.lit(0.05)
+        ).alias("within_bound"),
     )
 
 
@@ -731,9 +776,9 @@ def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stat_crosstab",
     oracle="""
     SELECT o_orderpriority AS priority,
-           sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS F,
-           sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS O,
-           sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS P
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+           CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O,
+           CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS P
     FROM orders
     GROUP BY o_orderpriority
     """,
@@ -762,9 +807,19 @@ def stat_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequent-item candidates (Karp-Schenker-Papadimitriou): every item
     above the support threshold is GUARANTEED present, false positives
     allowed — hence rows-only (the exact twin is `pipeline_heavy_
-    hitters`).  Fixed memory per partition at any scale."""
+    hitters`).  Fixed memory per partition at any scale.  Arrays are
+    sorted + comma-joined so the rows-only driver check can still
+    canonicalize the frame through pandas."""
     o = load_table(spark, sf_dir, "orders")
-    return o.stat.freqItems(["o_orderpriority", "o_orderstatus"], support=0.1)
+    fi = o.stat.freqItems(["o_orderpriority", "o_orderstatus"], support=0.1)
+    return fi.select(
+        F.array_join(
+            F.sort_array("o_orderpriority_freqItems"), ","
+        ).alias("priority_freq_items"),
+        F.array_join(
+            F.sort_array("o_orderstatus_freqItems"), ","
+        ).alias("status_freq_items"),
+    )
 
 
 @register(
