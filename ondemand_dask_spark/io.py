@@ -7,9 +7,12 @@ exposes as manual kwargs are automatic here via Catalyst
 with `.explain('formatted')`: `PushedFilters`, `ReadSchema`).
 
 One quirk is centralized here so no query can get it wrong
-(SURVEY.md §0.5.1): `events.ts` is parquet INT64 TIMESTAMP(NANOS),
-which Spark 4 only reads with `spark.sql.legacy.parquet.nanosAsLong`
-(runtime-settable) as a bigint of nanoseconds.  We convert to a µs
+(SURVEY.md §0.5.1): `events.ts` has shipped in two parquet encodings
+across driver testdata generations — INT64 TIMESTAMP(NANOS), which
+Spark 4 only reads with `spark.sql.legacy.parquet.nanosAsLong`
+(runtime-settable) as a bigint of nanoseconds, and plain
+TIMESTAMP(MICROS) naive, which reads natively as timestamp_ntz.  The
+loader sniffs the decoded dtype and normalizes either to a µs
 TimestampNTZ — `timestamp_ntz` matches the other tables' naive
 timestamps and DuckDB's µs truncation bit-for-bit.
 """
@@ -41,16 +44,25 @@ BROADCAST_DIMS = frozenset({"region", "nation"})
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one test table as a DataFrame with normalized types."""
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass  # static in some builds; only needed for NANOS files
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        # ns bigint → µs timestamp_ntz.  MUST be integer division:
-        # `/` promotes to double, which has only 53 mantissa bits —
-        # ns-since-epoch ≈ 1.7e18 rounds off by ±1 µs and breaks
-        # hash-parity with DuckDB's exact truncation.
-        return df.withColumn(
-            "ts",
-            F.to_timestamp_ntz(F.timestamp_micros(F.expr("ts div 1000"))),
-        )
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # ns bigint → µs timestamp_ntz.  MUST be integer division:
+            # `/` promotes to double, which has only 53 mantissa bits —
+            # ns-since-epoch ≈ 1.7e18 rounds off by ±1 µs and breaks
+            # hash-parity with DuckDB's exact truncation.
+            return df.withColumn(
+                "ts",
+                F.to_timestamp_ntz(F.timestamp_micros(F.expr("ts div 1000"))),
+            )
+        if ts_type == "timestamp":
+            # session-tz timestamp (session is pinned UTC) → naive
+            return df.withColumn("ts", F.to_timestamp_ntz("ts"))
+        return df  # already timestamp_ntz
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -177,8 +177,14 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return m.select("doc_id", "payload").mapInPandas(
+    out = m.select("doc_id", "payload").mapInPandas(
         resize, "doc_id bigint, thumb binary, orig_len int, thumb_len int"
+    )
+    # Arrow ships the thumbnail back as real binary (the round-trip
+    # under test); hex it at the final select so the driver's pandas
+    # canonicalizer — where bytes cells are unhashable — can hash it.
+    return out.select(
+        "doc_id", F.hex("thumb").alias("thumb_hex"), "orig_len", "thumb_len"
     )
 
 

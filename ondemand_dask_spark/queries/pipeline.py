@@ -365,7 +365,9 @@ _POSTINGS_CAP = 10
     )
     SELECT term,
            count(*) AS df,
-           (list(doc_id ORDER BY doc_id))[1 : {_POSTINGS_CAP}] AS postings
+           coalesce(array_to_string(
+             (list(doc_id ORDER BY doc_id))[1 : {_POSTINGS_CAP}], ','), '')
+             AS postings
     FROM pairs
     GROUP BY term
     """,
@@ -400,7 +402,11 @@ def pipeline_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _POSTINGS_CAP)
         .groupBy("term")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("postings"))
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_list("doc_id")), ","
+            ).alias("postings")
+        )
     )
     return top.join(df_tab, "term").select("term", "df", "postings")
 

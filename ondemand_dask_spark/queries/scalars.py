@@ -427,13 +427,15 @@ def math_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
            string_split(text, ' ')[1]                        AS first_token,
            string_split(text, ' ')[-1]                       AS last_token,
            list_contains(string_split(text, ' '), 'join')    AS has_join,
-           string_split(text, ' ')[2:4]                      AS tokens_2_to_4
+           coalesce(array_to_string(string_split(text, ' ')[2:4], ','), '') AS tokens_2_to_4
     FROM documents
     """,
 )
 def array_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array accessors — size / element_at (1-based, -1 = last) /
-    array_contains / slice."""
+    array_contains / slice.  Array outputs are comma-joined at the
+    final select: the driver hashes results through pandas, where raw
+    array cells are unhashable."""
     d = load_table(spark, sf_dir, "documents")
     arr = F.split("text", " ")
     return d.select(
@@ -442,7 +444,7 @@ def array_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(arr, 1).alias("first_token"),
         F.element_at(arr, -1).alias("last_token"),
         F.array_contains(arr, "join").alias("has_join"),
-        F.slice(arr, 2, 3).alias("tokens_2_to_4"),
+        F.array_join(F.slice(arr, 2, 3), ",").alias("tokens_2_to_4"),
     )
 
 
@@ -450,7 +452,8 @@ def array_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_sort_distinct",
     oracle="""
     SELECT doc_id,
-           list_sort(list_distinct(string_split(text, ' '))) AS vocab,
+           coalesce(array_to_string(
+             list_sort(list_distinct(string_split(text, ' '))), ','), '') AS vocab,
            len(list_distinct(string_split(text, ' ')))       AS n_distinct
     FROM documents
     WHERE doc_id < 100
@@ -458,12 +461,12 @@ def array_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def array_sort_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sort_array + array_distinct — per-row set semantics (sorted for
-    deterministic hashing)."""
+    deterministic hashing, comma-joined for driver hashability)."""
     d = load_table(spark, sf_dir, "documents")
     arr = F.split("text", " ")
     return d.filter(F.col("doc_id") < 100).select(
         "doc_id",
-        F.sort_array(F.array_distinct(arr)).alias("vocab"),
+        F.array_join(F.sort_array(F.array_distinct(arr)), ",").alias("vocab"),
         F.size(F.array_distinct(arr)).alias("n_distinct"),
     )
 
@@ -596,9 +599,9 @@ def try_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     "map_functions",
     oracle="""
     SELECT event_id,
-           list_sort(map_keys(map_concat(
+           coalesce(array_to_string(list_sort(map_keys(map_concat(
              MAP(['type', 'val'], [event_type, CAST(value AS VARCHAR)]),
-             MAP(['uid'], [CAST(user_id AS VARCHAR)])))) AS all_keys,
+             MAP(['uid'], [CAST(user_id AS VARCHAR)])))), ','), '') AS all_keys,
            cardinality(map_concat(
              MAP(['type', 'val'], [event_type, CAST(value AS VARCHAR)]),
              MAP(['uid'], [CAST(user_id AS VARCHAR)]))) AS n_entries,
@@ -619,7 +622,7 @@ def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     m2 = F.map_concat(m, F.create_map(F.lit("uid"), F.col("user_id").cast("string")))
     return e.select(
         "event_id",
-        F.array_sort(F.map_keys(m2)).alias("all_keys"),
+        F.array_join(F.array_sort(F.map_keys(m2)), ",").alias("all_keys"),
         F.size(m2).alias("n_entries"),
         F.element_at(m, "type").alias("type_val"),
     )
@@ -769,10 +772,10 @@ _STOPWORDS_SQL = "['the', 'a', 'of', 'and', 'to']"
     "array_set_ops",
     oracle=f"""
     SELECT doc_id,
-           list_sort(list_distinct(list_filter(t,
-             x -> list_contains({_STOPWORDS_SQL}, x))))      AS stop_hits,
-           list_sort(list_distinct(list_filter(t,
-             x -> NOT list_contains({_STOPWORDS_SQL}, x))))  AS content_terms,
+           coalesce(array_to_string(list_sort(list_distinct(list_filter(t,
+             x -> list_contains({_STOPWORDS_SQL}, x)))), ','), '')     AS stop_hits,
+           coalesce(array_to_string(list_sort(list_distinct(list_filter(t,
+             x -> NOT list_contains({_STOPWORDS_SQL}, x)))), ','), '') AS content_terms,
            len(list_distinct(list_concat(t, {_STOPWORDS_SQL}))) AS n_union,
            list_has_any(t, {_STOPWORDS_SQL})                 AS has_stopword
     FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
@@ -789,12 +792,12 @@ def array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = F.split(F.col("text"), " ")
     return d.select(
         "doc_id",
-        F.sort_array(F.array_distinct(F.array_intersect(t, stop))).alias(
-            "stop_hits"
-        ),
-        F.sort_array(F.array_distinct(F.array_except(t, stop))).alias(
-            "content_terms"
-        ),
+        F.array_join(
+            F.sort_array(F.array_distinct(F.array_intersect(t, stop))), ","
+        ).alias("stop_hits"),
+        F.array_join(
+            F.sort_array(F.array_distinct(F.array_except(t, stop))), ","
+        ).alias("content_terms"),
         F.size(F.array_distinct(F.array_union(t, stop))).alias("n_union"),
         F.arrays_overlap(t, stop).alias("has_stopword"),
     )
@@ -916,25 +919,29 @@ def str_slice_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_mutation",
     oracle="""
     SELECT doc_id,
-           list_append(string_split(text, ' '), '<eos>')      AS with_eos,
-           list_prepend('<bos>', string_split(text, ' '))     AS with_bos,
+           coalesce(array_to_string(
+             list_append(string_split(text, ' '), '<eos>'), ','), '')  AS with_eos,
+           coalesce(array_to_string(
+             list_prepend('<bos>', string_split(text, ' ')), ','), '') AS with_bos,
            list_position(string_split(text, ' '), 'join')     AS join_pos,
-           list_filter(string_split(text, ' '), t -> t != 'the') AS no_the
+           coalesce(array_to_string(
+             list_filter(string_split(text, ' '), t -> t != 'the'), ','), '') AS no_the
     FROM documents WHERE doc_id < 100
     """,
 )
 def array_mutation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array mutation — append/prepend (the BOS/EOS tokenizer idiom),
     1-based position (0 = absent on both engines), remove-all-equal.
-    All narrow codegen'd ops."""
+    All narrow codegen'd ops; arrays comma-joined at the final select
+    for driver hashability."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     arr = F.split("text", " ")
     return d.select(
         "doc_id",
-        F.array_append(arr, "<eos>").alias("with_eos"),
-        F.array_prepend(arr, "<bos>").alias("with_bos"),
+        F.array_join(F.array_append(arr, "<eos>"), ",").alias("with_eos"),
+        F.array_join(F.array_prepend(arr, "<bos>"), ",").alias("with_bos"),
         F.array_position(arr, "join").cast("int").alias("join_pos"),
-        F.array_remove(arr, "the").alias("no_the"),
+        F.array_join(F.array_remove(arr, "the"), ",").alias("no_the"),
     )
 
 

@@ -409,7 +409,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT label, pos, avg(v) AS m FROM flat GROUP BY label, pos
     )
     SELECT label,
-           list(round(m - 1e-9, {_R}) + 0.0 ORDER BY pos) AS centroid,
+           coalesce(array_to_string(
+             list(CAST(CAST(round(m - 1e-9, {_R}) AS DECIMAL(18,{_R}))
+                       AS VARCHAR) ORDER BY pos), ','), '') AS centroid,
            count(*) AS dim
     FROM dims GROUP BY label
     """,
@@ -418,16 +420,24 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid: explode to (label, pos, value), mean per
     dimension, re-assemble ordered.  Shuffle key is (label, pos) —
     10×64 groups — so partial aggregation does nearly all the work
-    map-side; the same plan at 100 TB moves only #groups rows."""
+    map-side; the same plan at 100 TB moves only #groups rows.
+    The centroid is emitted as a comma-joined fixed-4dp string (via
+    DECIMAL so both engines format identically): the driver hashes
+    through pandas, where raw array cells are unhashable."""
     e = load_table(spark, sf_dir, "embeddings")
     flat = e.select(
         "label", F.posexplode("embedding").alias("pos", "v")
     ).withColumn("v", F.col("v").cast("double"))
     dims = flat.groupBy("label", "pos").agg(F.avg("v").alias("m"))
     return dims.groupBy("label").agg(
-        F.transform(
-            F.sort_array(F.collect_list(F.struct("pos", "m"))),
-            lambda s: F.round(s.getField("m") - 1e-9, _R),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "m"))),
+                lambda s: F.round(s.getField("m") - 1e-9, _R)
+                .cast(f"decimal(18,{_R})")
+                .cast("string"),
+            ),
+            ",",
         ).alias("centroid"),
         F.count("*").alias("dim"),
     )
@@ -622,8 +632,9 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id,
            round(lo - 1e-9, {_R}) + 0.0 AS lo,
            round(scale - 1e-9, {_R}) + 0.0 AS scale,
-           list_transform(e, x -> CAST(floor((x - lo) / scale + 0.5) AS INT))
-             AS q,
+           coalesce(array_to_string(list_transform(e,
+             x -> CAST(CAST(floor((x - lo) / scale + 0.5) AS INT) AS VARCHAR)),
+             ','), '') AS q,
            round(list_sum(list_transform(e,
                    x -> abs(lo + floor((x - lo) / scale + 0.5) * scale - x)))
                  / len(e) - 1e-9, {_R}) + 0.0 AS mae
@@ -661,7 +672,9 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.round(lo - 1e-9, _R).alias("lo"),
         F.round(sc - 1e-9, _R).alias("scale"),
-        F.transform("e", lambda x: qz(x).cast("int")).alias("q"),
+        F.array_join(
+            F.transform("e", lambda x: qz(x).cast("int").cast("string")), ","
+        ).alias("q"),
         F.round(
             F.aggregate(
                 F.transform("e", lambda x: F.abs(lo + qz(x) * sc - x)),

@@ -37,16 +37,20 @@ from ondemand_dask_spark.registry import register
 
 _R = 4
 
-_EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # parquet TIMESTAMP(NANOS) via nanosAsLong
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    """events stream schema; `ts` varies with the parquet encoding the
+    driver generated (INT64 NANOS via nanosAsLong → LongType, or plain
+    TIMESTAMP(MICROS) naive → TimestampNTZType)."""
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def _stream_dir(sf_dir: str) -> str:
@@ -77,16 +81,26 @@ def read_events_stream(
     to stream an arbitrary landing dir; `max_files_per_trigger=1`
     forces one micro-batch per file (multi-batch replays — how the
     incremental tests exercise cross-batch state)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(_EVENTS_SCHEMA)
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # only needed for NANOS-encoded files
+    src = directory or _stream_dir(sf_dir)
+    # Sniff the on-disk ts encoding via a batch schema read (footer
+    # metadata only, no data scan) so the stream schema matches the
+    # generation of testdata actually present.
+    ts_type = spark.read.parquet(src).schema["ts"].dataType
+    reader = spark.readStream.schema(_events_schema(ts_type))
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = reader.parquet(directory or _stream_dir(sf_dir))
+    stream = reader.parquet(src)
     # Watermarks require tz-aware TIMESTAMP (not ntz); the session is
     # UTC, so values still align with the oracle's naive timestamps.
-    return stream.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    if isinstance(ts_type, T.LongType):
+        return stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def run_to_table(
