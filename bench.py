@@ -50,6 +50,18 @@ HEADLINE = [
     "scd2_intervals",
     "pipeline_heavy_hitters",
     "window_ewm_bounded",
+    # round-3 widening: LLM-pipeline + dedup family + streaming, so a
+    # regression in any of these surfaces shows up round-over-round
+    "pipeline_end_to_end",
+    "pipeline_pack_sequences",
+    "dedup_ngram_jaccard",
+    "dedup_connected_components",
+    "dedup_simhash",
+    "stream_tumbling_agg",
+    "embedding_centroid_distance",
+    "kmeans_lloyd",
+    "text_quality_score",
+    "agg_rollup",
 ]
 
 RUNS = 2

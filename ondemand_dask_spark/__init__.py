@@ -14,7 +14,9 @@ from ondemand_dask_spark.io import load_table, register_views
 from ondemand_dask_spark.cluster import ClusterSpec, spawn, teardown
 from ondemand_dask_spark.operators import (
     OnDemandFrame,
+    choose_quantile_path,
     exact_group_quantiles,
+    exact_group_quantiles_auto,
     exact_group_quantiles_select,
     from_spark,
     merge_asof,
@@ -32,7 +34,9 @@ __all__ = [
     "OnDemandFrame",
     "from_spark",
     "merge_asof",
+    "choose_quantile_path",
     "exact_group_quantiles",
+    "exact_group_quantiles_auto",
     "exact_group_quantiles_select",
     "salted_agg",
     "salted_join",

@@ -100,6 +100,12 @@ def exact_group_quantiles(
     )
     # Group sizes: decomposable agg → map-side combine, tiny result.
     counts = d.groupBy(*keys).agg(F.count("*").alias("__n"))
+    return _sort_path(d, counts, keys, qs)
+
+
+def _sort_path(
+    d: DataFrame, counts: DataFrame, keys: list[str], qs: dict[str, float]
+) -> DataFrame:
     # Rank over the __v sort (ties get arbitrary ranks — harmless:
     # interpolating between equal values returns that value).
     w_sort = Window.partitionBy(*keys).orderBy("__v")
@@ -107,6 +113,54 @@ def exact_group_quantiles(
         F.broadcast(counts), on=list(keys)
     )
     return _boundary_rows(ranked, keys, qs)
+
+
+# A per-group window sort is one task; beyond this many rows in the
+# LARGEST group the single-task sort risks spill/stragglers and the
+# selection path's extra scans start paying for themselves.  At
+# 128 MB/task and 8-byte doubles + key/rank overhead, ~4M rows per
+# task is the conservative knee.
+MAX_ROWS_PER_SORT_TASK = 4_000_000
+
+
+def choose_quantile_path(
+    max_group_rows: int, threshold: int = MAX_ROWS_PER_SORT_TASK
+) -> str:
+    """Pure decision rule: 'sort' (one-task-per-group window sort)
+    unless the largest group exceeds what one task should sort, then
+    'select' (bucket-selection narrows the sort to ~2·|qs|/buckets of
+    the input).  Keyed on the MAX group size, not the average —
+    quantile cost is gated by the single worst group (skew-aware)."""
+    return "select" if max_group_rows > threshold else "sort"
+
+
+def exact_group_quantiles_auto(
+    df: DataFrame,
+    keys: list[str],
+    col: str,
+    qs: dict[str, float],
+    threshold: int = MAX_ROWS_PER_SORT_TASK,
+    buckets: int = 64,
+) -> DataFrame:
+    """Exact grouped quantiles with runtime path selection.
+
+    Probes group sizes with the same partial-agg count the sort path
+    needs anyway (cached, so choosing 'sort' reuses it — the probe
+    adds one tiny aggregate over the counts table, not a rescan), then
+    dispatches per `choose_quantile_path`: many-normal-groups → sort
+    path; few-huge-groups → selection path, whose per-bucket sorts
+    restore parallelism a 3-group window sort can't have."""
+    d = df.select(*keys, F.col(col).cast("double").alias("__v")).filter(
+        F.col("__v").isNotNull()
+    )
+    counts = d.groupBy(*keys).agg(F.count("*").alias("__n")).cache()
+    row = counts.agg(F.max("__n").alias("mx")).first()
+    mx = int(row["mx"]) if row and row["mx"] is not None else 0
+    if choose_quantile_path(mx, threshold) == "select":
+        counts.unpersist()
+        return exact_group_quantiles_select(df, keys, col, qs, buckets)
+    # sort path reuses the cached counts the probe just materialized
+    return _sort_path(d, counts, keys, qs)
 
 
 def exact_group_quantiles_select(

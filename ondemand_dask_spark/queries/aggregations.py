@@ -365,11 +365,14 @@ def agg_groupby_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     `F.percentile` collects whole groups into single aggregation
     buffers (the 100 TB OOM shape); rank-interpolation over a window
     sort keeps per-task memory O(1) with identical quantile_cont
-    semantics.  The sketch path is `agg_quantile_approx`."""
-    from ondemand_dask_spark.operators.quantile import exact_group_quantiles
+    semantics.  The auto variant probes the largest group size and
+    switches to the bucket-selection path when any single group would
+    overflow a one-task sort (few-huge-groups inputs).  The sketch
+    path is `agg_quantile_approx`."""
+    from ondemand_dask_spark.operators.quantile import exact_group_quantiles_auto
 
     li = load_table(spark, sf_dir, "lineitem")
-    qdf = exact_group_quantiles(
+    qdf = exact_group_quantiles_auto(
         li, ["l_returnflag"], "l_extendedprice",
         {"median_price": 0.5, "p90_price": 0.9},
     )

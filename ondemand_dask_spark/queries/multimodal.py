@@ -3,7 +3,11 @@
 Design (SURVEY §2.K): media lives in an opaque `binary` column next
 to a typed metadata struct; decode / feature-extract / frame-sample
 are Arrow-batched Python over `mapInPandas`.  The container has no
-image/audio libs, so the decoder is STUBBED: real formats raise
+image/audio LIBS, but two formats are decoded for REAL with pure
+Python — RIFF/WAVE headers (struct.unpack) and binary PPM (header
+scan + pixel checksum), exact-oracled in `multimodal_decode_wav` /
+`_ppm` at the bottom of this module.  The generic `_media`-based
+queries keep the stub decoder: non-text mimes raise
 `NotImplementedError`, and `text/plain` payloads get a deterministic
 fake feature extractor — the Spark-side plumbing (schema, binary
 Arrow transfer, batch iteration, partition parallelism) is real and
@@ -225,4 +229,176 @@ def multimodal_dedup_content_hash(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .groupBy("mime", "digest")
         .agg(F.min("doc_id").alias("keeper"), F.count("*").alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# REAL decoders — pure-Python WAV / PPM header parsing (no media libs
+# needed).  Payloads are genuine format bytes built in a staging
+# mapInPandas (the fixture), then decoded by a second mapInPandas that
+# does real byte-level parsing (struct.unpack / ASCII header scan).
+# Both sides of the differential check are honest: Spark's numbers
+# come from parsing the actual bytes; the DuckDB oracle recomputes
+# them from the deterministic generation formulas — a wrong parser
+# (endianness, offset, header length) hash-mismatches immediately.
+# ---------------------------------------------------------------------------
+
+_WAV_DATA_LEN = 64  # fixed PCM payload size (keeps n_samples SQL-derivable)
+
+
+def _wav_bytes(doc_id: int, text: str) -> bytes:
+    """Canonical 44-byte RIFF/WAVE PCM header + 64 data bytes."""
+    import struct
+
+    rate = 8000 + (doc_id % 5) * 1000
+    channels = 1 + doc_id % 2
+    bits = 16
+    data = text.encode("utf-8")[:_WAV_DATA_LEN].ljust(_WAV_DATA_LEN, b"\x00")
+    block_align = channels * bits // 8
+    byte_rate = rate * block_align
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, channels, rate, byte_rate, block_align, bits)
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def _ppm_bytes(doc_id: int) -> bytes:
+    """Binary PPM (P6): ASCII header + w*h*3 deterministic pixel bytes."""
+    w = 4 + doc_id % 8
+    h = 3 + doc_id % 5
+    header = f"P6\n{w} {h}\n255\n".encode("ascii")
+    pixels = bytes((doc_id + i) % 256 for i in range(w * h * 3))
+    return header + pixels
+
+
+def _real_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal fixture with REAL format payloads: doc_id%10==0 →
+    binary PPM image, ==1 → PCM WAV clip, else UTF-8 text.  Built in
+    a narrow mapInPandas (payload bytes never shuffle)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def stage(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads, mimes = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if doc_id % 10 == 0:
+                    payloads.append(_ppm_bytes(int(doc_id)))
+                    mimes.append("image/ppm")
+                elif doc_id % 10 == 1:
+                    payloads.append(_wav_bytes(int(doc_id), text))
+                    mimes.append("audio/wav")
+                else:
+                    payloads.append(text.encode("utf-8"))
+                    mimes.append("text/plain")
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "mime": mimes, "payload": payloads}
+            )
+
+    return d.mapInPandas(stage, "doc_id bigint, mime string, payload binary")
+
+
+@register(
+    "multimodal_decode_wav",
+    oracle=f"""
+    SELECT doc_id,
+           8000 + (doc_id % 5) * 1000        AS sample_rate,
+           CAST(1 + doc_id % 2 AS INT)       AS n_channels,
+           16                                 AS bits_per_sample,
+           {_WAV_DATA_LEN}                    AS data_bytes,
+           CAST({_WAV_DATA_LEN} // ((1 + doc_id % 2) * 2) AS INT) AS n_samples
+    FROM documents WHERE doc_id % 10 = 1
+    """,
+)
+def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode: parses the RIFF/WAVE fmt chunk of genuine
+    WAV payloads with struct.unpack — sample rate, channel count,
+    bit depth, data size, sample count.  The oracle recomputes each
+    field from the fixture's generation formula, so a parser bug
+    (wrong offset/endianness) fails the hash.  Narrow mapInPandas
+    over the already-filtered wav rows; payload bytes cross to
+    Python once and nothing shuffles."""
+    m = _real_media(spark, sf_dir).filter(F.col("mime") == "audio/wav")
+
+    def decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        rows: dict[str, list] = {
+            "doc_id": [], "sample_rate": [], "n_channels": [],
+            "bits_per_sample": [], "data_bytes": [], "n_samples": [],
+        }
+        for pdf in it:
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(p)
+                assert b[:4] == b"RIFF" and b[8:12] == b"WAVE", "bad magic"
+                (_fmt_len, _pcm, ch, rate, _brate, _balign, bits) = struct.unpack(
+                    "<IHHIIHH", b[16:36]
+                )
+                (data_len,) = struct.unpack("<I", b[40:44])
+                rows["doc_id"].append(doc_id)
+                rows["sample_rate"].append(rate)
+                rows["n_channels"].append(ch)
+                rows["bits_per_sample"].append(bits)
+                rows["data_bytes"].append(data_len)
+                rows["n_samples"].append(data_len // (ch * bits // 8))
+        yield pd.DataFrame(rows)
+
+    return m.mapInPandas(
+        decode,
+        "doc_id bigint, sample_rate bigint, n_channels int, "
+        "bits_per_sample int, data_bytes int, n_samples int",
+    )
+
+
+@register(
+    "multimodal_decode_ppm",
+    oracle="""
+    SELECT doc_id,
+           CAST(4 + doc_id % 8 AS INT) AS width,
+           CAST(3 + doc_id % 5 AS INT) AS height,
+           255                          AS maxval,
+           CAST((4 + doc_id % 8) * (3 + doc_id % 5) * 3 AS INT) AS n_pixel_bytes,
+           CAST(list_sum(list_transform(generate_series(0, 15),
+                i -> (doc_id + i) % 256)) AS INT) AS checksum16
+    FROM documents WHERE doc_id % 10 = 0
+    """,
+)
+def multimodal_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode: parses binary-PPM (P6) headers — magic,
+    dimensions, maxval — and checksums the first 16 actual pixel
+    bytes.  Oracle recomputes everything from the generation
+    formulas; a parsing bug (header length, dimension order) or a
+    corrupted pixel stream hash-mismatches."""
+    m = _real_media(spark, sf_dir).filter(F.col("mime") == "image/ppm")
+
+    def decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows: dict[str, list] = {
+            "doc_id": [], "width": [], "height": [], "maxval": [],
+            "n_pixel_bytes": [], "checksum16": [],
+        }
+        for pdf in it:
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(p)
+                assert b[:2] == b"P6", "bad magic"
+                # header = 3 whitespace-separated tokens after magic
+                parts = b.split(b"\n", 3)
+                w, h = (int(x) for x in parts[1].split())
+                maxval = int(parts[2])
+                pixels = parts[3]
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["maxval"].append(maxval)
+                rows["n_pixel_bytes"].append(len(pixels))
+                rows["checksum16"].append(sum(pixels[:16]))
+        yield pd.DataFrame(rows)
+
+    return m.mapInPandas(
+        decode,
+        "doc_id bigint, width int, height int, maxval int, "
+        "n_pixel_bytes int, checksum16 int",
     )

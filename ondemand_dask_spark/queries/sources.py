@@ -271,13 +271,53 @@ def source_from_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seeds.mapInPandas(gen, "part_id bigint, row_id bigint, metric double")
 
 
+@register(
+    "source_jdbc_roundtrip",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+)
+def source_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE read_sql_table/to_sql — a real JDBC round-trip against
+    embedded Apache Derby (on Spark's classpath): `df.write.jdbc`
+    creates the table, `spark.read.jdbc` ingests it back PARTITIONED
+    (partitionColumn/lowerBound/upperBound/numPartitions → one
+    range-predicate query per partition, the scale path for pulling a
+    100 TB operational table into Spark: N concurrent range scans,
+    no single-cursor bottleneck).  Values must hash-match the parquet
+    table the rows came from."""
+    url = (
+        "jdbc:derby:"
+        + os.path.join(tempfile.gettempdir(), "ondemand_dask_spark_jdbc", "db")
+        + ";create=true"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    nation.write.jdbc(url, "nation_rt", mode="overwrite", properties=props)
+    return spark.read.jdbc(
+        url,
+        "nation_rt",
+        column="n_nationkey",
+        lowerBound=0,
+        upperBound=25,
+        numPartitions=4,
+        properties=props,
+    ).select(
+        F.col("n_nationkey").cast("int").alias("n_nationkey"),
+        "n_name",
+        F.col("n_regionkey").cast("int").alias("n_regionkey"),
+    )
+
+
 @register("jdbc_source_plan", oracle=None)
 def jdbc_source_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """read_sql_table/read_sql_query → spark.read.jdbc mapping.  No
-    database is reachable in this container, so this returns the
-    partitioned-ingest plan the engine would issue: predicate ranges
-    for `partitionColumn` — the Spark analogue of the reference's
-    per-partition SQL ingestion."""
+    """read_sql_table/read_sql_query → spark.read.jdbc mapping: the
+    partitioned-ingest plan the engine issues — predicate ranges for
+    `partitionColumn` — the Spark analogue of the reference's
+    per-partition SQL ingestion.  The live execution of this plan is
+    `source_jdbc_roundtrip` (embedded Derby)."""
     bounds = load_table(spark, sf_dir, "orders").agg(
         F.min("o_orderkey").alias("lower"), F.max("o_orderkey").alias("upper")
     )

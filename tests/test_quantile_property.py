@@ -14,7 +14,10 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from ondemand_dask_spark.operators.quantile import (
+    MAX_ROWS_PER_SORT_TASK,
+    choose_quantile_path,
     exact_group_quantiles,
+    exact_group_quantiles_auto,
     exact_group_quantiles_select,
 )
 
@@ -58,3 +61,44 @@ def test_exact_group_quantiles_matches_numpy(spark, impl, rows, q):
     )
     assert list(got.index) == list(exp.index)
     assert np.allclose(got.values, exp.values, rtol=1e-12, atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Auto path selection
+# ---------------------------------------------------------------------------
+
+
+def test_choose_path_many_normal_groups_sorts():
+    # per-tenant/per-day shape: millions of groups, none huge
+    assert choose_quantile_path(max_group_rows=50_000) == "sort"
+    assert choose_quantile_path(MAX_ROWS_PER_SORT_TASK) == "sort"  # boundary
+
+
+def test_choose_path_few_huge_groups_selects():
+    # 3 groups × ~30B rows: a one-task-per-group window sort serializes
+    assert choose_quantile_path(max_group_rows=30_000_000_000) == "select"
+    assert choose_quantile_path(MAX_ROWS_PER_SORT_TASK + 1) == "select"
+
+
+def test_auto_dispatches_both_ways_and_stays_exact(spark):
+    pdf = pd.DataFrame(
+        {"k": ["a"] * 40 + ["b"] * 60, "v": [float(i) for i in range(100)]}
+    )
+    sdf = spark.createDataFrame(pdf)
+    exp = (
+        pdf.groupby("k")["v"]
+        .apply(lambda s: float(np.percentile(s, 50, method="linear")))
+        .sort_index()
+    )
+    for threshold in (10_000, 10):  # 10_000 → sort path; 10 → select path
+        got = (
+            exact_group_quantiles_auto(
+                sdf, ["k"], "v", {"qv": 0.5}, threshold=threshold
+            )
+            .toPandas()
+            .set_index("k")["qv"]
+            .sort_index()
+        )
+        assert np.allclose(got.values, exp.values, rtol=1e-12, atol=1e-12), (
+            threshold
+        )
