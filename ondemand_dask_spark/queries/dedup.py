@@ -23,6 +23,9 @@ hash family is the same deterministic function on both engines).
 
 from __future__ import annotations
 
+import functools
+import operator
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -281,34 +284,36 @@ def dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash({b}-bit) signature per document: token-count-weighted
-    sign sum per bit.  Narrow fan-out (docs × bits) + two groupBys;
-    signatures are 8 bytes/doc, so the pairing stage downstream works
-    on a table 1000× smaller than the corpus.""".format(b=SIMHASH_BITS)
+    sign sum per bit.  The per-bit weighted sum is LINEAR in token
+    count, so the classic distinct-token-count + bits-table cross join
+    collapses to ONE groupBy(doc_id) with {b} codegen'd conditional
+    sums over raw token instances (±1 per instance per bit) — a single
+    shuffle whose partial aggregation reduces each map partition to
+    one row of {b} longs per doc; no crossJoin row blow-up, no
+    (doc, bit) exchange.  Signatures are 8 bytes/doc, so the pairing
+    stage downstream works on a table 1000× smaller than the
+    corpus.""".format(b=SIMHASH_BITS)
     d = load_table(spark, sf_dir, "documents")
-    tok = (
-        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(F.count("*").alias("cnt"))
+    inst = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).withColumn("th", _h(F.col("tok")))
+    sums = [
+        F.sum(
+            F.when((F.shiftright("th", i) % 2) == 1, 1).otherwise(-1)
+        ).alias(f"__s{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    packed = functools.reduce(
+        operator.add,
+        [
+            F.when(F.col(f"__s{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            for i in range(SIMHASH_BITS)
+        ],
     )
-    bits = spark.range(SIMHASH_BITS).select(F.col("id").cast("int").alias("i"))
-    # shiftleft/shiftright need SQL exprs: the Python API only takes a
-    # literal int for the shift amount, and `i` is a column here.
-    contrib = F.when(
-        F.expr("(shiftright(th, i) % 2) = 1"), F.col("cnt")
-    ).otherwise(-F.col("cnt"))
     return (
-        tok.withColumn("th", _h(F.col("tok")))
-        .crossJoin(F.broadcast(bits))
-        .groupBy("doc_id", "i")
-        .agg(F.sum(contrib).alias("s"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(
-                    F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), i)")
-                ).otherwise(F.lit(0).cast("long"))
-            ).alias("simhash")
-        )
+        inst.groupBy("doc_id").agg(*sums).select("doc_id", packed.alias("simhash"))
     )
 
 

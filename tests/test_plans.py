@@ -354,3 +354,13 @@ def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path):
     j = fact.join(dim, "o_orderpriority").groupBy("d_status").count()
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_jdbc_ingest_is_partitioned(spark, sf_dir):
+    """source_jdbc_roundtrip must ingest through N parallel range
+    cursors (partitionColumn/numPartitions), not one JDBC cursor —
+    the only workable shape for pulling a large operational table."""
+    from ondemand_dask_spark.registry import all_queries
+
+    df = all_queries()["source_jdbc_roundtrip"].fn(spark, sf_dir)
+    assert df.rdd.getNumPartitions() == 4

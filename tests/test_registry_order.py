@@ -39,4 +39,6 @@ def test_showcase_mostly_full_oracle():
 
 
 def test_registry_complete_after_showcase_reorder():
-    assert len(all_queries()) == 257
+    # reordering must never drop a registration (lower bound, not a
+    # pin: new operators keep landing)
+    assert len(all_queries()) >= 257
