@@ -364,3 +364,13 @@ def test_jdbc_ingest_is_partitioned(spark, sf_dir):
 
     df = all_queries()["source_jdbc_roundtrip"].fn(spark, sf_dir)
     assert df.rdd.getNumPartitions() == 4
+
+
+def test_simhash_single_shuffle(spark, sf_dir):
+    """dedup_simhash: the 32 per-bit conditional sums are one
+    groupBy(doc_id) — exactly one exchange, zero joins, no Python.
+    (The historical shape — distinct-token counts × a bits-table
+    cross join — carried three exchanges and a 32× row blow-up.)"""
+    df = _df("dedup_simhash", spark, sf_dir)
+    assert shuffle_count(df) == 1
+    assert python_eval_count(df) == 0
