@@ -175,6 +175,15 @@ def main() -> None:
         all_queries()["dedup_minhash_lsh"].fn(spark, link_dir),
     )
 
+    # connected components over the 100k-doc near-dup pairs: the
+    # checkpointed fixpoint loop runs EAGERLY inside fn() (per-round
+    # convergence counts), so time construction + final write together
+    spark.catalog.clearCache()
+    t0 = time.perf_counter()
+    cc = all_queries()["dedup_connected_components"].fn(spark, link_dir)
+    cc.write.format("noop").mode("overwrite").save()
+    timings["connected_components_100k_docs"] = round(time.perf_counter() - t0, 2)
+
     # training-pipeline ops on the same 100k-doc corpus
     for qname in (
         "pipeline_pack_sequences",
