@@ -131,13 +131,32 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_frame_sample", oracle=None)
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, octet_length(encode(text)) AS len
+      FROM documents WHERE doc_id % 10 >= 2
+    )
+    SELECT doc_id,
+           CAST(i AS INT) AS frame_idx,
+           CAST(least(16, len - 16 * i) AS INT) AS frame_len
+    FROM (
+      SELECT doc_id, len,
+             unnest(generate_series(0,
+                    CAST(ceil(len / 16.0) AS INT) - 1, 4)) AS i
+      FROM t
+    )
+    """,
+)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling for 'video' payloads: chunk the binary into
     16-byte frames, keep every 4th, emit (doc_id, frame_idx,
     frame_len).  One input row → many output rows through mapInPandas
     — the generator shape real frame extraction uses (a UDTF works
-    too; mapInPandas keeps it vectorized per batch)."""
+    too; mapInPandas keeps it vectorized per batch).  The Python side
+    chunks REAL bytes; the oracle recomputes the frame plan from pure
+    length arithmetic — a stride or boundary bug diverges the hash."""
     m = _media(spark, sf_dir).filter(F.col("meta.mime") == "text/plain")
 
     def frames(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

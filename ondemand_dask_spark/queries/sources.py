@@ -311,7 +311,18 @@ def source_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("jdbc_source_plan", oracle=None)
+@register(
+    "jdbc_source_plan",
+    oracle="""
+    SELECT 'jdbc:postgresql://host/db' AS url,
+           'orders'                    AS "table",
+           'o_orderkey'                AS partition_column,
+           min(o_orderkey)             AS lower,
+           max(o_orderkey)             AS upper,
+           8                           AS num_partitions
+    FROM orders
+    """,
+)
 def jdbc_source_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """read_sql_table/read_sql_query → spark.read.jdbc mapping: the
     partitioned-ingest plan the engine issues — predicate ranges for
