@@ -190,27 +190,34 @@ def agg_quantile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     `agg_groupby_quantile`; exactness is the only thing traded.
     Sketch cutpoints differ per engine, so the banded oracle hashes
     the exact interpolated quantiles plus an in-query certificate
-    that each approx cutpoint lands within 1% (relative) of exact."""
-    agg = (
-        load_table(spark, sf_dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-            F.percentile_approx(
-                "l_extendedprice", F.array(F.lit(0.5), F.lit(0.9)), 10000
-            ).alias("approx_qs"),
-            F.percentile(
-                F.col("l_extendedprice"), F.array(F.lit(0.5), F.lit(0.9))
-            ).alias("exact_qs"),
-        )
+    that each approx cutpoint lands within 1% (relative) of exact.
+    The exact side comes from the distributed sort-based operator —
+    NOT `F.percentile`, which would collect whole groups into single
+    aggregation buffers and reintroduce exactly the OOM shape the
+    sketch exists to avoid; the certificate join broadcasts the
+    3-row exact table."""
+    from ondemand_dask_spark.operators.quantile import exact_group_quantiles
+
+    li = load_table(spark, sf_dir, "lineitem")
+    approx = li.groupBy("l_returnflag").agg(
+        F.percentile_approx(
+            "l_extendedprice", F.array(F.lit(0.5), F.lit(0.9)), 10000
+        ).alias("approx_qs")
     )
-    rel_err = lambda i: F.abs(  # noqa: E731
-        F.element_at("approx_qs", i) - F.element_at("exact_qs", i)
-    ) / F.element_at("exact_qs", i)
-    return agg.select(
+    exact = exact_group_quantiles(
+        li, ["l_returnflag"], "l_extendedprice", {"q50": 0.5, "q90": 0.9}
+    )
+    j = approx.join(F.broadcast(exact), "l_returnflag")
+    rel_err = lambda i, c: F.abs(  # noqa: E731
+        F.element_at("approx_qs", i) - F.col(c)
+    ) / F.col(c)
+    return j.select(
         "l_returnflag",
-        F.round(F.element_at("exact_qs", 1) - 1e-9, _R).alias("median_exact"),
-        F.round(F.element_at("exact_qs", 2) - 1e-9, _R).alias("p90_exact"),
-        ((rel_err(1) <= 0.01) & (rel_err(2) <= 0.01)).alias("within_bound"),
+        F.round(F.col("q50") - 1e-9, _R).alias("median_exact"),
+        F.round(F.col("q90") - 1e-9, _R).alias("p90_exact"),
+        ((rel_err(1, "q50") <= 0.01) & (rel_err(2, "q90") <= 0.01)).alias(
+            "within_bound"
+        ),
     )
 
 
@@ -336,7 +343,13 @@ def agg_drop_duplicates_keep_first(spark: SparkSession, sf_dir: str) -> DataFram
 )
 def agg_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """df.describe() — count/mean/std/min/quartiles/max with EXACT
-    interpolated percentiles (matches DuckDB quantile_cont)."""
+    interpolated percentiles (matches DuckDB quantile_cont).
+    `F.percentile` here collects the single group's values into one
+    aggregation buffer — acceptable for an interactive whole-frame
+    summary, but at 100 TB swap the quartiles for
+    `exact_group_quantiles` (constant key) or `percentile_approx`;
+    the grouped queries already do (see agg_groupby_quantile /
+    agg_quantile_approx)."""
     c = F.col("o_totalprice")
     return load_table(spark, sf_dir, "orders").agg(
         F.count(c).alias("count"),
