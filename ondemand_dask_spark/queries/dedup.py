@@ -202,9 +202,26 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
+        .cache()  # referenced 3x below (id set twice + the pair join)
     )
-    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    x, y = sh.alias("x"), sh.alias("y")
+    # Verification touches only docs that actually collided: semi-filter
+    # the shingle set down to candidate docs with a broadcast BEFORE the
+    # pairwise intersect join, so neither side of that join exchanges
+    # the full corpus (measured at 100k docs: the full-sh verification
+    # join was the single most expensive stage of the pipeline).  LSH
+    # keeps the candidate id set ∝ collisions; if a pathological corpus
+    # ever overflows the broadcast threshold, drop the hint and the
+    # same plan degrades to a doc_id-shuffled semi-join.
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh_c = sh.join(F.broadcast(cand_docs), "doc_id")
+    # counts are only consumed for candidate docs, so computing them on
+    # the filtered set is identical and far smaller.
+    counts = sh_c.groupBy("doc_id").agg(F.count("*").alias("n"))
+    x, y = sh_c.alias("x"), sh_c.alias("y")
     inter = (
         cand.join(x, F.col("x.doc_id") == F.col("doc_a"))
         .join(
