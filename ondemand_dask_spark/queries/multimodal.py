@@ -101,13 +101,27 @@ def _fake_decode(payload: bytes, mime: str) -> dict:
     }
 
 
-@register("multimodal_decode_features", oracle=None)
+@register(
+    "multimodal_decode_features",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN length(text) = 0 THEN -1
+                ELSE ascii(substr(text, 1, 1)) END AS first_byte,
+           CASE WHEN length(text) = 0 THEN -1
+                ELSE ascii(substr(text, length(text), 1)) END AS last_byte,
+           CAST(list_sum(list_transform(generate_series(1, length(text)),
+                i -> ascii(substr(text, i, 1)))) % 256 AS INT) AS byte_sum_mod
+    FROM documents WHERE doc_id % 10 >= 2
+    """,
+)
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction over binary payloads via mapInPandas: Arrow
     ships the bytes batch-wise to Python; undecodable mimes are
     filtered BEFORE the Python boundary (predicate stays JVM-side).
-    Rows-only check — byte arithmetic isn't in the oracle's SQL
-    dialect."""
+    The Python side does real byte arithmetic on the payload; the
+    oracle recomputes it as ascii() arithmetic over the source text —
+    exact because the fixture corpus is pure ASCII (verified per SF),
+    where UTF-8 bytes and codepoints coincide."""
     m = _media(spark, sf_dir).filter(F.col("meta.mime").isin(*_DECODABLE))
 
     def extract(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -177,7 +191,22 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_resize", oracle=None)
+@register(
+    "multimodal_resize",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text, length(text) AS len
+      FROM documents WHERE doc_id % 10 >= 2
+    )
+    SELECT doc_id,
+           coalesce(hex(encode(array_to_string(
+             list_transform(generate_series(1, least(len, 253), 4),
+                            i -> substr(text, i, 1)), ''))), '') AS thumb_hex,
+           CAST(len AS INT) AS orig_len,
+           CAST(least(64, CAST(ceil(len / 4.0) AS INT)) AS INT) AS thumb_len
+    FROM t
+    """,
+)
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize/thumbnail analogue: each payload is downsampled to a
     bounded 'thumbnail' (every 4th byte, capped at 64 bytes) and
@@ -185,7 +214,10 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-trip (binary in → Python → binary out) a real image resize
     performs, with the pixel math stubbed to byte-stride sampling
     (no image libs in this container).  Narrow mapInPandas: no
-    shuffle, payload bytes never leave the executor."""
+    shuffle, payload bytes never leave the executor.  Exact-oracled:
+    the Python side strides real payload bytes; the oracle strides
+    the source text's chars (byte ≡ char on this verified-ASCII
+    corpus) and hexes the same thumbnail."""
     m = _media(spark, sf_dir).filter(F.col("meta.mime").isin(*_DECODABLE))
 
     def resize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
