@@ -108,9 +108,16 @@ def _sort_path(
 ) -> DataFrame:
     # Rank over the __v sort (ties get arbitrary ranks — harmless:
     # interpolating between equal values returns that value).
+    # No forced broadcast on the counts join: counts has one row PER
+    # GROUP, unbounded at scale — a broadcast hint would collect it to
+    # the driver regardless of size.  AQE converts to broadcast-hash
+    # at runtime whenever the measured size is under the threshold
+    # (always, at few/moderate group counts), and falls back to a
+    # key-shuffled join that is already co-partitioned with the
+    # window sort's exchange when groups number in the millions.
     w_sort = Window.partitionBy(*keys).orderBy("__v")
     ranked = d.withColumn("__rn", F.row_number().over(w_sort) - 1).join(
-        F.broadcast(counts), on=list(keys)
+        counts, on=list(keys)
     )
     return _boundary_rows(ranked, keys, qs)
 
