@@ -487,11 +487,14 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """df.pivot_table — groupBy().pivot() with explicit values (so no
-    extra distinct-discovery job; required at scale)."""
+    extra distinct-discovery job; required at scale).  No broadcast
+    hint on the customer join: customer grows with the fact table
+    (unlike region/nation), so AQE picks broadcast from measured size
+    at test SFs and a shuffled hash join when the dimension is TBs."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
         .pivot("o_orderstatus", ["F", "O", "P"])
         .agg(F.round((F.sum("o_totalprice")) - 1e-9, _R))
