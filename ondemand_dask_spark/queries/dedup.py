@@ -295,7 +295,8 @@ def dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY doc_id, b.i
     )
     SELECT doc_id,
-           sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS simhash
+           CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i)
+                    ELSE 0 END) AS BIGINT) AS simhash
     FROM bits GROUP BY doc_id
     """,
 )

@@ -206,12 +206,12 @@ _CKSUM_MOD = 2**30
     SELECT CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)
                 AS BIGINT) % {_CKSUM_BUCKETS} AS bucket,
            count(*) AS n_rows,
-           sum(CAST('0x' || substr(md5(
+           CAST(sum(CAST('0x' || substr(md5(
                  CAST(o_orderkey AS VARCHAR) || '|' ||
                  CAST(o_custkey AS VARCHAR) || '|' ||
                  o_orderstatus || '|' ||
                  CAST(round(o_totalprice - 1e-9, 2) AS VARCHAR)
-               ), 1, 15) AS BIGINT) % {_CKSUM_MOD}) AS checksum
+               ), 1, 15) AS BIGINT) % {_CKSUM_MOD}) AS BIGINT) AS checksum
     FROM orders
     GROUP BY bucket
     """,

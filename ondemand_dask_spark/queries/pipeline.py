@@ -66,9 +66,9 @@ _PACK_BUDGET = 512  # tokens per packed training sequence
       FROM t
     )
     SELECT source,
-           cum_before // {_PACK_BUDGET} AS seq_id,
+           CAST(cum_before // {_PACK_BUDGET} AS BIGINT) AS seq_id,
            count(*) AS n_docs,
-           sum(tok) AS seq_tokens
+           CAST(sum(tok) AS BIGINT) AS seq_tokens
     FROM c
     GROUP BY source, seq_id
     """,
@@ -207,7 +207,8 @@ def pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source,
            any_value(target_rate) AS target_rate,
            count(*) AS n_total,
-           sum(CASE WHEN bucket < target_rate THEN 1 ELSE 0 END) AS n_kept
+           CAST(sum(CASE WHEN bucket < target_rate THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept
     FROM rated
     GROUP BY source
     """,
@@ -558,9 +559,9 @@ _E2E_MIN_WORDS = 10
       FROM kept
     )
     SELECT source,
-           cum_before // {_PACK_BUDGET} AS seq_id,
+           CAST(cum_before // {_PACK_BUDGET} AS BIGINT) AS seq_id,
            count(*) AS n_docs,
-           sum(tok) AS seq_tokens
+           CAST(sum(tok) AS BIGINT) AS seq_tokens
     FROM c
     GROUP BY source, seq_id
     """,

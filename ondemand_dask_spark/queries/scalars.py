@@ -312,8 +312,8 @@ def dt_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_orderkey, l_linenumber,
            abs(l_discount - 0.05)                       AS abs_off,
            round(l_extendedprice - 1e-9, 2)             AS price_r2,
-           floor(l_quantity)                            AS qty_floor,
-           ceil(l_extendedprice / 1000)                 AS price_kceil,
+           CAST(floor(l_quantity) AS BIGINT)            AS qty_floor,
+           CAST(ceil(l_extendedprice / 1000) AS BIGINT) AS price_kceil,
            CAST(l_orderkey % 7 AS BIGINT)               AS key_mod7,
            round(power(1 + l_tax, 2) - 1e-9, {_R}) + 0.0      AS tax_sq,
            greatest(least(l_quantity, 40.0), 10.0)      AS qty_clipped
@@ -983,10 +983,13 @@ def dt_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type,
            count(*) AS n_total,
-           sum(CASE WHEN json_valid(s) THEN 1 ELSE 0 END) AS n_valid,
-           sum(CASE WHEN json_valid(s) THEN 0 ELSE 1 END) AS n_invalid,
-           sum(CASE WHEN json_valid(s)
-                    THEN CAST(json_extract(s, '$.k') AS BIGINT) END) AS sum_k
+           CAST(sum(CASE WHEN json_valid(s) THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_valid,
+           CAST(sum(CASE WHEN json_valid(s) THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_invalid,
+           CAST(sum(CASE WHEN json_valid(s)
+                    THEN CAST(json_extract(s, '$.k') AS BIGINT) END) AS BIGINT)
+             AS sum_k
     FROM synth GROUP BY event_type
     """,
 )

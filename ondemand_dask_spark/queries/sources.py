@@ -128,7 +128,7 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "source_text_lines",
     oracle="""
     SELECT count(*) AS n_lines,
-           sum(len(text)) AS total_chars,
+           CAST(sum(len(text)) AS BIGINT) AS total_chars,
            min(len(text)) AS min_len,
            max(len(text)) AS max_len
     FROM documents

@@ -151,8 +151,9 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_token_count",
     oracle="""
     SELECT lang,
-           sum(len(string_split(text, ' ')))                   AS ws_tokens,
-           sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS bpe_ish_tokens,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT)   AS ws_tokens,
+           CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')))
+                AS BIGINT) AS bpe_ish_tokens,
            count(*) AS n_docs
     FROM documents
     GROUP BY lang

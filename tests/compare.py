@@ -71,9 +71,41 @@ def _to_rows(pdf: pd.DataFrame) -> list[tuple]:
     return sorted(rows, key=lambda r: tuple((x is None, str(x)) for x in r))
 
 
+_KIND_GROUP = {"i": "int", "u": "int", "f": "float", "b": "bool"}
+
+
+def _numeric_kind_mismatches(
+    spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame
+) -> list[tuple[str, str, str]]:
+    """Columns where one engine yields ints and the other floats.
+
+    The driver hashes raw cell values, so ``41`` (Spark int64) vs
+    ``41.0`` (DuckDB HUGEINT -> fetchdf float64) is a hash mismatch
+    even though ``isclose`` passes — exactly the class that shipped
+    the r3 ``pipeline_end_to_end`` red row.  Only the int-vs-float
+    axis is enforced: object-dtype columns (strings, dates, masked
+    nullables) are skipped because both engines land them
+    differently for reasons the driver's hash does not see.
+    """
+    out = []
+    for c in spark_pdf.columns:
+        sg = _KIND_GROUP.get(spark_pdf[c].dtype.kind)
+        og = _KIND_GROUP.get(oracle_pdf[c].dtype.kind)
+        if sg is not None and og is not None and sg != og:
+            out.append((c, str(spark_pdf[c].dtype), str(oracle_pdf[c].dtype)))
+    return out
+
+
 def assert_results_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str):
     s_cols, o_cols = sorted(spark_pdf.columns), sorted(oracle_pdf.columns)
     assert s_cols == o_cols, f"{name}: column mismatch {s_cols} vs {o_cols}"
+    kind_bad = _numeric_kind_mismatches(spark_pdf, oracle_pdf)
+    assert not kind_bad, (
+        f"{name}: numeric dtype-kind drift (spark vs oracle) {kind_bad} — "
+        "the driver hashes raw values, so int-vs-float IS a failure; "
+        "CAST the oracle (DuckDB sum(BIGINT)/'//' return HUGEINT->float64) "
+        "or align the Spark cast"
+    )
     assert len(spark_pdf) == len(oracle_pdf), (
         f"{name}: row count {len(spark_pdf)} vs oracle {len(oracle_pdf)}"
     )
