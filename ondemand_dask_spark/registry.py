@@ -50,41 +50,44 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # module happens to import first.  Everything not listed follows in
 # registration order.
 _SHOWCASE: tuple[str, ...] = (
-    # tpch goldens
-    "tpch_q1", "tpch_q3", "tpch_q6", "tpch_q5",
-    # §2.A sources / sinks
-    "source_csv_roundtrip", "source_json_roundtrip", "sink_partitioned_parquet",
-    # §2.B projections / filters
-    "proj_select", "filter_mask",
-    # §2.C joins
-    "join_inner", "join_left", "join_broadcast", "join_semi", "join_anti",
-    # §2.D aggregations (incl. the formerly-red and banded-approx rows)
-    "agg_groupby_basic", "agg_groupby_quantile", "stat_crosstab",
-    "agg_collect_list_sorted", "stat_freq_items", "agg_nunique_approx",
-    "agg_quantile_approx", "agg_hll_sketch_merge",
-    # §2.E windows / resample
-    "window_cumsum", "window_rank_family", "window_ewm_bounded", "resample_day",
-    # §2.F sorts / top-k
-    "sort_values_global", "topk_nlargest",
-    # §2.G set ops
-    "set_union_distinct",
-    # §2.H scalar function batteries
-    "str_case_len", "dt_trunc_format", "array_basic", "map_functions",
-    "json_extract",
-    # composed / asof
-    "asof_join_backward", "sessionize_gap",
-    # §2.J UDF surface
-    "udf_pandas_scalar", "udf_grouped_agg",
-    # §2.K dedup / similarity / text / pipeline / multimodal
-    "dedup_exact", "dedup_minhash_lsh",
-    "ann_cosine_topk", "embedding_centroids",
-    "text_tfidf_top_term",
-    "pipeline_end_to_end", "pipeline_inverted_index",
-    "multimodal_dedup_content_hash",
-    # §2.I streaming
-    "stream_tumbling_agg",
-    # incremental / encoding / skew
-    "merge_upsert", "encode_one_hot", "join_salted_skew",
+    # --- round-4 rotation: the driver checks only this 50-entry
+    # prefix per round, so each round's window keeps a handful of
+    # anchors for continuity and fills the rest with entries that
+    # have never earned a driver CORRECTNESS row (r1-r3 covered 89
+    # of 260; this window adds 41 first-time checks).
+    #
+    # anchors (driver-green r3, kept as cross-round continuity +
+    # the formerly-red pipeline_end_to_end whose oracle-typing fix
+    # must now prove green under the real driver)
+    "tpch_q1", "tpch_q3",
+    "join_inner", "agg_groupby_basic", "agg_groupby_quantile",
+    "window_cumsum", "dedup_minhash_lsh", "pipeline_end_to_end",
+    # tpch goldens never driver-checked (best composition detectors)
+    "tpch_q2", "tpch_q4", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10",
+    "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15",
+    "tpch_q16", "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q20",
+    "tpch_q21", "tpch_q22",
+    # §2.I streaming — the distinctive stateful rows
+    "stream_session_window", "stream_dedup_watermark",
+    # the int-vs-float oracle-drift class fixed this round: earn
+    # driver rows for every member so the fix is externally verified
+    "checksum_buckets", "dedup_simhash", "json_corrupt_tolerant",
+    "math_basic", "pipeline_mixture_sample", "source_text_lines",
+    "text_token_count", "pipeline_pack_sequences",
+    # dedup scale-shape fixes landing this round
+    "dedup_simhash_pairs", "dedup_ngram_jaccard",
+    # joins never driver-checked (incl. the bucketed range plans)
+    "join_range_bucketed", "join_interval", "join_null_safe",
+    # one never-checked representative per remaining §2 family
+    "filter_query_string",      # relational
+    "encode_feature_hash",      # encoding
+    "agg_salted_skew",          # skew
+    "set_intersect",            # sets
+    "window_rolling_time",      # windows
+    "udf_map_in_pandas",        # udfs
+    "kmeans_lloyd",             # similarity
+    "multimodal_decode_wav",    # multimodal
+    "asof_join_nearest",        # composed (re-earns its r2 row)
 )
 
 
