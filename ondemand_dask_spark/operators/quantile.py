@@ -141,6 +141,23 @@ def choose_quantile_path(
     return "select" if max_group_rows > threshold else "sort"
 
 
+# The auto probe's counts cache must outlive this call (the returned
+# lazy DataFrame reuses it), so it cannot be unpersisted here.  To
+# keep a long session running many queries from accumulating retained
+# storage blocks, each new probe evicts the previous call's cache —
+# at most ONE counts table (|groups| rows) stays resident.
+_RETAINED_COUNTS: list[DataFrame] = []
+
+
+def _retain_counts(counts: DataFrame) -> None:
+    while _RETAINED_COUNTS:
+        try:
+            _RETAINED_COUNTS.pop().unpersist()
+        except Exception:
+            pass  # session already stopped — nothing to release
+    _RETAINED_COUNTS.append(counts)
+
+
 def exact_group_quantiles_auto(
     df: DataFrame,
     keys: list[str],
@@ -148,6 +165,7 @@ def exact_group_quantiles_auto(
     qs: dict[str, float],
     threshold: int = MAX_ROWS_PER_SORT_TASK,
     buckets: int = 64,
+    path: str | None = None,
 ) -> DataFrame:
     """Exact grouped quantiles with runtime path selection.
 
@@ -156,7 +174,17 @@ def exact_group_quantiles_auto(
     adds one tiny aggregate over the counts table, not a rescan), then
     dispatches per `choose_quantile_path`: many-normal-groups → sort
     path; few-huge-groups → selection path, whose per-bucket sorts
-    restore parallelism a 3-group window sort can't have."""
+    restore parallelism a 3-group window sort can't have.
+
+    path: optional caller hint ('sort' | 'select') that SKIPS the
+    probe job entirely — for callers that already know the group-size
+    regime (e.g. a fixed low-cardinality key over a table whose scale
+    band is known).  The probe is one scalar-only blocking action;
+    cheap absolutely, but a measurable fraction of small queries."""
+    if path is not None:
+        if path == "select":
+            return exact_group_quantiles_select(df, keys, col, qs, buckets)
+        return exact_group_quantiles(df, keys, col, qs)
     d = df.select(*keys, F.col(col).cast("double").alias("__v")).filter(
         F.col("__v").isNotNull()
     )
@@ -167,6 +195,7 @@ def exact_group_quantiles_auto(
         counts.unpersist()
         return exact_group_quantiles_select(df, keys, col, qs, buckets)
     # sort path reuses the cached counts the probe just materialized
+    _retain_counts(counts)
     return _sort_path(d, counts, keys, qs)
 
 

@@ -385,9 +385,14 @@ def agg_groupby_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ondemand_dask_spark.operators.quantile import exact_group_quantiles_auto
 
     li = load_table(spark, sf_dir, "lineitem")
+    # path='sort' skips the probe job: l_returnflag is a 3-value key
+    # and every driver SF keeps the largest group far under the
+    # one-task sort knee (4M rows ≈ sf60 lineitem).  Callers without
+    # that prior omit the hint and pay one scalar probe.
     qdf = exact_group_quantiles_auto(
         li, ["l_returnflag"], "l_extendedprice",
         {"median_price": 0.5, "p90_price": 0.9},
+        path="sort",
     )
     return qdf.select(
         "l_returnflag",

@@ -51,6 +51,29 @@ JACCARD_THRESHOLD = 0.5
 _H_SQL = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
 
 
+# Caches created inside a query must outlive the call (the returned
+# DataFrame is lazy and its plan references them), so they cannot be
+# unpersisted at function exit.  Instead each cache registers here
+# and the NEXT dedup query entry evicts the previous set — a long
+# driver session running hundreds of queries retains at most one
+# query's worth of dedup storage blocks instead of accumulating all
+# of them.
+_RETAINED_CACHES: list[DataFrame] = []
+
+
+def _evict_retained() -> None:
+    while _RETAINED_CACHES:
+        try:
+            _RETAINED_CACHES.pop().unpersist()
+        except Exception:
+            pass  # session already stopped — nothing to release
+
+
+def _retain(df: DataFrame) -> DataFrame:
+    _RETAINED_CACHES.append(df)
+    return df
+
+
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct 3-token shingles per doc: (doc_id, shingle)."""
     d = load_table(spark, sf_dir, "documents")
@@ -155,9 +178,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # second (wider) shuffle; dedup over the hash alone is equivalent
     # (distinct-by-hash ∘ distinct-by-string ≡ distinct-by-hash) and
     # keeps the only wide op on (long, long) rows.
+    _evict_retained()
     d = load_table(spark, sf_dir, "documents")
     h30 = _h(F.col("shingle")) % F.lit(1_073_741_824)
-    sh = (
+    sh = _retain(
         d.select(
             "doc_id", F.explode(_shingle_array(F.col("text"), 3)).alias("shingle")
         )
@@ -168,7 +192,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mh is one row per doc (tiny) but sits under a 4-way band union
     # that feeds a self-join — cache it or the shingle scan + groupBy
     # lineage re-executes 8×.
-    mh = (
+    mh = _retain(
         sh.groupBy("doc_id")
         .agg(
             *[
@@ -204,6 +228,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .cache()  # referenced 3x below (id set twice + the pair join)
     )
+    _retain(cand)
     # Verification touches only docs that actually collided: semi-filter
     # the shingle set down to candidate docs with a broadcast BEFORE the
     # pairwise intersect join, so neither side of that join exchanges
@@ -364,33 +389,88 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: Hamming distance ≤ 3 on the 32-bit
-    signatures.  Shown as a direct pair join over the (tiny) signature
-    table; the 100 TB path blocks on signature bytes first (each
-    near-dup pair shares at least one identical byte when hamming ≤ 3
-    over 4 bytes — pigeonhole), turning n² into per-block joins."""
+    signatures, found WITHOUT the n² pair join.  Pigeonhole block
+    scheme: hamming ≤ 3 flips at most 3 of the signature's 4 bytes,
+    so every qualifying pair agrees on at least one whole byte —
+    explode each signature into its 4 (byte_idx, byte_val) block
+    keys and EQUI-join on the block.  Candidates are generated only
+    where a byte collides (E[collisions] ≈ 4·n²/2^8 per byte value
+    only if signatures were uniform — real near-dup corpora cluster,
+    which is exactly when blocking wins), each pair is verified by
+    one bit_count, and duplicate discoveries (pairs sharing >1 byte)
+    collapse in a groupBy on the pair key.  The join is a plain
+    hash-partitioned equi join — shuffle moves (long, long) rows
+    keyed by a 2-byte block key, AQE splits any hot byte value — vs
+    the BroadcastNestedLoopJoin of the naive a.doc_id < b.doc_id
+    formulation, which is the O(n²) cliff at corpus scale."""
     sig = dedup_simhash(spark, sf_dir)
-    a, b = sig.alias("a"), sig.alias("b")
-    ham = F.bit_count(
-        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    blocks = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("bi"),
+                        F.shiftright("simhash", 8 * i)
+                        .bitwiseAND(F.lit(255))
+                        .alias("bv"),
+                    )
+                    for i in range(SIMHASH_BITS // 8)
+                ]
+            )
+        ).alias("blk"),
+    ).select(
+        "doc_id",
+        "simhash",
+        F.col("blk.bi").alias("bi"),
+        F.col("blk.bv").alias("bv"),
     )
-    return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-        .filter(ham <= 3)
-        .select(
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.bi") == F.col("b.bi"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            ham.alias("hamming"),
+        )
+        .agg(
+            F.first("a.simhash").alias("ha"),
+            F.first("b.simhash").alias("hb"),
         )
     )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return cand.filter(ham <= 3).select(
+        "doc_a", "doc_b", ham.alias("hamming")
+    )
+
+
+_STOP_DF_MIN = 5  # stop-shingle floor: never cut below this doc-frequency
+_STOP_DF_FRAC = 0.01  # ...or 1% of the corpus, whichever is larger
 
 
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""
     WITH sh AS ({_SHINGLES_SQL}),
+    tot AS (SELECT count(*) AS n_docs FROM documents),
+    dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+    hot AS (
+      SELECT shingle FROM dfreq, tot
+      WHERE df > greatest({_STOP_DF_MIN}, {_STOP_DF_FRAC} * n_docs)
+    ),
+    kept AS (
+      SELECT doc_id, shingle FROM sh
+      WHERE shingle NOT IN (SELECT shingle FROM hot)
+    ),
     lang AS (SELECT doc_id, lang FROM documents),
-    sh_l AS (SELECT sh.doc_id, lang, shingle FROM sh JOIN lang USING (doc_id)),
-    counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    sh_l AS (SELECT kept.doc_id, lang, shingle
+             FROM kept JOIN lang USING (doc_id)),
+    counts AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
     inter AS (
       SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS i
       FROM sh_l x JOIN sh_l y
@@ -408,13 +488,40 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked pairwise n-gram Jaccard: pairs form ONLY through the
     shared-shingle join (an inverted-index join — docs with zero
-    common shingles never meet), additionally blocked on lang.  At
-    scale, add a length bucket to the block key and drop top-frequency
-    shingles (stop-shingles) to bound the inverted-list fan-out."""
+    common shingles never meet), additionally blocked on lang, with a
+    STOP-SHINGLE cut: shingles whose document frequency exceeds
+    max(5, 1% of the corpus) are dropped before the join on BOTH the
+    intersection and the per-doc denominators.  A shingle appearing
+    in d docs fans out into d·(d-1)/2 candidate rows — one template
+    boilerplate line shared by 1% of a 10B-doc corpus would alone
+    generate 5e15 pairs, so the cut is what bounds the inverted-list
+    join at scale (it also sharpens the signal: ubiquitous shingles
+    carry no near-dup evidence).  The hot-shingle set is tiny by
+    construction (only shingles above the DF ceiling) and broadcast
+    to a left_anti join, so the cut costs one extra groupBy and no
+    extra shuffle of the shingle table; the corpus total needed for
+    the threshold rides along as a broadcast 1-row crossJoin, never
+    a driver-side action."""
     sh = _shingles(spark, sf_dir)
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    sh_l = sh.join(d, "doc_id")
-    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    total = load_table(spark, sf_dir, "documents").agg(
+        F.count("*").alias("n_docs")
+    )
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    hot = (
+        dfreq.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("df")
+            > F.greatest(
+                F.lit(float(_STOP_DF_MIN)),
+                F.lit(_STOP_DF_FRAC) * F.col("n_docs"),
+            )
+        )
+        .select("shingle")
+    )
+    kept = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sh_l = kept.join(d, "doc_id")
+    counts = kept.groupBy("doc_id").agg(F.count("*").alias("n"))
     x, y = sh_l.alias("x"), sh_l.alias("y")
     inter = (
         x.join(
@@ -494,7 +601,11 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # references `pairs` twice, and without the cache the entire
     # minhash pipeline (shingle scan, band self-join, verification
     # join) executes once per reference.
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b").cache()
+    # (dedup_minhash_lsh's entry evicted the PREVIOUS query's retained
+    # caches; `pairs` joins this call's retained set below.)
+    pairs = _retain(
+        dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b").cache()
+    )
     # localCheckpoint (not cache): truncates lineage so the symmetric
     # union reads materialized pair rows twice instead of running the
     # minhash pipeline per reference, and each round below starts
@@ -530,10 +641,19 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("n.lbl") < F.col("o.lbl"))
             .count()
         )
+        # each localCheckpoint is EAGER: new_labels' blocks are
+        # materialized by now, so the superseded round's blocks can
+        # be released immediately instead of persisting all rounds.
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
-    return labels.select(
+    # the final labels are materialized checkpoint blocks — nothing
+    # downstream re-reads edges or the pair cache, so free them now
+    # rather than holding them until the next dedup query.
+    edges.unpersist()
+    pairs.unpersist()
+    return _retain(labels).select(
         F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id")
     )
 

@@ -109,8 +109,8 @@ def _fake_decode(payload: bytes, mime: str) -> dict:
                 ELSE ascii(substr(text, 1, 1)) END AS first_byte,
            CASE WHEN length(text) = 0 THEN -1
                 ELSE ascii(substr(text, length(text), 1)) END AS last_byte,
-           CAST(list_sum(list_transform(generate_series(1, length(text)),
-                i -> ascii(substr(text, i, 1)))) % 256 AS INT) AS byte_sum_mod
+           CAST(COALESCE(list_sum(list_transform(generate_series(1, length(text)),
+                i -> ascii(substr(text, i, 1)))), 0) % 256 AS INT) AS byte_sum_mod
     FROM documents WHERE doc_id % 10 >= 2
     """,
 )

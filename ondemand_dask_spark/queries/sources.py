@@ -286,9 +286,18 @@ def source_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB operational table into Spark: N concurrent range scans,
     no single-cursor bottleneck).  Values must hash-match the parquet
     table the rows came from."""
+    # Key the Derby db dir by applicationId: Derby allows only ONE
+    # JVM to boot a database, so a fixed path dual-boot-locks (XSDB6)
+    # when a second session (pytest alongside the driver) runs this
+    # query concurrently.
     url = (
         "jdbc:derby:"
-        + os.path.join(tempfile.gettempdir(), "ondemand_dask_spark_jdbc", "db")
+        + os.path.join(
+            tempfile.gettempdir(),
+            "ondemand_dask_spark_jdbc",
+            spark.sparkContext.applicationId,
+            "db",
+        )
         + ";create=true"
     )
     nation = load_table(spark, sf_dir, "nation").select(

@@ -88,8 +88,21 @@ def read_events_stream(
     src = directory or _stream_dir(sf_dir)
     # Sniff the on-disk ts encoding via a batch schema read (footer
     # metadata only, no data scan) so the stream schema matches the
-    # generation of testdata actually present.
-    ts_type = spark.read.parquet(src).schema["ts"].dataType
+    # generation of testdata actually present.  An EMPTY landing dir
+    # (stream created ahead of data arrival — the advertised use) has
+    # nothing to sniff: fall back to the canonical sf_dir events table
+    # when one was given, else to the legacy LongType (NANOS) schema.
+    try:
+        ts_type = spark.read.parquet(src).schema["ts"].dataType
+    except Exception:
+        if sf_dir is not None and directory is not None:
+            ts_type = (
+                spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+                .schema["ts"]
+                .dataType
+            )
+        else:
+            ts_type = T.LongType()
     reader = spark.readStream.schema(_events_schema(ts_type))
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)

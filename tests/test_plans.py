@@ -317,6 +317,20 @@ def test_interval_overlap_no_bnlj(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_simhash_pairs_no_bnlj(spark, sf_dir):
+    """SimHash pairing: the pigeonhole byte-block scheme must plan as
+    a hash/sort-merge EQUI join on the block key — a
+    BroadcastNestedLoopJoin over all signature pairs is the O(n²)
+    cliff the blocking exists to avoid."""
+    from ondemand_dask_spark.plans import plan_string
+
+    df = _df("dedup_simhash_pairs", spark, sf_dir)
+    plan = plan_string(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert python_eval_count(df) == 0
+
+
 def test_headline_queries_stay_jvm_side(spark, sf_dir):
     """Every benched query must be pure JVM (no Python operators) —
     the bench is the scale contract, and a Python stage sneaking into

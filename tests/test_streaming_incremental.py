@@ -153,3 +153,17 @@ def test_stream_stream_join_across_batches(spark, chunked_dir, batch_events):
     exp = view_purchase_pairs(batch_events).toPandas()
     assert len(exp) > 0
     assert_results_match(got, exp, "inc_ssj")
+
+
+def test_stream_creates_on_empty_landing_dir(spark, sf_dir, tmp_path):
+    """A stream must be creatable over an EMPTY landing directory —
+    files arrive after the stream starts.  With nothing to sniff, the
+    ts-encoding probe falls back to the canonical sf_dir events table
+    (or the legacy NANOS schema when no sf_dir is given)."""
+    empty = tmp_path / "landing"
+    empty.mkdir()
+    s = read_events_stream(spark, sf_dir, directory=str(empty))
+    assert s.isStreaming
+    assert "ts" in s.columns
+    s2 = read_events_stream(spark, directory=str(empty))
+    assert s2.isStreaming
