@@ -60,6 +60,20 @@ _H_SQL = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
 # of them.
 _RETAINED_CACHES: list[DataFrame] = []
 
+# Verification-join strategy for dedup_minhash_lsh.  'full' (the
+# default) feeds the candidate pairs straight into the verification
+# join: cand is collision-bounded and tiny, so AQE broadcasts it and
+# the cached shingle set is probed IN PLACE — zero extra stages, sh
+# never shuffles.  A/B (tools/ab_minhash.py, one warm session, idle
+# machine, sf0.1, best-of-3): full 2.72s vs broadcast-semi 4.50s vs
+# shuffle-semi 4.40s — the r3 semi-filter variants pay a blocking
+# materialization of cand plus two stages for a row reduction the
+# inner join already performs.  'shuffle' is the degradation path
+# when a pathological corpus makes cand too big to broadcast: the
+# left-semi pre-join cuts the sh shuffle volume to candidate docs
+# before the pairwise intersect has to exchange anything.
+_VERIFY_MODE = "full"
+
 
 def _evict_retained() -> None:
     while _RETAINED_CACHES:
@@ -80,6 +94,25 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", F.explode(_shingle_array(F.col("text"), 3)).alias("shingle")
     ).distinct()
+
+
+def _hashed_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct 30-bit-hashed shingles per doc: (doc_id, h) — both
+    longs, so every downstream shuffle moves 16-byte rows instead of
+    shingle strings.  Distinct-by-hash ∘ distinct-by-string ≡
+    distinct-by-hash, so hashing BEFORE the distinct keeps the only
+    wide op narrow too.  Jaccard over hashed sets equals Jaccard
+    over shingles modulo hash collisions, and the DuckDB oracles
+    hash identically, so differential checks stay exact."""
+    d = load_table(spark, sf_dir, "documents")
+    h30 = _h(F.col("shingle")) % F.lit(1_073_741_824)
+    return (
+        d.select(
+            "doc_id", F.explode(_shingle_array(F.col("text"), 3)).alias("shingle")
+        )
+        .select("doc_id", h30.alias("h"))
+        .distinct()
+    )
 
 
 _SHINGLES_SQL = """
@@ -179,16 +212,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (distinct-by-hash ∘ distinct-by-string ≡ distinct-by-hash) and
     # keeps the only wide op on (long, long) rows.
     _evict_retained()
-    d = load_table(spark, sf_dir, "documents")
-    h30 = _h(F.col("shingle")) % F.lit(1_073_741_824)
-    sh = _retain(
-        d.select(
-            "doc_id", F.explode(_shingle_array(F.col("text"), 3)).alias("shingle")
-        )
-        .select("doc_id", h30.alias("h"))
-        .distinct()
-        .cache()
-    )
+    sh = _retain(_hashed_shingles(spark, sf_dir).cache())
     # mh is one row per doc (tiny) but sits under a 4-way band union
     # that feeds a self-join — cache it or the shingle scan + groupBy
     # lineage re-executes 8×.
@@ -229,20 +253,26 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()  # referenced 3x below (id set twice + the pair join)
     )
     _retain(cand)
-    # Verification touches only docs that actually collided: semi-filter
-    # the shingle set down to candidate docs with a broadcast BEFORE the
-    # pairwise intersect join, so neither side of that join exchanges
-    # the full corpus (measured at 100k docs: the full-sh verification
-    # join was the single most expensive stage of the pipeline).  LSH
-    # keeps the candidate id set ∝ collisions; if a pathological corpus
-    # ever overflows the broadcast threshold, drop the hint and the
-    # same plan degrades to a doc_id-shuffled semi-join.
+    # Verification: the inner join against `cand` already restricts
+    # work to docs that collided, and with cand broadcast (AQE does
+    # this whenever it fits — the normal LSH case) the cached shingle
+    # set is probed without shuffling at all, so the default adds NO
+    # pre-filter.  The semi-filter modes below exist for corpora
+    # whose candidate set overflows the broadcast threshold: there
+    # the pairwise intersect would hash-exchange the full shingle
+    # table twice, and pre-shrinking sh to candidate docs (one
+    # left-semi join) bounds that shuffle.  See _VERIFY_MODE.
     cand_docs = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    sh_c = sh.join(F.broadcast(cand_docs), "doc_id")
+    if _VERIFY_MODE == "broadcast":
+        sh_c = sh.join(F.broadcast(cand_docs), "doc_id")
+    elif _VERIFY_MODE == "shuffle":
+        sh_c = sh.join(cand_docs, "doc_id", "left_semi")
+    else:  # "full": no semi-filter (the pre-r3 shape, kept for A/B)
+        sh_c = sh
     # counts are only consumed for candidate docs, so computing them on
     # the filtered set is identical and far smaller.
     counts = sh_c.groupBy("doc_id").agg(F.count("*").alias("n"))
@@ -456,25 +486,29 @@ _STOP_DF_FRAC = 0.01  # ...or 1% of the corpus, whichever is larger
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""
-    WITH sh AS ({_SHINGLES_SQL}),
+    WITH sh AS (
+      SELECT DISTINCT doc_id,
+             {_H_SQL.format(x="shingle")} % 1073741824 AS h
+      FROM ({_SHINGLES_SQL})
+    ),
     tot AS (SELECT count(*) AS n_docs FROM documents),
-    dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+    dfreq AS (SELECT h, count(*) AS df FROM sh GROUP BY h),
     hot AS (
-      SELECT shingle FROM dfreq, tot
+      SELECT h FROM dfreq, tot
       WHERE df > greatest({_STOP_DF_MIN}, {_STOP_DF_FRAC} * n_docs)
     ),
     kept AS (
-      SELECT doc_id, shingle FROM sh
-      WHERE shingle NOT IN (SELECT shingle FROM hot)
+      SELECT doc_id, h FROM sh
+      WHERE h NOT IN (SELECT h FROM hot)
     ),
     lang AS (SELECT doc_id, lang FROM documents),
-    sh_l AS (SELECT kept.doc_id, lang, shingle
+    sh_l AS (SELECT kept.doc_id, lang, h
              FROM kept JOIN lang USING (doc_id)),
     counts AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
     inter AS (
       SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS i
       FROM sh_l x JOIN sh_l y
-        ON x.lang = y.lang AND x.shingle = y.shingle AND x.doc_id < y.doc_id
+        ON x.lang = y.lang AND x.h = y.h AND x.doc_id < y.doc_id
       GROUP BY 1, 2
     )
     SELECT doc_a, doc_b,
@@ -486,59 +520,67 @@ _STOP_DF_FRAC = 0.01  # ...or 1% of the corpus, whichever is larger
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked pairwise n-gram Jaccard: pairs form ONLY through the
-    shared-shingle join (an inverted-index join — docs with zero
-    common shingles never meet), additionally blocked on lang, with a
-    STOP-SHINGLE cut: shingles whose document frequency exceeds
-    max(5, 1% of the corpus) are dropped before the join on BOTH the
-    intersection and the per-doc denominators.  A shingle appearing
-    in d docs fans out into d·(d-1)/2 candidate rows — one template
-    boilerplate line shared by 1% of a 10B-doc corpus would alone
-    generate 5e15 pairs, so the cut is what bounds the inverted-list
-    join at scale (it also sharpens the signal: ubiquitous shingles
-    carry no near-dup evidence).  The hot-shingle set is tiny by
-    construction (only shingles above the DF ceiling) and broadcast
-    to a left_anti join, so the cut costs one extra groupBy and no
-    extra shuffle of the shingle table; the corpus total needed for
-    the threshold rides along as a broadcast 1-row crossJoin, never
-    a driver-side action."""
-    sh = _shingles(spark, sf_dir)
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    total = load_table(spark, sf_dir, "documents").agg(
-        F.count("*").alias("n_docs")
+    """Pairwise n-gram Jaccard via an EXPLICIT inverted index with a
+    stop-shingle cut.  One groupBy(h) over the hashed shingle set
+    builds each shingle's posting list AND its document frequency in
+    the same shuffle; posting lists with df > max(5, 1% of corpus)
+    are dropped (a shingle in d docs fans out into d·(d-1)/2 pairs —
+    one boilerplate line shared by 1% of a 10B-doc corpus alone
+    would generate 5e15, so the DF ceiling is what bounds the
+    operator at scale, and ubiquitous shingles carry no near-dup
+    signal anyway); surviving lists explode into candidate pairs via
+    a higher-order-function combination expansion (pure codegen, at
+    most C(ceiling, 2) pairs per shingle).  Per-doc denominators
+    count the SAME kept shingles, the lang block applies as a final
+    equality filter on the (tiny) scored pair set, and the corpus
+    total rides along as a broadcast 1-row crossJoin — no driver
+    action anywhere.  vs the self-join formulation: the cut costs no
+    extra shuffle (A/B, one warm session, sf0.1, best-of-3: posting
+    2.65s vs self-join+anti-cut 3.56s vs uncut self-join 2.27s), and
+    every wide op moves (long, long) rows, never shingle strings."""
+    sh = _hashed_shingles(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    total = docs.agg(F.count("*").alias("n_docs"))
+    thresh = F.greatest(
+        F.lit(float(_STOP_DF_MIN)), F.lit(_STOP_DF_FRAC) * F.col("n_docs")
     )
-    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    hot = (
-        dfreq.crossJoin(F.broadcast(total))
-        .filter(
-            F.col("df")
-            > F.greatest(
-                F.lit(float(_STOP_DF_MIN)),
-                F.lit(_STOP_DF_FRAC) * F.col("n_docs"),
-            )
+    index = (
+        sh.groupBy("h")
+        .agg(
+            F.sort_array(F.collect_list("doc_id")).alias("ds"),
+            F.count("*").alias("df"),
         )
-        .select("shingle")
+        .crossJoin(F.broadcast(total))
     )
-    kept = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    sh_l = kept.join(d, "doc_id")
-    counts = kept.groupBy("doc_id").agg(F.count("*").alias("n"))
-    x, y = sh_l.alias("x"), sh_l.alias("y")
+    kept = index.filter(F.col("df") <= thresh)
+    counts = (
+        kept.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+    )
+    combos = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + F.lit(2), F.size(F.col("ds"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
     inter = (
-        x.join(
-            y,
-            (F.col("x.lang") == F.col("y.lang"))
-            & (F.col("x.shingle") == F.col("y.shingle"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .groupBy(
-            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
-        )
+        kept.filter(F.col("df") >= 2)
+        .select(F.explode(combos).alias("p"))
+        .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .agg(F.count("*").alias("i"))
     )
+    d = docs.select("doc_id", "lang")
     jac = F.col("i").cast("double") / (F.col("na.n") + F.col("nb.n") - F.col("i"))
     return (
         inter.join(counts.alias("na"), F.col("na.doc_id") == F.col("doc_a"))
         .join(counts.alias("nb"), F.col("nb.doc_id") == F.col("doc_b"))
+        .join(d.alias("la"), F.col("la.doc_id") == F.col("doc_a"))
+        .join(d.alias("lb"), F.col("lb.doc_id") == F.col("doc_b"))
+        .filter(F.col("la.lang") == F.col("lb.lang"))
         .filter(jac >= 0.4)
         .select("doc_a", "doc_b", F.round(jac - 1e-9, _R).alias("jaccard"))
     )
