@@ -66,6 +66,21 @@ HEADLINE = [
 
 RUNS = 2
 
+# The 21 queries benched in BOTH round 1-2 and round 3+ — reported as
+# a pinned sub-total so round-over-round deltas compare the same work
+# even as HEADLINE keeps growing (bench-hygiene note: the r3 verdict
+# could not tell load noise from regressions because the set and the
+# total moved together).
+R2_COMPARABLE = [
+    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6",
+    "join_inner", "agg_groupby_basic", "agg_groupby_quantile",
+    "window_cumsum", "window_rank_family", "topk_nlargest",
+    "asof_join_backward", "sessionize_gap", "dedup_exact",
+    "dedup_minhash_lsh", "ann_cosine_topk", "text_tfidf_top_term",
+    "topk_per_group", "merge_upsert", "scd2_intervals",
+    "pipeline_heavy_hitters", "window_ewm_bounded",
+]
+
 
 def _sf_from_dir(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
@@ -113,6 +128,9 @@ def main() -> None:
         timings[n] = round(min(run_once(n) for _ in range(RUNS)), 4)
 
     total = round(sum(timings.values()), 4)
+    r2_subtotal = round(
+        sum(timings[n] for n in R2_COMPARABLE if n in timings), 4
+    )
     print(
         json.dumps(
             {
@@ -121,6 +139,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": _sf_from_dir(sf_dir),
+                "r2_comparable_subtotal": r2_subtotal,
             }
         )
     )
