@@ -847,6 +847,55 @@ def stat_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stat_freq_items_verified",
+    oracle="""
+    WITH tot AS (SELECT count(*) AS n FROM orders),
+    p AS (SELECT o_orderpriority AS v, count(*) AS c
+          FROM orders GROUP BY 1),
+    s AS (SELECT o_orderstatus AS v, count(*) AS c
+          FROM orders GROUP BY 1)
+    SELECT
+      COALESCE((SELECT string_agg(v, ',' ORDER BY v) FROM p, tot
+                WHERE c > 0.1 * n), '') AS priority_freq_items,
+      COALESCE((SELECT string_agg(v, ',' ORDER BY v) FROM s, tot
+                WHERE c > 0.1 * n), '') AS status_freq_items
+    """,
+)
+def stat_freq_items_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """freqItems hardened into a DETERMINISTIC operator: the KSP
+    sketch guarantees every item with frequency > support appears in
+    its candidate set (false positives allowed), so post-filtering
+    the candidates against exact counts yields exactly the items
+    above threshold — sketch speed on the scan, exact output, full
+    oracle (the raw sketch output stays available as
+    `stat_freq_items`, rows-only by contract).  The exact counts
+    touch only the candidate values (a broadcast-joined handful),
+    and the corpus total rides along as a broadcast 1-row
+    crossJoin."""
+    o = load_table(spark, sf_dir, "orders")
+    n_total = o.agg(F.count("*").alias("n"))
+    fi = o.stat.freqItems(["o_orderpriority", "o_orderstatus"], support=0.1)
+
+    def verified(col: str, out: str) -> DataFrame:
+        cand = fi.select(F.explode(f"{col}_freqItems").alias("v"))
+        counts = o.groupBy(F.col(col).alias("v")).agg(
+            F.count("*").alias("c")
+        )
+        return (
+            cand.join(counts, "v")
+            .crossJoin(F.broadcast(n_total))
+            .filter(F.col("c") > 0.1 * F.col("n"))
+            .agg(
+                F.array_join(F.sort_array(F.collect_list("v")), ",").alias(out)
+            )
+        )
+
+    return verified("o_orderpriority", "priority_freq_items").crossJoin(
+        verified("o_orderstatus", "status_freq_items")
+    )
+
+
+@register(
     "agg_entropy",
     oracle=f"""
     WITH c AS (

@@ -24,6 +24,7 @@ hash family is the same deterministic function on both engines).
 from __future__ import annotations
 
 import functools
+import itertools
 import operator
 
 from pyspark.sql import DataFrame, SparkSession
@@ -390,6 +391,25 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Multi-index Hamming blocking for dedup_simhash_pairs: the 32-bit
+# signature splits into 6 parts (widths below); hamming ≤ 3 damages
+# at most 3 parts, so at least one of the C(6,3)=20 three-part
+# combinations survives fully intact in BOTH docs (pigeonhole) —
+# blocking on every combination key therefore misses no qualifying
+# pair.  Key width ≈ 15-17 bits, so uniform-random collision volume
+# is ~20·n²/2^16 ≈ n²/3277 — vs n²/256 for the single-byte scheme
+# (4 keys, 8-bit blocks), whose candidate set was measured to blow
+# up at the 100k-doc scale probe.  More parts per key = finer blocks
+# = fewer candidates, paid for with a larger explode (20×/doc); at
+# larger corpora, widen the signature and the key, keeping key bits
+# ≳ 2·log2(n).
+_SIMHASH_PART_WIDTHS = (6, 6, 5, 5, 5, 5)
+_SIMHASH_PART_OFFSETS = (0, 6, 12, 17, 22, 27)
+_SIMHASH_COMBOS = tuple(
+    itertools.combinations(range(len(_SIMHASH_PART_WIDTHS)), 3)
+)
+
+
 @register(
     "dedup_simhash_pairs",
     oracle=f"""
@@ -419,49 +439,40 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: Hamming distance ≤ 3 on the 32-bit
-    signatures, found WITHOUT the n² pair join.  Pigeonhole block
-    scheme: hamming ≤ 3 flips at most 3 of the signature's 4 bytes,
-    so every qualifying pair agrees on at least one whole byte —
-    explode each signature into its 4 (byte_idx, byte_val) block
-    keys and EQUI-join on the block.  Candidates are generated only
-    where a byte collides (E[collisions] ≈ 4·n²/2^8 per byte value
-    only if signatures were uniform — real near-dup corpora cluster,
-    which is exactly when blocking wins), each pair is verified by
-    one bit_count, and duplicate discoveries (pairs sharing >1 byte)
-    collapse in a groupBy on the pair key.  The join is a plain
-    hash-partitioned equi join — shuffle moves (long, long) rows
-    keyed by a 2-byte block key, AQE splits any hot byte value — vs
-    the BroadcastNestedLoopJoin of the naive a.doc_id < b.doc_id
+    signatures, found WITHOUT the n² pair join.  Multi-index
+    pigeonhole blocking (see _SIMHASH_COMBOS): each signature
+    explodes into 20 (combo_id, part-triple) block keys packed into
+    one long; qualifying pairs are GUARANTEED to share at least one
+    key, the self-join is a plain hash-partitioned equi join on that
+    long (shuffle moves (long, long, long) rows, AQE splits any hot
+    block), duplicate discoveries collapse in a groupBy on the pair
+    key, and one bit_count verifies each candidate exactly — vs the
+    BroadcastNestedLoopJoin of the naive a.doc_id < b.doc_id
     formulation, which is the O(n²) cliff at corpus scale."""
     sig = dedup_simhash(spark, sf_dir)
+
+    def part(i: int) -> F.Column:
+        return F.shiftright("simhash", _SIMHASH_PART_OFFSETS[i]).bitwiseAND(
+            F.lit((1 << _SIMHASH_PART_WIDTHS[i]) - 1)
+        )
+
+    keys = [
+        (
+            F.lit(j).cast("long") * F.lit(1 << 18)
+            + part(a) * F.lit(1 << 12)
+            + part(b) * F.lit(1 << 6)
+            + part(c)
+        ).cast("long")
+        for j, (a, b, c) in enumerate(_SIMHASH_COMBOS)
+    ]
     blocks = sig.select(
-        "doc_id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("bi"),
-                        F.shiftright("simhash", 8 * i)
-                        .bitwiseAND(F.lit(255))
-                        .alias("bv"),
-                    )
-                    for i in range(SIMHASH_BITS // 8)
-                ]
-            )
-        ).alias("blk"),
-    ).select(
-        "doc_id",
-        "simhash",
-        F.col("blk.bi").alias("bi"),
-        F.col("blk.bv").alias("bv"),
+        "doc_id", "simhash", F.explode(F.array(*keys)).alias("bk")
     )
     a, b = blocks.alias("a"), blocks.alias("b")
     cand = (
         a.join(
             b,
-            (F.col("a.bi") == F.col("b.bi"))
-            & (F.col("a.bv") == F.col("b.bv"))
+            (F.col("a.bk") == F.col("b.bk"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(

@@ -291,6 +291,46 @@ def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sample_weighted",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_totalprice
+    FROM orders
+    WHERE CAST('0x' || substr(md5('w|' || CAST(o_orderkey AS VARCHAR)), 1, 15)
+               AS BIGINT) % 1000 <
+          CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 300
+               WHEN o_orderpriority = '3-MEDIUM' THEN 100
+               ELSE 20 END
+    """,
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.sample(weights=...) — per-row inclusion probability driven
+    by a weight column (here: priority class → 30% / 10% / 2%), as a
+    DETERMINISTIC salted-hash Bernoulli: row kept iff
+    hash(salt|key) % 1000 < weight·1000.  Same contract as
+    `sample_hash_split`: membership is a pure function of the key,
+    so the weighted sample is reproducible across engines, runs, and
+    repartitions, while RNG-based weighted draws are not even stable
+    across partitionings.  Narrow op, no shuffle, prunes at the
+    scan."""
+    from ondemand_dask_spark.functions.texthash import portable_hash64
+
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 300
+        )
+        .when(F.col("o_orderpriority") == "3-MEDIUM", 100)
+        .otherwise(20)
+    )
+    bucket = portable_hash64(
+        F.concat(F.lit("w|"), F.col("o_orderkey").cast("string"))
+    ) % 1000
+    return o.filter(bucket < w).select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+
+
+@register(
     "combine_first",
     oracle="""
     WITH a AS (

@@ -317,6 +317,29 @@ def test_interval_overlap_no_bnlj(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_ngram_jaccard_posting_list_plan(spark, sf_dir):
+    """Posting-list n-gram Jaccard: pair generation must come from
+    the exploded inverted index (pure codegen HOF expansion), never
+    a CONDITIONAL nested-loop pair join, and the whole pipeline
+    stays JVM-side.  The only nested-loop nodes allowed are the
+    unconditioned `Cross BuildRight` broadcasts of the 1-row corpus
+    total (O(n·1) by construction)."""
+    import re
+
+    from ondemand_dask_spark.plans import plan_string
+
+    df = _df("dedup_ngram_jaccard", spark, sf_dir)
+    plan = plan_string(df)
+    conditional_bnlj = [
+        ln
+        for ln in plan.splitlines()
+        if re.search(r"BroadcastNestedLoopJoin\s+(?!Cross BuildRight)\S", ln)
+    ]
+    assert not conditional_bnlj, conditional_bnlj
+    assert "CartesianProduct" not in plan
+    assert python_eval_count(df) == 0
+
+
 def test_simhash_pairs_no_bnlj(spark, sf_dir):
     """SimHash pairing: the pigeonhole byte-block scheme must plan as
     a hash/sort-merge EQUI join on the block key — a

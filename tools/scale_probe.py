@@ -101,6 +101,7 @@ def main() -> None:
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 2)
+        print(f"  probe {name}: {timings[name]}s", file=sys.stderr, flush=True)
 
     purchases = events.filter(F.col("event_type") == "purchase").select(
         "user_id", "ts", "event_id", "value"
@@ -183,6 +184,12 @@ def main() -> None:
     cc = all_queries()["dedup_connected_components"].fn(spark, link_dir)
     cc.write.format("noop").mode("overwrite").save()
     timings["connected_components_100k_docs"] = round(time.perf_counter() - t0, 2)
+
+    # round-4 reworked dedup shapes: the posting-list n-gram Jaccard
+    # (stop-shingle cut) and the pigeonhole byte-block SimHash pairs
+    # must hold at 100k docs (the naive twins are n²)
+    for qname in ("dedup_ngram_jaccard", "dedup_simhash_pairs"):
+        timed(f"{qname}_100k_docs", all_queries()[qname].fn(spark, link_dir))
 
     # training-pipeline ops on the same 100k-doc corpus
     for qname in (
