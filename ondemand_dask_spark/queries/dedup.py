@@ -410,46 +410,19 @@ _SIMHASH_COMBOS = tuple(
 )
 
 
-@register(
-    "dedup_simhash_pairs",
-    oracle=f"""
-    WITH tok AS (
-      SELECT doc_id, tok, count(*) AS cnt FROM (
-        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
-      ) GROUP BY doc_id, tok
-    ),
-    bits AS (
-      SELECT doc_id, b.i,
-             sum(CASE WHEN ({_H_SQL.format(x="tok")} >> b.i) & 1 = 1
-                      THEN cnt ELSE -cnt END) AS s
-      FROM tok CROSS JOIN
-           (SELECT unnest(generate_series(0, {SIMHASH_BITS - 1})) AS i) b
-      GROUP BY doc_id, b.i
-    ),
-    sig AS (
-      SELECT doc_id,
-             sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS simhash
-      FROM bits GROUP BY doc_id
-    )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           bit_count(xor(a.simhash, b.simhash)) AS hamming
-    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
-    """,
-)
-def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: Hamming distance ≤ 3 on the 32-bit
-    signatures, found WITHOUT the n² pair join.  Multi-index
-    pigeonhole blocking (see _SIMHASH_COMBOS): each signature
-    explodes into 20 (combo_id, part-triple) block keys packed into
-    one long; qualifying pairs are GUARANTEED to share at least one
-    key, the self-join is a plain hash-partitioned equi join on that
-    long (shuffle moves (long, long, long) rows, AQE splits any hot
-    block), duplicate discoveries collapse in a groupBy on the pair
-    key, and one bit_count verifies each candidate exactly — vs the
-    BroadcastNestedLoopJoin of the naive a.doc_id < b.doc_id
-    formulation, which is the O(n²) cliff at corpus scale."""
-    sig = dedup_simhash(spark, sf_dir)
+def simhash_hamming_pairs(sig: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """All (doc_a, doc_b, hamming) pairs with Hamming distance ≤
+    `max_hamming` over a (doc_id, simhash) frame, via multi-index
+    pigeonhole blocking — an operator over ANY signature source (the
+    registered query feeds it corpus SimHashes; the property test
+    feeds it adversarial synthetic ones).  The combo scheme is built
+    for radius 3: 3 flips damage ≤ 3 of the 6 parts, so a 3-part
+    combination key survives intact; smaller radii are a subset."""
+    if max_hamming > 3:
+        raise ValueError(
+            "multi-index scheme guarantees completeness only for "
+            f"hamming <= 3 (got {max_hamming})"
+        )
 
     def part(i: int) -> F.Column:
         return F.shiftright("simhash", _SIMHASH_PART_OFFSETS[i]).bitwiseAND(
@@ -485,9 +458,44 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-    return cand.filter(ham <= 3).select(
+    return cand.filter(ham <= max_hamming).select(
         "doc_a", "doc_b", ham.alias("hamming")
     )
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, tok, count(*) AS cnt FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+      ) GROUP BY doc_id, tok
+    ),
+    bits AS (
+      SELECT doc_id, b.i,
+             sum(CASE WHEN ({_H_SQL.format(x="tok")} >> b.i) & 1 = 1
+                      THEN cnt ELSE -cnt END) AS s
+      FROM tok CROSS JOIN
+           (SELECT unnest(generate_series(0, {SIMHASH_BITS - 1})) AS i) b
+      GROUP BY doc_id, b.i
+    ),
+    sig AS (
+      SELECT doc_id,
+             sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS simhash
+      FROM bits GROUP BY doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: Hamming distance ≤ 3 on the corpus'
+    32-bit signatures via the multi-index blocked operator
+    `simhash_hamming_pairs` (see its doc + _SIMHASH_COMBOS) — never
+    the O(n²) pair join the oracle is allowed to use at toy SF."""
+    return simhash_hamming_pairs(dedup_simhash(spark, sf_dir))
 
 
 _STOP_DF_MIN = 5  # stop-shingle floor: never cut below this doc-frequency
