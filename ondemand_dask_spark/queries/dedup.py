@@ -500,6 +500,16 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STOP_DF_MIN = 5  # stop-shingle floor: never cut below this doc-frequency
 _STOP_DF_FRAC = 0.01  # ...or 1% of the corpus, whichever is larger
+# ...but never above this ABSOLUTE ceiling: the fractional rule alone
+# would let a ceiling-DF posting list grow with the corpus (1% of
+# 10B docs = a 100M-element collect_list in one row = executor OOM,
+# and C(df,2) pair fan-out in the quadrillions).  A shingle shared
+# by >1000 documents is boilerplate at ANY corpus size; capping here
+# bounds the worst posting list at ~8 KB and the worst per-shingle
+# pair fan-out at C(1000,2) ≈ 500k rows.  At the test SFs the
+# fractional rule binds first (60 docs at sf0.1), so results are
+# unchanged there — both engines apply the identical least/greatest.
+_STOP_DF_CAP = 1000
 
 
 @register(
@@ -514,7 +524,8 @@ _STOP_DF_FRAC = 0.01  # ...or 1% of the corpus, whichever is larger
     dfreq AS (SELECT h, count(*) AS df FROM sh GROUP BY h),
     hot AS (
       SELECT h FROM dfreq, tot
-      WHERE df > greatest({_STOP_DF_MIN}, {_STOP_DF_FRAC} * n_docs)
+      WHERE df > least({_STOP_DF_CAP},
+                       greatest({_STOP_DF_MIN}, {_STOP_DF_FRAC} * n_docs))
     ),
     kept AS (
       SELECT doc_id, h FROM sh
@@ -560,8 +571,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _hashed_shingles(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
     total = docs.agg(F.count("*").alias("n_docs"))
-    thresh = F.greatest(
-        F.lit(float(_STOP_DF_MIN)), F.lit(_STOP_DF_FRAC) * F.col("n_docs")
+    thresh = F.least(
+        F.lit(float(_STOP_DF_CAP)),
+        F.greatest(
+            F.lit(float(_STOP_DF_MIN)), F.lit(_STOP_DF_FRAC) * F.col("n_docs")
+        ),
     )
     index = (
         sh.groupBy("h")
