@@ -883,3 +883,61 @@ def pipeline_filter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("f_lang") & F.col("f_len") & F.col("f_tok") & F.col("f_samp")
         ).alias("n_kept"),
     )
+
+
+_BPE_TOP_K = 20
+
+
+@register(
+    "pipeline_bpe_pair_counts",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    pairs AS (
+      SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                    i -> t[i] || '|' || t[i+1])) AS pair
+      FROM toks WHERE len(t) >= 2
+    ),
+    counted AS (
+      SELECT pair, count(*) AS n,
+             row_number() OVER (ORDER BY count(*) DESC, pair) AS rnk
+      FROM pairs GROUP BY pair
+    )
+    SELECT rnk, pair, n FROM counted WHERE rnk <= {_BPE_TOP_K}
+    """,
+)
+def pipeline_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE-training iteration's counting step: frequency of every
+    ADJACENT token pair across the corpus, top-{k} reported (the pair
+    a real trainer would merge next, plus runners-up).  Bigrams come
+    from zipping the token array against itself shifted by one —
+    arrays_zip(slice(t,1,n-1), slice(t,2,n-1)) — so the expansion is
+    pure codegen with no join and no Python; the count is one
+    partial-agg shuffle on the pair key (map-side combine reduces
+    each partition to its distinct pairs before the exchange), and
+    the top-k is rank-then-filter over the counted table, which
+    Spark plans as WindowGroupLimit: each map task pre-prunes to its
+    local top-{k} before the final single-group sort sees anything.
+    Ties break lexicographically so both engines rank
+    identically.""".format(k=_BPE_TOP_K)
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    n = F.size(t)
+    bigrams = F.arrays_zip(
+        F.slice(t, 1, n - 1).alias("a"), F.slice(t, 2, n - 1).alias("b")
+    )
+    pair = F.concat_ws("|", F.col("bg.a"), F.col("bg.b"))
+    counted = (
+        d.filter(n >= 2)
+        .select(F.explode(bigrams).alias("bg"))
+        .select(pair.alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("pair"))
+    return (
+        counted.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _BPE_TOP_K)
+        .select("rnk", "pair", "n")
+    )
