@@ -567,9 +567,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     action anywhere.  vs the self-join formulation: the cut costs no
     extra shuffle (A/B, one warm session, sf0.1, best-of-3: posting
     2.65s vs self-join+anti-cut 3.56s vs uncut self-join 2.27s), and
-    every wide op moves (long, long) rows, never shingle strings."""
-    sh = _hashed_shingles(spark, sf_dir)
+    every wide op moves (long, long) rows, never shingle strings.
+    The index builds in ONE shuffle: raw shingle instances groupBy
+    directly on the hash with collect_set doing the per-doc dedup
+    inside the aggregation (set semantics ≡ the DISTINCT the oracle
+    spells out), so the separate distinct exchange the two-step
+    formulation pays never exists."""
     docs = load_table(spark, sf_dir, "documents")
+    h30 = _h(F.col("shingle")) % F.lit(1_073_741_824)
+    inst = docs.select(
+        "doc_id", F.explode(_shingle_array(F.col("text"), 3)).alias("shingle")
+    ).select("doc_id", h30.alias("h"))
     total = docs.agg(F.count("*").alias("n_docs"))
     thresh = F.least(
         F.lit(float(_STOP_DF_CAP)),
@@ -578,11 +586,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     index = (
-        sh.groupBy("h")
-        .agg(
-            F.sort_array(F.collect_list("doc_id")).alias("ds"),
-            F.count("*").alias("df"),
-        )
+        inst.groupBy("h")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
+        .withColumn("df", F.size("ds").cast("long"))
         .crossJoin(F.broadcast(total))
     )
     kept = index.filter(F.col("df") <= thresh)
