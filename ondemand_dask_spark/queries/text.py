@@ -403,3 +403,64 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(oov).cast("double") / F.count("*") - 1e-9, _R
         ).alias("oov_rate"),
     )
+
+
+@register(
+    "text_repetition_metrics",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(t) - 1),
+                    i -> t[i] || '|' || t[i+1])) AS pair
+      FROM t
+    ),
+    c AS (SELECT doc_id, pair, count(*) AS c FROM bg GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_bigrams,
+           round(CAST(max(c) AS DOUBLE) / sum(c) - 1e-9, {_R}) + 0.0
+             AS top_bigram_frac,
+           round(CAST(sum(c) - count(*) AS DOUBLE) / sum(c) - 1e-9, {_R}) + 0.0
+             AS dup_bigram_frac
+    FROM c GROUP BY doc_id
+    """,
+)
+def text_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition signals — the Gopher/MassiveText
+    quality rules that catch boilerplate and degenerate generations:
+    per document, the fraction of bigram instances claimed by the
+    single most frequent bigram (top_bigram_frac) and the fraction
+    that are repeats of an earlier instance (dup_bigram_frac).  One
+    explode feeding one (doc_id, pair) partial-agg shuffle, then a
+    per-doc rollup of the counts table — token instances never cross
+    the wire, only (doc, pair, count) rows, so the operator is the
+    same two-exchange shape at any corpus size.  Docs with fewer
+    than two tokens have no bigrams and are excluded (identically in
+    the oracle)."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    n = F.size(t)
+    bigrams = F.arrays_zip(
+        F.slice(t, 1, n - 1).alias("a"), F.slice(t, 2, n - 1).alias("b")
+    )
+    counts = (
+        d.filter(n >= 2)
+        .select("doc_id", F.explode(bigrams).alias("bg"))
+        .select(
+            "doc_id",
+            F.concat_ws("|", F.col("bg.a"), F.col("bg.b")).alias("pair"),
+        )
+        .groupBy("doc_id", "pair")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = F.sum("c").cast("double")
+    return counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.round(F.max("c") / tot - 1e-9, _R).alias("top_bigram_frac"),
+        F.round((F.sum("c") - F.count("*")) / tot - 1e-9, _R).alias(
+            "dup_bigram_frac"
+        ),
+    )
