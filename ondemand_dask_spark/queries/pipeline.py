@@ -917,9 +917,11 @@ def pipeline_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-agg shuffle on the pair key (map-side combine reduces
     each partition to its distinct pairs before the exchange), and
     the top-k is rank-then-filter over the counted table, which
-    Spark plans as WindowGroupLimit: each map task pre-prunes to its
-    local top-{k} before the final single-group sort sees anything.
-    Ties break lexicographically so both engines rank
+    Spark's LimitPushDownThroughWindow rewrites into
+    TakeOrderedAndProject — a distributed top-k where every task
+    keeps {k} rows and the unpartitioned rank window only ever sees
+    the merged {k} (plan-asserted in tests/test_plans.py).  Ties
+    break lexicographically so both engines rank
     identically.""".format(k=_BPE_TOP_K)
     d = load_table(spark, sf_dir, "documents")
     t = F.split("text", " ")

@@ -317,6 +317,20 @@ def test_interval_overlap_no_bnlj(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_bpe_pair_counts_distributed_topk(spark, sf_dir):
+    """The BPE pair-count top-k must plan as a distributed top-k
+    (TakeOrderedAndProject via LimitPushDownThroughWindow, or
+    WindowGroupLimit on engines that prefer it) — a global
+    single-partition sort over ALL distinct bigrams is the 100 TB
+    cliff the rank-then-filter shape is supposed to avoid."""
+    from ondemand_dask_spark.plans import plan_string
+
+    df = _df("pipeline_bpe_pair_counts", spark, sf_dir)
+    plan = plan_string(df)
+    assert "TakeOrderedAndProject" in plan or "WindowGroupLimit" in plan
+    assert python_eval_count(df) == 0
+
+
 def test_ngram_jaccard_posting_list_plan(spark, sf_dir):
     """Posting-list n-gram Jaccard: pair generation must come from
     the exploded inverted index (pure codegen HOF expansion), never
