@@ -90,6 +90,38 @@ _SHOWCASE: tuple[str, ...] = (
     "asof_join_nearest",        # composed (re-earns its r2 row)
 )
 
+# Round-5 rotation worklist: after r4's window lands, 134 registered
+# queries remain never-driver-checked.  Build the next window from
+# them (keep the same ~8 anchors), prioritizing one per family:
+#   windows (window_lag_lead, window_rolling_rows/median/corr,
+#     window_cummax_cummin, window_cumprod, window_expanding,
+#     window_fill_forward, window_pct_change, resample_* ...),
+#   scalars (str_*, dt_*, math_*, array_*, map_struct, try_ops,
+#     null_funcs, json_variant, json_normalize_nested),
+#   relational (proj_*, filter_isin, na_*, replace_value, topn_head,
+#     sample_hash_split, sample_weighted, combine_first),
+#   joins (join_right, join_full_outer, join_theta, join_indicator,
+#     join_interval_overlap, concat_axis1),
+#   sets (set_union_all, set_union_schema_evolution, set_except,
+#     set_intersect_all, set_except_all),
+#   streaming batch-twins (stream_sliding_agg, stream_static_join,
+#     stream_stream_join, stream_running_topk),
+#   udf surface (udf_apply_in_pandas, udf_cogroup,
+#     udf_table_function, udf_map_overlap, udf_map_in_arrow),
+#   similarity/embedding (ann_lsh_probe, ann_ivf_probe,
+#     dedup_embedding_cosine, embedding_* ...),
+#   sources (source_orc/fwf/from_pandas/from_map/jdbc/xml/range/
+#     binaryfile),
+#   text (text_lang_id, text_quality_score, text_fingerprint,
+#     text_repetition_metrics ...),
+#   pipeline (pipeline_chunk_overlap, pipeline_decontaminate,
+#     pipeline_bpe_pair_counts, topk_per_group ...),
+#   multimodal (multimodal_decode_features/ppm/frame_sample/resize),
+#   incremental/encoding (scd2_intervals, snapshot_diff_cdc,
+#     encode_* ...), dedup composites (dedup_connected_components,
+#     dedup_report, dedup_incremental_batch,
+#     stat_freq_items_verified).
+
 
 def all_queries() -> dict[str, Query]:
     _load_all()
