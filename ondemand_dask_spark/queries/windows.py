@@ -757,3 +757,79 @@ def window_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z - 1e-9, _R).alias("zscore"),
         (F.abs(z) > 2.0).alias("is_anomaly"),
     )
+
+
+@register(
+    "window_interpolate_linear",
+    oracle=f"""
+    WITH gappy AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+      FROM events
+    ),
+    idx AS (
+      SELECT event_id, user_id, v,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS i
+      FROM gappy
+    ),
+    m AS (
+      SELECT event_id, user_id, v, i,
+        last_value(v IGNORE NULLS) OVER wp AS pv,
+        last_value(CASE WHEN v IS NOT NULL THEN i END IGNORE NULLS)
+          OVER wp AS pi,
+        first_value(v IGNORE NULLS) OVER wn AS nv,
+        first_value(CASE WHEN v IS NOT NULL THEN i END IGNORE NULLS)
+          OVER wn AS ni
+      FROM idx
+      WINDOW wp AS (PARTITION BY user_id ORDER BY i
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wn AS (PARTITION BY user_id ORDER BY i
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_id, user_id,
+           round(CASE WHEN v IS NOT NULL THEN v
+                      WHEN pv IS NOT NULL AND nv IS NOT NULL
+                      THEN pv + (nv - pv) * (i - pi) / (ni - pi)
+                 END - 1e-9, {_R}) + 0.0 AS interpolated
+    FROM m
+    """,
+)
+def window_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ser.interpolate('linear') — interior NULL runs are replaced by
+    the straight line between their nearest non-null neighbors
+    (position-weighted, so a 3-gap fills 1/4, 2/4, 3/4 of the way);
+    leading/trailing NULLs stay NULL, matching pandas' interior-only
+    contract.  Built from the same carry primitives as ffill/bfill —
+    last/first(ignorenulls) over mirrored expanding frames carry the
+    neighbor VALUE and its POSITION, then one codegen'd lerp — and
+    all four carries plus the row_number share a single user_id
+    exchange+sort (Catalyst mirrors the frame, not the data), so the
+    operator costs exactly what ffill costs: one shuffle."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    v = F.when(F.col("event_id") % 5 == 0, F.lit(None)).otherwise(
+        F.col("value")
+    )
+    g = _events(spark, sf_dir).select(
+        "event_id", "user_id", "ts", v.alias("v")
+    ).withColumn("i", F.row_number().over(w))
+    wi = Window.partitionBy("user_id").orderBy("i")
+    wp = wi.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wn = wi.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    pv = F.last("v", ignorenulls=True).over(wp)
+    pi = F.last(
+        F.when(F.col("v").isNotNull(), F.col("i")), ignorenulls=True
+    ).over(wp)
+    nv = F.first("v", ignorenulls=True).over(wn)
+    ni = F.first(
+        F.when(F.col("v").isNotNull(), F.col("i")), ignorenulls=True
+    ).over(wn)
+    interp = F.when(F.col("v").isNotNull(), F.col("v")).when(
+        pv.isNotNull() & nv.isNotNull(),
+        pv + (nv - pv) * (F.col("i") - pi) / (ni - pi),
+    )
+    return g.select(
+        "event_id",
+        "user_id",
+        F.round(interp - 1e-9, _R).alias("interpolated"),
+    )
