@@ -833,3 +833,53 @@ def window_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.round(interp - 1e-9, _R).alias("interpolated"),
     )
+
+
+@register(
+    "resample_ohlc",
+    oracle=f"""
+    WITH b AS (
+      SELECT user_id, date_trunc('hour', ts) AS hour, ts, event_id, value
+      FROM events
+    ),
+    r AS (
+      SELECT user_id, hour, value,
+             row_number() OVER (PARTITION BY user_id, hour
+                                ORDER BY ts, event_id)      AS rn_f,
+             row_number() OVER (PARTITION BY user_id, hour
+                                ORDER BY ts DESC, event_id DESC) AS rn_l
+      FROM b
+    )
+    SELECT user_id, hour,
+           round(max(CASE WHEN rn_f = 1 THEN value END) - 1e-9, {_R}) + 0.0
+             AS open,
+           round(max(value) - 1e-9, {_R}) + 0.0  AS high,
+           round(min(value) - 1e-9, {_R}) + 0.0  AS low,
+           round(max(CASE WHEN rn_l = 1 THEN value END) - 1e-9, {_R}) + 0.0
+             AS close,
+           count(*) AS n_events
+    FROM r GROUP BY user_id, hour
+    """,
+)
+def resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.resample('1h').ohlc() — open/high/low/close per key and
+    time bucket, the candlestick rollup.  Open/close are
+    ORDER-DETERMINISTIC first/last via struct-ordered min_by/max_by
+    on (ts, event_id) — one plain hash aggregation, no window, no
+    sort: the per-bucket extremes and endpoints all reduce map-side,
+    so the shuffle carries |user × hour| rows regardless of corpus
+    size (the oracle's row_number formulation is the semantic spec,
+    not the plan)."""
+    e = _events(spark, sf_dir)
+    hour = F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz")
+    order = F.struct("ts", "event_id")
+    return (
+        e.groupBy("user_id", hour.alias("hour"))
+        .agg(
+            F.round(F.min_by("value", order) - 1e-9, _R).alias("open"),
+            F.round(F.max("value") - 1e-9, _R).alias("high"),
+            F.round(F.min("value") - 1e-9, _R).alias("low"),
+            F.round(F.max_by("value", order) - 1e-9, _R).alias("close"),
+            F.count("*").alias("n_events"),
+        )
+    )
