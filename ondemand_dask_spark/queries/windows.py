@@ -883,3 +883,43 @@ def resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
         )
     )
+
+
+@register(
+    "window_time_weighted_avg",
+    oracle=f"""
+    WITH d AS (
+      SELECT user_id, value,
+             epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) - ts) AS dt
+      FROM events
+    )
+    SELECT user_id,
+           round(sum(value * dt) / sum(dt) - 1e-9, {_R}) + 0.0 AS twa_value,
+           CAST(sum(dt) AS BIGINT) AS span_us
+    FROM d WHERE dt IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def window_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per key (the tsdb `time_weight` /
+    irregular-sampling mean): each observation holds until the next
+    one, so it contributes value·Δt to the integral — robust where a
+    plain avg over-weights bursts of closely-spaced events.  One lead
+    window per user (single shuffle+sort) then a hash agg; the last
+    observation per key has no holding interval and is excluded from
+    numerator and denominator identically in both engines.  Δt is
+    exact integer MICROSECONDS on both sides (unix_micros /
+    epoch_us) — second-granularity floats truncate differently per
+    engine and shift the integral by ±1s."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    dt = (F.lead(us).over(w) - us).alias("dt")
+    d = e.select("user_id", "value", dt).filter(F.col("dt").isNotNull())
+    return d.groupBy("user_id").agg(
+        F.round(
+            F.sum(F.col("value") * F.col("dt")) / F.sum("dt") - 1e-9, _R
+        ).alias("twa_value"),
+        F.sum("dt").cast("long").alias("span_us"),
+    )
