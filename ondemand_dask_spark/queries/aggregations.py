@@ -1125,3 +1125,58 @@ def stat_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         for b in _CORR_COLS[i + 1:]
     ]
     return li.agg(*aggs)
+
+
+@register(
+    "stat_welch_ttest",
+    oracle=f"""
+    WITH g AS (
+      SELECT avg(CASE WHEN event_type = 'purchase' THEN value END) AS m1,
+             var_samp(CASE WHEN event_type = 'purchase' THEN value END) AS v1,
+             count(CASE WHEN event_type = 'purchase' THEN value END) AS n1,
+             avg(CASE WHEN event_type = 'view' THEN value END) AS m2,
+             var_samp(CASE WHEN event_type = 'view' THEN value END) AS v2,
+             count(CASE WHEN event_type = 'view' THEN value END) AS n2
+      FROM events
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           round((m1 - m2) - 1e-9, {_R}) + 0.0 AS mean_diff,
+           round((m1 - m2) / sqrt(v1 / n1 + v2 / n2) - 1e-9, {_R}) + 0.0
+             AS t_stat,
+           round(pow(v1 / n1 + v2 / n2, 2)
+                 / (pow(v1 / n1, 2) / (n1 - 1) + pow(v2 / n2, 2) / (n2 - 1))
+                 - 1e-9, {_R}) + 0.0 AS welch_df
+    FROM g
+    """,
+)
+def stat_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t-test (unequal variances) between the
+    purchase and view event populations — the A/B-testing primitive.
+    Both groups' moments come from ONE conditional-aggregate pass
+    over the table (no per-group scan, no join): mean/var/count are
+    decomposable, so the whole test is a single partial+final
+    HashAggregate and the t statistic plus Welch–Satterthwaite
+    degrees of freedom are scalar arithmetic on the 1-row result."""
+    e = load_table(spark, sf_dir, "events")
+    p = F.when(F.col("event_type") == "purchase", F.col("value"))
+    v = F.when(F.col("event_type") == "view", F.col("value"))
+    g = e.agg(
+        F.avg(p).alias("m1"), F.var_samp(p).alias("v1"),
+        F.count(p).alias("n1"),
+        F.avg(v).alias("m2"), F.var_samp(v).alias("v2"),
+        F.count(v).alias("n2"),
+    )
+    se2 = F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")
+    dff = F.pow(se2, 2) / (
+        F.pow(F.col("v1") / F.col("n1"), 2) / (F.col("n1") - 1)
+        + F.pow(F.col("v2") / F.col("n2"), 2) / (F.col("n2") - 1)
+    )
+    return g.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.round(F.col("m1") - F.col("m2") - 1e-9, _R).alias("mean_diff"),
+        F.round(
+            (F.col("m1") - F.col("m2")) / F.sqrt(se2) - 1e-9, _R
+        ).alias("t_stat"),
+        F.round(dff - 1e-9, _R).alias("welch_df"),
+    )
