@@ -1237,3 +1237,65 @@ def stat_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.countDistinct("lang") - 1) * (F.countDistinct("source") - 1)
         ).cast("long").alias("dof"),
     )
+
+
+@register(
+    "stat_ks_two_sample",
+    oracle=f"""
+    WITH c AS (
+      SELECT round(value, 3) AS v,
+             count(CASE WHEN event_type = 'purchase' THEN 1 END) AS c1,
+             count(CASE WHEN event_type = 'view' THEN 1 END)     AS c2
+      FROM events WHERE event_type IN ('purchase', 'view')
+      GROUP BY 1
+    ),
+    e AS (
+      SELECT v,
+             sum(c1) OVER (ORDER BY v) / CAST(sum(c1) OVER () AS DOUBLE)
+               AS f1,
+             sum(c2) OVER (ORDER BY v) / CAST(sum(c2) OVER () AS DOUBLE)
+               AS f2
+      FROM c
+    )
+    SELECT round(max(abs(f1 - f2)) - 1e-9, {_R}) + 0.0 AS ks_stat
+    FROM e
+    """,
+)
+def stat_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic (purchase vs view
+    value distributions): max |ECDF₁ − ECDF₂|.  The corpus first
+    collapses to per-DISTINCT-VALUE counts for both populations in
+    one hash agg (values rounded to 3 dp so both engines bucket
+    identically), so the ordered cumulative window runs over the
+    distinct-value table — 10³-ish rows here, bounded by value
+    cardinality, not row count.  The statistic is inherently a
+    global order statistic: the single-partition window over
+    DISTINCT VALUES is the honest exact computation (documented
+    global-window exception, same class as sort_values_global); at
+    truly unbounded value cardinality the scale path evaluates the
+    same max-gap on a t-digest quantile grid instead, trading
+    exactness for a fixed-size sort."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    c = e.groupBy(F.round("value", 3).alias("v")).agg(
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("c1"),
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("c2"),
+    )
+    from pyspark.sql.window import Window as W
+
+    wo = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wa = W.partitionBy()
+    t = c.select(
+        (F.sum("c1").over(wo) / F.sum("c1").over(wa).cast("double")).alias(
+            "f1"
+        ),
+        (F.sum("c2").over(wo) / F.sum("c2").over(wa).cast("double")).alias(
+            "f2"
+        ),
+    )
+    return t.agg(
+        F.round(F.max(F.abs(F.col("f1") - F.col("f2"))) - 1e-9, _R).alias(
+            "ks_stat"
+        )
+    )
