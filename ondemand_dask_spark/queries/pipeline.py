@@ -943,3 +943,85 @@ def pipeline_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _BPE_TOP_K)
         .select("rnk", "pair", "n")
     )
+
+
+_SPAN_RATE = 20  # a span starts at ~1/20 of positions
+_SPAN_LEN = 3
+
+
+@register(
+    "pipeline_span_corruption",
+    oracle=f"""
+    WITH pos AS (
+      SELECT doc_id,
+             unnest(generate_series(1, len(string_split(text, ' ')))) AS p,
+             len(string_split(text, ' ')) AS n_tok
+      FROM documents
+    ),
+    marked AS (
+      SELECT doc_id, p, n_tok,
+             CASE WHEN {_salted_sql("span", "doc_id * 100000 + p")}
+                       % {_SPAN_RATE} = 0 THEN 1 ELSE 0 END AS is_start
+      FROM pos
+    ),
+    covered AS (
+      SELECT doc_id, p, n_tok, is_start,
+             max(is_start) OVER (PARTITION BY doc_id ORDER BY p
+                                 ROWS BETWEEN {_SPAN_LEN - 1} PRECEDING
+                                 AND CURRENT ROW) AS is_masked
+      FROM marked
+    )
+    SELECT doc_id,
+           any_value(n_tok)                    AS n_tokens,
+           CAST(sum(is_masked) AS BIGINT)      AS n_masked,
+           CAST(sum(is_start) AS BIGINT)       AS n_spans,
+           round(CAST(sum(is_masked) AS DOUBLE) / any_value(n_tok) - 1e-9,
+                 {_R}) + 0.0                   AS mask_ratio
+    FROM covered GROUP BY doc_id
+    """,
+)
+def pipeline_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption planning, deterministically: a span
+    of {L} tokens starts wherever the salted hash of (doc, position)
+    lands in 1/{rate} of the space, and a position is masked iff a
+    span started within the last {L} positions — a per-doc ordered
+    window max over a 0/1 flag, so coverage (span overlap collapses
+    naturally) needs no interval logic.  Everything is a pure
+    function of (doc_id, position): the same mask plan on every run,
+    engine, and partitioning — resumable pretraining needs exactly
+    this property.  One explode feeding doc-partitioned windows
+    (positions stay co-located with their doc, no cross-doc
+    traffic), then a per-doc rollup.""".format(
+        L=_SPAN_LEN, rate=_SPAN_RATE
+    )
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " "))
+    pos = d.select(
+        "doc_id",
+        n_tok.alias("n_tok"),
+        F.explode(F.sequence(F.lit(1), n_tok)).alias("p"),
+    )
+    is_start = (
+        _salted_hash(
+            "span", F.col("doc_id") * F.lit(100000) + F.col("p")
+        )
+        % _SPAN_RATE
+        == 0
+    ).cast("int")
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(-(_SPAN_LEN - 1), 0)
+    )
+    covered = pos.withColumn("is_start", is_start).withColumn(
+        "is_masked", F.max("is_start").over(w)
+    )
+    return covered.groupBy("doc_id").agg(
+        F.any_value("n_tok").alias("n_tokens"),
+        F.sum("is_masked").cast("long").alias("n_masked"),
+        F.sum("is_start").cast("long").alias("n_spans"),
+        F.round(
+            F.sum("is_masked").cast("double") / F.any_value("n_tok") - 1e-9,
+            _R,
+        ).alias("mask_ratio"),
+    )
