@@ -204,3 +204,54 @@ def encode_multi_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
             for k in _KEYWORDS
         ],
     )
+
+
+_TE_SMOOTH = 20.0  # pseudo-observations blended toward the global mean
+
+
+@register(
+    "encode_target_mean",
+    oracle=f"""
+    WITH t AS (
+      SELECT o_orderkey, o_orderpriority, o_totalprice,
+             sum(o_totalprice) OVER (PARTITION BY o_orderpriority) AS cat_sum,
+             count(*) OVER (PARTITION BY o_orderpriority)          AS cat_n,
+             avg(o_totalprice) OVER ()                             AS g_mean
+      FROM orders
+    )
+    SELECT o_orderkey, o_orderpriority,
+           round((cat_sum - o_totalprice) / (cat_n - 1) - 1e-9, {_R}) + 0.0
+             AS te_loo,
+           round((cat_sum - o_totalprice + {_TE_SMOOTH} * g_mean)
+                 / (cat_n - 1 + {_TE_SMOOTH}) - 1e-9, {_R}) + 0.0
+             AS te_loo_smooth
+    FROM t
+    """,
+)
+def encode_target_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target (mean) encoding with additive smoothing —
+    the categorical feature that replaces a high-cardinality key with
+    the target mean of its OTHER members (excluding the row itself
+    kills the self-leakage that makes naive target encoding overfit;
+    the {s:.0f} pseudo-observation blend toward the global mean tames
+    rare categories).  Per-category sum/count come from unordered
+    partition windows — pure partial aggregation over the category
+    exchange, no sort — and the global mean rides the same pass, so
+    the whole encoder is ONE shuffle on the category key at any
+    scale.""".format(s=_TE_SMOOTH)
+    o = load_table(spark, sf_dir, "orders")
+    wc = Window.partitionBy("o_orderpriority")
+    wg = Window.partitionBy()
+    cat_sum = F.sum("o_totalprice").over(wc)
+    cat_n = F.count("*").over(wc)
+    g_mean = F.avg("o_totalprice").over(wg)
+    loo = (cat_sum - F.col("o_totalprice")) / (cat_n - 1)
+    loo_s = (cat_sum - F.col("o_totalprice") + F.lit(_TE_SMOOTH) * g_mean) / (
+        cat_n - 1 + F.lit(_TE_SMOOTH)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(loo - 1e-9, _R).alias("te_loo"),
+        F.round(loo_s - 1e-9, _R).alias("te_loo_smooth"),
+    )
