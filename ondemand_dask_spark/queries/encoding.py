@@ -236,15 +236,17 @@ def encode_target_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     the {s:.0f} pseudo-observation blend toward the global mean tames
     rare categories).  Per-category sum/count come from unordered
     partition windows — pure partial aggregation over the category
-    exchange, no sort — and the global mean rides the same pass, so
-    the whole encoder is ONE shuffle on the category key at any
-    scale.""".format(s=_TE_SMOOTH)
+    exchange, no sort — and the global mean joins as a broadcast
+    1-row aggregate (NEVER a global window, which would move every
+    row to one task), so the whole encoder is ONE data-sized shuffle
+    on the category key at any scale.""".format(s=_TE_SMOOTH)
     o = load_table(spark, sf_dir, "orders")
+    g = o.agg(F.avg("o_totalprice").alias("g_mean"))
+    o = o.crossJoin(F.broadcast(g))
     wc = Window.partitionBy("o_orderpriority")
-    wg = Window.partitionBy()
     cat_sum = F.sum("o_totalprice").over(wc)
     cat_n = F.count("*").over(wc)
-    g_mean = F.avg("o_totalprice").over(wg)
+    g_mean = F.col("g_mean")
     loo = (cat_sum - F.col("o_totalprice")) / (cat_n - 1)
     loo_s = (cat_sum - F.col("o_totalprice") + F.lit(_TE_SMOOTH) * g_mean) / (
         cat_n - 1 + F.lit(_TE_SMOOTH)

@@ -626,9 +626,14 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cache()
     )
-    top = revenue.withColumn(
-        "__max_rev", F.max("total_revenue").over(Window.partitionBy())
-    ).filter(F.col("total_revenue") == F.col("__max_rev"))
+    # Broadcast 1-row max, not a global window: the window form moves
+    # the whole per-supplier aggregate through one task, while the
+    # agg+crossJoin keeps the max a partial-reduced scalar and the
+    # filter a narrow op over the (cached) revenue table.
+    mx = revenue.agg(F.max("total_revenue").alias("__max_rev"))
+    top = revenue.crossJoin(F.broadcast(mx)).filter(
+        F.col("total_revenue") == F.col("__max_rev")
+    )
     return top.join(F.broadcast(s), top.supplier_no == s.s_suppkey).select(
         "s_suppkey",
         "s_name",
