@@ -1299,3 +1299,59 @@ def stat_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ks_stat"
         )
     )
+
+
+_PROFILE_COLS = (
+    "o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderpriority",
+)
+
+
+@register(
+    "dq_profile_report",
+    oracle=f"""
+    {" UNION ALL ".join(
+        f'''SELECT '{c}' AS col_name,
+                   count(*) - count({c}) AS n_nulls,
+                   count(DISTINCT {c})   AS n_distinct,
+                   CAST(min({c}) AS VARCHAR) AS min_str,
+                   CAST(max({c}) AS VARCHAR) AS max_str
+            FROM orders''' for c in _PROFILE_COLS)}
+    """,
+)
+def dq_profile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profiling report (the data-quality audit a pipeline
+    runs before training): null count, distinct count, min, max for
+    every profiled column, as a tidy (col_name, metrics) table.  All
+    metrics for ALL columns compute in ONE aggregation pass — each
+    is decomposable, so the plan is a single partial+final
+    HashAggregate over a single scan producing one wide row, then a
+    codegen'd explode unpivots it to tall form; the oracle's
+    UNION-ALL-of-scans formulation is the semantic spec, not the
+    plan (k scans vs one).  Min/max stringify so numeric and
+    categorical columns share one report schema."""
+    o = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            (F.count("*") - F.count(c)).alias(f"__nn_{c}"),
+            F.countDistinct(c).alias(f"__nd_{c}"),
+            F.min(c).cast("string").alias(f"__mn_{c}"),
+            F.max(c).cast("string").alias(f"__mx_{c}"),
+        ]
+    wide = o.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"__nn_{c}").alias("n_nulls"),
+                F.col(f"__nd_{c}").alias("n_distinct"),
+                F.col(f"__mn_{c}").alias("min_str"),
+                F.col(f"__mx_{c}").alias("max_str"),
+            )
+            for c in _PROFILE_COLS
+        ]
+    )
+    return wide.select(F.explode(rows).alias("r")).select(
+        "r.col_name", "r.n_nulls", "r.n_distinct", "r.min_str", "r.max_str"
+    )
