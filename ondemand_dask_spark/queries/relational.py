@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ondemand_dask_spark.io import load_table
 from ondemand_dask_spark.registry import register
@@ -378,4 +379,27 @@ def combine_first(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.coalesce("price_a", "price_b") - 1e-9, 4).alias("price"),
         "o_orderstatus",
         "o_orderpriority",
+    )
+
+
+@register(
+    "flag_duplicated",
+    oracle="""
+    SELECT doc_id,
+           (row_number() OVER (PARTITION BY md5(lower(trim(text)))
+                               ORDER BY doc_id) > 1) AS is_duplicate
+    FROM documents
+    """,
+)
+def flag_duplicated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.duplicated(keep='first') — a per-row boolean marking every
+    row whose (normalized) key already appeared on a lower doc_id,
+    WITHOUT dropping anything (the audit view of dedup: joinable
+    back to the corpus, feeds keep/drop reports).  One window over
+    the digest partition — same single digest shuffle as
+    `dedup_exact`, which is this op's aggregate twin."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5(F.lower(F.trim("text")))).orderBy("doc_id")
+    return d.select(
+        "doc_id", (F.row_number().over(w) > 1).alias("is_duplicate")
     )
