@@ -923,3 +923,65 @@ def window_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("twa_value"),
         F.sum("dt").cast("long").alias("span_us"),
     )
+
+
+_CUSUM_TARGET = 50.0  # drift reference level
+_CUSUM_ALARM = 120.0  # alarm threshold on the accumulated excess
+
+
+@register(
+    "window_cusum_drift",
+    oracle=f"""
+    WITH p AS (
+      SELECT user_id, event_id, ts,
+             sum(value - {_CUSUM_TARGET}) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pref
+      FROM events
+    ),
+    m AS (
+      SELECT user_id, event_id, pref,
+             min(pref) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_min
+      FROM p
+    )
+    SELECT user_id, event_id,
+           round((pref - least(0, run_min)) - 1e-9, {_R}) + 0.0 AS cusum,
+           (pref - least(0, run_min)) > {_CUSUM_ALARM} AS alarm
+    FROM m
+    """,
+)
+def window_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift detection per key: the classic control
+    chart S_i = max(0, S_{{i-1}} + (x_i − target)), which looks like
+    an inherently sequential recurrence — and IS one — but closes
+    into pure windows via the reflection identity
+    S_i = P_i − min(0, min_{{j≤i}} P_j) over the prefix sums P.
+    Both the prefix sum and its running minimum share one
+    user-partitioned ordered frame, so the whole detector is a
+    single exchange+sort with zero Python and an exact oracle —
+    the pattern that turns 'needs a stateful UDF' into codegen
+    (property-checked against the literal recurrence in
+    tests/test_cusum_identity.py)."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pref = F.sum(F.col("value") - F.lit(_CUSUM_TARGET)).over(w)
+    e = _events(spark, sf_dir).select(
+        "user_id", "event_id", "ts", pref.alias("pref")
+    )
+    run_min = F.min("pref").over(
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cusum = F.col("pref") - F.least(F.lit(0.0), run_min)
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(cusum - 1e-9, _R).alias("cusum"),
+        (cusum > _CUSUM_ALARM).alias("alarm"),
+    )
