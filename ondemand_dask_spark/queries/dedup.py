@@ -747,6 +747,74 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_cc_star_contraction",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ({_MINHASH_PAIRS_SQL})),
+    nodes AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_a AS doc_id FROM pairs
+        UNION ALL SELECT doc_b FROM pairs
+      )
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(node, lbl) AS (
+      SELECT doc_id, doc_id FROM nodes
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS doc_id, min(lbl) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+)
+def dedup_cc_star_contraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components by LARGE-STAR / SMALL-STAR contraction
+    (Kiveris et al., "Connected Components in MapReduce and Beyond")
+    — the O(log n)-round scale path that dedup_connected_components'
+    docstring promises for 100 TB, implemented and differentially
+    proven against the same recursive-CTE oracle.
+
+    Min-label propagation needs rounds ∝ component DIAMETER — fine
+    for near-clique dup clusters, ruinous for path/chain-shaped
+    components (a 1M-node chain = 1M rounds).  Star contraction
+    instead rewires the graph itself each round:
+
+    - large-star: every node connects its strictly-LARGER neighbors
+      to its smallest neighbor-or-self — one groupBy(min) + one
+      equi-join per round;
+    - small-star: every node connects its not-larger neighbors and
+      itself to the minimum — same two-exchange shape.
+
+    Each alternation at least halves the distance of every node to
+    its component minimum, so convergence is O(log n) rounds
+    REGARDLESS of topology, with per-round cost identical to one
+    propagation superstep.  Convergence is detected from a two-scalar
+    edge-set checksum (count + hash sum — the only values the driver
+    ever sees); per-round `localCheckpoint` truncates lineage exactly
+    as in the propagation variant, and superseded round blocks are
+    released eagerly.  At the fixpoint the edge set IS the answer:
+    a star (v → component-min) per component."""
+    from ondemand_dask_spark.operators.graphcc import connected_components_star
+
+    pairs = _retain(
+        dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b").cache()
+    )
+    labels, star_edges = connected_components_star(pairs, "doc_a", "doc_b")
+    # labels' plan reads the converged stars' checkpoint blocks, so
+    # they must outlive this call — retained for next-dedup-query
+    # eviction.  pairs is fully upstream of the first checkpoint cut
+    # and can release now.
+    _retain(star_edges)
+    pairs.unpersist()
+    return labels.select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )
+
+
+@register(
     "dedup_report",
     oracle=f"""
     WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ({_MINHASH_PAIRS_SQL})),
