@@ -1355,3 +1355,158 @@ def dq_profile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.select(F.explode(rows).alias("r")).select(
         "r.col_name", "r.n_nulls", "r.n_distinct", "r.min_str", "r.max_str"
     )
+
+
+@register(
+    "agg_winsorize",
+    oracle=f"""
+    WITH cuts AS (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.05) AS lo,
+             quantile_cont(l_extendedprice, 0.95) AS hi
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           count(CASE WHEN l.l_extendedprice < c.lo THEN 1 END) AS n_clipped_low,
+           count(CASE WHEN l.l_extendedprice > c.hi THEN 1 END) AS n_clipped_high,
+           round(avg(least(greatest(l.l_extendedprice, c.lo), c.hi)) - 1e-9, {_R}) + 0.0
+             AS avg_winsorized,
+           round(avg(l.l_extendedprice) - 1e-9, {_R}) + 0.0 AS avg_raw
+    FROM lineitem l JOIN cuts c ON c.l_returnflag = l.l_returnflag
+    GROUP BY l.l_returnflag
+    """,
+)
+def agg_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (percentile clipping) per group — the outlier
+    treatment a feature pipeline applies before scaling: values
+    outside each group's [p05, p95] clamp to the cut.  Cutpoints come
+    from the distributed EXACT quantile operator (same quantile_cont
+    semantics as the oracle, no per-task group collection), come back
+    as a |groups|-row frame, and broadcast onto the fact scan — so
+    the whole treatment is the quantile sort + one broadcast-join
+    pass, no second wide shuffle.  Emits clip counts and the
+    before/after means as the audit summary."""
+    from ondemand_dask_spark.operators.quantile import exact_group_quantiles_auto
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cuts = exact_group_quantiles_auto(
+        li, ["l_returnflag"], "l_extendedprice",
+        {"lo": 0.05, "hi": 0.95},
+        path="sort",  # 3-value key: same prior as agg_groupby_quantile
+    )
+    v = F.col("l_extendedprice")
+    clipped = F.least(F.greatest(v, F.col("lo")), F.col("hi"))
+    return (
+        li.join(F.broadcast(cuts), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.when(v < F.col("lo"), 1)).alias("n_clipped_low"),
+            F.count(F.when(v > F.col("hi"), 1)).alias("n_clipped_high"),
+            F.round(F.avg(clipped) - 1e-9, _R).alias("avg_winsorized"),
+            F.round(F.avg(v) - 1e-9, _R).alias("avg_raw"),
+        )
+    )
+
+
+# Deequ-style declarative constraint suite: (name, metric expression,
+# pass predicate over the metric).  Every metric is decomposable, so
+# the whole suite is ONE partial+final aggregation pass.
+_DQ_MIN_ROWS = 100
+
+
+@register(
+    "dq_expectations",
+    oracle=f"""
+    WITH m AS (
+      SELECT count(*) AS n_rows,
+             CAST(count(o_custkey) AS DOUBLE) / count(*) AS completeness,
+             CAST(count(DISTINCT o_orderkey) AS DOUBLE) / count(*) AS uniqueness,
+             min(o_totalprice) AS min_price,
+             max(o_totalprice) AS max_price,
+             avg(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1.0 ELSE 0.0 END)
+               AS domain_ok
+      FROM orders
+    )
+    SELECT 'row_count_min' AS constraint_name,
+           round(CAST(n_rows AS DOUBLE) - 1e-9, {_R}) + 0.0 AS metric,
+           n_rows >= {_DQ_MIN_ROWS} AS passed FROM m
+    UNION ALL
+    SELECT 'completeness_o_custkey', round(completeness - 1e-9, {_R}) + 0.0,
+           completeness >= 1.0 FROM m
+    UNION ALL
+    SELECT 'uniqueness_o_orderkey', round(uniqueness - 1e-9, {_R}) + 0.0,
+           uniqueness >= 1.0 FROM m
+    UNION ALL
+    SELECT 'min_o_totalprice_nonneg', round(min_price - 1e-9, {_R}) + 0.0,
+           min_price >= 0 FROM m
+    UNION ALL
+    SELECT 'max_o_totalprice_bound', round(max_price - 1e-9, {_R}) + 0.0,
+           max_price <= 1e7 FROM m
+    UNION ALL
+    SELECT 'domain_o_orderstatus', round(domain_ok - 1e-9, {_R}) + 0.0,
+           domain_ok >= 1.0 FROM m
+    """,
+)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality CONSTRAINT suite (the Deequ/
+    great-expectations shape): completeness, key uniqueness, value
+    bounds, domain membership, and a minimum row count — evaluated
+    and reported as (constraint_name, metric, passed) rows.  Unlike
+    dq_profile_report (which DESCRIBES columns), this VERIFIES
+    expectations: the table a pipeline gates deployment on.  All six
+    metrics are decomposable aggregates computed in ONE pass over the
+    scan — a single partial+final HashAggregate producing one wide
+    row, exploded to the tall report; the oracle's UNION-ALL is the
+    spec, not the plan."""
+    o = load_table(spark, sf_dir, "orders")
+    wide = o.agg(
+        F.count("*").alias("n_rows"),
+        (F.count("o_custkey").cast("double") / F.count("*")).alias("comp"),
+        (F.countDistinct("o_orderkey").cast("double") / F.count("*")).alias(
+            "uniq"
+        ),
+        F.min("o_totalprice").alias("mn"),
+        F.max("o_totalprice").alias("mx"),
+        F.avg(
+            F.when(F.col("o_orderstatus").isin("O", "F", "P"), 1.0).otherwise(
+                0.0
+            )
+        ).alias("dom"),
+    )
+    rows = F.array(
+        F.struct(
+            F.lit("row_count_min").alias("constraint_name"),
+            (F.round(F.col("n_rows").cast("double") - 1e-9, _R) + 0.0).alias(
+                "metric"
+            ),
+            (F.col("n_rows") >= _DQ_MIN_ROWS).alias("passed"),
+        ),
+        F.struct(
+            F.lit("completeness_o_custkey").alias("constraint_name"),
+            (F.round(F.col("comp") - 1e-9, _R) + 0.0).alias("metric"),
+            (F.col("comp") >= 1.0).alias("passed"),
+        ),
+        F.struct(
+            F.lit("uniqueness_o_orderkey").alias("constraint_name"),
+            (F.round(F.col("uniq") - 1e-9, _R) + 0.0).alias("metric"),
+            (F.col("uniq") >= 1.0).alias("passed"),
+        ),
+        F.struct(
+            F.lit("min_o_totalprice_nonneg").alias("constraint_name"),
+            (F.round(F.col("mn") - 1e-9, _R) + 0.0).alias("metric"),
+            (F.col("mn") >= 0).alias("passed"),
+        ),
+        F.struct(
+            F.lit("max_o_totalprice_bound").alias("constraint_name"),
+            (F.round(F.col("mx") - 1e-9, _R) + 0.0).alias("metric"),
+            (F.col("mx") <= 1e7).alias("passed"),
+        ),
+        F.struct(
+            F.lit("domain_o_orderstatus").alias("constraint_name"),
+            (F.round(F.col("dom") - 1e-9, _R) + 0.0).alias("metric"),
+            (F.col("dom") >= 1.0).alias("passed"),
+        ),
+    )
+    return wide.select(F.explode(rows).alias("r")).select(
+        "r.constraint_name", "r.metric", "r.passed"
+    )

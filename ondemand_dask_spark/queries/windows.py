@@ -985,3 +985,55 @@ def window_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cusum - 1e-9, _R).alias("cusum"),
         (cusum > _CUSUM_ALARM).alias("alarm"),
     )
+
+
+@register(
+    "window_autocorr_lag1",
+    oracle=f"""
+    WITH l AS (
+      SELECT user_id, value,
+             lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_value
+      FROM events
+    ),
+    g AS (
+      SELECT user_id,
+             corr(value, prev_value) AS c,
+             count(CASE WHEN value IS NOT NULL AND prev_value IS NOT NULL
+                        THEN 1 END) AS n_pairs
+      FROM l GROUP BY user_id
+    )
+    SELECT user_id,
+           CASE WHEN n_pairs >= 2 THEN round(c - 1e-9, {_R}) + 0.0 END AS acf1,
+           n_pairs
+    FROM g
+    """,
+)
+def window_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation per key — the standard 'is this series
+    noise or signal' diagnostic (and the first ACF coefficient of any
+    forecasting workup).  One per-key ordered window produces the
+    shifted pair, one partial+final corr aggregate reduces it: the
+    same single exchange+sort every shift-family query here rides.
+    Pairs below 2 emit NULL explicitly on both engines (Spark's corr
+    returns NaN on degenerate inputs where DuckDB returns NULL — the
+    guard makes the cross-engine contract exact)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = _events(spark, sf_dir).select(
+        "user_id", "value", F.lag("value").over(w).alias("prev_value")
+    )
+    g = e.groupBy("user_id").agg(
+        F.corr("value", "prev_value").alias("c"),
+        F.count(
+            F.when(
+                F.col("value").isNotNull() & F.col("prev_value").isNotNull(), 1
+            )
+        ).alias("n_pairs"),
+    )
+    return g.select(
+        "user_id",
+        F.when(
+            F.col("n_pairs") >= 2, F.round(F.col("c") - 1e-9, _R) + 0.0
+        ).alias("acf1"),
+        "n_pairs",
+    )
