@@ -62,6 +62,10 @@ HEADLINE = [
     "kmeans_lloyd",
     "text_quality_score",
     "agg_rollup",
+    # round-4 widening: graph analytics (iterative + intersection
+    # joins are the shapes most sensitive to shuffle regressions)
+    "graph_pagerank",
+    "graph_triangle_count",
 ]
 
 RUNS = 2
