@@ -118,8 +118,14 @@ def main() -> None:
         # queries (minhash/LSH cache intermediates) so no query is
         # timed under another's memory pressure or warm cache.
         spark.catalog.clearCache()
-        df = queries[name].fn(spark, sf_dir)
+        # The timer starts BEFORE plan construction: declarative
+        # queries build their plan in ~ms, but iterative ones
+        # (connected components) run eager per-round actions inside
+        # fn() — timing only the final noop write under-reported
+        # them (dedup_connected_components showed 0.02 s in r3's
+        # bench while its star/propagation rounds ran off the clock).
         t0 = time.perf_counter()
+        df = queries[name].fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
