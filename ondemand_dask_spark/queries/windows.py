@@ -1037,3 +1037,139 @@ def window_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("acf1"),
         "n_pairs",
     )
+
+
+# Each event opens a usage interval of max(value, 1) seconds — the
+# canonical gaps-and-islands fixture (sessions, locks, meetings).
+_IV_SQL = """
+    SELECT user_id,
+           epoch_us(ts) AS s,
+           epoch_us(ts) + CAST(floor(greatest(value, 1) * 1e6) AS BIGINT) AS e
+    FROM events
+"""
+
+
+@register(
+    "intervals_union_length",
+    oracle=f"""
+    WITH iv AS ({_IV_SQL}),
+    flagged AS (
+      SELECT user_id, s, e,
+             CASE WHEN s > coalesce(max(e) OVER (
+                    PARTITION BY user_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    -9223372036854775808)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM iv
+    ),
+    islands AS (
+      SELECT user_id, s, e,
+             sum(new_island) OVER (
+               PARTITION BY user_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island_id
+      FROM flagged
+    ),
+    per_island AS (
+      SELECT user_id, island_id, max(e) - min(s) AS len_us
+      FROM islands GROUP BY user_id, island_id
+    )
+    SELECT user_id, count(*) AS n_islands,
+           CAST(sum(len_us) AS BIGINT) AS covered_us
+    FROM per_island GROUP BY user_id
+    """,
+)
+def intervals_union_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval UNION per key (gaps-and-islands): total covered time
+    and number of disjoint busy periods when each event holds the
+    resource for max(value,1) seconds.  The classic 'how long was
+    the machine actually busy' question that naive sum-of-durations
+    double-counts.  One per-key ordered window finds island starts
+    (start beyond the running max of every earlier end — the running
+    max, not lag(e), is what makes nested containment correct), a
+    running sum numbers the islands, and a groupBy measures them:
+    one exchange+sort, two partial aggs, no self-join — vs the
+    quadratic interval-overlap self-join this replaces.  Arithmetic
+    rides epoch microseconds so both engines agree bit-exactly."""
+    e = _events(spark, sf_dir)
+    iv = e.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("s"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            + (F.greatest(F.col("value"), F.lit(1.0)) * 1e6).cast("long")
+        ).alias("e"),
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "e")
+    prev_max_e = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.select(
+        "user_id", "s", "e",
+        F.when(
+            F.col("s") > F.coalesce(prev_max_e, F.lit(-(2**63))), 1
+        ).otherwise(0).alias("new_island"),
+    )
+    islands = flagged.select(
+        "user_id", "s", "e",
+        F.sum("new_island").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("island_id"),
+    )
+    per_island = islands.groupBy("user_id", "island_id").agg(
+        (F.max("e") - F.min("s")).alias("len_us")
+    )
+    return per_island.groupBy("user_id").agg(
+        F.count("*").alias("n_islands"),
+        F.sum("len_us").alias("covered_us"),
+    )
+
+
+@register(
+    "intervals_peak_concurrency",
+    oracle=f"""
+    WITH iv AS ({_IV_SQL}),
+    pts AS (
+      SELECT user_id, s AS t, 1 AS delta FROM iv
+      UNION ALL
+      SELECT user_id, e, -1 FROM iv
+    ),
+    run AS (
+      SELECT user_id,
+             sum(delta) OVER (
+               PARTITION BY user_id ORDER BY t, delta
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS level
+      FROM pts
+    )
+    SELECT user_id, CAST(max(level) AS BIGINT) AS peak_concurrency
+    FROM run GROUP BY user_id
+    """,
+)
+def intervals_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent intervals per key — max simultaneous sessions
+    / connections / holds.  Sweep-line as pure relational algebra:
+    every interval explodes to (+1 at start, −1 at end) breakpoints,
+    one ordered window accumulates the level, one agg takes the max.
+    Intervals are closed-open ([s, e)): ordering ties by delta puts
+    the −1 first so back-to-back intervals never double-count.  Two
+    narrow projections + one exchange — the same cost as one window
+    query, where the textbook formulation is an O(n²) overlap
+    self-join."""
+    e = _events(spark, sf_dir)
+    iv = e.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("s"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            + (F.greatest(F.col("value"), F.lit(1.0)) * 1e6).cast("long")
+        ).alias("e"),
+    )
+    pts = iv.select(
+        "user_id", F.col("s").alias("t"), F.lit(1).alias("delta")
+    ).unionByName(
+        iv.select("user_id", F.col("e").alias("t"), F.lit(-1).alias("delta"))
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "delta").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    run = pts.select("user_id", F.sum("delta").over(w).alias("level"))
+    return run.groupBy("user_id").agg(F.max("level").alias("peak_concurrency"))
