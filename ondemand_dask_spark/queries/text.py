@@ -464,3 +464,113 @@ def text_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_bigram_frac"
         ),
     )
+
+
+# Inverted-index cosine: stop-term cut bounds per-term posting lists
+# (a term in more than max(floor, frac·n) docs contributes C(df,2)
+# candidate pairs — the quadratic fan-out a hot term would cause).
+_CS_DF_MIN = 5
+_CS_DF_FRAC = 0.05
+_CS_THRESHOLD = 0.35
+
+
+@register(
+    "text_tfidf_cosine_pairs",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    kept AS (
+      SELECT term, df FROM df CROSS JOIN n
+      WHERE df <= greatest({_CS_DF_MIN}, {_CS_DF_FRAC} * n_docs)
+    ),
+    w AS (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * ln(CAST(n.n_docs AS DOUBLE) / kept.df) AS w
+      FROM tf JOIN kept USING (term) CROSS JOIN n
+    ),
+    norms AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id),
+    dots AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.w * b.w) AS dot
+      FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(dot / (na.nrm * nb.nrm) - 1e-9, {_R}) + 0.0 AS cosine
+    FROM dots
+    JOIN norms na ON na.doc_id = doc_a
+    JOIN norms nb ON nb.doc_id = doc_b
+    WHERE dot / (na.nrm * nb.nrm) >= {_CS_THRESHOLD}
+    """,
+)
+def text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine similarity pairs via an inverted-index
+    join — the WEIGHTED complement to dedup_ngram_jaccard's set
+    similarity, and the scale shape behind 'find documents about the
+    same thing' (vs near-verbatim duplicates).  No document ever
+    meets another except through a shared term: candidate pairs are
+    posting-list collisions, never n².  The stop-term cut (df above
+    max({m}, {f:.0%} of corpus) is removed BEFORE the join, in both
+    engines) bounds every posting list, making the worst-case join
+    fan-out Σ C(df_cap, 2) per term — the same discipline the
+    jaccard and minhash pipelines enforce.  Weights, norms, and the
+    pairwise dot all live on the pruned vocabulary, so cosine stays
+    a true cosine (≤ 1) of the pruned vectors.  Three token-level
+    aggs + one posting-list self-join + two |docs|-row broadcast
+    joins for the norms.""".format(m=_CS_DF_MIN, f=_CS_DF_FRAC)
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    kept = (
+        df.crossJoin(F.broadcast(n))
+        .filter(
+            F.col("df")
+            <= F.greatest(F.lit(_CS_DF_MIN), F.lit(_CS_DF_FRAC) * F.col("n_docs"))
+        )
+        .select("term", "df")
+    )
+    w = (
+        tf.join(kept, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df"))
+            ).alias("w"),
+        )
+        .cache()
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
+    )
+    a, b = w.alias("a"), w.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("dot"))
+    )
+    cos = F.col("dot") / (F.col("na.nrm") * F.col("nb.nrm"))
+    return (
+        dots.join(F.broadcast(norms).alias("na"),
+                  F.col("na.doc_id") == F.col("doc_a"))
+        .join(F.broadcast(norms).alias("nb"),
+              F.col("nb.doc_id") == F.col("doc_b"))
+        .filter(cos >= _CS_THRESHOLD)
+        .select(
+            "doc_a", "doc_b",
+            (F.round(cos - 1e-9, _R) + 0.0).alias("cosine"),
+        )
+    )
