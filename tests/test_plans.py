@@ -425,3 +425,33 @@ def test_simhash_single_shuffle(spark, sf_dir):
     df = _df("dedup_simhash", spark, sf_dir)
     assert shuffle_count(df) == 1
     assert python_eval_count(df) == 0
+
+
+def test_graph_triangle_plan_shape(spark, sf_dir):
+    """Triangle census: the rank map must BROADCAST onto the edge
+    list (orientation costs no exchange), adjacency attachment must
+    be EQUI joins, and nothing may plan as a nested-loop/cartesian
+    pair enumeration — the wedge-materializing O(sum d^2) shape the
+    adjacency-intersection design replaces."""
+    from ondemand_dask_spark.plans import plan_string
+
+    df = _df("graph_triangle_count", spark, sf_dir)
+    plan = plan_string(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert broadcast_join_count(df) >= 2  # rank map onto both ends
+    assert python_eval_count(df) == 0
+
+
+def test_graph_pagerank_plan_shape(spark, sf_dir):
+    """PageRank supersteps: rank/degree maps are aggregate-derived
+    and must broadcast; the only BNLJ allowed is the 1-row |V| frame
+    cross-joined in (a scalar, not a pair enumeration); every
+    contribution sum must partial-aggregate before its exchange."""
+    from ondemand_dask_spark.plans import plan_string
+
+    df = _df("graph_pagerank", spark, sf_dir)
+    plan = plan_string(df)
+    assert "CartesianProduct" not in plan
+    assert python_eval_count(df) == 0
+    assert plan.count("partial_sum") >= 3  # one map-side combine per superstep
