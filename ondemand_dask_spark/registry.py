@@ -120,7 +120,12 @@ _SHOWCASE: tuple[str, ...] = (
 #   incremental/encoding (scd2_intervals, snapshot_diff_cdc,
 #     encode_* ...), dedup composites (dedup_connected_components,
 #     dedup_report, dedup_incremental_batch,
-#     stat_freq_items_verified).
+#     stat_freq_items_verified),
+#   round-4 additions, all never driver-checked (graph_triangle_count,
+#     graph_pagerank, graph_degree_stats, dedup_cc_star_contraction,
+#     agg_winsorize, dq_expectations, window_autocorr_lag1,
+#     intervals_union_length, intervals_peak_concurrency,
+#     text_tfidf_cosine_pairs).
 
 
 def all_queries() -> dict[str, Query]:
