@@ -62,7 +62,11 @@ def _small_star(e: DataFrame) -> DataFrame:
 
 
 def connected_components_star(
-    edges: DataFrame, src: str = "src", dst: str = "dst", max_rounds: int = 32
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 32,
+    stats: dict | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Labels for the graph `edges[(src, dst)]` by star contraction.
 
@@ -82,14 +86,18 @@ def connected_components_star(
     ).where(F.col(src) != F.col(dst))
     cur_edges = e0.distinct().localCheckpoint()
     prev = _checksum(cur_edges)
+    rounds = 0
     for _ in range(max_rounds):
         new_edges = _small_star(_large_star(cur_edges)).localCheckpoint()
         cur = _checksum(new_edges)
         cur_edges.unpersist()
         cur_edges = new_edges
+        rounds += 1
         if cur == prev:
             break
         prev = cur
+    if stats is not None:
+        stats["rounds"] = rounds
     labels = cur_edges.select(
         F.col("a").alias("node"), F.col("b").alias("cluster_id")
     ).unionByName(
