@@ -1510,3 +1510,85 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.select(F.explode(rows).alias("r")).select(
         "r.constraint_name", "r.metric", "r.passed"
     )
+
+
+@register(
+    "stat_mann_whitney",
+    oracle=f"""
+    WITH c AS (
+      SELECT round(value, 3) AS v,
+             count(CASE WHEN event_type = 'purchase' THEN 1 END) AS ca,
+             count(CASE WHEN event_type = 'view' THEN 1 END) AS cb
+      FROM events WHERE event_type IN ('purchase', 'view')
+      GROUP BY round(value, 3)
+    ),
+    w AS (
+      SELECT ca, cb,
+             coalesce(sum(cb) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_b
+      FROM c
+    ),
+    s AS (
+      SELECT CAST(sum(ca) AS DOUBLE) AS na, CAST(sum(cb) AS DOUBLE) AS nb,
+             CAST(sum(ca * (cum_b + cb / 2.0)) AS DOUBLE) AS u,
+             CAST(sum((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb)) AS DOUBLE)
+               AS ties
+      FROM w
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           round(u - 1e-9, {_R}) + 0.0 AS u_stat,
+           round((u - na * nb / 2.0)
+                 / sqrt(na * nb / 12.0
+                        * ((na + nb + 1)
+                           - ties / ((na + nb) * (na + nb - 1.0))))
+                 - 1e-9, {_R}) + 0.0 AS z_score
+    FROM s
+    """,
+)
+def stat_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (rank-sum) test, purchase vs view values — the
+    nonparametric complement to stat_welch_ttest (no normality
+    assumption; detects any stochastic ordering).  Rank arithmetic is
+    re-expressed COUNT-side: U = Σ_v cA(v)·(cumB(<v) + cB(v)/2) over
+    the per-distinct-value count table, with the classic tie
+    correction in the variance — so the only window runs over the
+    rounded-value counts table (the same bounded-input shape as
+    agg_ks_two_sample), never a data-sized global rank.  One
+    token-level agg + one counts-table window + one scalar agg; the
+    z-score against the tie-corrected normal approximation is the
+    decision value at any real sample size."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    c = e.groupBy(F.round("value", 3).alias("v")).agg(
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("ca"),
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("cb"),
+    )
+    from pyspark.sql.window import Window as W
+
+    cum_b = F.coalesce(
+        F.sum("cb").over(
+            W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    w = c.select("ca", "cb", cum_b.alias("cum_b"))
+    t = F.col("ca") + F.col("cb")
+    s = w.agg(
+        F.sum("ca").cast("double").alias("na"),
+        F.sum("cb").cast("double").alias("nb"),
+        F.sum(F.col("ca") * (F.col("cum_b") + F.col("cb") / 2.0))
+        .cast("double")
+        .alias("u"),
+        F.sum(t * t * t - t).cast("double").alias("ties"),
+    )
+    na, nb, u, ties = F.col("na"), F.col("nb"), F.col("u"), F.col("ties")
+    var = na * nb / 12.0 * ((na + nb + 1) - ties / ((na + nb) * (na + nb - 1.0)))
+    return s.select(
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        (F.round(u - 1e-9, _R) + 0.0).alias("u_stat"),
+        (F.round((u - na * nb / 2.0) / F.sqrt(var) - 1e-9, _R) + 0.0).alias(
+            "z_score"
+        ),
+    )

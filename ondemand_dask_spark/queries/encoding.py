@@ -257,3 +257,51 @@ def encode_target_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(loo - 1e-9, _R).alias("te_loo"),
         F.round(loo_s - 1e-9, _R).alias("te_loo_smooth"),
     )
+
+
+@register(
+    "encode_robust_scale",
+    oracle=f"""
+    WITH cuts AS (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.25) AS q1,
+             quantile_cont(l_extendedprice, 0.50) AS med,
+             quantile_cont(l_extendedprice, 0.75) AS q3
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_orderkey, l.l_linenumber,
+           round((l.l_extendedprice - c.med) / (c.q3 - c.q1) - 1e-9, {_R}) + 0.0
+             AS price_robust
+    FROM lineitem l JOIN cuts c ON c.l_returnflag = l.l_returnflag
+    """,
+)
+def encode_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RobustScaler — (x − median) / IQR per group, the outlier-proof
+    alternative to z-scoring (StandardScaler's mean/std both move
+    arbitrarily far under one corrupt value; median and IQR are
+    50%-breakdown estimators).  The three quartiles come from the
+    distributed EXACT quantile operator in one pass (shared sort,
+    |groups|·3 boundary rows), come back |groups| rows wide, and
+    broadcast onto the fact scan — identical shape to the other
+    scalers: stats aggregate + broadcast transform, no second wide
+    shuffle, no per-task value collection."""
+    from ondemand_dask_spark.operators.quantile import exact_group_quantiles_auto
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cuts = exact_group_quantiles_auto(
+        li, ["l_returnflag"], "l_extendedprice",
+        {"q1": 0.25, "med": 0.50, "q3": 0.75},
+        path="sort",  # 3-value key, same prior as agg_groupby_quantile
+    )
+    return li.join(F.broadcast(cuts), "l_returnflag").select(
+        "l_orderkey", "l_linenumber",
+        (
+            F.round(
+                (F.col("l_extendedprice") - F.col("med"))
+                / (F.col("q3") - F.col("q1"))
+                - 1e-9,
+                _R,
+            )
+            + 0.0
+        ).alias("price_robust"),
+    )
