@@ -325,3 +325,111 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("d").alias("min_degree"),
         F.max("d").alias("max_degree"),
     )
+
+
+_AR_MIN_SUP = 2  # pairs must co-occur in >= 2 orders
+
+
+@register(
+    "basket_association_rules",
+    oracle=f"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pair_sup AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS sup_ab
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY pa, pb
+      HAVING count(*) >= {_AR_MIN_SUP}
+    ),
+    item_sup AS (SELECT l_partkey, count(*) AS sup FROM li GROUP BY l_partkey),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM li),
+    directed AS (
+      SELECT pa AS antecedent, pb AS consequent, sup_ab FROM pair_sup
+      UNION ALL
+      SELECT pb, pa, sup_ab FROM pair_sup
+    )
+    SELECT d.antecedent, d.consequent, d.sup_ab AS support_pairs,
+           round(CAST(d.sup_ab AS DOUBLE) / sa.sup - 1e-9, {_R}) + 0.0
+             AS confidence,
+           round(CAST(d.sup_ab AS DOUBLE) * n.n_orders / (sa.sup * sb.sup)
+                 - 1e-9, {_R}) + 0.0 AS lift
+    FROM directed d
+    JOIN item_sup sa ON sa.l_partkey = d.antecedent
+    JOIN item_sup sb ON sb.l_partkey = d.consequent
+    CROSS JOIN n
+    """,
+)
+def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining (support / confidence / lift) over
+    order baskets — the classic market-basket analysis, which is
+    also the 2-itemset iteration of Apriori.  Same bounded per-order
+    pair fan-out as the co-purchase edge build (co-partitioned
+    fact-fact self-join, never a cross join); pair supports are one
+    partial+final agg over the emitted pairs, item supports and the
+    basket count are aggregate-derived small frames that broadcast
+    onto the rule table.  The min-support HAVING prunes BEFORE the
+    rule expansion, so low-signal pairs never reach the joins —
+    Apriori's pruning principle expressed as plan order."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .repartition(spark.sparkContext.defaultParallelism, "l_orderkey")
+        .cache()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pair_sup = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count("*").alias("sup_ab"))
+        .filter(F.col("sup_ab") >= _AR_MIN_SUP)
+    )
+    item_sup = li.groupBy(F.col("l_partkey").alias("item")).agg(
+        F.count("*").alias("sup")
+    )
+    n = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    directed = pair_sup.select(
+        F.col("pa").alias("antecedent"),
+        F.col("pb").alias("consequent"),
+        "sup_ab",
+    ).unionByName(
+        pair_sup.select(
+            F.col("pb").alias("antecedent"),
+            F.col("pa").alias("consequent"),
+            "sup_ab",
+        )
+    )
+    sa = F.broadcast(item_sup).alias("sa")
+    sb = F.broadcast(item_sup).alias("sb")
+    return (
+        directed.join(sa, F.col("sa.item") == F.col("antecedent"))
+        .join(sb, F.col("sb.item") == F.col("consequent"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("sup_ab").alias("support_pairs"),
+            (
+                F.round(
+                    F.col("sup_ab").cast("double") / F.col("sa.sup") - 1e-9, _R
+                )
+                + 0.0
+            ).alias("confidence"),
+            (
+                F.round(
+                    F.col("sup_ab").cast("double")
+                    * F.col("n_orders")
+                    / (F.col("sa.sup") * F.col("sb.sup"))
+                    - 1e-9,
+                    _R,
+                )
+                + 0.0
+            ).alias("lift"),
+        )
+    )
