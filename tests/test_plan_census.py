@@ -1,0 +1,73 @@
+"""Repo-wide plan guards — every registered query, one sweep.
+
+The per-query plan tests in test_plans.py pin the hot paths in
+detail; this sweep pins three invariants across the WHOLE registry
+so no future operator ships a scale cliff unnoticed:
+
+1. no CartesianProduct, ever;
+2. BroadcastNestedLoopJoin only in the pinned whitelist — 1-row
+   scalar attaches (a broadcast aggregate cross-joined into the
+   stream: corpus size, |V|, global totals) plus the two operators
+   whose SEMANTICS are non-equi (join_cross on bounded sides,
+   join_theta);
+3. Python boundaries only in the declared Arrow-vectorized families
+   (§2.J UDF surface, multimodal decoders, from_map), and never the
+   row-at-a-time BatchEvalPython.
+
+Only plans are built (no execution) except where a query runs eager
+probe actions by design, so the sweep stays cheap at the test SF.
+"""
+
+from __future__ import annotations
+
+import re
+
+from ondemand_dask_spark.plans import plan_string
+from ondemand_dask_spark.registry import all_queries
+
+# 1-row scalar attaches + deliberately-bounded non-equi operators.
+BNLJ_OK = {
+    "agg_hll_sketch_merge", "agg_nunique_approx", "ann_cosine_topk",
+    "ann_ivf_probe", "basket_association_rules", "dedup_ngram_jaccard",
+    "embedding_pca_power", "encode_minmax", "encode_standardize",
+    "encode_target_mean", "funnel_three_step", "graph_pagerank",
+    "join_cross", "join_theta", "kmeans_lloyd", "pipeline_heavy_hitters",
+    "qcut_by_cutpoints", "stat_freq_items_verified",
+    "text_tfidf_cosine_pairs", "text_tfidf_top_term",
+    "text_unigram_surprisal", "tpch_q11", "tpch_q22",
+}
+
+# Arrow-vectorized Python stages by design (never BatchEvalPython).
+PY_OK = {
+    "multimodal_decode_features", "multimodal_decode_ppm",
+    "multimodal_decode_wav", "multimodal_frame_sample",
+    "multimodal_resize", "source_from_map", "udf_apply_in_pandas",
+    "udf_ewm", "udf_map_in_arrow", "udf_map_in_pandas",
+    "udf_pandas_scalar", "udf_cogroup", "udf_grouped_agg",
+    "udf_map_overlap", "udf_table_function",
+}
+
+
+def test_registry_wide_plan_guards(spark, sf_dir):
+    violations = []
+    for name, q in sorted(all_queries().items()):
+        plan = plan_string(q.fn(spark, sf_dir))
+        if re.search(r"\(\d+\) CartesianProduct\b", plan):
+            violations.append(f"{name}: CartesianProduct")
+        if (
+            re.search(r"\(\d+\) BroadcastNestedLoopJoin\b", plan)
+            and name not in BNLJ_OK
+        ):
+            violations.append(f"{name}: unwhitelisted BNLJ")
+        if re.search(r"\(\d+\) BatchEvalPython\b", plan):
+            violations.append(f"{name}: row-at-a-time BatchEvalPython")
+        if (
+            re.search(
+                r"\(\d+\) (ArrowEvalPython|MapInPandas|"
+                r"FlatMapGroupsInPandas|PythonMapInArrow|MapInArrow)\b",
+                plan,
+            )
+            and name not in PY_OK
+        ):
+            violations.append(f"{name}: unexpected Python boundary")
+    assert not violations, violations
