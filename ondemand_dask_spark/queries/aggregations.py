@@ -1592,3 +1592,117 @@ def stat_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             "z_score"
         ),
     )
+
+
+@register(
+    "stat_kll_quantile_banded",
+    oracle=f"""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5) - 1e-9, {_R}) + 0.0
+             AS median_exact,
+           round(quantile_cont(l_extendedprice, 0.9) - 1e-9, {_R}) + 0.0
+             AS p90_exact,
+           TRUE AS within_bound
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def stat_kll_quantile_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles from a KLL sketch (Apache DataSketches, Spark 4
+    `kll_sketch_agg_double`) — the MERGEABLE quantile path: unlike
+    percentile_approx's GK summary, KLL sketches from different
+    partitions/days/tenants merge losslessly with
+    `kll_sketch_merge_double`, which is what a 100 TB rollup pipeline
+    actually stores (per-shard sketches, merged at query time).
+    k=2048 bounds rank error ≈ 0.4%; the banded oracle hashes the
+    exact quantiles (distributed sort-based operator, same as
+    agg_quantile_approx — never F.percentile's group collection)
+    plus a certificate that each sketch cutpoint lands within 2%
+    relative of exact."""
+    from ondemand_dask_spark.operators.quantile import exact_group_quantiles
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sk = li.groupBy("l_returnflag").agg(
+        F.kll_sketch_agg_double(
+            F.col("l_extendedprice").cast("double"), F.lit(2048)
+        ).alias("sk")
+    )
+    approx = sk.select(
+        "l_returnflag",
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.5)).alias("med_a"),
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.9)).alias("p90_a"),
+    )
+    exact = exact_group_quantiles(
+        li, ["l_returnflag"], "l_extendedprice",
+        {"median_exact": 0.5, "p90_exact": 0.9},
+    )
+    j = approx.join(F.broadcast(exact), "l_returnflag")
+    ok = (
+        (F.abs(F.col("med_a") - F.col("median_exact")) / F.col("median_exact")
+         <= 0.02)
+        & (F.abs(F.col("p90_a") - F.col("p90_exact")) / F.col("p90_exact")
+           <= 0.02)
+    )
+    return j.select(
+        "l_returnflag",
+        F.round(F.col("median_exact") - 1e-9, _R).alias("median_exact"),
+        F.round(F.col("p90_exact") - 1e-9, _R).alias("p90_exact"),
+        ok.alias("within_bound"),
+    )
+
+
+@register(
+    "stat_theta_intersection_banded",
+    oracle="""
+    SELECT count(*) AS exact_both, TRUE AS within_bound
+    FROM (
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+      INTERSECT
+      SELECT user_id FROM events WHERE event_type = 'view'
+    )
+    """,
+)
+def stat_theta_intersection_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-set INTERSECTION cardinality from theta sketches
+    (Spark 4 `theta_sketch_agg` + `theta_intersection`) — the
+    estimator family HLL cannot provide: HLL unions merge but
+    intersections need inclusion-exclusion with compounding error,
+    while theta sketches intersect natively.  The 100 TB use:
+    audience overlap / retention ('users who did A and B') from
+    per-segment sketches without ever co-shuffling the raw id sets.
+    Each side is one partial+final sketch agg; the intersection and
+    estimate are scalar expressions over the two binary sketches.
+    Banded oracle: exact |A ∩ B| via INTERSECT, certificate that the
+    estimate lands within 5%."""
+    e = load_table(spark, sf_dir, "events")
+    sk = (
+        e.filter(F.col("event_type").isin("purchase", "view"))
+        .groupBy("event_type")
+        .agg(F.theta_sketch_agg("user_id").alias("sk"))
+    )
+    p = sk.filter(F.col("event_type") == "purchase").select(
+        F.col("sk").alias("sk_p")
+    )
+    v = sk.filter(F.col("event_type") == "view").select(
+        F.col("sk").alias("sk_v")
+    )
+    est = p.crossJoin(F.broadcast(v)).select(
+        F.theta_sketch_estimate(
+            F.theta_intersection("sk_p", "sk_v")
+        ).alias("est_both")
+    )
+    exact = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .intersect(
+            e.filter(F.col("event_type") == "view").select("user_id")
+        )
+        .agg(F.count("*").alias("exact_both"))
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "exact_both",
+        (
+            F.abs(F.col("est_both") - F.col("exact_both"))
+            / F.col("exact_both")
+            <= 0.05
+        ).alias("within_bound"),
+    )
