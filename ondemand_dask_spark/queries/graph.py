@@ -49,6 +49,27 @@ from ondemand_dask_spark.registry import register
 
 _R = 4
 
+# Caches created inside a query must outlive the call (the returned
+# DataFrame is lazy and references them), so they cannot unpersist at
+# function exit.  Same discipline as the dedup family: each cache
+# registers here and the NEXT graph query entry evicts the previous
+# set, so a long driver session retains at most one graph query's
+# storage blocks.
+_RETAINED_CACHES: list = []
+
+
+def _evict_retained() -> None:
+    while _RETAINED_CACHES:
+        try:
+            _RETAINED_CACHES.pop().unpersist()
+        except Exception:
+            pass  # session already stopped — nothing to release
+
+
+def _retain(df: DataFrame) -> DataFrame:
+    _RETAINED_CACHES.append(df)
+    return df
+
 # DuckDB twin of the canonical co-purchase edge list: distinct
 # unordered part pairs sharing an order, stored as (src < dst).
 _EDGES_SQL = """
@@ -161,7 +182,8 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks runs over the aggregated degree table — |V| rows, not
     data-sized — the same bounded-input exception documented for
     agg_mode."""
-    edges = _edges(spark, sf_dir).cache()
+    _evict_retained()
+    edges = _retain(_edges(spark, sf_dir).cache())
     sym = _sym(edges)
     deg = sym.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("d"))
     rnk = deg.select(
@@ -185,6 +207,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cache()
     )
+    _retain(oriented)
     adj = oriented.groupBy(F.col("lo").alias("node")).agg(
         F.collect_list("hi").alias("nbrs")
     )
@@ -262,7 +285,8 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounding makes the cross-engine check exact.""".format(
         it=_PR_ITERS, d=_PR_D
     )
-    sym = _sym(_edges(spark, sf_dir)).cache()
+    _evict_retained()
+    sym = _retain(_sym(_edges(spark, sf_dir)).cache())
     deg = sym.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("d"))
     # |V| as a 1-row broadcast frame — joins into the plan instead of
     # a driver-side .first() so the query stays a single lazy plan.
@@ -370,7 +394,8 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     onto the rule table.  The min-support HAVING prunes BEFORE the
     rule expansion, so low-signal pairs never reach the joins —
     Apriori's pruning principle expressed as plan order."""
-    li = (
+    _evict_retained()
+    li = _retain(
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()

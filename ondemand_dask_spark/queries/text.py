@@ -29,6 +29,23 @@ from ondemand_dask_spark.registry import register
 
 _R = 4
 
+# Weight-table cache for the cosine-pairs inverted-index join: evicted
+# at the next entry of that query (same discipline as dedup/graph).
+_RETAINED_CACHES: list = []
+
+
+def _evict_retained() -> None:
+    while _RETAINED_CACHES:
+        try:
+            _RETAINED_CACHES.pop().unpersist()
+        except Exception:
+            pass  # session already stopped
+
+
+def _retain(df: DataFrame) -> DataFrame:
+    _RETAINED_CACHES.append(df)
+    return df
+
 # lang → signature substrings (trigram-profile-lite).  Deliberately
 # tiny: the fixture vocabulary is shared across langs, so this tests
 # deterministic scoring/argmax plumbing, not real language ID.
@@ -521,6 +538,7 @@ def text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a true cosine (≤ 1) of the pruned vectors.  Three token-level
     aggs + one posting-list self-join + two |docs|-row broadcast
     joins for the norms.""".format(m=_CS_DF_MIN, f=_CS_DF_FRAC)
+    _evict_retained()
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
@@ -547,6 +565,7 @@ def text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cache()
     )
+    _retain(w)
     norms = w.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
     )
