@@ -557,3 +557,80 @@ def events_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("streak").alias("longest_streak"),
         F.sum("streak").cast("long").alias("n_active_days"),
     )
+
+
+@register(
+    "sql_recursive_sessionize",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) AS last_event_ts,
+           count(*) AS n_events,
+           round(sum(value) - 1e-9, {_R}) + 0.0 AS sum_value
+    FROM sess
+    GROUP BY user_id, sid
+    """,
+)
+def sql_recursive_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization by RECURSIVE SQL — Spark 4's `WITH RECURSIVE`
+    (UnionLoop) walking successor chains, the third engine-native
+    formulation of the same semantics (alongside `session_window` in
+    sessionize_gap and the watermarked streaming session job).  The
+    successor edge table (event → next event of the same user when
+    the gap is under 30 min) is computed once with one lag window and
+    checkpointed; the recursion anchors at session STARTS (no
+    qualifying predecessor) and walks strictly forward in time, so
+    the step relation is acyclic and Spark's UNION ALL-only recursion
+    terminates at the deepest session.  Each iteration is one
+    equi-join of the frontier against the edge view — the same
+    superstep shape as the iterative DataFrame algorithms, but
+    scheduled entirely inside one SQL operator with no driver loop.
+    The oracle is the classic gaps-and-islands window formulation:
+    three ways of saying 'session', one fixpoint."""
+    from pyspark.sql.window import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = e.select(
+        "event_id", "user_id", "ts", "value",
+        F.lag("event_id").over(w).alias("prev_id"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+        ).alias("gap_us"),
+    ).localCheckpoint()
+    ev.createOrReplaceTempView("rs_events")
+    gap_us = 30 * 60 * 1_000_000
+    return spark.sql(f"""
+    WITH RECURSIVE chain(event_id, anchor_id, anchor_ts, user_id) AS (
+      SELECT event_id, event_id, ts, user_id
+      FROM rs_events
+      WHERE prev_id IS NULL OR gap_us >= {gap_us}
+      UNION ALL
+      SELECT n.event_id, c.anchor_id, c.anchor_ts, c.user_id
+      FROM chain c
+      JOIN rs_events n
+        ON n.prev_id = c.event_id AND n.user_id = c.user_id
+       AND n.gap_us < {gap_us}
+    )
+    SELECT c.user_id,
+           c.anchor_ts AS session_start,
+           max(e.ts) AS last_event_ts,
+           count(*) AS n_events,
+           round(sum(e.value) - 1e-9, {_R}) + 0.0 AS sum_value
+    FROM chain c JOIN rs_events e ON e.event_id = c.event_id
+    GROUP BY c.user_id, c.anchor_id, c.anchor_ts
+    """)
