@@ -1,0 +1,37 @@
+"""Eager release of localCheckpoint storage blocks.
+
+`df.unpersist()` on a `localCheckpoint()`ed DataFrame is a SILENT
+NO-OP: unpersist routes through the CacheManager, which only tracks
+`.cache()`/`.persist()` entries, while localCheckpoint persists the
+execution RDD directly (verified empirically: `getRDDStorageInfo`
+still lists the MapPartitionsRDD with all partitions cached after
+`unpersist(True)`).  Left alone, the blocks survive until both the
+Python and JVM references are garbage-collected and the
+ContextCleaner gets around to them — for an iterative algorithm
+holding a full edge-set copy per round, that is unbounded interim
+storage pressure.
+
+The checkpointed DataFrame's analyzed plan is a `LogicalRDD` node
+wrapping exactly the persisted RDD, so unpersisting THAT RDD frees
+the blocks immediately (verified: storage info drops to empty).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def release_local_checkpoint(df: DataFrame) -> bool:
+    """Free `df`'s localCheckpoint blocks now; True if released.
+
+    Safe to call on any DataFrame — non-checkpointed plans (no
+    LogicalRDD root) are left untouched.  Non-blocking: removal
+    proceeds asynchronously so iterative callers don't stall."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getName().endswith("LogicalRDD"):
+            plan.rdd().unpersist(False)
+            return True
+    except Exception:
+        pass
+    return False

@@ -9,16 +9,22 @@ it, and so property tests can drive it over adversarial topologies
 
 Round structure: each large-star and small-star step is one
 groupBy(min) plus one equi-join — two exchanges — and every round's
-result is `localCheckpoint`ed so the plan stays constant-size while
-superseded round blocks release eagerly.  Convergence is detected
-from a two-scalar (count, hash-sum) edge-set checksum; the driver
-never sees data rows.
+result is `localCheckpoint`ed so the plan stays constant-size, with
+superseded round blocks released eagerly through
+`release_local_checkpoint` (a plain `unpersist()` is a no-op on
+checkpoint blocks — see operators/checkpoint.py).  Convergence is
+detected from a two-scalar (count, hash-sum) edge-set checksum; the
+driver never sees data rows; exhausting `max_rounds` without
+reaching the fixpoint RAISES rather than returning a silently
+non-star (wrong) labeling.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ondemand_dask_spark.operators.checkpoint import release_local_checkpoint
 
 
 def _checksum(e: DataFrame) -> tuple:
@@ -74,7 +80,8 @@ def connected_components_star(
     every node incident to a non-loop edge, cluster_id = component
     minimum; star_edges is the converged (a → component-min) edge set
     whose checkpoint blocks labels' plan reads — the CALLER owns its
-    lifetime (unpersist after the labels materialize).  At the
+    lifetime (release via release_local_checkpoint after the labels
+    materialize; plain unpersist() is a no-op on checkpoint blocks).  At the
     fixpoint every non-min node appears exactly once on the `a` side
     and every component min on the `b` side, so labels read straight
     off the stars with no join.  Self-loops are dropped; a node with
@@ -87,17 +94,24 @@ def connected_components_star(
     cur_edges = e0.distinct().localCheckpoint()
     prev = _checksum(cur_edges)
     rounds = 0
+    converged = False
     for _ in range(max_rounds):
         new_edges = _small_star(_large_star(cur_edges)).localCheckpoint()
         cur = _checksum(new_edges)
-        cur_edges.unpersist()
+        release_local_checkpoint(cur_edges)
         cur_edges = new_edges
         rounds += 1
         if cur == prev:
+            converged = True
             break
         prev = cur
     if stats is not None:
         stats["rounds"] = rounds
+    if not converged:
+        raise RuntimeError(
+            f"star contraction did not converge in {max_rounds} rounds "
+            "(rounds needed grow ~log2(n); raise max_rounds)"
+        )
     labels = cur_edges.select(
         F.col("a").alias("node"), F.col("b").alias("cluster_id")
     ).unionByName(

@@ -77,9 +77,17 @@ _VERIFY_MODE = "full"
 
 
 def _evict_retained() -> None:
+    from ondemand_dask_spark.operators.checkpoint import (
+        release_local_checkpoint,
+    )
+
     while _RETAINED_CACHES:
         try:
-            _RETAINED_CACHES.pop().unpersist()
+            df = _RETAINED_CACHES.pop()
+            # checkpointed frames need the LogicalRDD-level release;
+            # plain caches take the normal unpersist path
+            if not release_local_checkpoint(df):
+                df.unpersist()
         except Exception:
             pass  # session already stopped — nothing to release
 
@@ -731,15 +739,21 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # each localCheckpoint is EAGER: new_labels' blocks are
         # materialized by now, so the superseded round's blocks can
-        # be released immediately instead of persisting all rounds.
-        labels.unpersist()
+        # be released immediately instead of persisting all rounds
+        # (via the LogicalRDD-level release — plain unpersist() is a
+        # no-op on checkpoint blocks, operators/checkpoint.py).
+        from ondemand_dask_spark.operators.checkpoint import (
+            release_local_checkpoint,
+        )
+
+        release_local_checkpoint(labels)
         labels = new_labels
         if changed == 0:
             break
     # the final labels are materialized checkpoint blocks — nothing
     # downstream re-reads edges or the pair cache, so free them now
     # rather than holding them until the next dedup query.
-    edges.unpersist()
+    release_local_checkpoint(edges)
     pairs.unpersist()
     return _retain(labels).select(
         F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id")

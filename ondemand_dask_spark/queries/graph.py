@@ -272,19 +272,18 @@ def _pr_iter_sql(i: int) -> str:
     """,
 )
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank, {it} unrolled power iterations at d = {d} — the
-    canonical 'importance on a graph' measure (here: central parts of
-    the co-purchase graph).  Each iteration is one equi-join of the
-    current ranks onto the out-edge list plus one groupBy(dst) sum —
-    partial aggregation halves the shuffle before it moves.  |V| and
-    the degree map enter via broadcast joins (aggregate-derived,
-    small); no scalar is ever collected to the driver, so the whole
-    3-iteration computation is ONE lazy plan Catalyst sees end to
-    end.  Emitted ranks are scaled by |V| (mean exactly 1) — scale-
-    free and numerically in a range where the repo's standard
-    rounding makes the cross-engine check exact.""".format(
-        it=_PR_ITERS, d=_PR_D
-    )
+    """PageRank, 3 unrolled power iterations at d = 0.85 (the
+    _PR_ITERS/_PR_D constants) — the canonical 'importance on a
+    graph' measure (here: central parts of the co-purchase graph).
+    Each iteration is one equi-join of the current ranks onto the
+    out-edge list plus one groupBy(dst) sum — partial aggregation
+    halves the shuffle before it moves.  |V| and the degree map
+    enter via broadcast joins (aggregate-derived, small); no scalar
+    is ever collected to the driver, so the whole 3-iteration
+    computation is ONE lazy plan Catalyst sees end to end.  Emitted
+    ranks are scaled by |V| (mean exactly 1) — scale-free and
+    numerically in a range where the repo's standard rounding makes
+    the cross-engine check exact."""
     _evict_retained()
     sym = _retain(_sym(_edges(spark, sf_dir)).cache())
     deg = sym.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("d"))

@@ -530,14 +530,14 @@ def text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     same thing' (vs near-verbatim duplicates).  No document ever
     meets another except through a shared term: candidate pairs are
     posting-list collisions, never n².  The stop-term cut (df above
-    max({m}, {f:.0%} of corpus) is removed BEFORE the join, in both
+    max(_CS_DF_MIN, _CS_DF_FRAC of the corpus) is removed BEFORE the join, in both
     engines) bounds every posting list, making the worst-case join
     fan-out Σ C(df_cap, 2) per term — the same discipline the
     jaccard and minhash pipelines enforce.  Weights, norms, and the
     pairwise dot all live on the pruned vocabulary, so cosine stays
     a true cosine (≤ 1) of the pruned vectors.  Three token-level
     aggs + one posting-list self-join + two |docs|-row broadcast
-    joins for the norms.""".format(m=_CS_DF_MIN, f=_CS_DF_FRAC)
+    joins for the norms."""
     _evict_retained()
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))

@@ -1015,9 +1015,10 @@ def window_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
     forecasting workup).  One per-key ordered window produces the
     shifted pair, one partial+final corr aggregate reduces it: the
     same single exchange+sort every shift-family query here rides.
-    Pairs below 2 emit NULL explicitly on both engines (Spark's corr
-    returns NaN on degenerate inputs where DuckDB returns NULL — the
-    guard makes the cross-engine contract exact)."""
+    Degenerate inputs (under 2 pairs, or a zero-variance series)
+    emit NULL explicitly: Spark's corr returns NaN in both cases
+    where DuckDB returns NULL, so the guard — count AND isnan —
+    makes the cross-engine contract exact."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     e = _events(spark, sf_dir).select(
         "user_id", "value", F.lag("value").over(w).alias("prev_value")
@@ -1033,7 +1034,8 @@ def window_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select(
         "user_id",
         F.when(
-            F.col("n_pairs") >= 2, F.round(F.col("c") - 1e-9, _R) + 0.0
+            (F.col("n_pairs") >= 2) & ~F.isnan(F.col("c")),
+            F.round(F.col("c") - 1e-9, _R) + 0.0,
         ).alias("acf1"),
         "n_pairs",
     )

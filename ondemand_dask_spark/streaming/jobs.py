@@ -635,11 +635,14 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     mechanism in miniature, avoiding the read-while-overwrite hazard
     an in-place parquet MERGE would have, and giving idempotent
     replays (a re-delivered batch_id rewrites the same version).
-    The events table is staged as 3 time-ordered files replayed with
-    `maxFilesPerTrigger=1`, so the upsert genuinely runs 3 times and
-    state must carry across batches; last-wins on (ts, event_id) is
-    associative, so the final snapshot equals the batch answer no
-    matter the batch cuts — which is exactly what the oracle checks.
+    The events table is staged as 3 files (hash-split on event_id —
+    a narrow filter, not a data-sized global sort; the cuts need no
+    time order) replayed with `maxFilesPerTrigger=1`, so the upsert
+    genuinely runs 3 times and state must carry across batches;
+    last-wins on (ts, event_id) is associative, so the final
+    snapshot equals the batch answer no matter the batch cuts —
+    which is exactly what the oracle checks, and hash cuts make the
+    associativity claim strictly stronger than time-ordered ones.
     Per batch the work is one |users|-bounded window over the batch
     plus a merge against the |users|-row snapshot — never the full
     history."""
@@ -661,9 +664,7 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(base, ignore_errors=True)
     os.makedirs(land)
     e = load_table(spark, sf_dir, "events")
-    chunked = e.withColumn(
-        "chunk", F.ntile(3).over(W.orderBy("ts", "event_id"))
-    )
+    chunked = e.withColumn("chunk", F.pmod(F.col("event_id"), F.lit(3)) + 1)
     for i in range(1, 4):
         (
             chunked.filter(F.col("chunk") == i)

@@ -13,6 +13,7 @@ import random
 
 from pyspark.sql import functions as F
 
+from ondemand_dask_spark.operators.checkpoint import release_local_checkpoint
 from ondemand_dask_spark.operators.graphcc import connected_components_star
 
 
@@ -41,7 +42,7 @@ def _run(spark, edges: list[tuple[int, int]]) -> dict[int, int]:
     got = {
         int(r["node"]): int(r["cluster_id"]) for r in labels.collect()
     }
-    stars.unpersist()
+    assert release_local_checkpoint(stars)
     return got
 
 
@@ -75,5 +76,5 @@ def test_self_loops_dropped(spark):
     df = spark.createDataFrame([(1, 1), (2, 3)], ["src", "dst"])
     labels, stars = connected_components_star(df)
     got = {int(r["node"]): int(r["cluster_id"]) for r in labels.collect()}
-    stars.unpersist()
+    assert release_local_checkpoint(stars)
     assert got == {2: 2, 3: 2}

@@ -22,6 +22,9 @@ sys.path.insert(0, ".")
 
 from pyspark.sql import functions as F  # noqa: E402
 
+from ondemand_dask_spark.operators.checkpoint import (  # noqa: E402
+    release_local_checkpoint,
+)
 from ondemand_dask_spark.operators.graphcc import (  # noqa: E402
     connected_components_star,
 )
@@ -80,7 +83,7 @@ def main() -> None:
         "seconds": round(time.perf_counter() - t0, 2),
         "wrong_labels": bad,
     }
-    stars.unpersist()
+    release_local_checkpoint(stars)
 
     # --- min-label propagation baseline, capped ---
     sym = edges.unionByName(
@@ -111,7 +114,7 @@ def main() -> None:
             .filter(F.col("n.lbl") < F.col("o.lbl"))
             .count()
         )
-        labels.unpersist()
+        release_local_checkpoint(labels)
         labels = new_labels
         rounds += 1
         if changed == 0:
