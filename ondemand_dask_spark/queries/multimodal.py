@@ -294,6 +294,7 @@ def multimodal_dedup_content_hash(spark: SparkSession, sf_dir: str) -> DataFrame
 # (endianness, offset, header length) hash-mismatches immediately.
 # ---------------------------------------------------------------------------
 
+_R = 4
 _WAV_DATA_LEN = 64  # fixed PCM payload size (keeps n_samples SQL-derivable)
 
 
@@ -452,4 +453,75 @@ def multimodal_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode,
         "doc_id bigint, width int, height int, maxval int, "
         "n_pixel_bytes int, checksum16 int",
+    )
+
+
+@register(
+    "multimodal_wav_rms",
+    oracle=f"""
+    WITH wav AS (
+      SELECT doc_id, substr(text, 1, {_WAV_DATA_LEN}) AS t
+      FROM documents WHERE doc_id % 10 = 1
+    ),
+    s AS (
+      SELECT doc_id,
+             list_transform(
+               list_transform(generate_series(0, {_WAV_DATA_LEN // 2 - 1}),
+                 k -> (CASE WHEN 2*k+1 <= length(t)
+                            THEN ascii(substr(t, 2*k+1, 1)) ELSE 0 END)
+                    + 256 * (CASE WHEN 2*k+2 <= length(t)
+                                  THEN ascii(substr(t, 2*k+2, 1)) ELSE 0 END)),
+               r -> CASE WHEN r >= 32768 THEN r - 65536 ELSE r END) AS v
+      FROM wav
+    )
+    SELECT doc_id,
+           round(sqrt(list_sum(list_transform(v, x -> CAST(x*x AS DOUBLE)))
+                      / {_WAV_DATA_LEN // 2}) - 1e-9, {_R}) + 0.0 AS rms,
+           CAST(list_max(list_transform(v, x -> abs(x))) AS INT) AS peak,
+           round(list_sum(list_transform(v, x -> CAST(x AS DOUBLE)))
+                 / {_WAV_DATA_LEN // 2} - 1e-9, {_R}) + 0.0 AS dc_mean
+    FROM s
+    """,
+)
+def multimodal_wav_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio FEATURE EXTRACTION, one step past header decode:
+    the PCM data chunk decodes to little-endian int16 samples
+    (numpy `frombuffer`, vectorized over the Arrow batch) and yields
+    the three first-line audio-QC signals — RMS loudness, absolute
+    peak, DC offset.  The oracle recomputes the identical samples
+    from the fixture's generation formula (data bytes = the text's
+    first _WAV_DATA_LEN ASCII bytes, zero-padded) including the int16 two's-
+    complement fold, so an endianness or offset bug in the real
+    decoder fails the hash.  Same scale shape as the other decoders:
+    payloads cross to Python once in a narrow mapInPandas, features
+    come back scalar, nothing shuffles until the (tiny) result."""
+    m = _real_media(spark, sf_dir).filter(F.col("mime") == "audio/wav")
+
+    def extract(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        rows: dict[str, list] = {
+            "doc_id": [], "rms": [], "peak": [], "dc_mean": [],
+        }
+        for pdf in it:
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(p)
+                (data_len,) = struct.unpack("<I", b[40:44])
+                samples = np.frombuffer(
+                    b[44 : 44 + data_len], dtype="<i2"
+                ).astype(np.float64)
+                rows["doc_id"].append(doc_id)
+                rows["rms"].append(
+                    round(float(np.sqrt(np.mean(samples**2))) - 1e-9, _R)
+                )
+                rows["peak"].append(int(np.abs(samples).max()))
+                rows["dc_mean"].append(
+                    round(float(samples.mean()) - 1e-9, _R)
+                )
+        yield pd.DataFrame(rows)
+
+    return m.mapInPandas(
+        extract, "doc_id bigint, rms double, peak int, dc_mean double"
     )
