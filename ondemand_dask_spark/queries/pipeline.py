@@ -1025,3 +1025,84 @@ def pipeline_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
             _R,
         ).alias("mask_ratio"),
     )
+
+
+@register(
+    "pipeline_dataset_card",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, lang, source, text,
+             len(string_split(text, ' ')) AS toks,
+             md5(lower(trim(text))) AS digest
+      FROM documents
+    ),
+    agg AS (
+      SELECT count(*) AS n_docs,
+             count(DISTINCT lang) AS n_langs,
+             count(DISTINCT source) AS n_sources,
+             CAST(sum(toks) AS DOUBLE) AS total_tokens,
+             avg(CAST(toks AS DOUBLE)) AS avg_tokens,
+             count(DISTINCT digest) AS n_unique,
+             avg(CASE WHEN toks < 10 THEN 1.0 ELSE 0.0 END) AS short_frac
+      FROM base
+    )
+    SELECT 'n_docs' AS metric, round(CAST(n_docs AS DOUBLE) - 1e-9, {_R}) + 0.0 AS value FROM agg
+    UNION ALL SELECT 'n_langs', round(CAST(n_langs AS DOUBLE) - 1e-9, {_R}) + 0.0 FROM agg
+    UNION ALL SELECT 'n_sources', round(CAST(n_sources AS DOUBLE) - 1e-9, {_R}) + 0.0 FROM agg
+    UNION ALL SELECT 'total_tokens', round(total_tokens - 1e-9, {_R}) + 0.0 FROM agg
+    UNION ALL SELECT 'avg_doc_tokens', round(avg_tokens - 1e-9, {_R}) + 0.0 FROM agg
+    UNION ALL SELECT 'exact_dup_rate',
+      round(1.0 - CAST(n_unique AS DOUBLE) / n_docs - 1e-9, {_R}) + 0.0 FROM agg
+    UNION ALL SELECT 'short_doc_frac', round(short_frac - 1e-9, {_R}) + 0.0 FROM agg
+    """,
+)
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DATASET CARD — the per-release summary a corpus pipeline
+    publishes alongside the data: corpus size, language/source
+    diversity, token budget, exact-duplicate rate, and the
+    short-document fraction that quality gates will cut.  Every
+    metric is a decomposable aggregate over ONE scan (the digest
+    distinct-count is the only expensive term — the same single
+    digest shuffle the exact-dedup pass already costs), exploded to
+    the tall (metric, value) form the card renders from.  Doubles
+    throughout so one report schema holds counts and rates."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.split("text", " ")).cast("double")
+    digest = F.md5(F.lower(F.trim("text")))
+    base = d.select(
+        "lang", "source", toks.alias("toks"), digest.alias("digest")
+    )
+    agg = base.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.countDistinct("lang").cast("double").alias("n_langs"),
+        F.countDistinct("source").cast("double").alias("n_sources"),
+        F.sum("toks").alias("total_tokens"),
+        F.avg("toks").alias("avg_tokens"),
+        F.countDistinct("digest").cast("double").alias("n_unique"),
+        F.avg(F.when(F.col("toks") < 10, 1.0).otherwise(0.0)).alias(
+            "short_frac"
+        ),
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("metric"),
+                (F.round(expr - 1e-9, _R) + 0.0).alias("value"),
+            )
+            for name, expr in [
+                ("n_docs", F.col("n_docs")),
+                ("n_langs", F.col("n_langs")),
+                ("n_sources", F.col("n_sources")),
+                ("total_tokens", F.col("total_tokens")),
+                ("avg_doc_tokens", F.col("avg_tokens")),
+                (
+                    "exact_dup_rate",
+                    F.lit(1.0) - F.col("n_unique") / F.col("n_docs"),
+                ),
+                ("short_doc_frac", F.col("short_frac")),
+            ]
+        ]
+    )
+    return agg.select(F.explode(rows).alias("r")).select(
+        "r.metric", "r.value"
+    )
