@@ -42,7 +42,8 @@ BNLJ_OK = {
 PY_OK = {
     "multimodal_decode_features", "multimodal_decode_ppm",
     "multimodal_decode_wav", "multimodal_frame_sample",
-    "multimodal_resize", "source_from_map", "udf_apply_in_pandas",
+    "multimodal_resize", "multimodal_wav_rms",
+    "source_from_map", "udf_apply_in_pandas",
     "udf_ewm", "udf_map_in_arrow", "udf_map_in_pandas",
     "udf_pandas_scalar", "udf_cogroup", "udf_grouped_agg",
     "udf_map_overlap", "udf_table_function",
