@@ -1706,3 +1706,105 @@ def stat_theta_intersection_banded(spark: SparkSession, sf_dir: str) -> DataFram
             <= 0.05
         ).alias("within_bound"),
     )
+
+
+# Poisson(1) CDF thresholds, truncated at k=5 (residual mass 6e-4;
+# truncation identical on both engines so the check stays exact).
+_POIS = (0.367879441, 0.735758882, 0.919698603, 0.980988177, 0.996340153)
+_BOOT_B = 50
+_BOOT_HASH_SQL = (
+    "CAST('0x' || substr(md5('boot|' || b || '|' || event_id), 1, 15)"
+    " AS BIGINT)"
+)
+
+
+@register(
+    "stat_bootstrap_ci",
+    oracle=f"""
+    WITH src AS (SELECT event_id, value FROM events),
+    reps AS (SELECT unnest(generate_series(1, {_BOOT_B})) AS b),
+    u AS (
+      SELECT b, value,
+             ({_BOOT_HASH_SQL} % 1000000) / 1000000.0 AS u
+      FROM src CROSS JOIN reps
+    ),
+    k AS (
+      SELECT b, value,
+             CASE WHEN u < {_POIS[0]} THEN 0
+                  WHEN u < {_POIS[1]} THEN 1
+                  WHEN u < {_POIS[2]} THEN 2
+                  WHEN u < {_POIS[3]} THEN 3
+                  WHEN u < {_POIS[4]} THEN 4
+                  ELSE 5 END AS wt
+      FROM u
+    ),
+    means AS (
+      SELECT b, sum(wt * value) / sum(wt) AS m FROM k GROUP BY b
+    ),
+    f AS (SELECT avg(value) AS mean_full FROM src)
+    SELECT round(mean_full - 1e-9, {_R}) + 0.0 AS mean_full,
+           round(quantile_cont(m, 0.025) - 1e-9, {_R}) + 0.0 AS ci_lo,
+           round(quantile_cont(m, 0.975) - 1e-9, {_R}) + 0.0 AS ci_hi,
+           round(stddev_samp(m) - 1e-9, {_R}) + 0.0 AS se_boot
+    FROM means CROSS JOIN f GROUP BY mean_full
+    """,
+)
+def stat_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence interval by POISSON RESAMPLING — the
+    canonical distributed bootstrap (per-row Poisson(1) weights
+    approximate multinomial resampling without materializing any
+    resample, the trick behind bag-of-little-bootstraps pipelines):
+    each of B=_BOOT_B replicates assigns every row a weight drawn from
+    Poisson(1) via a DETERMINISTIC salted-hash uniform (the repo's
+    portable md5 hash, so both engines draw identical weights and
+    the whole randomized procedure hash-checks exactly — no RNG).
+    Plan: one narrow B-way explode, one groupBy(replicate) weighted
+    mean (the only data shuffle, carrying B rows per partition after
+    partial agg), then percentile over the B-row means table —
+    bounded, so the exact interpolating percentile is safe here.
+    Emits the full-sample mean, the 95% percentile CI, and the
+    bootstrap standard error."""
+    from ondemand_dask_spark.functions.texthash import portable_hash64
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "value")
+    reps = e.select(
+        "event_id", "value",
+        F.explode(F.sequence(F.lit(1), F.lit(_BOOT_B))).alias("b"),
+    )
+    u = (
+        portable_hash64(
+            F.concat_ws("|", F.lit("boot"), F.col("b"), F.col("event_id"))
+        )
+        % 1_000_000
+    ) / 1_000_000.0
+    wt = (
+        F.when(u < _POIS[0], 0)
+        .when(u < _POIS[1], 1)
+        .when(u < _POIS[2], 2)
+        .when(u < _POIS[3], 3)
+        .when(u < _POIS[4], 4)
+        .otherwise(5)
+    )
+    means = (
+        reps.select("b", "value", wt.alias("wt"))
+        .groupBy("b")
+        .agg(
+            (F.sum(F.col("wt") * F.col("value")) / F.sum("wt")).alias("m")
+        )
+    )
+    f = e.agg(F.avg("value").alias("mean_full"))
+    return (
+        means.crossJoin(F.broadcast(f))
+        .groupBy("mean_full")
+        .agg(
+            F.percentile("m", F.lit(0.025)).alias("lo"),
+            F.percentile("m", F.lit(0.975)).alias("hi"),
+            F.stddev_samp("m").alias("se"),
+        )
+        .select(
+            F.round(F.col("mean_full") - 1e-9, _R).alias("mean_full"),
+            F.round(F.col("lo") - 1e-9, _R).alias("ci_lo"),
+            F.round(F.col("hi") - 1e-9, _R).alias("ci_hi"),
+            F.round(F.col("se") - 1e-9, _R).alias("se_boot"),
+        )
+    )
