@@ -457,3 +457,99 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+_LP_HUB_CAP = 64   # hubs above this degree are skipped as uninformative
+_LP_TOP_K = 100
+
+
+@register(
+    "graph_link_prediction",
+    oracle=f"""
+    WITH e AS ({_EDGES_SQL}),
+    sym AS (
+      SELECT src AS u, dst AS v FROM e
+      UNION ALL SELECT dst, src FROM e
+    ),
+    deg AS (SELECT u AS node, count(*) AS d FROM sym GROUP BY u),
+    hubs AS (
+      SELECT sym.u, sym.v FROM sym
+      JOIN deg ON deg.node = sym.u WHERE deg.d <= {_LP_HUB_CAP}
+    ),
+    wedge AS (
+      SELECT a.v AS pa, b.v AS pb, count(*) AS cn
+      FROM hubs a JOIN hubs b ON a.u = b.u AND a.v < b.v
+      GROUP BY pa, pb
+    ),
+    cand AS (
+      SELECT w.pa, w.pb, w.cn FROM wedge w
+      LEFT JOIN e ON e.src = w.pa AND e.dst = w.pb
+      WHERE e.src IS NULL
+    )
+    SELECT pa, pb, cn,
+           round(CAST(cn AS DOUBLE) / (da.d + db.d - cn) - 1e-9, {_R}) + 0.0
+             AS jaccard
+    FROM cand
+    JOIN deg da ON da.node = pa
+    JOIN deg db ON db.node = pb
+    ORDER BY jaccard DESC, cn DESC, pa, pb
+    LIMIT {_LP_TOP_K}
+    """,
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by common-neighbor count + neighborhood
+    Jaccard — 'parts bought with the same things are substitutes':
+    the top-k NON-edges most likely to become edges.  Candidate
+    pairs come only from shared hubs, so enumeration is
+    Σ C(deg(u), 2) — and unlike the triangle census this sum cannot
+    be degree-oriented away (every hub connecting a pair must be
+    COUNTED, not just one), which is why the hub cap exists: nodes
+    above degree 64 are skipped as uninformative super-connectors
+    (the graph analogue of the stop-term cut, and the knob that
+    keeps the wedge volume bounded at 100 TB — identical in the
+    oracle, so the capped semantics hash-check exactly).  Known
+    edges leave via an anti join; degrees ride broadcast joins; the
+    deterministic top-k lowers to TakeOrderedAndProject."""
+    _evict_retained()
+    edges = _retain(_edges(spark, sf_dir).cache())
+    sym = _sym(edges)
+    deg = sym.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("d"))
+    hubs = sym.join(
+        F.broadcast(deg.filter(F.col("d") <= _LP_HUB_CAP)),
+        sym["u"] == F.col("node"),
+    ).select("u", "v")
+    a, b = hubs.alias("a"), hubs.alias("b")
+    wedge = (
+        a.join(
+            b,
+            (F.col("a.u") == F.col("b.u")) & (F.col("a.v") < F.col("b.v")),
+        )
+        .groupBy(F.col("a.v").alias("pa"), F.col("b.v").alias("pb"))
+        .agg(F.count("*").alias("cn"))
+    )
+    cand = wedge.join(
+        edges,
+        (wedge["pa"] == edges["src"]) & (wedge["pb"] == edges["dst"]),
+        "left_anti",
+    )
+    da = F.broadcast(deg).alias("da")
+    db = F.broadcast(deg).alias("db")
+    scored = (
+        cand.join(da, F.col("da.node") == F.col("pa"))
+        .join(db, F.col("db.node") == F.col("pb"))
+        .select(
+            "pa", "pb", "cn",
+            (
+                F.round(
+                    F.col("cn").cast("double")
+                    / (F.col("da.d") + F.col("db.d") - F.col("cn"))
+                    - 1e-9,
+                    _R,
+                )
+                + 0.0
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("jaccard"), F.desc("cn"), F.asc("pa"), F.asc("pb")
+    ).limit(_LP_TOP_K)
