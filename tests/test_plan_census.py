@@ -32,7 +32,7 @@ BNLJ_OK = {
     "embedding_pca_power", "encode_minmax", "encode_standardize",
     "encode_target_mean", "funnel_three_step", "graph_pagerank",
     "join_cross", "join_theta", "kmeans_lloyd", "pipeline_heavy_hitters",
-    "qcut_by_cutpoints", "stat_freq_items_verified",
+    "qcut_by_cutpoints", "stat_bootstrap_ci", "stat_freq_items_verified",
     "stat_theta_intersection_banded",
     "text_tfidf_cosine_pairs", "text_tfidf_top_term",
     "text_unigram_surprisal", "tpch_q11", "tpch_q22",
