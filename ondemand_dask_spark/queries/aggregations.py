@@ -1808,3 +1808,106 @@ def stat_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("se") - 1e-9, _R).alias("se_boot"),
         )
     )
+
+
+@register(
+    "stat_theil_sen_slope",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) / 1e6 AS t, value
+      FROM events
+    ),
+    slopes AS (
+      SELECT a.user_id,
+             (b.value - a.value) / (b.t - a.t) AS s
+      FROM e a JOIN e b
+        ON a.user_id = b.user_id
+       AND (a.t < b.t OR (a.t = b.t AND a.event_id < b.event_id))
+      WHERE a.t != b.t
+    )
+    SELECT user_id,
+           count(*) AS n_pairs,
+           round(quantile_cont(s, 0.5) - 1e-9, {_R}) + 0.0 AS ts_slope
+    FROM slopes GROUP BY user_id
+    """,
+)
+def stat_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen slope per key — the ROBUST trend estimator (median
+    of all pairwise slopes; 29% breakdown point, vs OLS's zero):
+    one wild outlier in a user's series bends the least-squares
+    slope arbitrarily but moves the pairwise-slope median not at
+    all.  Pairwise by definition — O(k²) per key — so the join is
+    BLOCKED on the key: the equi-join on user_id makes candidate
+    volume Σ C(k_u, 2), never n², the same discipline as every
+    pairwise op here.  At 100 TB, keys with unbounded series get
+    the standard cut first (cap per-key points by recency or
+    hash-sample — the estimator tolerates sampling precisely
+    because it is a median).  The slope median itself rides the
+    interpolating percentile over each key's bounded slope set."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        (F.unix_micros(F.col("ts").cast("timestamp")) / 1e6).alias("t"),
+        "value",
+    )
+    a, b = e.alias("a"), e.alias("b")
+    slopes = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (
+                (F.col("a.t") < F.col("b.t"))
+                | (
+                    (F.col("a.t") == F.col("b.t"))
+                    & (F.col("a.event_id") < F.col("b.event_id"))
+                )
+            ),
+        )
+        .where(F.col("a.t") != F.col("b.t"))
+        .select(
+            F.col("a.user_id").alias("user_id"),
+            (
+                (F.col("b.value") - F.col("a.value"))
+                / (F.col("b.t") - F.col("a.t"))
+            ).alias("s"),
+        )
+    )
+    return slopes.groupBy("user_id").agg(
+        F.count("*").alias("n_pairs"),
+        (F.round(F.percentile("s", F.lit(0.5)) - 1e-9, _R) + 0.0).alias(
+            "ts_slope"
+        ),
+    )
+
+
+@register(
+    "agg_rollup_grouping_id",
+    oracle=f"""
+    SELECT coalesce(l_returnflag, 'ALL') AS flag,
+           coalesce(l_linestatus, 'ALL') AS status,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+           count(*) AS n,
+           round(sum(l_quantity) - 1e-9, {_R}) + 0.0 AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with GROUPING() markers — the correctness subtlety
+    plain rollup output hides: a NULL group key can mean 'the data
+    was NULL' or 'this row is a subtotal', and only the grouping
+    indicator distinguishes them.  Report tooling keys on the
+    indicator, not the coalesced label.  Same single partial+final
+    aggregate as agg_rollup; the markers are free metadata from the
+    grouping-set expansion."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_quantity") - 1e-9, _R).alias("sum_qty"),
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+    ).select(
+        F.coalesce("l_returnflag", F.lit("ALL")).alias("flag"),
+        F.coalesce("l_linestatus", F.lit("ALL")).alias("status"),
+        "g_flag", "g_status", "n", "sum_qty",
+    )
