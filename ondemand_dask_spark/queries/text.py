@@ -593,3 +593,74 @@ def text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(cos - 1e-9, _R) + 0.0).alias("cosine"),
         )
     )
+
+
+@register(
+    "text_bigram_perplexity",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, pos, term FROM (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS term,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+      )
+    ),
+    big AS (
+      SELECT doc_id, term AS w2,
+             lag(term) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+      FROM tok
+    ),
+    bp AS (SELECT doc_id, w1, w2 FROM big WHERE w1 IS NOT NULL),
+    c2 AS (SELECT w1, w2, count(*) AS c FROM bp GROUP BY w1, w2),
+    c1 AS (SELECT term AS w1, count(*) AS c FROM tok GROUP BY term),
+    v AS (SELECT count(DISTINCT term) AS vs FROM tok)
+    SELECT bp.doc_id,
+           count(*) AS n_bigrams,
+           round(exp(-avg(ln(
+             (c2.c + 1.0) / (c1.c + v.vs)
+           ))) - 1e-9, {_R}) + 0.0 AS ppl_bigram
+    FROM bp
+    JOIN c2 ON c2.w1 = bp.w1 AND c2.w2 = bp.w2
+    JOIN c1 ON c1.w1 = bp.w1
+    CROSS JOIN v
+    GROUP BY bp.doc_id
+    """,
+)
+def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity per document with add-1 smoothing — one
+    order up from text_unigram_surprisal, and a materially better
+    gibberish/boilerplate detector (word-ORDER likelihood, not just
+    word frequency).  Token positions come from posexplode; bigrams
+    from a per-doc lag window (bounded by document length); corpus
+    bigram counts join back on (w1, w2) — vocabulary-squared-bounded
+    in principle but token-count-bounded in fact, so the join is a
+    plain shuffle join, with the unigram table and the scalar |V|
+    riding broadcasts.  exp∘−avg∘ln keeps the whole likelihood in
+    codegen on both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "term")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bp = (
+        tok.select("doc_id", F.col("term").alias("w2"),
+                   F.lag("term").over(w).alias("w1"))
+        .where(F.col("w1").isNotNull())
+    )
+    c2 = bp.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = tok.groupBy(F.col("term").alias("w1")).agg(F.count("*").alias("c1"))
+    v = tok.agg(F.countDistinct("term").alias("vs"))
+    p = (F.col("c2") + 1.0) / (F.col("c1") + F.col("vs"))
+    return (
+        bp.join(c2, ["w1", "w2"])
+        .join(F.broadcast(c1), "w1")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            (F.round(F.exp(-F.avg(F.log(p))) - 1e-9, _R) + 0.0).alias(
+                "ppl_bigram"
+            ),
+        )
+    )
