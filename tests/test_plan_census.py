@@ -34,6 +34,7 @@ BNLJ_OK = {
     "join_cross", "join_theta", "kmeans_lloyd", "pipeline_heavy_hitters",
     "qcut_by_cutpoints", "stat_bootstrap_ci", "stat_freq_items_verified",
     "stat_theta_intersection_banded",
+    "text_bigram_perplexity",
     "text_tfidf_cosine_pairs", "text_tfidf_top_term",
     "text_unigram_surprisal", "tpch_q11", "tpch_q22",
 }
