@@ -122,10 +122,16 @@ _SHOWCASE: tuple[str, ...] = (
 #     dedup_report, dedup_incremental_batch,
 #     stat_freq_items_verified),
 #   round-4 additions, all never driver-checked (graph_triangle_count,
-#     graph_pagerank, graph_degree_stats, dedup_cc_star_contraction,
-#     agg_winsorize, dq_expectations, window_autocorr_lag1,
-#     intervals_union_length, intervals_peak_concurrency,
-#     text_tfidf_cosine_pairs).
+#     graph_pagerank, graph_degree_stats, graph_link_prediction,
+#     basket_association_rules, dedup_cc_star_contraction,
+#     agg_winsorize, agg_rollup_grouping_id, dq_expectations,
+#     window_autocorr_lag1, intervals_union_length,
+#     intervals_peak_concurrency, text_tfidf_cosine_pairs,
+#     text_bigram_perplexity, stat_mann_whitney, stat_bootstrap_ci,
+#     stat_theil_sen_slope, stat_kll_quantile_banded,
+#     stat_theta_intersection_banded, encode_robust_scale,
+#     stream_cdc_upsert, sql_recursive_sessionize, multimodal_wav_rms,
+#     pipeline_dataset_card).
 
 
 def all_queries() -> dict[str, Query]:
