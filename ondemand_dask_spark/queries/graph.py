@@ -553,3 +553,86 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.desc("jaccard"), F.desc("cn"), F.asc("pa"), F.asc("pb")
     ).limit(_LP_TOP_K)
+
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 8
+
+
+def _kcore_oracle() -> str:
+    """Unrolled fixed-round peel as nested CTEs (e0..e{R})."""
+    parts = [f"WITH e0 AS MATERIALIZED ({_EDGES_SQL})"]
+    for i in range(1, _KCORE_ROUNDS + 1):
+        parts.append(f""",
+    d{i} AS MATERIALIZED (
+      SELECT node, count(*) AS d FROM (
+        SELECT src AS node FROM e{i - 1}
+        UNION ALL SELECT dst FROM e{i - 1}
+      ) GROUP BY node
+    ),
+    k{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE d >= {_KCORE_K}),
+    e{i} AS MATERIALIZED (
+      SELECT src, dst FROM e{i - 1}
+      WHERE src IN (SELECT node FROM k{i})
+        AND dst IN (SELECT node FROM k{i})
+    )""")
+    r = _KCORE_ROUNDS
+    parts.append(f"""
+    SELECT node AS part_id, count(*) AS core_degree
+    FROM (
+      SELECT src AS node FROM e{r} UNION ALL SELECT dst FROM e{r}
+    )
+    GROUP BY node
+    """)
+    return "".join(parts)
+
+
+@register("graph_kcore", oracle=_kcore_oracle())
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-core extraction (k = 3) by iterative peeling — repeatedly
+    drop nodes with degree < k and the edges they carry; the
+    surviving dense backbone is the standard noise filter before
+    community detection and the 'is this account embedded or
+    peripheral' signal in abuse detection.  Both engines run the
+    SAME FIXED 8 peel rounds (unrolled CTEs in the oracle, a
+    checkpointed loop here), so the differential check is exact by
+    construction regardless of whether the peel has converged —
+    and at this graph's scale 8 rounds is past the fixpoint (the
+    peel usually converges in 2-4; production would loop on a
+    scalar edge-count check exactly like the CC queries).  Each
+    round is one degree aggregate + one semi-join pair; superseded
+    round checkpoints release eagerly via the LogicalRDD-level
+    helper."""
+    from ondemand_dask_spark.operators.checkpoint import (
+        release_local_checkpoint,
+    )
+
+    _evict_retained()
+    edges = _edges(spark, sf_dir).localCheckpoint()
+    for _ in range(_KCORE_ROUNDS):
+        sym_nodes = edges.select(F.col("src").alias("node")).unionByName(
+            edges.select(F.col("dst").alias("node"))
+        )
+        keep = (
+            sym_nodes.groupBy("node")
+            .agg(F.count("*").alias("d"))
+            .filter(F.col("d") >= _KCORE_K)
+            .select("node")
+        )
+        new_edges = (
+            edges.join(
+                keep.select(F.col("node").alias("src")), "src", "left_semi"
+            )
+            .join(keep.select(F.col("node").alias("dst")), "dst", "left_semi")
+            .select("src", "dst")
+            .localCheckpoint()
+        )
+        release_local_checkpoint(edges)
+        edges = new_edges
+    _retain(edges)
+    nodes = edges.select(F.col("src").alias("node")).unionByName(
+        edges.select(F.col("dst").alias("node"))
+    )
+    return nodes.groupBy("node").agg(F.count("*").alias("core_degree")).select(
+        F.col("node").alias("part_id"), "core_degree"
+    )
