@@ -1911,3 +1911,59 @@ def agg_rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("l_linestatus", F.lit("ALL")).alias("status"),
         "g_flag", "g_status", "n", "sum_qty",
     )
+
+
+@register(
+    "agg_weighted_median",
+    oracle=f"""
+    WITH w AS (
+      SELECT l_returnflag, l_extendedprice AS v, l_quantity AS wt,
+             sum(l_quantity) OVER (
+               PARTITION BY l_returnflag ORDER BY l_extendedprice, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+             sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tw
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           round(min(v) - 1e-9, {_R}) + 0.0 AS weighted_median,
+           round(CAST(min(tw) AS DOUBLE) - 1e-9, {_R}) + 0.0 AS total_weight
+    FROM w
+    WHERE cw >= tw / 2.0
+    GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED median per group (lower weighted median: the first
+    value whose running weight reaches half the total) — the
+    estimator survey-statistics and fairness-weighting pipelines
+    need, which no built-in quantile provides.  Same scale shape as
+    the exact-quantile sort path: one hash-partitioned window sort
+    accumulates weights, a whole-partition window attaches the
+    total, and only the boundary-crossing rows survive into a
+    min-aggregate — per-task memory O(1), no per-group value
+    collection.  The (value, orderkey, linenumber) sort tiebreak
+    makes the crossing row — and therefore the answer — identical
+    on both engines even under duplicate prices."""
+    li = load_table(spark, sf_dir, "lineitem")
+    from pyspark.sql.window import Window as W
+
+    wo = W.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    ).rowsBetween(W.unboundedPreceding, W.currentRow)
+    wa = W.partitionBy("l_returnflag")
+    t = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("v"),
+        F.sum("l_quantity").over(wo).alias("cw"),
+        F.sum("l_quantity").over(wa).alias("tw"),
+    )
+    return (
+        t.filter(F.col("cw") >= F.col("tw") / 2.0)
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.min("v") - 1e-9, _R).alias("weighted_median"),
+            F.round(F.min("tw").cast("double") - 1e-9, _R).alias(
+                "total_weight"
+            ),
+        )
+    )

@@ -1175,3 +1175,52 @@ def intervals_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run = pts.select("user_id", F.sum("delta").over(w).alias("level"))
     return run.groupBy("user_id").agg(F.max("level").alias("peak_concurrency"))
+
+
+_BURST_FACTOR = 1.5
+
+
+@register(
+    "events_burst_days",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT user_id, date_trunc('day', ts) AS hr, count(*) AS n
+      FROM events GROUP BY user_id, hr
+    ),
+    base AS (
+      SELECT user_id, quantile_cont(n, 0.5) AS med
+      FROM hourly GROUP BY user_id
+    )
+    SELECT h.user_id, h.hr AS burst_day, h.n AS n_events,
+           round(b.med - 1e-9, {_R}) + 0.0 AS median_daily
+    FROM hourly h JOIN base b ON b.user_id = h.user_id
+    WHERE h.n > {_BURST_FACTOR} * b.med
+    """,
+)
+def events_burst_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detection: days where a user's event rate exceeds
+    1.5x (_BURST_FACTOR) their own MEDIAN daily rate — the rate-anomaly primitive
+    behind abuse flags and pager alerts, robust because the
+    baseline is a median (one hot hour cannot inflate its own
+    threshold the way a mean baseline would).  Two partial aggs
+    (daily counts, then the per-user median over the BOUNDED
+    days-per-user table — where the interpolating percentile is
+    safe) and a broadcast join of the |users|-row baseline back
+    onto the daily table."""
+    e = _events(spark, sf_dir)
+    hourly = e.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("hr")
+    ).agg(F.count("*").alias("n"))
+    base = hourly.groupBy("user_id").agg(
+        F.percentile("n", F.lit(0.5)).alias("med")
+    )
+    return (
+        hourly.join(F.broadcast(base), "user_id")
+        .filter(F.col("n") > _BURST_FACTOR * F.col("med"))
+        .select(
+            "user_id",
+            F.col("hr").alias("burst_day"),
+            F.col("n").alias("n_events"),
+            F.round(F.col("med") - 1e-9, _R).alias("median_daily"),
+        )
+    )
