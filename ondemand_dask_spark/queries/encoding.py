@@ -305,3 +305,103 @@ def encode_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.0
         ).alias("price_robust"),
     )
+
+
+_EVAL_THRESHOLD = 35.0
+
+
+@register(
+    "ml_eval_binary",
+    oracle=f"""
+    WITH lab AS (
+      SELECT round(value, 3) AS v,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events WHERE event_type IN ('purchase', 'view')
+    ),
+    c AS (
+      SELECT v, count(CASE WHEN y = 1 THEN 1 END) AS cp,
+                count(CASE WHEN y = 0 THEN 1 END) AS cn
+      FROM lab GROUP BY v
+    ),
+    w AS (
+      SELECT cp, cn,
+             coalesce(sum(cn) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_n
+      FROM c
+    ),
+    u AS (
+      SELECT CAST(sum(cp) AS DOUBLE) AS np, CAST(sum(cn) AS DOUBLE) AS nn,
+             CAST(sum(cp * (cum_n + cn / 2.0)) AS DOUBLE) AS uu
+      FROM w
+    ),
+    conf AS (
+      SELECT CAST(sum(CASE WHEN v >  {_EVAL_THRESHOLD} AND y = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS tp,
+             CAST(sum(CASE WHEN v >  {_EVAL_THRESHOLD} AND y = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS fp,
+             CAST(sum(CASE WHEN v <= {_EVAL_THRESHOLD} AND y = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS fn
+      FROM lab
+    )
+    SELECT round(uu / (np * nn) - 1e-9, {_R}) + 0.0 AS auc,
+           round(tp / (tp + fp) - 1e-9, {_R}) + 0.0 AS precision_at_t,
+           round(tp / (tp + fn) - 1e-9, {_R}) + 0.0 AS recall_at_t,
+           round(2 * tp / (2 * tp + fp + fn) - 1e-9, {_R}) + 0.0 AS f1_at_t
+    FROM u CROSS JOIN conf
+    """,
+)
+def ml_eval_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-classifier evaluation — AUC plus precision/recall/F1
+    at a threshold — treating `value` as the score and
+    purchase-vs-view as the label.  AUC is computed WITHOUT a global
+    rank: it equals the Mann-Whitney U normalized by nP*nN, and U
+    folds into per-distinct-score counts with midrank tie handling
+    (the same count-side identity as stat_mann_whitney), so the only
+    window runs over the score-counts table.  The confusion entries
+    are one conditional aggregate over the labeled scan.  This is
+    how AUC stays computable on a 100 TB score table: two
+    vocabulary-sized aggregations, never a data-wide sort."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    lab = e.select(
+        F.round("value", 3).alias("v"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    c = lab.groupBy("v").agg(
+        F.count(F.when(F.col("y") == 1, 1)).alias("cp"),
+        F.count(F.when(F.col("y") == 0, 1)).alias("cn"),
+    )
+    cum_n = F.coalesce(
+        F.sum("cn").over(
+            Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    w = c.select("cp", "cn", cum_n.alias("cum_n"))
+    u = w.agg(
+        F.sum("cp").cast("double").alias("np"),
+        F.sum("cn").cast("double").alias("nn"),
+        F.sum(F.col("cp") * (F.col("cum_n") + F.col("cn") / 2.0))
+        .cast("double")
+        .alias("uu"),
+    )
+    t = F.lit(_EVAL_THRESHOLD)
+    conf = lab.agg(
+        F.sum(F.when((F.col("v") > t) & (F.col("y") == 1), 1).otherwise(0))
+        .cast("double")
+        .alias("tp"),
+        F.sum(F.when((F.col("v") > t) & (F.col("y") == 0), 1).otherwise(0))
+        .cast("double")
+        .alias("fp"),
+        F.sum(F.when((F.col("v") <= t) & (F.col("y") == 1), 1).otherwise(0))
+        .cast("double")
+        .alias("fn"),
+    )
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    return u.crossJoin(F.broadcast(conf)).select(
+        (F.round(F.col("uu") / (F.col("np") * F.col("nn")) - 1e-9, _R) + 0.0)
+        .alias("auc"),
+        (F.round(tp / (tp + fp) - 1e-9, _R) + 0.0).alias("precision_at_t"),
+        (F.round(tp / (tp + fn) - 1e-9, _R) + 0.0).alias("recall_at_t"),
+        (F.round(2 * tp / (2 * tp + fp + fn) - 1e-9, _R) + 0.0).alias(
+            "f1_at_t"
+        ),
+    )

@@ -1224,3 +1224,53 @@ def events_burst_days(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("med") - 1e-9, _R).alias("median_daily"),
         )
     )
+
+
+@register(
+    "window_zscore_rolling",
+    oracle=f"""
+    WITH r AS (
+      SELECT user_id, event_id, value,
+             avg(value) OVER w AS ma,
+             stddev_samp(value) OVER w AS sd,
+             count(*) OVER w AS n
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 9 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, event_id,
+           round((value - ma) / sd - 1e-9, {_R}) + 0.0 AS z,
+           abs((value - ma) / sd) > 2 AS is_anomaly
+    FROM r
+    WHERE n >= 5 AND sd > 0
+    """,
+)
+def window_zscore_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly flags — each value scored against the
+    TRAILING 10 observations' mean/std (frame ends at 1 PRECEDING:
+    the point under test never contaminates its own baseline, the
+    mistake that makes naive rolling z-scores blind to level
+    shifts).  Warm-up rows (fewer than 5 priors) and zero-variance
+    frames are excluded identically on both engines.  One
+    exchange+sort like every rolling query; the CUSUM detector is
+    the cumulative complement of this pointwise one."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, -1)
+    )
+    e = _events(spark, sf_dir).select(
+        "user_id", "event_id", "value",
+        F.avg("value").over(w).alias("ma"),
+        F.stddev_samp("value").over(w).alias("sd"),
+        F.count("*").over(w).alias("n"),
+    )
+    z = (F.col("value") - F.col("ma")) / F.col("sd")
+    return (
+        e.filter((F.col("n") >= 5) & (F.col("sd") > 0))
+        .select(
+            "user_id", "event_id",
+            (F.round(z - 1e-9, _R) + 0.0).alias("z"),
+            (F.abs(z) > 2).alias("is_anomaly"),
+        )
+    )
