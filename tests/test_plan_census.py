@@ -31,7 +31,8 @@ BNLJ_OK = {
     "ann_ivf_probe", "basket_association_rules", "dedup_ngram_jaccard",
     "embedding_pca_power", "encode_minmax", "encode_standardize",
     "encode_target_mean", "funnel_three_step", "graph_pagerank",
-    "join_cross", "join_theta", "kmeans_lloyd", "pipeline_heavy_hitters",
+    "join_cross", "join_theta", "kmeans_lloyd", "ml_eval_binary",
+    "pipeline_heavy_hitters",
     "qcut_by_cutpoints", "stat_bootstrap_ci", "stat_freq_items_verified",
     "stat_theta_intersection_banded",
     "text_bigram_perplexity",
