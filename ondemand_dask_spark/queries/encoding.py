@@ -405,3 +405,50 @@ def ml_eval_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
             "f1_at_t"
         ),
     )
+
+
+@register(
+    "encode_cyclic_time",
+    oracle=f"""
+    SELECT event_id,
+           round(sin(2 * pi() * extract(hour FROM ts) / 24.0) - 1e-9, {_R}) + 0.0
+             AS hour_sin,
+           round(cos(2 * pi() * extract(hour FROM ts) / 24.0) - 1e-9, {_R}) + 0.0
+             AS hour_cos,
+           round(sin(2 * pi() * (extract(isodow FROM ts) - 1) / 7.0) - 1e-9, {_R}) + 0.0
+             AS dow_sin,
+           round(cos(2 * pi() * (extract(isodow FROM ts) - 1) / 7.0) - 1e-9, {_R}) + 0.0
+             AS dow_cos
+    FROM events
+    """,
+)
+def encode_cyclic_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cyclical time-feature encoding — hour-of-day and day-of-week
+    mapped onto the unit circle (sin/cos pairs), the standard fix
+    for the midnight discontinuity that makes a raw hour column lie
+    to distance-based models (23 and 0 are neighbors, not 23 apart).
+    Pure narrow projection, fully codegen.  Day-of-week is
+    normalized to Monday = 0 on both engines (Spark dayofweek is
+    Sunday = 1; DuckDB isodow is Monday = 1 — the same calendar
+    trap the dt_parts query documents)."""
+    import math
+
+    e = load_table(spark, sf_dir, "events")
+    two_pi = 2 * math.pi
+    hour = F.hour("ts")
+    dow = F.pmod(F.dayofweek("ts") + 5, F.lit(7))  # Monday=0
+    return e.select(
+        "event_id",
+        (F.round(F.sin(two_pi * hour / 24.0) - 1e-9, _R) + 0.0).alias(
+            "hour_sin"
+        ),
+        (F.round(F.cos(two_pi * hour / 24.0) - 1e-9, _R) + 0.0).alias(
+            "hour_cos"
+        ),
+        (F.round(F.sin(two_pi * dow / 7.0) - 1e-9, _R) + 0.0).alias(
+            "dow_sin"
+        ),
+        (F.round(F.cos(two_pi * dow / 7.0) - 1e-9, _R) + 0.0).alias(
+            "dow_cos"
+        ),
+    )
