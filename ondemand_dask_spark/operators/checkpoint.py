@@ -35,3 +35,37 @@ def release_local_checkpoint(df: DataFrame) -> bool:
     except Exception:
         pass
     return False
+
+
+class RetainedCaches:
+    """Cache-lifecycle discipline for query modules.
+
+    Caches (and localCheckpoints) created inside a query must outlive
+    the call — the returned DataFrame is lazy and references them — so
+    they cannot unpersist at function exit.  Instead each query module
+    keeps ONE instance of this class: every cache registers via
+    `retain()`, and the NEXT query entry in that module calls `evict()`
+    to release the previous query's set.  A long driver session thus
+    retains at most one query's storage blocks per module.
+
+    Eviction is checkpoint-aware: `df.unpersist()` is a silent no-op on
+    localCheckpoint'ed frames (see module docstring), so eviction tries
+    the LogicalRDD-level release first and falls back to the normal
+    CacheManager path for plain `.cache()`/`.persist()` frames.
+    """
+
+    def __init__(self) -> None:
+        self._frames: list[DataFrame] = []
+
+    def retain(self, df: DataFrame) -> DataFrame:
+        self._frames.append(df)
+        return df
+
+    def evict(self) -> None:
+        while self._frames:
+            try:
+                df = self._frames.pop()
+                if not release_local_checkpoint(df):
+                    df.unpersist()
+            except Exception:
+                pass  # session already stopped — nothing to release

@@ -1402,8 +1402,10 @@ def agg_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.when(v < F.col("lo"), 1)).alias("n_clipped_low"),
             F.count(F.when(v > F.col("hi"), 1)).alias("n_clipped_high"),
-            F.round(F.avg(clipped) - 1e-9, _R).alias("avg_winsorized"),
-            F.round(F.avg(v) - 1e-9, _R).alias("avg_raw"),
+            (F.round(F.avg(clipped) - 1e-9, _R) + F.lit(0.0)).alias(
+                "avg_winsorized"
+            ),
+            (F.round(F.avg(v) - 1e-9, _R) + F.lit(0.0)).alias("avg_raw"),
         )
     )
 
@@ -1644,8 +1646,12 @@ def stat_kll_quantile_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return j.select(
         "l_returnflag",
-        F.round(F.col("median_exact") - 1e-9, _R).alias("median_exact"),
-        F.round(F.col("p90_exact") - 1e-9, _R).alias("p90_exact"),
+        (F.round(F.col("median_exact") - 1e-9, _R) + F.lit(0.0)).alias(
+            "median_exact"
+        ),
+        (F.round(F.col("p90_exact") - 1e-9, _R) + F.lit(0.0)).alias(
+            "p90_exact"
+        ),
         ok.alias("within_bound"),
     )
 

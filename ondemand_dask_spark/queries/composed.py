@@ -29,9 +29,15 @@ from pyspark.sql.window import Window
 
 from ondemand_dask_spark.io import load_table
 from ondemand_dask_spark.operators.asof import merge_asof
+from ondemand_dask_spark.operators.checkpoint import RetainedCaches
 from ondemand_dask_spark.registry import register
 
 _R = 4
+
+# Checkpoint lifecycle for sql_recursive_sessionize's edge frame:
+# retained past the call (the recursion's result is lazy and reads
+# it), released at the next entry — same discipline as dedup/graph.
+_CACHES = RetainedCaches()
 
 _RIGHT_SQL = """
     SELECT user_id, ts, event_id, value
@@ -602,16 +608,17 @@ def sql_recursive_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     three ways of saying 'session', one fixpoint."""
     from pyspark.sql.window import Window as W
 
+    _CACHES.evict()
     e = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    ev = e.select(
+    ev = _CACHES.retain(e.select(
         "event_id", "user_id", "ts", "value",
         F.lag("event_id").over(w).alias("prev_id"),
         (
             F.unix_micros(F.col("ts").cast("timestamp"))
             - F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
         ).alias("gap_us"),
-    ).localCheckpoint()
+    ).localCheckpoint())
     ev.createOrReplaceTempView("rs_events")
     gap_us = 30 * 60 * 1_000_000
     return spark.sql(f"""

@@ -38,6 +38,7 @@ from ondemand_dask_spark.functions.texthash import (
     shingles as _shingle_array,
 )
 from ondemand_dask_spark.io import load_table
+from ondemand_dask_spark.operators.checkpoint import RetainedCaches
 from ondemand_dask_spark.registry import register
 
 _R = 4
@@ -59,7 +60,7 @@ _H_SQL = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
 # driver session running hundreds of queries retains at most one
 # query's worth of dedup storage blocks instead of accumulating all
 # of them.
-_RETAINED_CACHES: list[DataFrame] = []
+_CACHES = RetainedCaches()
 
 # Verification-join strategy for dedup_minhash_lsh.  'full' (the
 # default) feeds the candidate pairs straight into the verification
@@ -76,25 +77,8 @@ _RETAINED_CACHES: list[DataFrame] = []
 _VERIFY_MODE = "full"
 
 
-def _evict_retained() -> None:
-    from ondemand_dask_spark.operators.checkpoint import (
-        release_local_checkpoint,
-    )
-
-    while _RETAINED_CACHES:
-        try:
-            df = _RETAINED_CACHES.pop()
-            # checkpointed frames need the LogicalRDD-level release;
-            # plain caches take the normal unpersist path
-            if not release_local_checkpoint(df):
-                df.unpersist()
-        except Exception:
-            pass  # session already stopped — nothing to release
-
-
-def _retain(df: DataFrame) -> DataFrame:
-    _RETAINED_CACHES.append(df)
-    return df
+_evict_retained = _CACHES.evict
+_retain = _CACHES.retain
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -45,6 +45,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ondemand_dask_spark.io import load_table
+from ondemand_dask_spark.operators.checkpoint import RetainedCaches
 from ondemand_dask_spark.registry import register
 
 _R = 4
@@ -55,20 +56,9 @@ _R = 4
 # registers here and the NEXT graph query entry evicts the previous
 # set, so a long driver session retains at most one graph query's
 # storage blocks.
-_RETAINED_CACHES: list = []
-
-
-def _evict_retained() -> None:
-    while _RETAINED_CACHES:
-        try:
-            _RETAINED_CACHES.pop().unpersist()
-        except Exception:
-            pass  # session already stopped — nothing to release
-
-
-def _retain(df: DataFrame) -> DataFrame:
-    _RETAINED_CACHES.append(df)
-    return df
+_CACHES = RetainedCaches()
+_evict_retained = _CACHES.evict
+_retain = _CACHES.retain
 
 # DuckDB twin of the canonical co-purchase edge list: distinct
 # unordered part pairs sharing an order, stored as (src < dst).
@@ -556,7 +546,19 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _KCORE_K = 3
+# Oracle unroll depth AND the Spark loop's safety cap.  The Spark side
+# converges on a scalar edge-count fixpoint (usually 2-4 rounds here);
+# peeling is monotone, so once the count is stable every further round
+# is a no-op and the 8-round oracle computes the identical edge set.
+# tests/test_graph_convergence.py proves the fixpoint is reached
+# within this cap at every SF, so the differential check stays exact.
 _KCORE_ROUNDS = 8
+
+# Observability for the convergence test: rounds the last graph_kcore
+# call actually executed, and whether the edge count stabilised
+# (reached its fixpoint) before the safety cap.
+LAST_KCORE_ROUNDS: int = 0
+LAST_KCORE_CONVERGED: bool = False
 
 
 def _kcore_oracle() -> str:
@@ -594,21 +596,27 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     surviving dense backbone is the standard noise filter before
     community detection and the 'is this account embedded or
     peripheral' signal in abuse detection.  Both engines run the
-    SAME FIXED 8 peel rounds (unrolled CTEs in the oracle, a
-    checkpointed loop here), so the differential check is exact by
-    construction regardless of whether the peel has converged —
-    and at this graph's scale 8 rounds is past the fixpoint (the
-    peel usually converges in 2-4; production would loop on a
-    scalar edge-count check exactly like the CC queries).  Each
-    round is one degree aggregate + one semi-join pair; superseded
-    round checkpoints release eagerly via the LogicalRDD-level
-    helper."""
+    peel to a TRUE FIXPOINT: the Spark loop runs one degree aggregate
+    + one semi-join pair per round and stops when the scalar edge
+    count stabilises (the same convergence probe as the CC queries —
+    one Long per round crosses the driver, never rows).  The oracle
+    unrolls 8 CTE rounds, which is past the fixpoint at every fixture
+    SF (proven by tests/test_graph_convergence.py); peeling is
+    monotone, so post-fixpoint oracle rounds are identity and the
+    differential check compares the same genuine k-core.  Each
+    round's checkpoint is the convergence counter's free ride — the
+    count() reads cached blocks — and superseded checkpoints release
+    eagerly via the LogicalRDD-level helper."""
     from ondemand_dask_spark.operators.checkpoint import (
         release_local_checkpoint,
     )
 
+    global LAST_KCORE_ROUNDS, LAST_KCORE_CONVERGED
     _evict_retained()
     edges = _edges(spark, sf_dir).localCheckpoint()
+    n_edges = edges.count()
+    LAST_KCORE_ROUNDS = 0
+    LAST_KCORE_CONVERGED = False
     for _ in range(_KCORE_ROUNDS):
         sym_nodes = edges.select(F.col("src").alias("node")).unionByName(
             edges.select(F.col("dst").alias("node"))
@@ -627,8 +635,14 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("src", "dst")
             .localCheckpoint()
         )
+        n_new = new_edges.count()
         release_local_checkpoint(edges)
         edges = new_edges
+        LAST_KCORE_ROUNDS += 1
+        if n_new == n_edges:  # no edge lost a qualifying endpoint —
+            LAST_KCORE_CONVERGED = True
+            break  # the remaining graph IS the k-core
+        n_edges = n_new
     _retain(edges)
     nodes = edges.select(F.col("src").alias("node")).unionByName(
         edges.select(F.col("dst").alias("node"))

@@ -25,26 +25,16 @@ from ondemand_dask_spark.functions.texthash import (
     rolling_fingerprint,
 )
 from ondemand_dask_spark.io import load_table
+from ondemand_dask_spark.operators.checkpoint import RetainedCaches
 from ondemand_dask_spark.registry import register
 
 _R = 4
 
 # Weight-table cache for the cosine-pairs inverted-index join: evicted
 # at the next entry of that query (same discipline as dedup/graph).
-_RETAINED_CACHES: list = []
-
-
-def _evict_retained() -> None:
-    while _RETAINED_CACHES:
-        try:
-            _RETAINED_CACHES.pop().unpersist()
-        except Exception:
-            pass  # session already stopped
-
-
-def _retain(df: DataFrame) -> DataFrame:
-    _RETAINED_CACHES.append(df)
-    return df
+_CACHES = RetainedCaches()
+_evict_retained = _CACHES.evict
+_retain = _CACHES.retain
 
 # lang → signature substrings (trigram-profile-lite).  Deliberately
 # tiny: the fixture vocabulary is shared across langs, so this tests

@@ -720,6 +720,6 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snap.select(
         "user_id",
         F.col("event_type").alias("last_type"),
-        F.round(F.col("value") - 1e-9, _R).alias("last_value"),
+        (F.round(F.col("value") - 1e-9, _R) + F.lit(0.0)).alias("last_value"),
         F.unix_micros(F.col("ts").cast("timestamp")).alias("last_ts_us"),
     )
