@@ -50,88 +50,103 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # module happens to import first.  Everything not listed follows in
 # registration order.
 _SHOWCASE: tuple[str, ...] = (
-    # --- round-4 rotation: the driver checks only this 50-entry
-    # prefix per round, so each round's window keeps a handful of
-    # anchors for continuity and fills the rest with entries that
-    # have never earned a driver CORRECTNESS row (r1-r3 covered 89
-    # of 260; this window adds 41 first-time checks).
+    # --- round-5 rotation: the driver checks only this 50-entry
+    # prefix per round.  r4 went 50/50 (cumulative driver-green:
+    # 129 of 306 + 1 rows-only); this window keeps the same 8
+    # anchors and fills 42 slots from the 176 never-checked,
+    # prioritizing the round-4 additions (graph, stats, intervals,
+    # DataSketches, incremental, CDC) that have zero external
+    # evidence — exactly the pre-committed r5 worklist.
     #
-    # anchors (driver-green r3, kept as cross-round continuity +
-    # the formerly-red pipeline_end_to_end whose oracle-typing fix
-    # must now prove green under the real driver)
+    # anchors (driver-green every round they appeared)
     "tpch_q1", "tpch_q3",
     "join_inner", "agg_groupby_basic", "agg_groupby_quantile",
     "window_cumsum", "dedup_minhash_lsh", "pipeline_end_to_end",
-    # tpch goldens never driver-checked (best composition detectors)
-    "tpch_q2", "tpch_q4", "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10",
-    "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15",
-    "tpch_q16", "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q20",
-    "tpch_q21", "tpch_q22",
-    # §2.I streaming — the distinctive stateful rows
-    "stream_session_window", "stream_dedup_watermark",
-    # the int-vs-float oracle-drift class fixed this round: earn
-    # driver rows for every member so the fix is externally verified
-    "checksum_buckets", "dedup_simhash", "json_corrupt_tolerant",
-    "math_basic", "pipeline_mixture_sample", "source_text_lines",
-    "text_token_count", "pipeline_pack_sequences",
-    # dedup scale-shape fixes landing this round
-    "dedup_simhash_pairs", "dedup_ngram_jaccard",
-    # joins never driver-checked (incl. the bucketed range plans)
-    "join_range_bucketed", "join_interval", "join_null_safe",
-    # one never-checked representative per remaining §2 family
-    "filter_query_string",      # relational
-    "encode_feature_hash",      # encoding
-    "agg_salted_skew",          # skew
-    "set_intersect",            # sets
-    "window_rolling_time",      # windows
-    "udf_map_in_pandas",        # udfs
-    "kmeans_lloyd",             # similarity
-    "multimodal_decode_wav",    # multimodal
-    "asof_join_nearest",        # composed (re-earns its r2 row)
+    # graph family — all never checked, incl. the fixpoint-loop
+    # k-core landing this round
+    "graph_triangle_count", "graph_pagerank", "graph_kcore",
+    "graph_degree_stats", "graph_link_prediction",
+    "basket_association_rules",
+    # iterative dedup composites (label propagation + O(log n) twin)
+    "dedup_connected_components", "dedup_cc_star_contraction",
+    # statistics / sketches
+    "stat_mann_whitney", "stat_bootstrap_ci", "stat_theil_sen_slope",
+    "stat_kll_quantile_banded", "stat_theta_intersection_banded",
+    # aggregation + data-quality additions
+    "agg_winsorize", "agg_rollup_grouping_id", "dq_expectations",
+    # interval algebra
+    "intervals_union_length", "intervals_peak_concurrency",
+    # CDC / recursive SQL (both touched by this round's fixes)
+    "stream_cdc_upsert", "sql_recursive_sessionize",
+    # Python-boundary families (directive: widen §2.J/multimodal
+    # driver evidence beyond udf_map_in_pandas + decode_wav)
+    "multimodal_wav_rms", "multimodal_decode_features",
+    "udf_cogroup", "udf_map_overlap", "udf_table_function",
+    # text additions
+    "text_tfidf_cosine_pairs", "text_bigram_perplexity",
+    # time-series windows
+    "window_autocorr_lag1", "window_zscore_anomaly",
+    # encodings / ML eval
+    "encode_robust_scale", "encode_cyclic_time", "ml_eval_binary",
+    # incremental snapshot algebra
+    "scd2_intervals", "snapshot_diff_cdc",
+    # pipeline
+    "pipeline_dataset_card", "pipeline_bpe_pair_counts",
+    "pipeline_decontaminate",
+    # streaming batch-twins
+    "stream_sliding_agg", "stream_stream_join",
+    # joins / sets / windows representatives
+    "join_full_outer", "set_union_schema_evolution", "window_lag_lead",
 )
 
-# Round-5 rotation worklist: after r4's window lands, 134 registered
-# queries remain never-driver-checked.  Build the next window from
-# them (keep the same ~8 anchors), prioritizing one per family:
-#   windows (window_lag_lead, window_rolling_rows/median/corr,
-#     window_cummax_cummin, window_cumprod, window_expanding,
-#     window_fill_forward, window_pct_change, resample_* ...),
-#   scalars (str_*, dt_*, math_*, array_*, map_struct, try_ops,
-#     null_funcs, json_variant, json_normalize_nested),
-#   relational (proj_*, filter_isin, na_*, replace_value, topn_head,
-#     sample_hash_split, sample_weighted, combine_first),
-#   joins (join_right, join_full_outer, join_theta, join_indicator,
+# Round-6 rotation worklist: after r5's window lands, 134 registered
+# queries remain never-driver-checked (barring additions this round —
+# regenerate the list from CORRECTNESS_r0{1..5}.json ∪ registry).
+# Build the next window from them (keep the same ~8 anchors),
+# prioritizing one per family:
+#   windows (window_rolling_rows/median/corr, window_cummax_cummin,
+#     window_cumprod, window_expanding, window_distinct_expanding,
+#     window_fill_forward, window_pct_change, window_nth_first_last,
+#     window_cusum_drift, window_interpolate_linear,
+#     window_time_weighted_avg, window_zscore_rolling,
+#     window_transform_broadcast, resample_hour_window,
+#     resample_asfreq_gapfill, resample_ohlc),
+#   scalars (str_predicates/replace_extract/edit_distance/pad_concat/
+#     split_explode/count_occurrences/char_classes/format/slice_parse,
+#     dt_parts/arith/calendar/boundaries, math_transcendental/hash/
+#     binning/bitwise, array_explode_outer/sort_distinct/hof/set_ops/
+#     mutation, map_struct, try_ops, null_funcs, json_variant,
+#     json_normalize_nested),
+#   relational (proj_assign, proj_drop_rename_cast, filter_isin,
+#     cond_where_mask, na_drop, na_fill, replace_value, topn_head,
+#     slice_loc_between, sample_seeded/hash_split/weighted,
+#     combine_first, flag_duplicated),
+#   joins (join_right, join_cross, join_theta, join_indicator,
 #     join_interval_overlap, concat_axis1),
-#   sets (set_union_all, set_union_schema_evolution, set_except,
-#     set_intersect_all, set_except_all),
-#   streaming batch-twins (stream_sliding_agg, stream_static_join,
-#     stream_stream_join, stream_running_topk),
-#   udf surface (udf_apply_in_pandas, udf_cogroup,
-#     udf_table_function, udf_map_overlap, udf_map_in_arrow),
-#   similarity/embedding (ann_lsh_probe, ann_ivf_probe,
-#     dedup_embedding_cosine, embedding_* ...),
+#   sets (set_union_all, set_except, set_intersect_all,
+#     set_except_all),
+#   streaming batch-twins (stream_static_join, stream_running_topk,
+#     stream_foreachbatch_sink, stream_stateful_counter),
+#   udf surface (udf_apply_in_pandas, udf_ewm, udf_map_in_arrow),
+#   similarity/embedding (ann_lsh_probe, ann_lsh_bucket_stats,
+#     ann_ivf_probe, dedup_embedding_cosine, embedding_* ...),
 #   sources (source_orc/fwf/from_pandas/from_map/jdbc/xml/range/
-#     binaryfile),
+#     binaryfile, jdbc_source_plan),
 #   text (text_lang_id, text_quality_score, text_fingerprint,
-#     text_repetition_metrics ...),
-#   pipeline (pipeline_chunk_overlap, pipeline_decontaminate,
-#     pipeline_bpe_pair_counts, topk_per_group ...),
-#   multimodal (multimodal_decode_features/ppm/frame_sample/resize),
-#   incremental/encoding (scd2_intervals, snapshot_diff_cdc,
-#     encode_* ...), dedup composites (dedup_connected_components,
-#     dedup_report, dedup_incremental_batch,
-#     stat_freq_items_verified),
-#   round-4 additions, all never driver-checked (graph_triangle_count,
-#     graph_pagerank, graph_degree_stats, graph_link_prediction,
-#     basket_association_rules, dedup_cc_star_contraction,
-#     agg_winsorize, agg_rollup_grouping_id, dq_expectations,
-#     window_autocorr_lag1, intervals_union_length,
-#     intervals_peak_concurrency, text_tfidf_cosine_pairs,
-#     text_bigram_perplexity, stat_mann_whitney, stat_bootstrap_ci,
-#     stat_theil_sen_slope, stat_kll_quantile_banded,
-#     stat_theta_intersection_banded, encode_robust_scale,
-#     stream_cdc_upsert, sql_recursive_sessionize, multimodal_wav_rms,
-#     pipeline_dataset_card).
+#     text_unigram_surprisal, text_zipf_fit, text_oov_rate,
+#     text_repetition_metrics),
+#   pipeline (pipeline_chunk_overlap/stratified_sample/heavy_hitters/
+#     pii_redact/shard_shuffle/length_histogram/negative_pairs/
+#     interleave_sources/curriculum_order/filter_cascade/
+#     span_corruption, topk_per_group, topk_nsmallest),
+#   multimodal (multimodal_binary_meta/decode_ppm/frame_sample/
+#     resize),
+#   stats (stat_corr_matrix, stat_welch_ttest, stat_chi2_independence,
+#     stat_ks_two_sample, stat_freq_items_verified, agg_mode,
+#     agg_weighted_median, dq_profile_report),
+#   encodings (encode_label/standardize/minmax/multi_hot/target_mean),
+#   dedup composites (dedup_report, dedup_incremental_batch,
+#     dedup_minhash_ml), events (events_burst_days).
 
 
 def all_queries() -> dict[str, Query]:
