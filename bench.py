@@ -85,6 +85,22 @@ R2_COMPARABLE = [
     "pipeline_heavy_hitters", "window_ewm_bounded",
 ]
 
+# The 31 queries benched in round 3 (everything before the round-4
+# graph additions) — the r3-comparable pin.  NOTE the r3→r4 timing-
+# methodology change (see `timing` in the emitted JSON): r3 timed only
+# the final noop write, r4+ times from plan construction, so r3-era
+# numbers for ITERATIVE queries (dedup_connected_components,
+# stream_tumbling_agg) are not comparable even within this pin.
+R3_COMPARABLE = [n for n in HEADLINE if not n.startswith("graph_")]
+
+# The graph family is reported as its own subtotal: each graph query
+# deliberately rebuilds + re-caches the co-purchase edge set at entry
+# (the cache-lifecycle discipline evicts the previous query's blocks),
+# so the family's bench cost includes two full edge builds.  That is a
+# DECISION, not an accident: benching a shared pre-built edge frame
+# would time a different (easier) contract than the registered
+# queries the driver correctness-checks.
+
 
 def _sf_from_dir(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
@@ -141,6 +157,12 @@ def main() -> None:
     r2_subtotal = round(
         sum(timings[n] for n in R2_COMPARABLE if n in timings), 4
     )
+    r3_subtotal = round(
+        sum(timings[n] for n in R3_COMPARABLE if n in timings), 4
+    )
+    graph_subtotal = round(
+        sum(t for n, t in timings.items() if n.startswith("graph_")), 4
+    )
     print(
         json.dumps(
             {
@@ -149,7 +171,14 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": _sf_from_dir(sf_dir),
+                # methodology tag: the clock starts BEFORE plan
+                # construction (r1-r3 timed only the noop write, which
+                # under-reported iterative queries) — cross-round
+                # series must compare like-tagged artifacts.
+                "timing": "from_plan_construction",
                 "r2_comparable_subtotal": r2_subtotal,
+                "r3_comparable_subtotal": r3_subtotal,
+                "graph_family_subtotal": graph_subtotal,
             }
         )
     )

