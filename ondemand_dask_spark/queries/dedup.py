@@ -383,23 +383,34 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Multi-index Hamming blocking for dedup_simhash_pairs: the 32-bit
-# signature splits into 6 parts (widths below); hamming ≤ 3 damages
-# at most 3 parts, so at least one of the C(6,3)=20 three-part
-# combinations survives fully intact in BOTH docs (pigeonhole) —
-# blocking on every combination key therefore misses no qualifying
-# pair.  Key width ≈ 15-17 bits, so uniform-random collision volume
-# is ~20·n²/2^16 ≈ n²/3277 — vs n²/256 for the single-byte scheme
-# (4 keys, 8-bit blocks), whose candidate set was measured to blow
-# up at the 100k-doc scale probe.  More parts per key = finer blocks
-# = fewer candidates, paid for with a larger explode (20×/doc); at
-# larger corpora, widen the signature and the key, keeping key bits
-# ≳ 2·log2(n).
-_SIMHASH_PART_WIDTHS = (6, 6, 5, 5, 5, 5)
-_SIMHASH_PART_OFFSETS = (0, 6, 12, 17, 22, 27)
-_SIMHASH_COMBOS = tuple(
-    itertools.combinations(range(len(_SIMHASH_PART_WIDTHS)), 3)
-)
+# Multi-index Hamming blocking for dedup_simhash_pairs: for radius
+# r the signature splits into P = r + 3 near-equal parts; r flips
+# damage at most r parts, so at least 3 parts survive fully intact in
+# BOTH docs and at least one of the C(P, 3) three-part combination
+# keys matches (pigeonhole) — blocking on every combination key
+# therefore misses no qualifying pair.  At the default r = 3 this is
+# the 6-part/20-combo scheme: key width ≈ 15-17 bits, so uniform-
+# random collision volume is ~20·n²/2^16 ≈ n²/3277 — vs n²/256 for
+# the single-byte scheme (4 keys, 8-bit blocks), whose candidate set
+# was measured to blow up at the 100k-doc scale probe.  More parts
+# per key = finer blocks = fewer candidates, paid for with a larger
+# explode (C(P,3)×/doc); at larger corpora, widen the signature and
+# the key, keeping key bits ≳ 2·log2(n).
+def _simhash_scheme(
+    max_hamming: int, bits: int = SIMHASH_BITS
+) -> tuple[tuple[int, ...], tuple[int, ...], tuple[tuple[int, int, int], ...]]:
+    """(part widths, part offsets, 3-part combos) for radius r."""
+    parts = max_hamming + 3
+    base, extra = divmod(bits, parts)
+    widths = tuple(base + (1 if i < extra else 0) for i in range(parts))
+    offsets = tuple(sum(widths[:i]) for i in range(parts))
+    combos = tuple(itertools.combinations(range(parts), 3))
+    return widths, offsets, combos
+
+
+# Radius-3 instance, kept named because the registered query and the
+# adversarial property test both reference its part layout.
+_SIMHASH_PART_WIDTHS, _SIMHASH_PART_OFFSETS, _SIMHASH_COMBOS = _simhash_scheme(3)
 
 
 def simhash_hamming_pairs(sig: DataFrame, max_hamming: int = 3) -> DataFrame:
@@ -407,28 +418,33 @@ def simhash_hamming_pairs(sig: DataFrame, max_hamming: int = 3) -> DataFrame:
     `max_hamming` over a (doc_id, simhash) frame, via multi-index
     pigeonhole blocking — an operator over ANY signature source (the
     registered query feeds it corpus SimHashes; the property test
-    feeds it adversarial synthetic ones).  The combo scheme is built
-    for radius 3: 3 flips damage ≤ 3 of the 6 parts, so a 3-part
-    combination key survives intact; smaller radii are a subset."""
-    if max_hamming > 3:
+    feeds it adversarial synthetic ones).  Radius is a knob: the
+    scheme uses r + 3 parts so three always survive r flips; the
+    completeness property test sweeps r ∈ {1..4}.  Beyond r = 4 a
+    32-bit signature's parts drop under 4 bits and uniform-random
+    collisions approach the brute-force volume — widen the signature
+    (64/128-bit SimHash) instead of the radius."""
+    if max_hamming > 4:
         raise ValueError(
-            "multi-index scheme guarantees completeness only for "
-            f"hamming <= 3 (got {max_hamming})"
+            "multi-index blocking over a 32-bit signature supports "
+            f"hamming <= 4 (got {max_hamming}); use a wider signature"
         )
+    widths, offsets, combos = _simhash_scheme(max_hamming)
+    w = max(widths)  # per-part field width in the packed combo key
 
     def part(i: int) -> F.Column:
-        return F.shiftright("simhash", _SIMHASH_PART_OFFSETS[i]).bitwiseAND(
-            F.lit((1 << _SIMHASH_PART_WIDTHS[i]) - 1)
+        return F.shiftright("simhash", offsets[i]).bitwiseAND(
+            F.lit((1 << widths[i]) - 1)
         )
 
     keys = [
         (
-            F.lit(j).cast("long") * F.lit(1 << 18)
-            + part(a) * F.lit(1 << 12)
-            + part(b) * F.lit(1 << 6)
+            F.lit(j).cast("long") * F.lit(1 << (3 * w))
+            + part(a) * F.lit(1 << (2 * w))
+            + part(b) * F.lit(1 << w)
             + part(c)
         ).cast("long")
-        for j, (a, b, c) in enumerate(_SIMHASH_COMBOS)
+        for j, (a, b, c) in enumerate(combos)
     ]
     blocks = sig.select(
         "doc_id", "simhash", F.explode(F.array(*keys)).alias("bk")

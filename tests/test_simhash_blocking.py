@@ -16,11 +16,13 @@ from __future__ import annotations
 import itertools
 import random
 
+import pytest
 from pyspark.sql import types as T
 
 from ondemand_dask_spark.queries.dedup import (
     _SIMHASH_PART_OFFSETS,
     _SIMHASH_PART_WIDTHS,
+    _simhash_scheme,
     simhash_hamming_pairs,
 )
 
@@ -41,11 +43,13 @@ def _brute_force(sigs: dict[int, int], max_h: int) -> set[tuple[int, int, int]]:
     return out
 
 
-def _run(spark, sigs: dict[int, int]) -> set[tuple[int, int, int]]:
+def _run(
+    spark, sigs: dict[int, int], max_h: int = 3
+) -> set[tuple[int, int, int]]:
     df = spark.createDataFrame(
         [(i, h) for i, h in sigs.items()], schema=_SCHEMA
     )
-    rows = simhash_hamming_pairs(df).collect()
+    rows = simhash_hamming_pairs(df, max_hamming=max_h).collect()
     return {(r.doc_a, r.doc_b, r.hamming) for r in rows}
 
 
@@ -100,3 +104,46 @@ def test_identical_signatures_all_pairs_found(spark):
     got = _run(spark, sigs)
     assert got == _brute_force(sigs, 3)
     assert len(got) == 12 * 11 // 2
+
+
+@pytest.mark.parametrize("radius", [1, 2, 3, 4])
+def test_radius_knob_complete_at_every_radius(spark, radius):
+    """Radius sweep: planted variants at distance radius (must all be
+    found) and radius+1 (must all be excluded), with the flips placed
+    adversarially — each in a DIFFERENT part, damaging the maximum
+    number of parts the pigeonhole argument tolerates."""
+    widths, offsets, _ = _simhash_scheme(radius)
+    part_bits = [
+        list(range(off, off + w)) for off, w in zip(offsets, widths)
+    ]
+    rng = random.Random(100 + radius)
+    sigs: dict[int, int] = {}
+    doc = 0
+    for _ in range(40):
+        seed = rng.getrandbits(32)
+        sigs[doc] = seed
+        doc += 1
+        # exactly `radius` flips, one per distinct part
+        h = seed
+        for p in rng.sample(range(len(widths)), radius):
+            h ^= 1 << rng.choice(part_bits[p])
+        sigs[doc] = h
+        doc += 1
+        # radius+1 flips in distinct parts — just over the line
+        h2 = seed
+        for p in rng.sample(range(len(widths)), min(radius + 1, len(widths))):
+            h2 ^= 1 << rng.choice(part_bits[p])
+        sigs[doc] = h2
+        doc += 1
+    # background noise
+    for _ in range(150):
+        sigs[doc] = rng.getrandbits(32)
+        doc += 1
+    assert _run(spark, sigs, radius) == _brute_force(sigs, radius)
+
+
+def test_radius_beyond_signature_support_refused(spark):
+    sigs = {0: 1, 1: 2}
+    df = spark.createDataFrame(list(sigs.items()), schema=_SCHEMA)
+    with pytest.raises(ValueError):
+        simhash_hamming_pairs(df, max_hamming=5)
