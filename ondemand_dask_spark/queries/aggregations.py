@@ -1110,14 +1110,13 @@ _CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 )
 def stat_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """df.corr() — the full pairwise correlation matrix (upper
-    triangle of {k} columns, {p} pairs) in ONE aggregation pass:
-    every corr() is a decomposable moment aggregate, so Spark fuses
-    all {p} into a single partial+final HashAggregate over a single
-    scan — one shuffle of one row per partition, versus the naive
-    per-pair loop's {p} scans.  The same shape holds for any k: the
-    pass stays O(k²) state per task, never O(rows).""".format(
-        k=len(_CORR_COLS), p=len(_CORR_COLS) * (len(_CORR_COLS) - 1) // 2
-    )
+    triangle of the _CORR_COLS columns, k·(k-1)/2 pairs) in ONE
+    aggregation pass: every corr() is a decomposable moment
+    aggregate, so Spark fuses all pairs into a single partial+final
+    HashAggregate over a single scan — one shuffle of one row per
+    partition, versus the naive per-pair loop's k² scans.  The same
+    shape holds for any k: the pass stays O(k²) state per task,
+    never O(rows)."""
     li = load_table(spark, sf_dir, "lineitem")
     aggs = [
         F.round(F.corr(a, b) - 1e-9, _R).alias(f"corr_{a[2:]}_{b[2:]}")

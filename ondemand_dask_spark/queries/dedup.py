@@ -185,8 +185,9 @@ _MINHASH_PAIRS_SQL = f"""
 
 @register("dedup_minhash_lsh", oracle=_MINHASH_PAIRS_SQL)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup dedup: shingle → MinHash({n}) → LSH band buckets →
-    candidate pairs → exact-Jaccard verification ≥ {t}.
+    """Near-dup dedup: shingle → MinHash(NUM_HASHES=8) → LSH band
+    buckets → candidate pairs → exact-Jaccard verification at
+    JACCARD_THRESHOLD.
 
     The LSH property: only pairs sharing a full band signature are
     ever joined, so the self-join is on (band, sig) — collisions, not
@@ -194,7 +195,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale path for fuzzy dedup (pyspark.ml's MinHashLSH does the
     same; hand-rolled here so the hash family is cross-engine
     deterministic and the whole pipeline oracle-checks exactly).
-    """.format(n=NUM_HASHES, t=JACCARD_THRESHOLD)
+    """
     # Hash shingles to 30-bit ids at the scan and never carry strings:
     # the cached set / verification shuffles move (long, long) rows.
     # Jaccard over hashed sets == Jaccard over shingles modulo hash
@@ -349,16 +350,16 @@ def dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash({b}-bit) signature per document: token-count-weighted
-    sign sum per bit.  The per-bit weighted sum is LINEAR in token
-    count, so the classic distinct-token-count + bits-table cross join
-    collapses to ONE groupBy(doc_id) with {b} codegen'd conditional
-    sums over raw token instances (±1 per instance per bit) — a single
-    shuffle whose partial aggregation reduces each map partition to
-    one row of {b} longs per doc; no crossJoin row blow-up, no
-    (doc, bit) exchange.  Signatures are 8 bytes/doc, so the pairing
-    stage downstream works on a table 1000× smaller than the
-    corpus.""".format(b=SIMHASH_BITS)
+    """SimHash(SIMHASH_BITS=32-bit) signature per document: token-
+    count-weighted sign sum per bit.  The per-bit weighted sum is
+    LINEAR in token count, so the classic distinct-token-count +
+    bits-table cross join collapses to ONE groupBy(doc_id) with 32
+    codegen'd conditional sums over raw token instances (±1 per
+    instance per bit) — a single shuffle whose partial aggregation
+    reduces each map partition to one row of 32 longs per doc; no
+    crossJoin row blow-up, no (doc, bit) exchange.  Signatures are
+    8 bytes/doc, so the pairing stage downstream works on a table
+    1000× smaller than the corpus."""
     d = load_table(spark, sf_dir, "documents")
     inst = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
@@ -954,3 +955,145 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("new")
     )
     return j.select("doc_id", "digest", status.alias("status"))
+
+
+_SPAN_K = 8  # tokens per duplicate-detection gram
+
+
+@register(
+    "dedup_duplicate_spans",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS tok,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    ),
+    gram AS (
+      SELECT doc_id, pos AS s, pos + {_SPAN_K - 1} AS e,
+             tok || ' ' || {" || ' ' || ".join(
+                 f"lead(tok, {i}) OVER w" for i in range(1, _SPAN_K)
+             )} AS g
+      FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+      QUALIFY lead(tok, {_SPAN_K - 1}) OVER w IS NOT NULL
+    ),
+    dup AS (
+      SELECT g FROM gram GROUP BY g HAVING min(doc_id) <> max(doc_id)
+    ),
+    hits AS (SELECT doc_id, s, e FROM gram JOIN dup USING (g)),
+    flagged AS (
+      SELECT doc_id, s, e,
+             CASE WHEN s > coalesce(max(e) OVER (
+                    PARTITION BY doc_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    -9223372036854775808)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM hits
+    ),
+    islands AS (
+      SELECT doc_id, s, e,
+             sum(new_island) OVER (
+               PARTITION BY doc_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island_id
+      FROM flagged
+    ),
+    cov AS (
+      SELECT doc_id, CAST(sum(len) AS BIGINT) AS dup_tokens FROM (
+        SELECT doc_id, island_id, max(e) - min(s) + 1 AS len
+        FROM islands GROUP BY doc_id, island_id
+      ) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           length(string_split(d.text, ' ')) AS n_tokens,
+           coalesce(cov.dup_tokens, 0) AS dup_tokens,
+           round(CAST(coalesce(cov.dup_tokens, 0) AS DOUBLE)
+                 / length(string_split(d.text, ' ')) - 1e-9, {_R}) + 0.0
+             AS dup_frac
+    FROM documents d LEFT JOIN cov ON cov.doc_id = d.doc_id
+    """,
+)
+def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication per document — the training-data
+    signal behind 'dedup at the span level, not the doc level'
+    (verbatim boilerplate, licenses, templated headers survive
+    doc-level dedup): for each doc, the fraction of token positions
+    covered by any k-token gram (k = _SPAN_K = 8) that also occurs
+    in ANOTHER document.
+
+    Scale shape (the same pipeline you would run at 100 TB):
+    1. grams are built JVM-side from the token array (the shared
+       shingle transform — no token explode, no per-doc window);
+       each doc emits len-k+1 (start, end, gram) rows;
+    2. gram identity travels as the 60-bit portable md5 hash, so the
+       cross-doc frequency shuffle moves 8-byte keys, not k-token
+       strings (collision odds across g grams ~ g^2/2^61 — at the
+       ~10^10-gram scale where that bites, widen to the 120-bit
+       double-hash);
+    3. cross-doc grams = one partial-agg groupBy keeping min!=max
+       doc_id — no distinct-count, no join back to bodies;
+    4. hit spans merge per doc with the gaps-and-islands running-max
+       window (bounded by doc length — never data-sized), so nested
+       and overlapping spans never double-count a token.
+
+    Docs shorter than k tokens emit no grams and report 0 — kept by
+    the final left join against the corpus spine."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+        "text",
+    )
+    grams = base.select(
+        "doc_id",
+        F.posexplode(_shingle_array(F.col("text"), _SPAN_K)).alias(
+            "pos0", "g"
+        ),
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("s"),
+        (F.col("pos0") + _SPAN_K).alias("e"),
+        _h(F.col("g")).alias("gh"),
+    )
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+        .filter(F.col("mn") != F.col("mx"))
+        .select("gh")
+    )
+    hits = grams.join(dup, "gh").select("doc_id", "s", "e")
+    w = Window.partitionBy("doc_id").orderBy("s", "e")
+    prev_max_e = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = hits.select(
+        "doc_id", "s", "e",
+        F.when(F.col("s") > F.coalesce(prev_max_e, F.lit(-(2**63))), 1)
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    islands = flagged.select(
+        "doc_id", "s", "e",
+        F.sum("new_island").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("island_id"),
+    )
+    cov = (
+        islands.groupBy("doc_id", "island_id")
+        .agg((F.max("e") - F.min("s") + 1).alias("len"))
+        .groupBy("doc_id")
+        .agg(F.sum("len").alias("dup_tokens"))
+    )
+    return base.join(cov, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("dup_tokens"), F.lit(0)).alias("dup_tokens"),
+        (
+            F.round(
+                F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("double")
+                / F.col("n_tokens")
+                - 1e-9,
+                _R,
+            )
+            + F.lit(0.0)
+        ).alias("dup_frac"),
+    )

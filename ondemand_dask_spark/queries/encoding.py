@@ -233,13 +233,13 @@ def encode_target_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     the categorical feature that replaces a high-cardinality key with
     the target mean of its OTHER members (excluding the row itself
     kills the self-leakage that makes naive target encoding overfit;
-    the {s:.0f} pseudo-observation blend toward the global mean tames
+    the _TE_SMOOTH pseudo-observation blend toward the global mean tames
     rare categories).  Per-category sum/count come from unordered
     partition windows — pure partial aggregation over the category
     exchange, no sort — and the global mean joins as a broadcast
     1-row aggregate (NEVER a global window, which would move every
     row to one task), so the whole encoder is ONE data-sized shuffle
-    on the category key at any scale.""".format(s=_TE_SMOOTH)
+    on the category key at any scale."""
     o = load_table(spark, sf_dir, "orders")
     g = o.agg(F.avg("o_totalprice").alias("g_mean"))
     o = o.crossJoin(F.broadcast(g))

@@ -919,10 +919,10 @@ def pipeline_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the top-k is rank-then-filter over the counted table, which
     Spark's LimitPushDownThroughWindow rewrites into
     TakeOrderedAndProject — a distributed top-k where every task
-    keeps {k} rows and the unpartitioned rank window only ever sees
-    the merged {k} (plan-asserted in tests/test_plans.py).  Ties
-    break lexicographically so both engines rank
-    identically.""".format(k=_BPE_TOP_K)
+    keeps _BPE_TOP_K rows and the unpartitioned rank window only
+    ever sees the merged top-k (plan-asserted in
+    tests/test_plans.py).  Ties break lexicographically so both
+    engines rank identically."""
     d = load_table(spark, sf_dir, "documents")
     t = F.split("text", " ")
     n = F.size(t)
@@ -982,18 +982,16 @@ _SPAN_LEN = 3
 )
 def pipeline_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T5-style span-corruption planning, deterministically: a span
-    of {L} tokens starts wherever the salted hash of (doc, position)
-    lands in 1/{rate} of the space, and a position is masked iff a
-    span started within the last {L} positions — a per-doc ordered
+    of _SPAN_LEN tokens starts wherever the salted hash of (doc,
+    position) lands in 1/_SPAN_RATE of the space, and a position is
+    masked iff a span started within the last L positions — a per-doc ordered
     window max over a 0/1 flag, so coverage (span overlap collapses
     naturally) needs no interval logic.  Everything is a pure
     function of (doc_id, position): the same mask plan on every run,
     engine, and partitioning — resumable pretraining needs exactly
     this property.  One explode feeding doc-partitioned windows
     (positions stay co-located with their doc, no cross-doc
-    traffic), then a per-doc rollup.""".format(
-        L=_SPAN_LEN, rate=_SPAN_RATE
-    )
+    traffic), then a per-doc rollup."""
     d = load_table(spark, sf_dir, "documents")
     n_tok = F.size(F.split("text", " "))
     pos = d.select(

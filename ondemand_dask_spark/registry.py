@@ -84,17 +84,17 @@ _SHOWCASE: tuple[str, ...] = (
     "udf_cogroup", "udf_map_overlap", "udf_table_function",
     # text additions
     "text_tfidf_cosine_pairs", "text_bigram_perplexity",
-    # time-series windows
-    "window_autocorr_lag1", "window_zscore_anomaly",
+    # time-series windows + relational + scalars representatives
+    "window_autocorr_lag1", "flag_duplicated", "str_predicates",
     # encodings / ML eval
-    "encode_robust_scale", "encode_cyclic_time", "ml_eval_binary",
-    # incremental snapshot algebra
-    "scd2_intervals", "snapshot_diff_cdc",
+    "encode_robust_scale", "ml_eval_binary",
+    # incremental snapshot algebra + sources + similarity + skew reps
+    "scd2_intervals", "source_orc_roundtrip", "ann_lsh_probe",
+    "join_salted_skew",
     # pipeline
     "pipeline_dataset_card", "pipeline_bpe_pair_counts",
-    "pipeline_decontaminate",
     # streaming batch-twins
-    "stream_sliding_agg", "stream_stream_join",
+    "stream_stream_join",
     # joins / sets / windows representatives
     "join_full_outer", "set_union_schema_evolution", "window_lag_lead",
 )
