@@ -411,3 +411,97 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.join(F.broadcast(n), s["nk"].eqNullSafe(n["nk"])).select(
         "s_suppkey", "n_name"
     )
+
+
+_SSJ_T = 0.6  # token-set Jaccard threshold
+
+
+@register(
+    "join_set_similarity",
+    oracle=f"""
+    WITH s AS (
+      SELECT p_partkey, list_distinct(string_split(p_name, ' ')) AS t
+      FROM part
+    )
+    SELECT a.p_partkey AS pa, b.p_partkey AS pb,
+           round(CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+                 / (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t)))
+                 - 1e-9, 4) + 0.0 AS jaccard
+    FROM s a JOIN s b ON a.p_partkey < b.p_partkey
+    WHERE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+          / (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))) >= {_SSJ_T}
+    """,
+)
+def join_set_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-similarity self-join (fuzzy string join): all part-name
+    pairs whose distinct-token Jaccard is >= 0.6, via the PREFIX
+    FILTER (PPJoin family) — the canonical complete blocking for
+    similarity joins, which Spark has no native operator for.
+
+    Why it is complete: order every token set by ascending global
+    document frequency (rare first, ties by token); a pair with
+    J >= t must share at least ceil(t*|A|) tokens, so if A and B
+    have NO common token among each one's first |set| - ceil(t*|set|)
+    + 1 ordered tokens (the 'prefix'), the overlap cannot reach the
+    bound — equi-joining on prefix tokens therefore misses no
+    qualifying pair, while candidates scale with per-token collision
+    lists (rarest tokens first = smallest lists), never n².
+
+    Scale shape: token df is one partial-agg groupBy; the df-order
+    rides a broadcast of the (token, df) vocabulary onto the
+    exploded tokens; candidates are keys-only through the prefix
+    equi-join + distinct, and token arrays re-attach by key in the
+    verification join (co-partitioned with the candidate shuffle) so
+    array payloads never ride the pair explosion.  The ceil() rides
+    a 1e-9 guard: 0.6*5 in binary floats is 3.0000000000000004 and a
+    naive ceil would silently shorten the prefix below the
+    completeness bound."""
+    parts = load_table(spark, sf_dir, "part").select(
+        "p_partkey", F.array_distinct(F.split("p_name", " ")).alias("toks")
+    )
+    tok = parts.select("p_partkey", F.explode("toks").alias("tok"))
+    vocab = tok.groupBy("tok").agg(F.count("*").alias("df"))
+    ordered = (
+        tok.join(F.broadcast(vocab), "tok")
+        .groupBy("p_partkey")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("df", "tok"))).alias("st")
+        )
+        .select(
+            "p_partkey",
+            F.transform("st", lambda s: s["tok"]).alias("toks"),
+        )
+    )
+    n = F.size("toks")
+    min_overlap = F.ceil(F.lit(_SSJ_T) * n - F.lit(1e-9))
+    pref = ordered.select(
+        "p_partkey",
+        F.explode(
+            F.slice("toks", 1, (n - min_overlap + 1).cast("int"))
+        ).alias("ptok"),
+    )
+    cand = (
+        pref.alias("a")
+        .join(
+            pref.alias("b"),
+            (F.col("a.ptok") == F.col("b.ptok"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .select(
+            F.col("a.p_partkey").alias("pa"),
+            F.col("b.p_partkey").alias("pb"),
+        )
+        .distinct()
+    )
+    sa = ordered.select(
+        F.col("p_partkey").alias("pa"), F.col("toks").alias("ta")
+    )
+    sb = ordered.select(
+        F.col("p_partkey").alias("pb"), F.col("toks").alias("tb")
+    )
+    verified = cand.join(sa, "pa").join(sb, "pb")
+    inter = F.size(F.array_intersect("ta", "tb"))
+    jac = inter.cast("double") / (F.size("ta") + F.size("tb") - inter)
+    return verified.filter(jac >= _SSJ_T).select(
+        "pa", "pb", (F.round(jac - 1e-9, 4) + F.lit(0.0)).alias("jaccard")
+    )

@@ -839,3 +839,135 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("v") - 1e-9, _R).alias("dim_max"),
         F.count("*").alias("n"),
     )
+
+
+_SEMDEDUP_K = 16  # coarse clusters
+_SEMDEDUP_T = 0.35  # cosine threshold: the fixture corpus has no
+# planted near-identical embeddings (max pairwise cosine ~0.48), so
+# the threshold sits inside the corpus's natural similarity range to
+# keep the full keep/drop path exercised; a production run sets ~0.95.
+
+_SEMDEDUP_SEEDS_SQL = f"""
+    SELECT vec_id AS cid, embedding AS seed
+    FROM embeddings ORDER BY vec_id LIMIT {_SEMDEDUP_K}
+"""
+
+
+@register(
+    "dedup_semantic_embedding",
+    oracle=f"""
+    WITH seeds AS ({_SEMDEDUP_SEEDS_SQL}),
+    scored AS (
+      SELECT e.vec_id, e.embedding, s.cid,
+             {_dot_sql("e.embedding", "s.seed")}
+               / (sqrt({_dot_sql("e.embedding", "e.embedding")})
+                  * sqrt({_dot_sql("s.seed", "s.seed")})) AS cos
+      FROM embeddings e CROSS JOIN seeds s
+    ),
+    assign AS (
+      SELECT vec_id, embedding, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cos DESC, cid) AS rn
+        FROM scored) WHERE rn = 1
+    ),
+    pairs AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb
+      FROM assign a JOIN assign b
+        ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE {_dot_sql("a.embedding", "b.embedding")}
+            / (sqrt({_dot_sql("a.embedding", "a.embedding")})
+               * sqrt({_dot_sql("b.embedding", "b.embedding")}))
+            >= {_SEMDEDUP_T}
+    ),
+    nb AS (
+      SELECT va AS vec_id, vb AS nb FROM pairs
+      UNION ALL SELECT vb, va FROM pairs
+    ),
+    agg AS (
+      SELECT vec_id, count(*) AS n_near, min(nb) AS min_nb
+      FROM nb GROUP BY vec_id
+    )
+    SELECT a.vec_id, a.cid,
+           CAST(coalesce(g.n_near, 0) AS BIGINT) AS n_near,
+           CASE WHEN g.min_nb IS NOT NULL AND g.min_nb < a.vec_id
+                THEN 'drop' ELSE 'keep' END AS status
+    FROM assign a LEFT JOIN agg g ON g.vec_id = a.vec_id
+    """,
+)
+def dedup_semantic_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication: coarsely cluster the
+    corpus (nearest of _SEMDEDUP_K deterministic seed vectors), then
+    compare embeddings PAIRWISE ONLY WITHIN a cluster and drop every
+    vector that has a lower-id in-cluster neighbor above the cosine
+    threshold — one-hop dominance, matching the published recipe
+    (cluster → intra-cluster cosine → keep one representative),
+    which needs no transitive closure to be deterministic.
+
+    Scale shape: the seed table is k rows and broadcasts; assignment
+    is one narrow pass over the corpus; the pairwise stage self-joins
+    on cid so its cost is sum of squared CLUSTER sizes, never n² —
+    exactly why SemDeDup clusters first, and why k must grow with the
+    corpus (k ∝ n keeps clusters O(1)).  The keep/drop verdict is a
+    per-vector aggregate over the qualifying-pair list (count + min
+    neighbor), one partial-agg shuffle.  Cosines fold sequentially in
+    element order on both engines (same guarantee as kmeans_lloyd),
+    so the differential check is exact."""
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "nrm", _norm(F.col("embedding"))
+    )
+    seeds = (
+        e.orderBy("vec_id")
+        .limit(_SEMDEDUP_K)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("seed"),
+            F.col("nrm").alias("s_nrm"),
+        )
+    )
+    scored = e.crossJoin(F.broadcast(seeds)).select(
+        "vec_id", "embedding", "nrm", "cid",
+        (
+            _dot(F.col("embedding"), F.col("seed"))
+            / (F.col("nrm") * F.col("s_nrm"))
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cid"))
+    assign = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "nrm", "cid")
+    )
+    a = assign.alias("a")
+    b = assign.alias("b")
+    pair_cos = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(pair_cos >= _SEMDEDUP_T)
+        .select(
+            F.col("a.vec_id").alias("va"), F.col("b.vec_id").alias("vb")
+        )
+    )
+    nb = pairs.select(F.col("va").alias("vec_id"), F.col("vb").alias("nb")
+                      ).unionByName(
+        pairs.select(F.col("vb").alias("vec_id"), F.col("va").alias("nb"))
+    )
+    agg = nb.groupBy("vec_id").agg(
+        F.count("*").alias("n_near"), F.min("nb").alias("min_nb")
+    )
+    return assign.select("vec_id", "cid").join(agg, "vec_id", "left").select(
+        "vec_id",
+        "cid",
+        F.coalesce(F.col("n_near"), F.lit(0)).alias("n_near"),
+        F.when(
+            F.col("min_nb").isNotNull() & (F.col("min_nb") < F.col("vec_id")),
+            F.lit("drop"),
+        )
+        .otherwise(F.lit("keep"))
+        .alias("status"),
+    )
