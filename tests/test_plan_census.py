@@ -29,6 +29,7 @@ from ondemand_dask_spark.registry import all_queries
 BNLJ_OK = {
     "agg_hll_sketch_merge", "agg_nunique_approx", "ann_cosine_topk",
     "ann_ivf_probe", "basket_association_rules", "dedup_ngram_jaccard",
+    "dedup_semantic_embedding",  # k-row seed-centroid broadcast, like ann_ivf_probe
     "embedding_pca_power", "encode_minmax", "encode_standardize",
     "encode_target_mean", "funnel_three_step", "graph_pagerank",
     "join_cross", "join_theta", "kmeans_lloyd", "ml_eval_binary",
