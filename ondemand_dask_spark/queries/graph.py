@@ -80,7 +80,11 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     both sides onto a shared hash partitioning makes the join
     co-partitioned at cluster width — and at 100 TB it is also the
     only viable shape, since neither side of a fact-fact self-join
-    broadcasts.  Measured at sf0.1: 2.8 s → 1.4 s warm."""
+    broadcasts.  Measured at sf0.1: 2.8 s → 1.4 s warm.  r5 A/B
+    (tools/ab_edges.py, one warm session, best-of-3) also rejected
+    the groupBy-collect_set + codegen pair-expansion alternative:
+    1.41 s self-join vs 2.92 s collect — the wide per-order arrays
+    cost more than the co-partitioned probe saves."""
     li = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")

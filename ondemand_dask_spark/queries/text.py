@@ -654,3 +654,131 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_N_QUERIES = 10  # query docs: doc_id < 10
+_BM25_TOP = 3
+
+
+@register(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, tok, count(*) AS tf FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+      ) GROUP BY doc_id, tok
+    ),
+    dl AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+    ),
+    stats AS (
+      SELECT count(*) AS n, avg(dl) AS avgdl FROM dl
+    ),
+    df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    idf AS (
+      SELECT tok, ln((n - df + 0.5) / (df + 0.5) + 1.0) AS idf
+      FROM df CROSS JOIN stats
+    ),
+    qterm AS (
+      SELECT DISTINCT doc_id AS query_id, tok FROM tf
+      WHERE doc_id < {_BM25_N_QUERIES}
+    ),
+    contrib AS (
+      SELECT q.query_id, t.doc_id,
+             i.idf * t.tf * ({_BM25_K1} + 1.0)
+               / (t.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                  + {_BM25_B} * d.dl / s.avgdl)) AS c
+      FROM qterm q
+      JOIN tf t ON t.tok = q.tok AND t.doc_id <> q.query_id
+      JOIN idf i ON i.tok = q.tok
+      JOIN dl d ON d.doc_id = t.doc_id
+      CROSS JOIN stats s
+    ),
+    scored AS (
+      SELECT query_id, doc_id, sum(c) AS score
+      FROM contrib GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id AS match_id,
+           round(score - 1e-9, 4) + 0.0 AS bm25, rnk
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id
+        ORDER BY round(score, 6) DESC, doc_id) AS rnk
+      FROM scored)
+    WHERE rnk <= {_BM25_TOP}
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval: each query document (doc_id < 10, its distinct
+    tokens as the query) scores the corpus through an inverted index
+    and keeps its top-3 matches — the lexical-retrieval operator
+    behind dedup-by-retrieval and RAG-corpus curation.
+
+    Scale shape: term frequencies are one (doc, tok) partial-agg
+    shuffle; document frequency and idf are one more groupBy over the
+    postings; the corpus-wide (N, avgdl) pair is a 1-row broadcast
+    attach; scoring joins the Q·|terms| query list against the
+    postings ON THE TERM KEY — cost proportional to the postings hit
+    by query terms (inverted-index probe), never |queries| × |docs| —
+    then one (query, doc) partial agg and a per-query top-k window
+    over score-ranked candidates.  Ranking uses round(score, 6) with
+    doc_id tie-break so both engines order identically despite
+    float-sum reordering across partitions."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    dl = d.select("doc_id", F.size(F.split("text", " ")).alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+    )
+    df_ = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    idf = df_.crossJoin(F.broadcast(stats)).select(
+        "tok",
+        F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+              ).alias("idf"),
+        "avgdl",
+    )
+    qterm = (
+        tf.filter(F.col("doc_id") < _BM25_N_QUERIES)
+        .select(F.col("doc_id").alias("query_id"), "tok")
+        .distinct()
+    )
+    contrib = (
+        qterm.join(tf, "tok")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .join(idf, "tok")
+        .join(dl, "doc_id")
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                F.col("idf") * F.col("tf") * (_BM25_K1 + 1.0)
+                / (
+                    F.col("tf")
+                    + _BM25_K1
+                    * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("c"),
+        )
+    )
+    scored = contrib.groupBy("query_id", "doc_id").agg(
+        F.sum("c").alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("score", 6)), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _BM25_TOP)
+        .select(
+            "query_id",
+            F.col("doc_id").alias("match_id"),
+            (F.round(F.col("score") - 1e-9, 4) + F.lit(0.0)).alias("bm25"),
+            "rnk",
+        )
+    )
