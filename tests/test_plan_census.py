@@ -37,6 +37,7 @@ BNLJ_OK = {
     "qcut_by_cutpoints", "stat_bootstrap_ci", "stat_freq_items_verified",
     "stat_theta_intersection_banded",
     "text_bigram_perplexity",
+    "text_bm25_topk",  # 1-row (N, avgdl) corpus-stats attach
     "text_tfidf_cosine_pairs", "text_tfidf_top_term",
     "text_unigram_surprisal", "tpch_q11", "tpch_q22",
 }
