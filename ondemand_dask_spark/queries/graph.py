@@ -654,3 +654,90 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nodes.groupBy("node").agg(F.count("*").alias("core_degree")).select(
         F.col("node").alias("part_id"), "core_degree"
     )
+
+
+@register(
+    "graph_modularity",
+    oracle=f"""
+    WITH e AS ({_EDGES_SQL}),
+    lab AS (SELECT p_partkey AS node, p_brand AS com FROM part),
+    m AS (SELECT count(*) AS m FROM e),
+    le AS (
+      SELECT la.com AS com_a, lb.com AS com_b
+      FROM e JOIN lab la ON la.node = e.src
+             JOIN lab lb ON lb.node = e.dst
+    ),
+    within AS (
+      SELECT com_a AS com, count(*) AS e_in FROM le
+      WHERE com_a = com_b GROUP BY com_a
+    ),
+    deg AS (
+      SELECT com, CAST(count(*) AS BIGINT) AS d_sum FROM (
+        SELECT com_a AS com FROM le UNION ALL SELECT com_b FROM le
+      ) GROUP BY com
+    )
+    SELECT d.com AS community,
+           CAST(coalesce(w.e_in, 0) AS BIGINT) AS edges_within,
+           d.d_sum AS degree_sum,
+           round(CAST(coalesce(w.e_in, 0) AS DOUBLE) / m.m
+                 - (CAST(d.d_sum AS DOUBLE) / (2 * m.m))
+                   * (CAST(d.d_sum AS DOUBLE) / (2 * m.m))
+                 - 1e-9, {_R}) + 0.0 AS q_contrib
+    FROM deg d LEFT JOIN within w ON w.com = d.com CROSS JOIN m
+    """,
+)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of a node partition over the co-purchase
+    graph — here the catalog's own p_brand labeling, the 'is this
+    taxonomy real in behavior' question (and the objective function
+    community detection like Louvain climbs; this is its evaluation
+    leg as a standalone operator).  Per community c:
+    Q_c = e_c/m − (d_c/2m)², where e_c = edges inside c, d_c = total
+    degree of c's nodes, m = |edges|.
+
+    Scale shape: node→community labels are a |V|-row dimension that
+    BROADCASTS onto the edge list (two label attaches, zero data-
+    sized shuffles beyond the edge build itself); e_c and d_c are
+    partial-agg groupBys over the labeled edges; m is a 1-row scalar
+    attach.  Per-community arithmetic is scalar (no float-sum
+    reordering), so the differential check is exact at 4 dp."""
+    _evict_retained()
+    edges = _retain(_edges(spark, sf_dir).cache())
+    lab = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("node"), F.col("p_brand").alias("com")
+    )
+    le = (
+        edges.join(
+            F.broadcast(lab.select(F.col("node").alias("src"),
+                                   F.col("com").alias("com_a"))), "src"
+        )
+        .join(
+            F.broadcast(lab.select(F.col("node").alias("dst"),
+                                   F.col("com").alias("com_b"))), "dst"
+        )
+        .select("com_a", "com_b")
+    )
+    m = le.agg(F.count("*").alias("m"))
+    within = (
+        le.filter(F.col("com_a") == F.col("com_b"))
+        .groupBy(F.col("com_a").alias("com"))
+        .agg(F.count("*").alias("e_in"))
+    )
+    deg = (
+        le.select(F.col("com_a").alias("com"))
+        .unionByName(le.select(F.col("com_b").alias("com")))
+        .groupBy("com")
+        .agg(F.count("*").alias("d_sum"))
+    )
+    joined = deg.join(within, "com", "left").crossJoin(F.broadcast(m))
+    e_in = F.coalesce(F.col("e_in"), F.lit(0))
+    frac = e_in.cast("double") / F.col("m")
+    half = F.col("d_sum").cast("double") / (2 * F.col("m"))
+    return joined.select(
+        F.col("com").alias("community"),
+        e_in.cast("long").alias("edges_within"),
+        F.col("d_sum").cast("long").alias("degree_sum"),
+        (F.round(frac - half * half - 1e-9, _R) + F.lit(0.0)).alias(
+            "q_contrib"
+        ),
+    )

@@ -446,3 +446,55 @@ def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(path)
     )
     return back.select("n_nationkey", "n_name", "n_regionkey")
+
+
+@register(
+    "source_parquet_merge_schema",
+    oracle=f"""
+    SELECT o_orderpriority,
+           count(*) AS n,
+           round(sum(o_totalprice) - 1e-9, {_R}) + 0.0 AS total_price,
+           CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null_status
+    FROM (
+      SELECT o_orderpriority, o_totalprice, NULL AS o_orderstatus
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT o_orderpriority, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 2 = 1
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def source_parquet_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read — the data-lake reality where older
+    parquet partitions lack columns newer ones carry: two physical
+    writes with DIFFERENT schemas (the even-key half without
+    o_orderstatus, the odd-key half with it) land under one
+    directory, and a single `mergeSchema` read reconciles them,
+    null-filling the missing column.  The footer-union happens at
+    planning time (mergeSchema pays a footer read per file — on a
+    100 TB lake pin the merged schema in a metastore instead and let
+    the scan null-fill per file for free; this query proves the
+    null-fill semantics either way).  Oracle reproduces the
+    evolution with a typed UNION ALL over the source table."""
+    base = _scratch(sf_dir, "orders_evolved")
+    o = load_table(spark, sf_dir, "orders")
+    o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderpriority", "o_totalprice"
+    ).write.mode("overwrite").parquet(os.path.join(base, "v1"))
+    o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderpriority", "o_totalprice", "o_orderstatus"
+    ).write.mode("overwrite").parquet(os.path.join(base, "v2"))
+    back = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(base, "v1"), os.path.join(base, "v2")
+    )
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        (F.round(F.sum("o_totalprice") - 1e-9, _R) + F.lit(0.0)).alias(
+            "total_price"
+        ),
+        F.sum(
+            F.when(F.col("o_orderstatus").isNull(), 1).otherwise(0)
+        ).alias("n_null_status"),
+    )

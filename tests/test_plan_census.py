@@ -31,7 +31,9 @@ BNLJ_OK = {
     "ann_ivf_probe", "basket_association_rules", "dedup_ngram_jaccard",
     "dedup_semantic_embedding",  # k-row seed-centroid broadcast, like ann_ivf_probe
     "embedding_pca_power", "encode_minmax", "encode_standardize",
-    "encode_target_mean", "funnel_three_step", "graph_pagerank",
+    "encode_target_mean", "funnel_three_step",
+    "graph_modularity",  # 1-row |edges| scalar attach
+    "graph_pagerank",
     "join_cross", "join_theta", "kmeans_lloyd", "ml_eval_binary",
     "pipeline_heavy_hitters",
     "qcut_by_cutpoints", "stat_bootstrap_ci", "stat_freq_items_verified",
