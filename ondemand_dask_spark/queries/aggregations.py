@@ -15,8 +15,12 @@ floating aggregates round to 4 dp on both engines.
 
 from __future__ import annotations
 
+import functools
+import operator
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ondemand_dask_spark.io import load_table
 from ondemand_dask_spark.registry import register
@@ -1971,4 +1975,199 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "total_weight"
             ),
         )
+    )
+
+
+_PSI_BUCKETS = (2000.0, 4000.0, 6000.0, 8000.0)  # o_totalprice cuts
+
+
+@register(
+    "dq_psi_drift",
+    oracle=f"""
+    WITH b AS (
+      SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'expected' ELSE 'actual' END
+               AS snap,
+             (CASE WHEN o_totalprice > {_PSI_BUCKETS[0]} THEN 1 ELSE 0 END
+            + CASE WHEN o_totalprice > {_PSI_BUCKETS[1]} THEN 1 ELSE 0 END
+            + CASE WHEN o_totalprice > {_PSI_BUCKETS[2]} THEN 1 ELSE 0 END
+            + CASE WHEN o_totalprice > {_PSI_BUCKETS[3]} THEN 1 ELSE 0 END)
+               AS bucket
+      FROM orders
+    ),
+    cnt AS (
+      SELECT bucket,
+             sum(CASE WHEN snap = 'expected' THEN 1 ELSE 0 END) AS ne,
+             sum(CASE WHEN snap = 'actual' THEN 1 ELSE 0 END) AS na
+      FROM b GROUP BY bucket
+    ),
+    tot AS (SELECT sum(ne) AS te, sum(na) AS ta FROM cnt),
+    rates AS (
+      SELECT bucket, ne, na,
+             greatest(CAST(ne AS DOUBLE) / te, 1e-6) AS pe,
+             greatest(CAST(na AS DOUBLE) / ta, 1e-6) AS pa
+      FROM cnt CROSS JOIN tot
+    )
+    SELECT bucket,
+           CAST(ne AS BIGINT) AS n_expected,
+           CAST(na AS BIGINT) AS n_actual,
+           round((pa - pe) * ln(pa / pe) - 1e-9, 6) + 0.0 AS psi_term
+    FROM rates
+    """,
+)
+def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two dataset snapshots (the
+    even/odd o_orderkey halves stand in for yesterday/today) — the
+    standard drift monitor a feature store runs per column per day:
+    bucketize on FIXED cutpoints, compare bucket mass, PSI term
+    (p_a − p_e)·ln(p_a/p_e) per bucket (Σ < 0.1 stable, > 0.25
+    drifted).  One conditional-aggregate pass computes both
+    snapshots' histograms (no join between snapshots, no second
+    scan); totals attach as a 1-row broadcast; the 1e-6 floor keeps
+    empty buckets finite exactly like production PSI does.  Fixed
+    cutpoints (not per-snapshot quantiles) are what make day-over-day
+    PSI comparable, and they keep the bucketizer pure codegen."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = functools.reduce(
+        operator.add,
+        [
+            (F.col("o_totalprice") > F.lit(c)).cast("int")
+            for c in _PSI_BUCKETS
+        ],
+    )
+    snap_e = (F.col("o_orderkey") % 2 == 0).cast("int")
+    cnt = o.select(bucket.alias("bucket"), snap_e.alias("is_e")).groupBy(
+        "bucket"
+    ).agg(
+        F.sum("is_e").alias("ne"),
+        F.sum(1 - F.col("is_e")).alias("na"),
+    )
+    tot = cnt.agg(F.sum("ne").alias("te"), F.sum("na").alias("ta"))
+    rates = cnt.crossJoin(F.broadcast(tot)).select(
+        "bucket", "ne", "na",
+        F.greatest(F.col("ne").cast("double") / F.col("te"), F.lit(1e-6)
+                   ).alias("pe"),
+        F.greatest(F.col("na").cast("double") / F.col("ta"), F.lit(1e-6)
+                   ).alias("pa"),
+    )
+    return rates.select(
+        "bucket",
+        F.col("ne").cast("long").alias("n_expected"),
+        F.col("na").cast("long").alias("n_actual"),
+        (
+            F.round(
+                (F.col("pa") - F.col("pe")) * F.log(F.col("pa") / F.col("pe"))
+                - 1e-9,
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("psi_term"),
+    )
+
+
+@register(
+    "stat_anova_oneway",
+    oracle="""
+    WITH g AS (
+      SELECT l_returnflag AS grp, count(*) AS n, avg(l_extendedprice) AS m,
+             sum(l_extendedprice) AS s,
+             sum(l_extendedprice * l_extendedprice) AS ss
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    tot AS (
+      SELECT sum(n) AS nt, sum(s) / sum(n) AS gm, count(*) AS k FROM g
+    ),
+    parts AS (
+      SELECT sum(n * (m - gm) * (m - gm)) AS ssb,
+             sum(ss - n * m * m) AS ssw,
+             max(nt) AS nt, max(k) AS k
+      FROM g CROSS JOIN tot
+    )
+    SELECT CAST(k AS BIGINT) AS k_groups,
+           CAST(nt AS BIGINT) AS n_total,
+           round(ssb / (k - 1) / (ssw / (nt - k)) - 1e-9, 4) + 0.0
+             AS f_stat
+    FROM parts
+    """,
+)
+def stat_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F statistic across the l_returnflag groups — the
+    k-group generalization of the t-test (does ANY group's mean
+    differ?).  Fully decomposable: per-group (n, mean, sum, sum-of-
+    squares) is one partial-agg groupBy; between/within sums of
+    squares reduce the k-row group table with the 1-row grand mean
+    attached; F = (SSB/(k−1)) / (SSW/(N−k)) is scalar arithmetic.
+    Two tiny aggregations beyond the single data pass — the shape
+    that runs identically on 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    v = F.col("l_extendedprice")
+    g = li.groupBy(F.col("l_returnflag").alias("grp")).agg(
+        F.count("*").alias("n"),
+        F.avg(v).alias("m"),
+        F.sum(v).alias("s"),
+        F.sum(v * v).alias("ss"),
+    )
+    tot = g.agg(
+        F.sum("n").alias("nt"),
+        (F.sum("s") / F.sum("n")).alias("gm"),
+        F.count("*").alias("k"),
+    )
+    parts = g.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.col("n") * (F.col("m") - F.col("gm")) * (F.col("m") - F.col("gm"))
+        ).alias("ssb"),
+        F.sum(F.col("ss") - F.col("n") * F.col("m") * F.col("m")).alias("ssw"),
+        F.max("nt").alias("nt"),
+        F.max("k").alias("k"),
+    )
+    return parts.select(
+        F.col("k").cast("long").alias("k_groups"),
+        F.col("nt").cast("long").alias("n_total"),
+        (
+            F.round(
+                F.col("ssb") / (F.col("k") - 1)
+                / (F.col("ssw") / (F.col("nt") - F.col("k")))
+                - 1e-9,
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("f_stat"),
+    )
+
+
+@register(
+    "stat_spearman_corr",
+    oracle="""
+    WITH r AS (
+      SELECT rank() OVER (ORDER BY o_totalprice) AS rx,
+             rank() OVER (ORDER BY epoch_us(o_orderdate)) AS ry
+      FROM orders
+    )
+    SELECT count(*) AS n,
+           round(corr(rx, ry) - 1e-9, 4) + 0.0 AS spearman
+    FROM r
+    """,
+)
+def stat_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between order value and order date —
+    the robust monotonic-association measure (Pearson over average
+    ranks, immune to outliers and monotone transforms).  rank() (not
+    row_number) gives ties their average-consistent min rank in both
+    engines, so the differential check is exact.  The two global rank
+    windows run over the full table — the documented bounded-input
+    exception does NOT apply here, so at 100 TB swap each rank for
+    the distributed two-pass rank (sort + partition-offset
+    cumulative count, the exact_group_quantiles machinery); the
+    fixture-scale window keeps this query one declarative plan."""
+    o = load_table(spark, sf_dir, "orders")
+    wx = Window.orderBy("o_totalprice")
+    wy = Window.orderBy(F.unix_micros(F.col("o_orderdate").cast("timestamp")))
+    r = o.select(
+        F.rank().over(wx).alias("rx"),
+        F.rank().over(wy).alias("ry"),
+    )
+    return r.agg(
+        F.count("*").alias("n"),
+        (F.round(F.corr("rx", "ry") - 1e-9, 4) + F.lit(0.0)).alias(
+            "spearman"
+        ),
     )

@@ -31,7 +31,9 @@ BNLJ_OK = {
     "ann_ivf_probe", "basket_association_rules", "dedup_ngram_jaccard",
     "dedup_semantic_embedding",  # k-row seed-centroid broadcast, like ann_ivf_probe
     "embedding_pca_power", "encode_minmax", "encode_standardize",
+    "dq_psi_drift",  # 1-row snapshot-totals attach
     "encode_target_mean", "funnel_three_step",
+    "stat_anova_oneway",  # 1-row grand-mean attach onto the k-row group table
     "graph_modularity",  # 1-row |edges| scalar attach
     "graph_pagerank",
     "join_cross", "join_theta", "kmeans_lloyd", "ml_eval_binary",
