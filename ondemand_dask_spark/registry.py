@@ -146,7 +146,11 @@ _SHOWCASE: tuple[str, ...] = (
 #     agg_weighted_median, dq_profile_report),
 #   encodings (encode_label/standardize/minmax/multi_hot/target_mean),
 #   dedup composites (dedup_report, dedup_incremental_batch,
-#     dedup_minhash_ml), events (events_burst_days).
+#     dedup_minhash_ml), events (events_burst_days),
+#   round-5 additions, all never driver-checked (dedup_duplicate_spans,
+#     join_set_similarity, dedup_semantic_embedding, text_bm25_topk,
+#     graph_modularity, source_parquet_merge_schema, dq_psi_drift,
+#     stat_anova_oneway, stat_spearman_corr).
 
 
 def all_queries() -> dict[str, Query]:
