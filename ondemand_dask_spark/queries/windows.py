@@ -1274,3 +1274,94 @@ def window_zscore_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(z) > 2).alias("is_anomaly"),
         )
     )
+
+
+@register(
+    "window_max_drawdown",
+    oracle=f"""
+    WITH r AS (
+      SELECT user_id, value,
+             max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS run_max
+      FROM events
+    )
+    SELECT user_id,
+           round(max(run_max) - 1e-9, {_R}) + 0.0 AS peak,
+           round(min(value / run_max - 1.0) - 1e-9, {_R}) + 0.0
+             AS max_drawdown
+    FROM r GROUP BY user_id
+    """,
+)
+def window_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per user over the time-ordered value series —
+    the canonical risk metric (largest peak-to-trough drop as a
+    fraction of the running peak), and the same running-max-then-
+    reduce shape as SLA 'worst regression from best' monitoring.
+    One per-key ordered window (running max) + one partial-agg
+    groupBy — no self-join over time, which the quadratic
+    'for each point find prior peak' formulation would need.
+    Values here are positive (event values), so value/run_max is
+    well-defined; the min of the ratio-minus-one IS the drawdown."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    e = _events(spark, sf_dir)
+    r = e.select(
+        "user_id", "value", F.max("value").over(w).alias("run_max")
+    )
+    return r.groupBy("user_id").agg(
+        (F.round(F.max("run_max") - 1e-9, _R) + F.lit(0.0)).alias("peak"),
+        (
+            F.round(F.min(F.col("value") / F.col("run_max") - 1.0) - 1e-9, _R)
+            + F.lit(0.0)
+        ).alias("max_drawdown"),
+    )
+
+
+@register(
+    "events_markov_transitions",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    cnt AS (
+      SELECT cur, nxt, count(*) AS n FROM pairs
+      WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    )
+    SELECT cur, nxt, n,
+           round(CAST(n AS DOUBLE)
+                 / sum(n) OVER (PARTITION BY cur) - 1e-9, {_R}) + 0.0 AS p
+    FROM cnt
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over event types: for
+    each consecutive event pair within a user's time-ordered stream,
+    P(next type | current type) — the path-analytics summary behind
+    'where do users go from here' sankeys and behavioral anomaly
+    scores (low-probability transitions).  One per-user ordered
+    window builds the consecutive pairs, one partial-agg groupBy
+    counts them; the row-normalization window runs over the
+    |types|² count table — bounded, never data-sized."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = _events(spark, sf_dir)
+    pairs = e.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    cnt = pairs.groupBy("cur", "nxt").agg(F.count("*").alias("n"))
+    wn = Window.partitionBy("cur")
+    return cnt.select(
+        "cur", "nxt", "n",
+        (
+            F.round(
+                F.col("n").cast("double") / F.sum("n").over(wn) - 1e-9, _R
+            )
+            + F.lit(0.0)
+        ).alias("p"),
+    )
