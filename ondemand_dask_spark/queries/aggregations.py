@@ -2171,3 +2171,130 @@ def stat_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             "spearman"
         ),
     )
+
+
+@register(
+    "dq_referential_integrity",
+    oracle="""
+    SELECT 'orders->customer' AS relationship,
+           (SELECT count(*) FROM orders) AS n_child,
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)) AS n_orphans
+    UNION ALL
+    SELECT 'lineitem->orders',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))
+    UNION ALL
+    SELECT 'lineitem->part',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM part p
+                              WHERE p.p_partkey = l.l_partkey))
+    UNION ALL
+    SELECT 'customer->nation',
+           (SELECT count(*) FROM customer),
+           (SELECT count(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM nation n
+                              WHERE n.n_nationkey = c.c_nationkey))
+    """,
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema: for each
+    FK relationship, child row count and orphan count (children whose
+    parent key does not exist) — the data-lake health check that no
+    lakehouse enforces for you.  Each relationship is ONE left-anti
+    join; parent sides project to their key column only, so the
+    small dimensions broadcast and the fact-sized checks
+    (lineitem->orders, lineitem->part) shuffle just 8-byte keys.
+    The four tall report rows union after scalar aggregation —
+    the oracle's correlated NOT EXISTS is the spec; anti-join is
+    the plan."""
+    def check(child, ckey, parent, pkey, name):
+        c = load_table(spark, sf_dir, child)
+        p = load_table(spark, sf_dir, parent).select(pkey)
+        n_child = c.agg(F.count("*").alias("n")).select(
+            F.lit(name).alias("relationship"),
+            F.col("n").alias("n_child"),
+        )
+        orphans = (
+            c.join(p, c[ckey] == p[pkey], "left_anti")
+            .agg(F.count("*").alias("n_orphans"))
+        )
+        return n_child.crossJoin(orphans)
+
+    return (
+        check("orders", "o_custkey", "customer", "c_custkey",
+              "orders->customer")
+        .unionByName(
+            check("lineitem", "l_orderkey", "orders", "o_orderkey",
+                  "lineitem->orders")
+        )
+        .unionByName(
+            check("lineitem", "l_partkey", "part", "p_partkey",
+                  "lineitem->part")
+        )
+        .unionByName(
+            check("customer", "c_nationkey", "nation", "n_nationkey",
+                  "customer->nation")
+        )
+    )
+
+
+@register(
+    "pipeline_purge_audit",
+    oracle="""
+    WITH purge AS (SELECT c_custkey FROM customer WHERE c_acctbal < 0),
+    o AS (
+      SELECT count(*) AS n FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM purge)
+    ),
+    l AS (
+      SELECT count(*) AS n FROM lineitem li
+      WHERE EXISTS (
+        SELECT 1 FROM orders oo
+        WHERE oo.o_orderkey = li.l_orderkey
+          AND oo.o_custkey IN (SELECT c_custkey FROM purge))
+    )
+    SELECT 'customer' AS tbl, (SELECT count(*) FROM purge) AS n_rows
+    UNION ALL SELECT 'orders', (SELECT n FROM o)
+    UNION ALL SELECT 'lineitem', (SELECT n FROM l)
+    """,
+)
+def pipeline_purge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten cascade audit: given a deletion list
+    (customers with negative balance as the stand-in), count the rows
+    each downstream table would lose — the dry-run report a GDPR
+    purge job emits before the irreversible write.  The deletion
+    list projects to its key and BROADCASTS through every cascade
+    level (purge lists are always small relative to facts); the
+    orders level semi-joins once and the lineitem level reuses the
+    purged-orders keys for its own semi-join — each fact is scanned
+    exactly once, no fact-fact join."""
+    purge = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_acctbal") < 0
+    ).select("c_custkey")
+    n_cust = purge.agg(F.count("*").alias("n_rows")).select(
+        F.lit("customer").alias("tbl"), "n_rows"
+    )
+    purged_orders = load_table(spark, sf_dir, "orders").join(
+        F.broadcast(purge),
+        F.col("o_custkey") == F.col("c_custkey"),
+        "left_semi",
+    )
+    n_orders = purged_orders.agg(F.count("*").alias("n_rows")).select(
+        F.lit("orders").alias("tbl"), "n_rows"
+    )
+    n_line = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(
+            F.broadcast(purged_orders.select("o_orderkey")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left_semi",
+        )
+        .agg(F.count("*").alias("n_rows"))
+        .select(F.lit("lineitem").alias("tbl"), "n_rows")
+    )
+    return n_cust.unionByName(n_orders).unionByName(n_line)

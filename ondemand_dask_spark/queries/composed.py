@@ -641,3 +641,78 @@ def sql_recursive_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM chain c JOIN rs_events e ON e.event_id = c.event_id
     GROUP BY c.user_id, c.anchor_id, c.anchor_ts
     """)
+
+
+_ATTR_TOL_US = 86_400_000_000  # 1-day attribution window
+
+
+@register(
+    "events_attribution_last_touch",
+    oracle=f"""
+    WITH p AS (
+      SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase'
+    ),
+    s AS (
+      SELECT event_id, user_id, ts, event_type FROM events
+      WHERE event_type IN ('click', 'view')
+    ),
+    j AS (
+      SELECT p.event_id AS purchase_id, s.event_id AS source_id,
+             s.event_type AS channel,
+             epoch_us(p.ts) - epoch_us(s.ts) AS gap_us,
+             row_number() OVER (PARTITION BY p.event_id
+                                ORDER BY s.ts DESC, s.event_id DESC) AS rn
+      FROM p JOIN s
+        ON s.user_id = p.user_id AND s.ts <= p.ts
+       AND epoch_us(p.ts) - epoch_us(s.ts) <= {_ATTR_TOL_US}
+    )
+    SELECT p.event_id AS purchase_id, j.source_id, j.channel, j.gap_us
+    FROM p LEFT JOIN (SELECT * FROM j WHERE rn = 1) j
+      ON j.purchase_id = p.event_id
+    """,
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase credits the
+    most recent click-or-view by the same user within a 1-day
+    window, else goes unattributed.  Semantically a tolerance as-of
+    join of purchases onto touches — but implemented as the
+    SINGLE-STREAM window idiom: tag touches and purchases in one
+    frame, order per user by (ts, touches-first, event_id), and carry
+    the last touch forward with last_value(ignore nulls) — ZERO
+    joins, one per-user window sort, versus the purchases×touches
+    range join the oracle spells (every candidate pair, then rank).
+    The tolerance applies as a post-filter on the carried gap.  Ties
+    resolve identically in both engines: a touch at the purchase's
+    exact timestamp counts, and among equal-timestamp touches the
+    highest event_id wins (window order = rank order)."""
+    e = load_table(spark, sf_dir, "events")
+    tagged = e.filter(
+        F.col("event_type").isin("purchase", "click", "view")
+    ).select(
+        "event_id", "user_id", "ts", "event_type",
+        (F.col("event_type") == "purchase").cast("int").alias("is_p"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "is_p", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    touch_id = F.when(F.col("is_p") == 0, F.col("event_id"))
+    touch_ch = F.when(F.col("is_p") == 0, F.col("event_type"))
+    touch_ts = F.when(F.col("is_p") == 0, F.col("ts_us"))
+    carried = tagged.select(
+        "event_id", "is_p", "ts_us",
+        F.last(touch_id, ignorenulls=True).over(w).alias("source_id"),
+        F.last(touch_ch, ignorenulls=True).over(w).alias("channel"),
+        F.last(touch_ts, ignorenulls=True).over(w).alias("src_ts_us"),
+    )
+    gap = F.col("ts_us") - F.col("src_ts_us")
+    in_window = F.col("source_id").isNotNull() & (gap <= _ATTR_TOL_US)
+    return carried.filter(F.col("is_p") == 1).select(
+        F.col("event_id").alias("purchase_id"),
+        F.when(in_window, F.col("source_id")).alias("source_id"),
+        F.when(in_window, F.col("channel")).alias("channel"),
+        F.when(in_window, gap).alias("gap_us"),
+    )

@@ -32,6 +32,7 @@ BNLJ_OK = {
     "dedup_semantic_embedding",  # k-row seed-centroid broadcast, like ann_ivf_probe
     "embedding_pca_power", "encode_minmax", "encode_standardize",
     "dq_psi_drift",  # 1-row snapshot-totals attach
+    "dq_referential_integrity",  # 1-row x 1-row count attaches per relationship
     "encode_target_mean", "funnel_three_step",
     "stat_anova_oneway",  # 1-row grand-mean attach onto the k-row group table
     "graph_modularity",  # 1-row |edges| scalar attach
