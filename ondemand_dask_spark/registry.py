@@ -150,7 +150,9 @@ _SHOWCASE: tuple[str, ...] = (
 #   round-5 additions, all never driver-checked (dedup_duplicate_spans,
 #     join_set_similarity, dedup_semantic_embedding, text_bm25_topk,
 #     graph_modularity, source_parquet_merge_schema, dq_psi_drift,
-#     stat_anova_oneway, stat_spearman_corr).
+#     stat_anova_oneway, stat_spearman_corr, window_max_drawdown,
+#     events_markov_transitions, dq_referential_integrity,
+#     pipeline_purge_audit, events_attribution_last_touch).
 
 
 def all_queries() -> dict[str, Query]:
