@@ -498,3 +498,76 @@ def source_parquet_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("o_orderstatus").isNull(), 1).otherwise(0)
         ).alias("n_null_status"),
     )
+
+
+@register(
+    "source_python_datasource",
+    oracle="""
+    WITH g AS (
+      SELECT i AS id,
+             i % 7 AS bucket,
+             CAST('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 8) AS BIGINT)
+               AS h
+      FROM (SELECT unnest(generate_series(0, 9999)) AS i)
+    )
+    SELECT bucket, count(*) AS n, CAST(sum(h) AS BIGINT) AS h_sum,
+           CAST(min(id) AS BIGINT) AS first_id
+    FROM g GROUP BY bucket
+    """,
+)
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python DataSource API — the extension point for
+    reading systems Spark has no connector for (internal services,
+    bespoke formats): a custom `DataSource` registered with
+    `spark.dataSource.register`, partition-parallel (each of 8
+    reader partitions generates its own deterministic id range, so
+    the scan distributes like any other source), producing md5-keyed
+    rows the oracle regenerates with pure SQL.  The Python boundary
+    is the source itself — everything downstream (groupBy, sums) is
+    JVM codegen; this is the one place a per-row Python cost is the
+    price of admission, and it parallelizes across partitions."""
+    import hashlib
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    n_rows, n_parts = 10_000, 8
+
+    class _Reader(DataSourceReader):
+        def partitions(self):
+            step = n_rows // n_parts
+            return [
+                InputPartition((i * step, min((i + 1) * step, n_rows)))
+                for i in range(n_parts)
+            ]
+
+        def read(self, partition):
+            lo, hi = partition.value
+            for i in range(lo, hi):
+                h = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+                yield (i, i % 7, h)
+
+    class _Synthetic(DataSource):
+        @classmethod
+        def name(cls):
+            return "synthetic_md5"
+
+        def schema(self):
+            return "id long, bucket long, h long"
+
+        def reader(self, schema):
+            return _Reader()
+
+    try:
+        spark.dataSource.register(_Synthetic)
+    except Exception:
+        pass  # already registered in this session
+    df = spark.read.format("synthetic_md5").load()
+    return df.groupBy("bucket").agg(
+        F.count("*").alias("n"),
+        F.sum("h").alias("h_sum"),
+        F.min("id").alias("first_id"),
+    )
