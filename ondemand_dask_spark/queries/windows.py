@@ -1365,3 +1365,30 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("p"),
     )
+
+
+@register(
+    "sort_global_rank_scalable",
+    oracle="""
+    SELECT event_id,
+           row_number() OVER (ORDER BY ts, event_id) AS pos
+    FROM events
+    """,
+)
+def sort_global_rank_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global total-order positions WITHOUT a single-task window —
+    the scale-safe twin of sort_values_global (whose unpartitioned
+    row_number deliberately funnels all rows through one task and is
+    documented as a bounded-verification exception).  Two-pass
+    partition-offset ranking (operators/rank.py): range-partition on
+    the sort keys, local row numbers per physical partition, tiny
+    per-partition count table -> cumulative offsets broadcast back,
+    position = offset + local number.  Deterministic despite the
+    sampled range boundaries because (ts, event_id) is a total
+    order: position = global rank by key wherever the cuts land.
+    This is how set_index/global rank actually ships at 100 TB."""
+    from ondemand_dask_spark.operators.rank import global_row_numbers
+
+    e = _events(spark, sf_dir).select("event_id", "ts")
+    ranked = global_row_numbers(e, "ts", "event_id", col_name="pos")
+    return ranked.select("event_id", "pos")

@@ -1,0 +1,48 @@
+"""global_row_numbers == the single-task window, on every input shape.
+
+The two-pass partition-offset ranking must produce the identical
+numbering as `row_number() OVER (ORDER BY keys)` for any total-order
+key chain, independent of partition-boundary sampling: skewed
+distributions, tiny inputs (fewer rows than partitions, empty
+partitions), and pre-shuffled input orders.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ondemand_dask_spark.operators.rank import global_row_numbers
+
+
+def _check(spark, rows):
+    df = spark.createDataFrame(rows, "k long, v long")
+    got = {
+        (r.k, r.v): r.pos
+        for r in global_row_numbers(df, "k", "v").collect()
+    }
+    w = Window.orderBy("k", "v")
+    want = {
+        (r.k, r.v): r.pos
+        for r in df.withColumn("pos", F.row_number().over(w)).collect()
+    }
+    assert got == want
+
+
+def test_skewed_keys(spark):
+    rng = random.Random(5)
+    rows = [(rng.choice([1, 1, 1, 1, 2, 3, 10**9]), i) for i in range(5000)]
+    _check(spark, rows)
+
+
+def test_tiny_input_fewer_rows_than_partitions(spark):
+    _check(spark, [(3, 1), (1, 2), (2, 3)])
+
+
+def test_shuffled_input_order(spark):
+    rng = random.Random(9)
+    rows = [(i, i * 7 % 101) for i in range(2000)]
+    rng.shuffle(rows)
+    _check(spark, rows)
