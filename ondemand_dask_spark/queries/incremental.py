@@ -243,3 +243,60 @@ def checksum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.count("*").alias("n_rows"), F.sum("rh").alias("checksum"))
     )
+
+
+@register(
+    "incremental_partial_agg_merge",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             count(*) AS n,
+             sum(value) AS s,
+             min(value) AS mn,
+             max(value) AS mx
+      FROM events GROUP BY 1
+    )
+    SELECT CAST(day AS TIMESTAMP) AS day,
+           CAST(sum(n) OVER w AS BIGINT) AS n_7d,
+           round(sum(s) OVER w - 1e-9, {_R}) + 0.0 AS sum_7d,
+           round(min(mn) OVER w - 1e-9, {_R}) + 0.0 AS min_7d,
+           round(max(mx) OVER w - 1e-9, {_R}) + 0.0 AS max_7d
+    FROM daily
+    WINDOW w AS (ORDER BY day RANGE BETWEEN INTERVAL 6 DAY PRECEDING
+                 AND CURRENT ROW)
+    """,
+)
+def incremental_partial_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable partial-aggregate rollup — the incremental-compute
+    pattern behind every 'rolling 7-day metric without rescanning 7
+    days of facts' pipeline: maintain a per-day PARTIAL state table
+    (count/sum/min/max are all mergeable: merge(a, b) loses nothing),
+    then answer the rolling window by merging 7 tiny state rows,
+    touching the facts exactly once ever.  The facts scan is one
+    partial-agg groupBy(day); the merge window runs over the
+    |days|-row state table — bounded, never data-sized.  The same
+    pattern extends to sketches (the HLL/KLL/theta queries hold the
+    mergeable-sketch leg); this query pins the exact-state leg.  The
+    global RANGE window over the daily table is the bounded-input
+    exception documented for agg_mode (|days| rows, one task, by
+    design)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.col("ts").cast("timestamp").cast("date").alias("day")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("value").alias("s"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+    )
+    w = (
+        Window.orderBy(F.unix_date(F.col("day")))
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        F.col("day").cast("timestamp_ntz").alias("day"),
+        F.sum("n").over(w).cast("long").alias("n_7d"),
+        (F.round(F.sum("s").over(w) - 1e-9, _R) + F.lit(0.0)).alias("sum_7d"),
+        (F.round(F.min("mn").over(w) - 1e-9, _R) + F.lit(0.0)).alias("min_7d"),
+        (F.round(F.max("mx").over(w) - 1e-9, _R) + F.lit(0.0)).alias("max_7d"),
+    )
