@@ -152,7 +152,9 @@ _SHOWCASE: tuple[str, ...] = (
 #     graph_modularity, source_parquet_merge_schema, dq_psi_drift,
 #     stat_anova_oneway, stat_spearman_corr, window_max_drawdown,
 #     events_markov_transitions, dq_referential_integrity,
-#     pipeline_purge_audit, events_attribution_last_touch).
+#     pipeline_purge_audit, events_attribution_last_touch,
+#     source_python_datasource, sort_global_rank_scalable,
+#     incremental_partial_agg_merge).
 
 
 def all_queries() -> dict[str, Query]:
