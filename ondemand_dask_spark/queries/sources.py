@@ -571,3 +571,56 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("h").alias("h_sum"),
         F.min("id").alias("first_id"),
     )
+
+
+@register(
+    "source_csv_corrupt_permissive",
+    oracle="""
+    WITH raw AS (
+      SELECT CAST(c_custkey AS VARCHAR) AS k,
+             CASE WHEN c_custkey % 10 = 3 THEN 'not_a_number'
+                  ELSE CAST(c_custkey * 2 AS VARCHAR) END AS v
+      FROM customer
+    )
+    SELECT count(*) AS n_rows,
+           CAST(sum(CASE WHEN v = 'not_a_number' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_corrupt,
+           CAST(sum(CASE WHEN v <> 'not_a_number'
+                    THEN CAST(v AS BIGINT) ELSE 0 END) AS BIGINT) AS v_sum
+    FROM raw
+    """,
+)
+def source_csv_corrupt_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE CSV ingestion of a corrupt feed — the production
+    default where one bad row must not kill the job: a CSV written
+    with a malformed numeric field on every custkey ending in 3 is
+    read back with an explicit schema + `columnNameOfCorruptRecord`,
+    so malformed rows surface as a quarantine column (value NULL,
+    raw line preserved) instead of an exception (FAILFAST) or a
+    silent drop (DROPMALFORMED).  The report counts clean vs
+    quarantined rows and sums the clean values — the audit a
+    quarantine pipeline emits.  Schema-explicit read keeps the scan
+    a single pass with no inference job."""
+    path = _scratch(sf_dir, "customer_corrupt_csv")
+    c = load_table(spark, sf_dir, "customer")
+    feed = c.select(
+        F.col("c_custkey").cast("string").alias("k"),
+        F.when(F.col("c_custkey") % 10 == 3, F.lit("not_a_number"))
+        .otherwise((F.col("c_custkey") * 2).cast("string"))
+        .alias("v"),
+    )
+    feed.write.mode("overwrite").option("header", "true").csv(path)
+    back = (
+        spark.read.schema("k string, v long, _corrupt string")
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
+    )
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("_corrupt").isNotNull().cast("int")).cast("long").alias(
+            "n_corrupt"
+        ),
+        F.sum(F.coalesce(F.col("v"), F.lit(0))).alias("v_sum"),
+    )
