@@ -45,3 +45,37 @@ def test_release_is_safe_on_non_checkpointed(spark):
     cached.count()
     assert release_local_checkpoint(cached) is False  # cache path untouched
     cached.unpersist()
+
+
+def test_retained_caches_evicts_checkpointed_and_cached(spark):
+    """RetainedCaches.evict must free BOTH kinds of retained frame:
+    plain caches via unpersist, localCheckpoints via the LogicalRDD
+    release (the round-5 ADVICE fix — graph.py's old evict used bare
+    unpersist, a silent no-op on its checkpointed k-core edges)."""
+    from ondemand_dask_spark.operators.checkpoint import RetainedCaches
+
+    rc = RetainedCaches()
+    before = _cached_rdd_ids(spark)
+    ck = rc.retain(spark.range(20_000).localCheckpoint())
+    ca = rc.retain(spark.range(20_000).cache())
+    ca.count()
+    held = _cached_rdd_ids(spark) - before
+    assert held, "retained frames should hold storage blocks"
+    rc.evict()
+    assert not (held & _cached_rdd_ids(spark)), (
+        "evict() left retained storage blocks behind"
+    )
+
+
+def test_module_caches_use_release_aware_eviction():
+    """Every query module with a retain/evict discipline must use the
+    shared RetainedCaches (release-aware) — not a local bare-unpersist
+    copy, which is how the graph.py leak slipped in."""
+    import ondemand_dask_spark.queries.composed as composed
+    import ondemand_dask_spark.queries.dedup as dedup
+    import ondemand_dask_spark.queries.graph as graph
+    import ondemand_dask_spark.queries.text as text
+    from ondemand_dask_spark.operators.checkpoint import RetainedCaches
+
+    for mod in (dedup, graph, text, composed):
+        assert isinstance(mod._CACHES, RetainedCaches), mod.__name__
