@@ -971,3 +971,110 @@ def dedup_semantic_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("keep"))
         .alias("status"),
     )
+
+
+_MAT_DIMS = 16  # truncated prefix dims (Matryoshka-style)
+_MAT_K = 3
+
+
+def _dot_sql_trunc(a: str, b: str, d: int) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, {d}),"
+        f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+
+@register(
+    "embedding_matryoshka_recall",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+    full_rank AS (
+      SELECT query_id, neighbor_id, rnk FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round({_dot_sql("q.embedding", "c.embedding")}
+                   / (sqrt({_dot_sql("q.embedding", "q.embedding")})
+                      * sqrt({_dot_sql("c.embedding", "c.embedding")})), 6)
+                   DESC, c.vec_id) AS rnk
+        FROM q JOIN embeddings c ON c.vec_id != q.vec_id)
+      WHERE rnk <= {_MAT_K}
+    ),
+    trunc_rank AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round(
+                   {_dot_sql_trunc("q.embedding", "c.embedding", _MAT_DIMS)}
+                   / (sqrt({_dot_sql_trunc("q.embedding", "q.embedding", _MAT_DIMS)})
+                      * sqrt({_dot_sql_trunc("c.embedding", "c.embedding", _MAT_DIMS)})),
+                   6) DESC, c.vec_id) AS rnk
+        FROM q JOIN embeddings c ON c.vec_id != q.vec_id)
+      WHERE rnk <= {_MAT_K}
+    )
+    SELECT f.query_id,
+           CAST(count(t.neighbor_id) AS BIGINT) AS n_kept,
+           round(CAST(count(t.neighbor_id) AS DOUBLE) / {_MAT_K} - 1e-9, 4)
+             + 0.0 AS recall_at_k
+    FROM full_rank f
+    LEFT JOIN trunc_rank t
+      ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+    GROUP BY f.query_id
+    """,
+)
+def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation quality evaluation: how much of each
+    query's exact top-k survives when cosine runs on only the first
+    16 of 64 dimensions — the measurement that decides whether a
+    cheap truncated index can serve first-stage retrieval (the
+    MRL-style accuracy/cost dial).  Both rankings run the same
+    broadcast-queries-vs-corpus pass (corpus never shuffles); the
+    truncated side slices the array before the fold so it does 1/4
+    of the multiply-adds; recall@k per query is one small join of
+    two k-row-per-query rank tables.  Rankings order by
+    round(cos, 6) with id tie-break in both engines, the repo's
+    float-rank-stability convention."""
+    e = load_table(spark, sf_dir, "embeddings")
+
+    def topk(dims: int | None) -> DataFrame:
+        emb = F.col("embedding") if dims is None else F.slice("embedding", 1, dims)
+        base = e.select(
+            "vec_id",
+            emb.alias("v"),
+        ).withColumn("nrm", _norm(F.col("v")))
+        q = base.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+        )
+        pairs = base.crossJoin(F.broadcast(q)).filter(
+            F.col("vec_id") != F.col("query_id")
+        )
+        cos = _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc(F.round(cos, 6)), F.asc("vec_id")
+        )
+        return (
+            pairs.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= _MAT_K)
+            .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        )
+
+    full = topk(None)
+    trunc = topk(_MAT_DIMS).withColumnRenamed("neighbor_id", "t_neighbor")
+    j = full.join(
+        trunc,
+        (full["query_id"] == trunc["query_id"])
+        & (full["neighbor_id"] == trunc["t_neighbor"]),
+        "left",
+    )
+    return j.groupBy(full["query_id"].alias("query_id")).agg(
+        F.count("t_neighbor").alias("n_kept"),
+        (
+            F.round(
+                F.count("t_neighbor").cast("double") / _MAT_K - 1e-9, 4
+            )
+            + F.lit(0.0)
+        ).alias("recall_at_k"),
+    )

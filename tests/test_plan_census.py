@@ -30,6 +30,7 @@ BNLJ_OK = {
     "agg_hll_sketch_merge", "agg_nunique_approx", "ann_cosine_topk",
     "ann_ivf_probe", "basket_association_rules", "dedup_ngram_jaccard",
     "dedup_semantic_embedding",  # k-row seed-centroid broadcast, like ann_ivf_probe
+    "embedding_matryoshka_recall",  # 10-row query-set broadcast, like ann_cosine_topk
     "embedding_pca_power", "encode_minmax", "encode_standardize",
     "dq_psi_drift",  # 1-row snapshot-totals attach
     "dq_referential_integrity",  # 1-row x 1-row count attaches per relationship
