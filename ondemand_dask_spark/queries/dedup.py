@@ -582,6 +582,26 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside the aggregation (set semantics ≡ the DISTINCT the oracle
     spells out), so the separate distinct exchange the two-step
     formulation pays never exists."""
+    inter, counts, docs = _ngram_posting_pairs(spark, sf_dir)
+    d = docs.select("doc_id", "lang")
+    jac = F.col("i").cast("double") / (F.col("na.n") + F.col("nb.n") - F.col("i"))
+    return (
+        inter.join(counts.alias("na"), F.col("na.doc_id") == F.col("doc_a"))
+        .join(counts.alias("nb"), F.col("nb.doc_id") == F.col("doc_b"))
+        .join(d.alias("la"), F.col("la.doc_id") == F.col("doc_a"))
+        .join(d.alias("lb"), F.col("lb.doc_id") == F.col("doc_b"))
+        .filter(F.col("la.lang") == F.col("lb.lang"))
+        .filter(jac >= 0.4)
+        .select("doc_a", "doc_b", F.round(jac - 1e-9, _R).alias("jaccard"))
+    )
+
+
+def _ngram_posting_pairs(spark: SparkSession, sf_dir: str):
+    """Stop-cut inverted index → (pair intersections, per-doc kept-
+    shingle counts, docs).  Shared by the Jaccard and containment
+    queries — see dedup_ngram_jaccard's docstring for the full scale
+    rationale (DF ceiling, one-shuffle index, codegen combination
+    expansion, cached filtered index)."""
     docs = load_table(spark, sf_dir, "documents")
     h30 = _h(F.col("shingle")) % F.lit(1_073_741_824)
     inst = docs.select(
@@ -628,17 +648,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .agg(F.count("*").alias("i"))
     )
-    d = docs.select("doc_id", "lang")
-    jac = F.col("i").cast("double") / (F.col("na.n") + F.col("nb.n") - F.col("i"))
-    return (
-        inter.join(counts.alias("na"), F.col("na.doc_id") == F.col("doc_a"))
-        .join(counts.alias("nb"), F.col("nb.doc_id") == F.col("doc_b"))
-        .join(d.alias("la"), F.col("la.doc_id") == F.col("doc_a"))
-        .join(d.alias("lb"), F.col("lb.doc_id") == F.col("doc_b"))
-        .filter(F.col("la.lang") == F.col("lb.lang"))
-        .filter(jac >= 0.4)
-        .select("doc_a", "doc_b", F.round(jac - 1e-9, _R).alias("jaccard"))
-    )
+    return inter, counts, docs
 
 
 @register(
@@ -1096,4 +1106,111 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             + F.lit(0.0)
         ).alias("dup_frac"),
+    )
+
+
+_CONTAIN_T = 0.8
+
+
+@register(
+    "dedup_ngram_containment",
+    oracle=f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id,
+             {_H_SQL.format(x="shingle")} % 1073741824 AS h
+      FROM ({_SHINGLES_SQL})
+    ),
+    tot AS (SELECT count(*) AS n_docs FROM documents),
+    dfreq AS (SELECT h, count(*) AS df FROM sh GROUP BY h),
+    hot AS (
+      SELECT h FROM dfreq, tot
+      WHERE df > least({_STOP_DF_CAP},
+                       greatest({_STOP_DF_MIN}, {_STOP_DF_FRAC} * n_docs))
+    ),
+    kept AS (
+      SELECT doc_id, h FROM sh WHERE h NOT IN (SELECT h FROM hot)
+    ),
+    lang AS (SELECT doc_id, lang FROM documents),
+    counts AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+    inter AS (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS i
+      FROM kept x JOIN kept y ON x.h = y.h AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT doc_a, doc_b, i, na.n AS na, nb.n AS nb
+      FROM inter
+      JOIN counts na ON na.doc_id = doc_a
+      JOIN counts nb ON nb.doc_id = doc_b
+      JOIN lang la ON la.doc_id = doc_a
+      JOIN lang lb ON lb.doc_id = doc_b
+      WHERE la.lang = lb.lang
+    )
+    SELECT inner_doc, outer_doc,
+           round(c - 1e-9, {_R}) + 0.0 AS containment
+    FROM (
+      SELECT doc_a AS inner_doc, doc_b AS outer_doc,
+             CAST(i AS DOUBLE) / na AS c FROM scored
+      UNION ALL
+      SELECT doc_b, doc_a, CAST(i AS DOUBLE) / nb FROM scored
+    )
+    WHERE c >= {_CONTAIN_T}
+    """,
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup detection — containment(A in B) =
+    |shingles(A) ∩ shingles(B)| / |shingles(A)|: the signal Jaccard
+    misses when a short document is wholly quoted inside a longer one
+    (quote-expansion, boilerplate-plus-content), where the union in
+    the denominator dilutes the score below any symmetric threshold.
+    Reuses the stop-cut posting-list machinery (_ngram_posting_pairs)
+    verbatim — same one-shuffle index, same DF ceiling, same codegen
+    pair expansion — and scores each unordered pair in BOTH
+    directions, emitting directed (inner_doc, outer_doc) rows at
+    containment >= 0.8, same-lang block as the Jaccard twin."""
+    inter, counts, docs = _ngram_posting_pairs(spark, sf_dir)
+    d = docs.select("doc_id", "lang")
+    scored = (
+        inter.join(
+            counts.select(
+                F.col("doc_id").alias("doc_a"), F.col("n").alias("na")
+            ),
+            "doc_a",
+        )
+        .join(
+            counts.select(
+                F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")
+            ),
+            "doc_b",
+        )
+        .join(
+            d.select(F.col("doc_id").alias("doc_a"), F.col("lang").alias("la")),
+            "doc_a",
+        )
+        .join(
+            d.select(F.col("doc_id").alias("doc_b"), F.col("lang").alias("lb")),
+            "doc_b",
+        )
+        .filter(F.col("la") == F.col("lb"))
+        .select("doc_a", "doc_b", "i", "na", "nb")
+    )
+    fwd = scored.select(
+        F.col("doc_a").alias("inner_doc"),
+        F.col("doc_b").alias("outer_doc"),
+        (F.col("i").cast("double") / F.col("na")).alias("c"),
+    )
+    rev = scored.select(
+        F.col("doc_b").alias("inner_doc"),
+        F.col("doc_a").alias("outer_doc"),
+        (F.col("i").cast("double") / F.col("nb")).alias("c"),
+    )
+    return (
+        fwd.unionByName(rev)
+        .filter(F.col("c") >= _CONTAIN_T)
+        .select(
+            "inner_doc", "outer_doc",
+            (F.round(F.col("c") - 1e-9, _R) + F.lit(0.0)).alias(
+                "containment"
+            ),
+        )
     )
