@@ -29,6 +29,7 @@ from ondemand_dask_spark.registry import all_queries
 BNLJ_OK = {
     "agg_hll_sketch_merge", "agg_nunique_approx", "ann_cosine_topk",
     "ann_ivf_probe", "basket_association_rules", "dedup_ngram_jaccard",
+    "dedup_ngram_containment",  # 1-row corpus-total attach (same as its jaccard twin)
     "dedup_semantic_embedding",  # k-row seed-centroid broadcast, like ann_ivf_probe
     "embedding_matryoshka_recall",  # 10-row query-set broadcast, like ann_cosine_topk
     "embedding_pca_power", "encode_minmax", "encode_standardize",
