@@ -300,3 +300,66 @@ def incremental_partial_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame
         (F.round(F.min("mn").over(w) - 1e-9, _R) + F.lit(0.0)).alias("min_7d"),
         (F.round(F.max("mx").over(w) - 1e-9, _R) + F.lit(0.0)).alias("max_7d"),
     )
+
+
+_PIT_DATE = "1995-06-15"
+
+
+@register(
+    "scd2_pit_lookup",
+    oracle=f"""
+    WITH hist AS (
+      SELECT o_custkey AS custkey, o_orderkey AS version_key,
+             ts AS valid_from,
+             coalesce(lead(ts) OVER (PARTITION BY o_custkey
+                                     ORDER BY ts, o_orderkey),
+                      TIMESTAMP '9999-12-31') AS valid_to,
+             o_totalprice AS attr
+      FROM (
+        SELECT o_custkey, o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS ts,
+               o_totalprice
+        FROM orders
+      )
+    )
+    SELECT custkey, version_key,
+           round(attr - 1e-9, {_R}) + 0.0 AS attr_asof
+    FROM hist
+    WHERE valid_from <= TIMESTAMP '{_PIT_DATE}'
+      AND valid_to > TIMESTAMP '{_PIT_DATE}'
+    """,
+)
+def scd2_pit_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (AS OF) read over an SCD2 history — the lookup
+    leg that makes the scd2_intervals build useful: reconstruct each
+    key's attribute exactly as it stood on a given date by keeping
+    the one version whose [valid_from, valid_to) straddles it.  The
+    history build is the same lead-window interval derivation as
+    scd2_intervals; the AS OF predicate is a pure filter, so at
+    100 TB it prunes at the scan when the history is partitioned or
+    z-ordered on valid_from — no join, no window at read time beyond
+    the build itself."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("ts", "o_orderkey")
+    hist = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("version_key"),
+        F.col("o_orderdate").cast("timestamp").alias("ts"),
+        F.col("o_totalprice").alias("attr"),
+    ).select(
+        "custkey", "version_key",
+        F.col("ts").alias("valid_from"),
+        F.coalesce(
+            F.lead("ts").over(
+                Window.partitionBy("custkey").orderBy("ts", "version_key")
+            ),
+            F.lit("9999-12-31").cast("timestamp"),
+        ).alias("valid_to"),
+        "attr",
+    )
+    pit = F.lit(_PIT_DATE).cast("timestamp")
+    return hist.filter(
+        (F.col("valid_from") <= pit) & (F.col("valid_to") > pit)
+    ).select(
+        "custkey", "version_key",
+        (F.round(F.col("attr") - 1e-9, _R) + F.lit(0.0)).alias("attr_asof"),
+    )

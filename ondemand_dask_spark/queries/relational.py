@@ -403,3 +403,43 @@ def flag_duplicated(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", (F.row_number().over(w) > 1).alias("is_duplicate")
     )
+
+
+@register(
+    "sample_n_per_group",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, hrank
+    FROM (
+      SELECT o_orderpriority, o_orderkey,
+             row_number() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey
+             ) AS hrank
+      FROM orders
+    )
+    WHERE hrank <= 5
+    """,
+)
+def sample_n_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic N-per-group sampling — eval-set construction's
+    workhorse ('5 examples per category, same 5 every run, any
+    engine'): rank rows inside each group by the md5 of their key (a
+    seedless, engine-portable shuffle order) and keep the first 5.
+    No RNG, no state: the sample is a pure function of the data, so
+    reruns, backfills, and cross-engine checks all agree.  One
+    per-group window; group sizes bound the sort, and at 100 TB the
+    rank-filter pushes down to TakeOrderedAndProject-per-group via
+    LimitPushDownThroughWindow when the group count is high."""
+    from pyspark.sql.window import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.md5(F.col("o_orderkey").cast("string")), "o_orderkey"
+    )
+    return (
+        o.select(
+            "o_orderpriority", "o_orderkey",
+            F.row_number().over(w).alias("hrank"),
+        )
+        .filter(F.col("hrank") <= 5)
+    )
