@@ -66,6 +66,20 @@ HEADLINE = [
     # joins are the shapes most sensitive to shuffle regressions)
     "graph_pagerank",
     "graph_triangle_count",
+    # round-5 widening: the new pair-generating / retrieval shapes
+    # (span-level dedup, BM25 inverted-index scoring) — the operators
+    # whose cost profiles would drift first if a blocking scheme
+    # regressed.  join_set_similarity is deliberately NOT benched at
+    # sf0.1: the fixture's ~92-word p_name vocabulary is the
+    # adversarial case for prefix filtering (every token's collision
+    # list is ~650 of 20k parts, so candidates approach n² by
+    # construction — measured 47.8 s, which would drown the headline
+    # in one pathological shape).  Its perf evidence is the scale
+    # probe on a realistic vocabulary instead:
+    # tools/probe_prefix_filter.py — 100k sets, 116× candidate cut,
+    # 26 s end-to-end.  Correctness still gates at sf0.01 per round.
+    "dedup_duplicate_spans",
+    "text_bm25_topk",
 ]
 
 RUNS = 2

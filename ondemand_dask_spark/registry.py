@@ -154,7 +154,9 @@ _SHOWCASE: tuple[str, ...] = (
 #     events_markov_transitions, dq_referential_integrity,
 #     pipeline_purge_audit, events_attribution_last_touch,
 #     source_python_datasource, sort_global_rank_scalable,
-#     incremental_partial_agg_merge).
+#     incremental_partial_agg_merge, source_csv_corrupt_permissive,
+#     embedding_matryoshka_recall, dedup_ngram_containment,
+#     sample_n_per_group, scd2_pit_lookup).
 
 
 def all_queries() -> dict[str, Query]:
