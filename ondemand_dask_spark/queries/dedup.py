@@ -1214,3 +1214,84 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# source → keep priority (lower wins).  The fixture's sources are
+# src0..src19; tier them by suffix so the priority leg genuinely
+# discriminates: src0-5 = curated tier, src6-12 = web tier, rest =
+# synthetic tier.
+_PRIORITY_SQL = (
+    "CASE WHEN CAST(substr(source, 4) AS BIGINT) <= 5 THEN 0 "
+    "WHEN CAST(substr(source, 4) AS BIGINT) <= 12 THEN 1 ELSE 2 END"
+)
+
+
+@register(
+    "dedup_priority_keep",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source,
+             sha256(lower(trim(text))) AS digest,
+             {_PRIORITY_SQL} AS prio
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, source, digest, prio,
+             row_number() OVER (PARTITION BY digest
+                                ORDER BY prio, doc_id) AS rn,
+             count(*) OVER (PARTITION BY digest) AS n_copies
+      FROM scored
+    )
+    SELECT doc_id, source,
+           CAST(n_copies AS BIGINT) AS n_copies,
+           (rn = 1) AS keep,
+           CASE WHEN rn = 1 THEN NULL
+                WHEN n_copies > 1 AND prio > (
+                  SELECT min(prio) FROM ranked r2
+                  WHERE r2.digest = ranked.digest)
+                THEN 'lower_priority_source' ELSE 'duplicate_same_tier'
+           END AS drop_reason
+    FROM ranked
+    """,
+)
+def dedup_priority_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority-aware exact-dup survivor selection — multi-source
+    corpus curation's real rule: when the same document arrives from
+    several sources, keep the copy from the most trusted tier
+    (curated > web > synthetic), not merely the lowest id, and
+    record WHY each loser was dropped (out-prioritized vs same-tier
+    duplicate) for the curation audit.  One digest-keyed window pair
+    (rank + per-group count + per-group min-priority) over the
+    hashed corpus — same single-shuffle profile as dedup_exact; the
+    audit columns are free riders on the same exchange."""
+    from pyspark.sql.window import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    src_n = F.substring("source", 4, 10).cast("long")
+    prio = (
+        F.when(src_n <= 5, 0).when(src_n <= 12, 1).otherwise(2)
+    )
+    scored = d.select(
+        "doc_id", "source",
+        F.sha2(F.lower(F.trim(F.col("text"))), 256).alias("digest"),
+        prio.alias("prio"),
+    )
+    wd = W.partitionBy("digest")
+    ranked = scored.select(
+        "doc_id", "source", "prio",
+        F.row_number().over(wd.orderBy("prio", "doc_id")).alias("rn"),
+        F.count("*").over(wd).alias("n_copies"),
+        F.min("prio").over(wd).alias("best_prio"),
+    )
+    return ranked.select(
+        "doc_id", "source",
+        F.col("n_copies").cast("long").alias("n_copies"),
+        (F.col("rn") == 1).alias("keep"),
+        F.when(F.col("rn") == 1, F.lit(None).cast("string"))
+        .when(
+            (F.col("n_copies") > 1) & (F.col("prio") > F.col("best_prio")),
+            F.lit("lower_priority_source"),
+        )
+        .otherwise(F.lit("duplicate_same_tier"))
+        .alias("drop_reason"),
+    )
