@@ -716,3 +716,57 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
         F.when(in_window, F.col("channel")).alias("channel"),
         F.when(in_window, gap).alias("gap_us"),
     )
+
+
+@register(
+    "events_rfm_segmentation",
+    oracle="""
+    WITH agg AS (
+      SELECT user_id,
+             max(epoch_us(ts)) AS last_us,
+             count(*) AS freq,
+             sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END)
+               AS monetary
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           ntile(4) OVER (ORDER BY last_us DESC, user_id) AS r_score,
+           ntile(4) OVER (ORDER BY freq DESC, user_id) AS f_score,
+           ntile(4) OVER (ORDER BY round(monetary, 4) DESC, user_id)
+             AS m_score
+    FROM agg
+    """,
+)
+def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic customer-value quartiling:
+    recency (latest event), frequency (event count), monetary
+    (purchase value sum) per user, each quartiled independently
+    (1 = best).  The per-user rollup is one partial-agg groupBy; the
+    three ntile windows run over the |users|-row aggregate — the
+    documented bounded-input exception (at 100 TB users are data-
+    sized: swap each ntile for broadcast quantile cutpoints from the
+    distributed exact-quantile operator, the qcut_by_cutpoints
+    pattern).  Monetary rounds to 4 dp before ranking so float-sum
+    partial ordering cannot flip a quartile boundary between
+    engines; all ties break on user_id."""
+    e = load_table(spark, sf_dir, "events")
+    agg = e.groupBy("user_id").agg(
+        F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("last_us"),
+        F.count("*").alias("freq"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value"))
+            .otherwise(0.0)
+        ).alias("monetary"),
+    )
+    return agg.select(
+        "user_id",
+        F.ntile(4).over(
+            Window.orderBy(F.desc("last_us"), F.asc("user_id"))
+        ).alias("r_score"),
+        F.ntile(4).over(
+            Window.orderBy(F.desc("freq"), F.asc("user_id"))
+        ).alias("f_score"),
+        F.ntile(4).over(
+            Window.orderBy(F.desc(F.round("monetary", 4)), F.asc("user_id"))
+        ).alias("m_score"),
+    )

@@ -22,6 +22,9 @@ Design rules shared by every query here:
 
 from __future__ import annotations
 
+import functools
+import operator
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -1103,4 +1106,84 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return agg.select(F.explode(rows).alias("r")).select(
         "r.metric", "r.value"
+    )
+
+
+_LB_EDGES = (16, 32, 64, 128)  # token-length bucket upper edges
+_LB_BATCH = 8  # docs per training batch
+
+
+@register(
+    "pipeline_length_bucket_batching",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tok,
+             (CASE WHEN len(string_split(text, ' ')) > {_LB_EDGES[0]} THEN 1 ELSE 0 END
+            + CASE WHEN len(string_split(text, ' ')) > {_LB_EDGES[1]} THEN 1 ELSE 0 END
+            + CASE WHEN len(string_split(text, ' ')) > {_LB_EDGES[2]} THEN 1 ELSE 0 END
+            + CASE WHEN len(string_split(text, ' ')) > {_LB_EDGES[3]} THEN 1 ELSE 0 END)
+               AS bucket
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, n_tok, bucket,
+             row_number() OVER (PARTITION BY bucket
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM d
+    ),
+    batched AS (
+      SELECT doc_id, n_tok, bucket,
+             (rn - 1) // {_LB_BATCH} AS batch_id
+      FROM ranked
+    )
+    SELECT bucket, batch_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(max(n_tok) AS BIGINT) AS batch_max_len,
+           CAST(sum(n_tok) AS BIGINT) AS real_tokens,
+           CAST(count(*) * max(n_tok) - sum(n_tok) AS BIGINT) AS pad_tokens
+    FROM batched GROUP BY bucket, batch_id
+    """,
+)
+def pipeline_length_bucket_batching(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Length-bucketed batch assembly — the padding-efficiency
+    pattern for variable-length training batches: bucket documents
+    by token length (fixed edges), shuffle deterministically WITHIN
+    the bucket (md5 of doc_id — reproducible across engines/runs),
+    cut into fixed-size batches, and report each batch's padding
+    waste (batch_size × max_len − Σ len, the tokens the collator
+    pads).  Bucketing is pure codegen; the per-bucket rank window
+    partitions on the bucket key (bounded count of buckets, each
+    window a hash-partition task — no global sort); batch stats are
+    one partial-agg groupBy.  The same plan at 100 TB just has more
+    rows per bucket-partition."""
+    from pyspark.sql.window import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " "))
+    bucket = functools.reduce(
+        operator.add,
+        [(n_tok > F.lit(e)).cast("int") for e in _LB_EDGES],
+    )
+    base = d.select(
+        "doc_id", n_tok.alias("n_tok"), bucket.alias("bucket")
+    )
+    w = W.partitionBy("bucket").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    batched = base.select(
+        "doc_id", "n_tok", "bucket",
+        ((F.row_number().over(w) - 1) / _LB_BATCH).cast("long").alias(
+            "batch_id"
+        ),
+    )
+    return batched.groupBy("bucket", "batch_id").agg(
+        F.count("*").alias("n_docs"),
+        F.max("n_tok").cast("long").alias("batch_max_len"),
+        F.sum("n_tok").alias("real_tokens"),
+        (F.count("*") * F.max("n_tok") - F.sum("n_tok")).cast("long").alias(
+            "pad_tokens"
+        ),
     )
