@@ -156,7 +156,8 @@ _SHOWCASE: tuple[str, ...] = (
 #     source_python_datasource, sort_global_rank_scalable,
 #     incremental_partial_agg_merge, source_csv_corrupt_permissive,
 #     embedding_matryoshka_recall, dedup_ngram_containment,
-#     sample_n_per_group, scd2_pit_lookup, dedup_priority_keep).
+#     sample_n_per_group, scd2_pit_lookup, dedup_priority_keep,
+#     events_rfm_segmentation, pipeline_length_bucket_batching).
 
 
 def all_queries() -> dict[str, Query]:
