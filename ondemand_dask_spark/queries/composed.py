@@ -770,3 +770,125 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             Window.orderBy(F.desc(F.round("monetary", 4)), F.asc("user_id"))
         ).alias("m_score"),
     )
+
+
+@register(
+    "events_bot_regularity",
+    oracle=f"""
+    WITH gaps AS (
+      SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    ),
+    stats AS (
+      SELECT user_id,
+             count(gap_us) AS n_gaps,
+             avg(gap_us) AS mean_gap,
+             stddev_samp(gap_us) AS sd_gap
+      FROM gaps WHERE gap_us IS NOT NULL
+      GROUP BY user_id HAVING count(gap_us) >= 5
+    )
+    SELECT user_id, CAST(n_gaps AS BIGINT) AS n_gaps,
+           round(sd_gap / mean_gap - 1e-9, {_R}) + 0.0 AS gap_cv,
+           (sd_gap / mean_gap < 0.3) AS bot_flag
+    FROM stats
+    """,
+)
+def events_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot/automation detection by inter-event regularity: humans
+    arrive with bursty, high-variance gaps; schedulers tick — a
+    coefficient of variation (σ/μ of inter-event time) under 0.3
+    flags metronomic actors.  One per-user ordered lag window builds
+    the gaps, one partial-agg groupBy computes the moments; users
+    with fewer than 5 gaps abstain (variance is meaningless).  The
+    abuse-detection twin of the Markov transition score — cheap
+    enough to run on every scoring pass at 100 TB because nothing
+    here is wider than the per-user exchange."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gaps = e.select(
+        "user_id", (us - F.lag(us).over(w)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    stats = (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count("gap_us").alias("n_gaps"),
+            F.avg("gap_us").alias("mean_gap"),
+            F.stddev_samp("gap_us").alias("sd_gap"),
+        )
+        .filter(F.col("n_gaps") >= 5)
+    )
+    cv = F.col("sd_gap") / F.col("mean_gap")
+    return stats.select(
+        "user_id",
+        F.col("n_gaps").cast("long").alias("n_gaps"),
+        (F.round(cv - 1e-9, _R) + F.lit(0.0)).alias("gap_cv"),
+        (cv < 0.3).alias("bot_flag"),
+    )
+
+
+@register(
+    "orders_pareto_concentration",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey, round(sum(o_totalprice), 4) AS rev
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT o_custkey, rev,
+             sum(rev) OVER (ORDER BY rev DESC, o_custkey
+                            ROWS UNBOUNDED PRECEDING) AS cum_rev,
+             sum(rev) OVER () AS total_rev,
+             row_number() OVER (ORDER BY rev DESC, o_custkey) AS rnk,
+             count(*) OVER () AS n_cust
+      FROM per_cust
+    )
+    SELECT CAST(min(rnk) AS BIGINT) AS n_top_customers,
+           CAST(max(n_cust) AS BIGINT) AS n_customers,
+           round(CAST(min(rnk) AS DOUBLE) / max(n_cust) - 1e-9, 4) + 0.0
+             AS top_fraction
+    FROM ranked
+    WHERE cum_rev >= 0.8 * total_rev
+    """,
+)
+def orders_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration (the 80/20 measurement): the smallest
+    customer prefix, by descending revenue, whose cumulative revenue
+    reaches 80% of the total — 'what fraction of customers carry
+    80% of the business'.  The data-sized pass is one
+    groupBy(custkey); the running-share windows run over the
+    |customers|-row aggregate rounded to 4 dp BEFORE cumulating (so
+    both engines accumulate identical addends in identical rank
+    order — float-sum path divergence cannot move the 80% crossing).
+    At 100 TB the aggregate is still data-sized: swap the global
+    windows for the two-pass partition-offset rank
+    (operators/rank.py) plus a scalar total, same answer."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 4).alias("rev")
+    )
+    w = Window.orderBy(F.desc("rev"), F.asc("o_custkey"))
+    ranked = per_cust.select(
+        "o_custkey", "rev",
+        F.sum("rev").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("cum_rev"),
+        F.sum("rev").over(
+            Window.partitionBy()
+        ).alias("total_rev"),
+        F.row_number().over(w).alias("rnk"),
+        F.count("*").over(Window.partitionBy()).alias("n_cust"),
+    )
+    hit = ranked.filter(F.col("cum_rev") >= 0.8 * F.col("total_rev"))
+    return hit.agg(
+        F.min("rnk").cast("long").alias("n_top_customers"),
+        F.max("n_cust").cast("long").alias("n_customers"),
+        (
+            F.round(
+                F.min("rnk").cast("double") / F.max("n_cust") - 1e-9, 4
+            )
+            + F.lit(0.0)
+        ).alias("top_fraction"),
+    )

@@ -157,7 +157,8 @@ _SHOWCASE: tuple[str, ...] = (
 #     incremental_partial_agg_merge, source_csv_corrupt_permissive,
 #     embedding_matryoshka_recall, dedup_ngram_containment,
 #     sample_n_per_group, scd2_pit_lookup, dedup_priority_keep,
-#     events_rfm_segmentation, pipeline_length_bucket_batching).
+#     events_rfm_segmentation, pipeline_length_bucket_batching,
+#     events_bot_regularity, orders_pareto_concentration).
 
 
 def all_queries() -> dict[str, Query]:
