@@ -134,6 +134,52 @@ class OnDemandFrame:
     def isin_filter(self, col: str, values: Iterable) -> "OnDemandFrame":
         return self._wrap(self._df.filter(F.col(col).isin(*values)))
 
+    def clip(
+        self, columns: Iterable[str], lower=None, upper=None
+    ) -> "OnDemandFrame":
+        """df.clip(lower, upper) over the named columns — pure codegen."""
+
+        def clipped(c: str) -> Column:
+            expr = F.col(c)
+            if lower is not None:
+                expr = F.greatest(expr, F.lit(lower))
+            if upper is not None:
+                expr = F.least(expr, F.lit(upper))
+            return expr
+
+        return self._wrap(
+            self._df.withColumns({c: clipped(c) for c in columns})
+        )
+
+    def round(self, decimals: dict[str, int]) -> "OnDemandFrame":
+        """df.round({col: ndigits}) — per-column rounding."""
+        return self._wrap(
+            self._df.withColumns(
+                {c: F.round(F.col(c), n) for c, n in decimals.items()}
+            )
+        )
+
+    def unique(self, col: str) -> "OnDemandFrame":
+        """ser.unique() — distinct values of one column (one shuffle
+        on that column only; projection prunes before the exchange)."""
+        return self._wrap(self._df.select(col).distinct())
+
+    def between_filter(self, col: str, left, right) -> "OnDemandFrame":
+        """ser.between(left, right) as a filter — inclusive bounds."""
+        return self._wrap(self._df.filter(F.col(col).between(left, right)))
+
+    def rank(
+        self, col: str, method: str = "min", ascending: bool = True
+    ) -> Column:
+        """ser.rank(method='min'|'dense') over the whole frame.
+
+        Returns the window COLUMN (compose with assign).  Global
+        window — the bounded-input exception; for data-sized frames
+        use operators/rank.py's two-pass global_row_numbers."""
+        order = F.asc(col) if ascending else F.desc(col)
+        w = Window.orderBy(order)
+        return (F.rank() if method == "min" else F.dense_rank()).over(w)
+
     # -- joins / concat (§2.C, §2.G) --------------------------------------
     def merge(
         self,

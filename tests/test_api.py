@@ -403,3 +403,52 @@ def test_merge_suffixes_and_left_right_on(events, events_pd):
         suffixes=("_x", "_y"),
     )
     assert_results_match(got2, exp2, "merge_left_right_on")
+
+
+def test_clip_round_unique_between(events, events_pd):
+    got = (
+        events.clip(["value"], lower=10.0, upper=100.0)
+        .round({"value": 1})
+        .compute()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    exp = events_pd.copy()
+    exp["value"] = exp["value"].clip(10.0, 100.0).round(1)
+    exp = exp.sort_values("event_id").reset_index(drop=True)
+    # Spark rounds HALF_UP, pandas rounds half-even: exactly-.x5
+    # values differ by one last digit — allow that single-ulp gap,
+    # and require exact match off the tie.
+    diff = (got["value"] - exp["value"]).abs()
+    assert (diff <= 0.05 + 1e-9).all()
+    assert (diff[diff > 1e-12] > 0.04).all()  # only tie-break diffs
+
+    got_u = set(events.unique("event_type").compute()["event_type"])
+    assert got_u == set(events_pd["event_type"].unique())
+
+    got_b = events.between_filter("value", 20.0, 50.0).compute()
+    exp_b = events_pd[events_pd.value.between(20.0, 50.0)]
+    assert len(got_b) == len(exp_b)
+
+
+def test_rank_min_and_dense(customer):
+    cpd = customer.compute()
+    got = (
+        customer.assign(r=lambda f: f.rank("c_acctbal", method="min"))
+        .compute()
+        .sort_values("c_custkey")
+        .reset_index(drop=True)
+    )
+    exp = cpd.assign(r=cpd["c_acctbal"].rank(method="min").astype("int64"))
+    exp = exp.sort_values("c_custkey").reset_index(drop=True)
+    assert (got["r"].astype("int64") == exp["r"]).all()
+
+    got_d = (
+        customer.assign(r=lambda f: f.rank("c_acctbal", method="dense"))
+        .compute()
+        .sort_values("c_custkey")
+        .reset_index(drop=True)
+    )
+    exp_d = cpd.assign(r=cpd["c_acctbal"].rank(method="dense").astype("int64"))
+    exp_d = exp_d.sort_values("c_custkey").reset_index(drop=True)
+    assert (got_d["r"].astype("int64") == exp_d["r"]).all()
