@@ -419,9 +419,16 @@ def test_clip_round_unique_between(events, events_pd):
     # Spark rounds HALF_UP, pandas rounds half-even: exactly-.x5
     # values differ by one last digit — allow that single-ulp gap,
     # and require exact match off the tie.
-    diff = (got["value"] - exp["value"]).abs()
-    assert (diff <= 0.05 + 1e-9).all()
-    assert (diff[diff > 1e-12] > 0.04).all()  # only tie-break diffs
+    assert (got["value"].isna() == exp["value"].isna()).all()
+    diff = (got["value"] - exp["value"]).abs().fillna(0.0)
+    # a half-up vs half-even disagreement at an exact .x5 tie moves
+    # the LAST KEPT DIGIT by one (0.1 here); nothing else may differ
+    assert (diff <= 0.1 + 1e-9).all()
+    raw = events_pd.sort_values("event_id").reset_index(drop=True)[
+        "value"
+    ].clip(10.0, 100.0)
+    ties = ((raw * 100) % 10).sub(5).abs() < 1e-6
+    assert (diff[~ties] <= 1e-9).all()  # exact off the tie
 
     got_u = set(events.unique("event_type").compute()["event_type"])
     assert got_u == set(events_pd["event_type"].unique())
