@@ -2298,3 +2298,63 @@ def pipeline_purge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("lineitem").alias("tbl"), "n_rows")
     )
     return n_cust.unionByName(n_orders).unionByName(n_line)
+
+
+@register(
+    "agg_hhi_concentration",
+    oracle="""
+    WITH seg AS (
+      SELECT c_mktsegment AS segment, o_custkey,
+             sum(o_totalprice) AS cust_rev
+      FROM orders JOIN customer ON c_custkey = o_custkey
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT segment, sum(cust_rev) AS seg_rev, count(*) AS n_cust
+      FROM seg GROUP BY segment
+    )
+    SELECT s.segment,
+           CAST(max(t.n_cust) AS BIGINT) AS n_customers,
+           round(sum((s.cust_rev / t.seg_rev) * (s.cust_rev / t.seg_rev))
+                 - 1e-9, 6) + 0.0 AS hhi
+    FROM seg s JOIN tot t ON t.segment = s.segment
+    GROUP BY s.segment
+    """,
+)
+def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration index per market segment —
+    Σ (customer share of segment revenue)²: the antitrust-grade
+    'is this segment dominated by a few buyers' statistic, and the
+    same math that scores training-mixture source concentration.
+    Two partial-agg groupBys (customer revenue, then segment totals)
+    + one co-partitioned share join — the per-customer shares never
+    leave their segment's partitions, and the final reduce is a
+    third partial agg.  The customer dimension attaches with a
+    broadcast (small dim onto the fact scan).  Sum-of-squares order
+    differs across engines, so hhi rounds at 6 dp after a share
+    computation whose inputs (cust_rev, seg_rev) are exact
+    decimal-backed sums."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    seg = (
+        o.join(F.broadcast(c), "o_custkey")
+        .groupBy("segment", "o_custkey")
+        .agg(F.sum("o_totalprice").alias("cust_rev"))
+    )
+    tot = seg.groupBy("segment").agg(
+        F.sum("cust_rev").alias("seg_rev"), F.count("*").alias("n_cust")
+    )
+    share = F.col("cust_rev") / F.col("seg_rev")
+    return (
+        seg.join(tot, "segment")
+        .groupBy("segment")
+        .agg(
+            F.max("n_cust").cast("long").alias("n_customers"),
+            (F.round(F.sum(share * share) - 1e-9, 6) + F.lit(0.0)).alias(
+                "hhi"
+            ),
+        )
+    )

@@ -158,7 +158,8 @@ _SHOWCASE: tuple[str, ...] = (
 #     embedding_matryoshka_recall, dedup_ngram_containment,
 #     sample_n_per_group, scd2_pit_lookup, dedup_priority_keep,
 #     events_rfm_segmentation, pipeline_length_bucket_batching,
-#     events_bot_regularity, orders_pareto_concentration).
+#     events_bot_regularity, orders_pareto_concentration,
+#     agg_hhi_concentration).
 
 
 def all_queries() -> dict[str, Query]:
