@@ -1392,3 +1392,42 @@ def sort_global_rank_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _events(spark, sf_dir).select("event_id", "ts")
     ranked = global_row_numbers(e, "ts", "event_id", col_name="pos")
     return ranked.select("event_id", "pos")
+
+
+_GAP_MIN_US = 6 * 3600 * 1_000_000  # report gaps longer than 6h
+
+
+@register(
+    "window_gap_detection",
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id,
+             lag(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS gap_start,
+             ts AS gap_end,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    )
+    SELECT user_id, gap_start, gap_end, CAST(gap_us AS BIGINT) AS gap_us
+    FROM g WHERE gap_us > {_GAP_MIN_US}
+    """,
+)
+def window_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-gap report — the monitoring question sessionization
+    throws away: WHICH silences exceeded the SLA, when did each
+    start and end, and how long was it.  (sessionize_gap returns the
+    activity islands; this returns their complement.)  One per-user
+    lag window, then a filter — the gap rows are the plan's only
+    output, so at 100 TB the report stays proportional to the number
+    of violations, not to the event volume."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    g = e.select(
+        "user_id",
+        F.lag("ts").over(w).alias("gap_start"),
+        F.col("ts").alias("gap_end"),
+        (us - F.lag(us).over(w)).alias("gap_us"),
+    )
+    return g.filter(F.col("gap_us") > _GAP_MIN_US)

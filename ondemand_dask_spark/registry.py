@@ -159,7 +159,7 @@ _SHOWCASE: tuple[str, ...] = (
 #     sample_n_per_group, scd2_pit_lookup, dedup_priority_keep,
 #     events_rfm_segmentation, pipeline_length_bucket_batching,
 #     events_bot_regularity, orders_pareto_concentration,
-#     agg_hhi_concentration).
+#     agg_hhi_concentration, window_gap_detection).
 
 
 def all_queries() -> dict[str, Query]:
