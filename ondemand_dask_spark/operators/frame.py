@@ -137,7 +137,12 @@ class OnDemandFrame:
     def clip(
         self, columns: Iterable[str], lower=None, upper=None
     ) -> "OnDemandFrame":
-        """df.clip(lower, upper) over the named columns — pure codegen."""
+        """df.clip(lower, upper) over the named columns — pure codegen.
+
+        NULLs pass through untouched (pandas keeps NaN in clip);
+        Spark's greatest/least SKIP nulls, which would otherwise turn
+        a NULL value into the bound itself, so the null case is
+        guarded explicitly."""
 
         def clipped(c: str) -> Column:
             expr = F.col(c)
@@ -145,7 +150,7 @@ class OnDemandFrame:
                 expr = F.greatest(expr, F.lit(lower))
             if upper is not None:
                 expr = F.least(expr, F.lit(upper))
-            return expr
+            return F.when(F.col(c).isNull(), F.lit(None)).otherwise(expr)
 
         return self._wrap(
             self._df.withColumns({c: clipped(c) for c in columns})

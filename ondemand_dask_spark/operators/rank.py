@@ -33,11 +33,24 @@ def global_row_numbers(
     df: DataFrame, *keys: str | Column, col_name: str = "pos"
 ) -> DataFrame:
     """Append 1-based global positions ordered by `keys` (must form a
-    total order) without a single-task global window."""
+    total order) without a single-task global window.
+
+    The pid-stamped, locally-numbered frame is PINNED with a lazy
+    localCheckpoint before it branches into (a) the per-partition
+    count table and (b) the row-number side of the final join: both
+    consumers must read ONE materialization of the range exchange.
+    Without the pin, correctness would ride on Spark's exchange
+    reuse — if the exchange were recomputed, offsets derived from
+    one sampled set of range boundaries would be applied to row
+    numbers from another, silently corrupting positions.  The
+    checkpoint RDD is computed once at first action and shared by
+    both plan branches; callers holding many ranked frames can free
+    the blocks early via operators.checkpoint.release_local_checkpoint."""
     ranged = df.repartitionByRange(*keys).sortWithinPartitions(*keys)
     with_pid = ranged.withColumn("__pid", F.spark_partition_id())
     w_local = Window.partitionBy("__pid").orderBy(*keys)
     local = with_pid.withColumn("__rn", F.row_number().over(w_local))
+    local = local.localCheckpoint(eager=False)
     counts = local.groupBy("__pid").agg(F.count("*").alias("__cnt"))
     w_off = Window.orderBy("__pid").rowsBetween(
         Window.unboundedPreceding, -1
@@ -51,3 +64,28 @@ def global_row_numbers(
         .withColumn(col_name, F.col("__off") + F.col("__rn"))
         .drop("__pid", "__rn", "__off")
     )
+
+
+def global_min_ranks(
+    df: DataFrame,
+    value_col: str,
+    tiebreak: str | Column,
+    col_name: str = "rnk",
+) -> DataFrame:
+    """Append `rank() OVER (ORDER BY value_col)` — ties share their
+    MIN position — without a single-task global window.
+
+    Shape: total-order positions via `global_row_numbers` on
+    (value_col, tiebreak), then rank = min(position) within each
+    distinct value via a window PARTITIONED BY the value (a
+    key-partitioned shuffle, never a global one).  Every exchange in
+    the plan is keyed, so the operator runs at full parallelism on
+    data-sized inputs; the worst case is value-skew (one dominant
+    value), which AQE's skew handling splits.  `tiebreak` must make
+    (value_col, tiebreak) a total order or positions are
+    nondeterministic."""
+    numbered = global_row_numbers(df, value_col, tiebreak, col_name="__pos")
+    w_val = Window.partitionBy(value_col)
+    return numbered.withColumn(
+        col_name, F.min("__pos").over(w_val)
+    ).drop("__pos")

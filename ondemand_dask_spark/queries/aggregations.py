@@ -2149,22 +2149,32 @@ def stat_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stat_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spearman rank correlation between order value and order date —
-    the robust monotonic-association measure (Pearson over average
+    the robust monotonic-association measure (Pearson over min
     ranks, immune to outliers and monotone transforms).  rank() (not
-    row_number) gives ties their average-consistent min rank in both
-    engines, so the differential check is exact.  The two global rank
-    windows run over the full table — the documented bounded-input
-    exception does NOT apply here, so at 100 TB swap each rank for
-    the distributed two-pass rank (sort + partition-offset
-    cumulative count, the exact_group_quantiles machinery); the
-    fixture-scale window keeps this query one declarative plan."""
-    o = load_table(spark, sf_dir, "orders")
-    wx = Window.orderBy("o_totalprice")
-    wy = Window.orderBy(F.unix_micros(F.col("o_orderdate").cast("timestamp")))
-    r = o.select(
-        F.rank().over(wx).alias("rx"),
-        F.rank().over(wy).alias("ry"),
+    row_number) gives ties their min rank in both engines, so the
+    differential check is exact.  Each rank is computed by the
+    DISTRIBUTED two-pass rank (operators/rank.py global_min_ranks:
+    range-partitioned row numbers + per-value min — every exchange
+    keyed, no single-task global window), so the plan runs at full
+    parallelism on data-sized inputs; the oracle's plain
+    `rank() OVER (ORDER BY ...)` is the semantic spec.  The two
+    independently-ranked sides re-join on the primary key (one hash
+    shuffle on o_orderkey) to pair (rx, ry) per row before corr."""
+    from ondemand_dask_spark.operators.rank import global_min_ranks
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("__od"),
     )
+    rx = global_min_ranks(
+        o.select("o_orderkey", "o_totalprice"),
+        "o_totalprice", "o_orderkey", col_name="rx",
+    ).select("o_orderkey", "rx")
+    ry = global_min_ranks(
+        o.select("o_orderkey", "__od"), "__od", "o_orderkey", col_name="ry"
+    ).select("o_orderkey", "ry")
+    r = rx.join(ry, "o_orderkey")
     return r.agg(
         F.count("*").alias("n"),
         (F.round(F.corr("rx", "ry") - 1e-9, 4) + F.lit(0.0)).alias(

@@ -339,7 +339,6 @@ def scd2_pit_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     z-ordered on valid_from — no join, no window at read time beyond
     the build itself."""
     o = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("ts", "o_orderkey")
     hist = o.select(
         F.col("o_custkey").alias("custkey"),
         F.col("o_orderkey").alias("version_key"),

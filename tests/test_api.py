@@ -459,3 +459,22 @@ def test_rank_min_and_dense(customer):
     exp_d = cpd.assign(r=cpd["c_acctbal"].rank(method="dense").astype("int64"))
     exp_d = exp_d.sort_values("c_custkey").reset_index(drop=True)
     assert (got_d["r"].astype("int64") == exp_d["r"]).all()
+
+
+def test_clip_preserves_nulls(spark):
+    """pandas df.clip keeps NaN as NaN; Spark greatest/least skip
+    nulls, so an unguarded clip would turn NULL into the bound."""
+    pdf = pd.DataFrame({"k": [1, 2, 3, 4], "v": [5.0, None, 250.0, -3.0]})
+    f = from_spark(spark.createDataFrame(pdf))
+    got = (
+        f.clip(["v"], lower=0.0, upper=100.0)
+        .compute()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    exp = pdf.copy()
+    exp["v"] = exp["v"].clip(0.0, 100.0)
+    exp = exp.sort_values("k").reset_index(drop=True)
+    assert got["v"].isna().tolist() == exp["v"].isna().tolist()
+    mask = ~exp["v"].isna()
+    assert (got["v"][mask] == exp["v"][mask]).all()

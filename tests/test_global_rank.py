@@ -46,3 +46,33 @@ def test_shuffled_input_order(spark):
     rows = [(i, i * 7 % 101) for i in range(2000)]
     rng.shuffle(rows)
     _check(spark, rows)
+
+
+def _check_min_ranks(spark, rows):
+    from ondemand_dask_spark.operators.rank import global_min_ranks
+
+    df = spark.createDataFrame(rows, "k long, v long")
+    got = {
+        (r.k, r.v): r.rnk for r in global_min_ranks(df, "k", "v").collect()
+    }
+    w = Window.orderBy("k")
+    want = {
+        (r.k, r.v): r.rnk
+        for r in df.withColumn("rnk", F.rank().over(w)).collect()
+    }
+    assert got == want
+
+
+def test_min_ranks_with_heavy_ties(spark):
+    rng = random.Random(11)
+    rows = [(rng.choice([1, 1, 1, 2, 5, 5, 9]), i) for i in range(4000)]
+    _check_min_ranks(spark, rows)
+
+
+def test_min_ranks_all_distinct(spark):
+    rows = [(i * 3 % 997, i) for i in range(997)]
+    _check_min_ranks(spark, rows)
+
+
+def test_min_ranks_single_value(spark):
+    _check_min_ranks(spark, [(7, i) for i in range(50)])
