@@ -50,116 +50,91 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # module happens to import first.  Everything not listed follows in
 # registration order.
 _SHOWCASE: tuple[str, ...] = (
-    # --- round-5 rotation: the driver checks only this 50-entry
-    # prefix per round.  r4 went 50/50 (cumulative driver-green:
-    # 129 of 306 + 1 rows-only); this window keeps the same 8
-    # anchors and fills 42 slots from the 176 never-checked,
-    # prioritizing the round-4 additions (graph, stats, intervals,
-    # DataSketches, incremental, CDC) that have zero external
-    # evidence — exactly the pre-committed r5 worklist.
+    # --- round-6 rotation: the driver checks only this 50-entry
+    # prefix per round.  r5 went 50/50 (second consecutive perfect
+    # window; cumulative driver-green: 170 of 335 + 1 rows-only).
+    # This window keeps the same 8 anchors and fills 42 slots from
+    # the 164 never-checked, prioritizing (a) all 29 round-5
+    # additions, (b) the two rows-only holdouts' oracle-checked
+    # twins, (c) one representative per family the driver has never
+    # touched (§2.H scalars, §2.B relational, §2.G sets, streaming
+    # batch-twins) — exactly the pre-committed r6 worklist from
+    # VERDICT r5.
     #
     # anchors (driver-green every round they appeared)
     "tpch_q1", "tpch_q3",
     "join_inner", "agg_groupby_basic", "agg_groupby_quantile",
     "window_cumsum", "dedup_minhash_lsh", "pipeline_end_to_end",
-    # graph family — all never checked, incl. the fixpoint-loop
-    # k-core landing this round
-    "graph_triangle_count", "graph_pagerank", "graph_kcore",
-    "graph_degree_stats", "graph_link_prediction",
-    "basket_association_rules",
-    # iterative dedup composites (label propagation + O(log n) twin)
-    "dedup_connected_components", "dedup_cc_star_contraction",
-    # statistics / sketches
-    "stat_mann_whitney", "stat_bootstrap_ci", "stat_theil_sen_slope",
-    "stat_kll_quantile_banded", "stat_theta_intersection_banded",
-    # aggregation + data-quality additions
-    "agg_winsorize", "agg_rollup_grouping_id", "dq_expectations",
-    # interval algebra
-    "intervals_union_length", "intervals_peak_concurrency",
-    # CDC / recursive SQL (both touched by this round's fixes)
-    "stream_cdc_upsert", "sql_recursive_sessionize",
-    # Python-boundary families (directive: widen §2.J/multimodal
-    # driver evidence beyond udf_map_in_pandas + decode_wav)
-    "multimodal_wav_rms", "multimodal_decode_features",
-    "udf_cogroup", "udf_map_overlap", "udf_table_function",
-    # text additions
-    "text_tfidf_cosine_pairs", "text_bigram_perplexity",
-    # time-series windows + relational + scalars representatives
-    "window_autocorr_lag1", "flag_duplicated", "str_predicates",
-    # encodings / ML eval
-    "encode_robust_scale", "ml_eval_binary",
-    # incremental snapshot algebra + sources + similarity + skew reps
-    "scd2_intervals", "source_orc_roundtrip", "ann_lsh_probe",
-    "join_salted_skew",
-    # pipeline
-    "pipeline_dataset_card", "pipeline_bpe_pair_counts",
-    # streaming batch-twins
-    "stream_stream_join",
-    # joins / sets / windows representatives
-    "join_full_outer", "set_union_schema_evolution", "window_lag_lead",
+    # (a) round-5 additions — zero external evidence until now
+    "dedup_duplicate_spans", "join_set_similarity",
+    "dedup_semantic_embedding", "text_bm25_topk", "graph_modularity",
+    "source_parquet_merge_schema", "dq_psi_drift", "stat_anova_oneway",
+    "stat_spearman_corr", "window_max_drawdown",
+    "events_markov_transitions", "dq_referential_integrity",
+    "pipeline_purge_audit", "events_attribution_last_touch",
+    "source_python_datasource", "sort_global_rank_scalable",
+    "incremental_partial_agg_merge", "source_csv_corrupt_permissive",
+    "embedding_matryoshka_recall", "dedup_ngram_containment",
+    "sample_n_per_group", "scd2_pit_lookup", "dedup_priority_keep",
+    "events_rfm_segmentation", "pipeline_length_bucket_batching",
+    "events_bot_regularity", "orders_pareto_concentration",
+    "agg_hhi_concentration", "window_gap_detection",
+    # (b) oracle-checked twins of the declared rows-only holdouts
+    "stat_freq_items_verified", "dedup_minhash_ml",
+    # (c) never-driver-touched family representatives
+    "str_replace_extract", "dt_parts", "math_transcendental",
+    "array_hof", "null_funcs", "try_ops",          # §2.H scalars
+    "proj_assign", "na_drop",                      # §2.B relational
+    "set_union_all", "set_except",                 # §2.G sets
+    "stream_static_join",                          # streaming twins
 )
 
-# Round-6 rotation worklist: after r5's window lands, 134 registered
-# queries remain never-driver-checked (barring additions this round —
-# regenerate the list from CORRECTNESS_r0{1..5}.json ∪ registry).
-# Build the next window from them (keep the same ~8 anchors),
-# prioritizing one per family:
+# Round-7 rotation worklist: after r6's window lands, 122 registered
+# queries remain never-driver-checked (regenerate from
+# CORRECTNESS_r0{1..6}.json ∪ registry before building the window).
+# Keep the ~8 anchors, fill 42 from these, one per family first:
+#   scalars (str_edit_distance/pad_concat/split_explode/
+#     count_occurrences/char_classes/format/slice_parse, dt_arith/
+#     calendar/boundaries, math_hash/binning/bitwise,
+#     array_explode_outer/sort_distinct/set_ops/mutation, map_struct,
+#     json_variant, json_normalize_nested, agg_mode),
+#   relational (proj_drop_rename_cast, filter_isin, cond_where_mask,
+#     na_fill, replace_value, slice_loc_between, topn_head,
+#     sample_seeded/hash_split/weighted, combine_first),
+#   joins (join_right, join_cross, join_theta, join_indicator,
+#     join_interval_overlap, concat_axis1),
+#   sets (set_intersect_all, set_except_all),
 #   windows (window_rolling_rows/median/corr, window_cummax_cummin,
 #     window_cumprod, window_expanding, window_distinct_expanding,
 #     window_fill_forward, window_pct_change, window_nth_first_last,
 #     window_cusum_drift, window_interpolate_linear,
-#     window_time_weighted_avg, window_zscore_rolling,
-#     window_transform_broadcast, resample_hour_window,
-#     resample_asfreq_gapfill, resample_ohlc),
-#   scalars (str_predicates/replace_extract/edit_distance/pad_concat/
-#     split_explode/count_occurrences/char_classes/format/slice_parse,
-#     dt_parts/arith/calendar/boundaries, math_transcendental/hash/
-#     binning/bitwise, array_explode_outer/sort_distinct/hof/set_ops/
-#     mutation, map_struct, try_ops, null_funcs, json_variant,
-#     json_normalize_nested),
-#   relational (proj_assign, proj_drop_rename_cast, filter_isin,
-#     cond_where_mask, na_drop, na_fill, replace_value, topn_head,
-#     slice_loc_between, sample_seeded/hash_split/weighted,
-#     combine_first, flag_duplicated),
-#   joins (join_right, join_cross, join_theta, join_indicator,
-#     join_interval_overlap, concat_axis1),
-#   sets (set_union_all, set_except, set_intersect_all,
-#     set_except_all),
-#   streaming batch-twins (stream_static_join, stream_running_topk,
+#     window_time_weighted_avg, window_zscore_rolling/anomaly,
+#     window_transform_broadcast, resample_hour_window/asfreq/ohlc,
+#     topk_nsmallest, events_burst_days),
+#   streaming batch-twins (stream_sliding_agg, stream_running_topk,
 #     stream_foreachbatch_sink, stream_stateful_counter),
 #   udf surface (udf_apply_in_pandas, udf_ewm, udf_map_in_arrow),
-#   similarity/embedding (ann_lsh_probe, ann_lsh_bucket_stats,
-#     ann_ivf_probe, dedup_embedding_cosine, embedding_* ...),
-#   sources (source_orc/fwf/from_pandas/from_map/jdbc/xml/range/
+#   similarity/embedding (ann_lsh_bucket_stats, ann_ivf_probe,
+#     dedup_embedding_cosine, embedding_centroid_distance/
+#     quantize_int8/pca_power/dim_stats),
+#   sources (source_from_pandas/fwf/from_map/jdbc/xml/range/
 #     binaryfile, jdbc_source_plan),
 #   text (text_lang_id, text_quality_score, text_fingerprint,
 #     text_unigram_surprisal, text_zipf_fit, text_oov_rate,
 #     text_repetition_metrics),
 #   pipeline (pipeline_chunk_overlap/stratified_sample/heavy_hitters/
 #     pii_redact/shard_shuffle/length_histogram/negative_pairs/
-#     interleave_sources/curriculum_order/filter_cascade/
-#     span_corruption, topk_per_group, topk_nsmallest),
+#     interleave_sources/decontaminate/curriculum_order/
+#     filter_cascade/span_corruption, topk_per_group),
 #   multimodal (multimodal_binary_meta/decode_ppm/frame_sample/
 #     resize),
-#   stats (stat_corr_matrix, stat_welch_ttest, stat_chi2_independence,
-#     stat_ks_two_sample, stat_freq_items_verified, agg_mode,
-#     agg_weighted_median, dq_profile_report),
-#   encodings (encode_label/standardize/minmax/multi_hot/target_mean),
-#   dedup composites (dedup_report, dedup_incremental_batch,
-#     dedup_minhash_ml), events (events_burst_days),
-#   round-5 additions, all never driver-checked (dedup_duplicate_spans,
-#     join_set_similarity, dedup_semantic_embedding, text_bm25_topk,
-#     graph_modularity, source_parquet_merge_schema, dq_psi_drift,
-#     stat_anova_oneway, stat_spearman_corr, window_max_drawdown,
-#     events_markov_transitions, dq_referential_integrity,
-#     pipeline_purge_audit, events_attribution_last_touch,
-#     source_python_datasource, sort_global_rank_scalable,
-#     incremental_partial_agg_merge, source_csv_corrupt_permissive,
-#     embedding_matryoshka_recall, dedup_ngram_containment,
-#     sample_n_per_group, scd2_pit_lookup, dedup_priority_keep,
-#     events_rfm_segmentation, pipeline_length_bucket_batching,
-#     events_bot_regularity, orders_pareto_concentration,
-#     agg_hhi_concentration, window_gap_detection).
+#   stats/encodings (stat_corr_matrix, stat_welch_ttest,
+#     stat_chi2_independence, stat_ks_two_sample, agg_weighted_median,
+#     dq_profile_report, encode_label/standardize/minmax/multi_hot/
+#     target_mean/cyclic_time),
+#   dedup/incremental (dedup_report, dedup_incremental_batch,
+#     snapshot_diff_cdc),
+# plus any round-6 additions (all never driver-checked by definition).
 
 
 def all_queries() -> dict[str, Query]:
