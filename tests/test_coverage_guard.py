@@ -102,3 +102,21 @@ def test_showcase_is_exactly_driver_window_size():
 
     assert len(_SHOWCASE) == 50
     assert len(set(_SHOWCASE)) == 50, "duplicate names in showcase"
+
+
+def test_readme_oracle_counts_match_registry():
+    """README's 'N of M registered queries carry a full oracle' line
+    staled two rounds in a row — pin it to the live registry so the
+    drift class dies."""
+    with open(os.path.join(REPO, "README.md")) as f:
+        text = f.read()
+    m = re.search(
+        r"(\d+) of (\d+) registered queries carry a full oracle", text
+    )
+    assert m, "README oracle-count line not found"
+    qs = all_queries()
+    with_oracle = sum(1 for q in qs.values() if q.oracle is not None)
+    assert (int(m.group(1)), int(m.group(2))) == (with_oracle, len(qs)), (
+        "README.md oracle counts are stale — update the 'N of M "
+        "registered queries carry a full oracle' line"
+    )
