@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -177,6 +178,48 @@ def main() -> None:
     graph_subtotal = round(
         sum(t for n, t in timings.items() if n.startswith("graph_")), 4
     )
+    # Regression guard: per-query delta vs the newest BENCH_r*.json
+    # (same-sf only), on stderr so the one-line JSON contract on
+    # stdout is untouched.  A >25% slowdown on a query whose previous
+    # time was >0.5 s (sub-second entries sit in scheduling-noise
+    # territory) is flagged loudly — the r5 dedup_simhash surprise
+    # (+38%, later measured to be load noise) motivated making the
+    # comparison visible BEFORE the driver records it.
+    prev_files = sorted(
+        f
+        for f in os.listdir(os.path.dirname(os.path.abspath(__file__)))
+        if re.fullmatch(r"BENCH_r\d+\.json", f)
+    )
+    if prev_files:
+        try:
+            with open(prev_files[-1]) as fh:
+                prev = json.load(fh)
+            # the round driver wraps bench stdout under "parsed"
+            if isinstance(prev.get("parsed"), dict):
+                prev = prev["parsed"]
+            if prev.get("sf") == _sf_from_dir(sf_dir):
+                pq = prev.get("queries", {})
+                flagged = []
+                for n, t in timings.items():
+                    if n in pq and pq[n] > 0.5 and t > pq[n] * 1.25:
+                        flagged.append((n, pq[n], t))
+                for n, was, now in sorted(
+                    flagged, key=lambda x: x[2] - x[1], reverse=True
+                ):
+                    print(
+                        f"REGRESSION vs {prev_files[-1]}: {n} "
+                        f"{was:.2f}s -> {now:.2f}s "
+                        f"(+{(now / was - 1) * 100:.0f}%)",
+                        file=sys.stderr,
+                    )
+                if not flagged:
+                    print(
+                        f"no >25% regressions vs {prev_files[-1]}",
+                        file=sys.stderr,
+                    )
+        except (OSError, ValueError):
+            pass  # a malformed prior artifact must not break the bench
+
     print(
         json.dumps(
             {

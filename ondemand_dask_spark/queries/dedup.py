@@ -713,6 +713,13 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _retain(
         dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b").cache()
     )
+    # Populate the cache EAGERLY: the union below consumes `pairs`
+    # from two branches inside one (eager-checkpoint) job, and a lazy
+    # cache makes it a scheduler accident whether the second branch
+    # hits warm blocks or re-runs the whole minhash pipeline —
+    # measured bimodal 2.7 s vs 5.7 s at sf0.1 (the delta is exactly
+    # one extra pipeline execution).
+    pairs.count()
     # localCheckpoint (not cache): truncates lineage so the symmetric
     # union reads materialized pair rows twice instead of running the
     # minhash pipeline per reference, and each round below starts
@@ -827,6 +834,9 @@ def dedup_cc_star_contraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _retain(
         dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b").cache()
     )
+    # eager cache population — same two-branch-union race as the
+    # propagation variant above (see comment there).
+    pairs.count()
     labels, star_edges = connected_components_star(pairs, "doc_a", "doc_b")
     # labels' plan reads the converged stars' checkpoint blocks, so
     # they must outlive this call — retained for next-dedup-query

@@ -202,6 +202,16 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()
     )
     _retain(oriented)
+    # Materialize the caches EAGERLY before the census job.  Left
+    # lazy, the final job populates them mid-flight across its three
+    # consuming branches, and whether the branches hit warm blocks or
+    # race to recompute the lineage is a scheduler accident — measured
+    # BIMODAL at sf0.1: ~5 s when the reuse wins, ~19-20 s (4x) when
+    # it doesn't (8 runs: 5 fast / 3 slow).  Two cheap counts pin the
+    # fast path deterministically: edges first (also consumed by the
+    # degree/rank side), then oriented on top of the warm edge cache.
+    edges.count()
+    oriented.count()
     adj = oriented.groupBy(F.col("lo").alias("node")).agg(
         F.collect_list("hi").alias("nbrs")
     )
