@@ -11,6 +11,7 @@ from ondemand_dask_spark.queries import (  # noqa: F401
     graph,
     incremental,
     joins,
+    layout,
     multimodal,
     pipeline,
     relational,

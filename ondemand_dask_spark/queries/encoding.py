@@ -452,3 +452,335 @@ def encode_cyclic_time(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dow_cos"
         ),
     )
+
+
+@register(
+    "ml_eval_regression",
+    oracle=f"""
+    WITH m AS (
+      SELECT event_type, avg(value) AS yhat FROM events GROUP BY event_type
+    ),
+    g AS (SELECT avg(value) AS ybar FROM events),
+    j AS (
+      SELECT e.value AS y, m.yhat, g.ybar
+      FROM events e JOIN m USING (event_type) CROSS JOIN g
+    )
+    SELECT count(*) AS n,
+           round(avg(abs(y - yhat)) - 1e-9, {_R}) + 0.0 AS mae,
+           round(sqrt(avg((y - yhat) * (y - yhat))) - 1e-9, {_R}) + 0.0 AS rmse,
+           round(1 - sum((y - yhat) * (y - yhat))
+                   / sum((y - ybar) * (y - ybar)) - 1e-9, {_R}) + 0.0 AS r2
+    FROM j
+    """,
+)
+def ml_eval_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regression-model evaluation — MAE / RMSE / R² of the
+    group-mean predictor (yhat = per-event_type mean) against the
+    observed values.  The 'model' is deliberately in-engine so the
+    whole evaluation is one differential-checkable plan: a
+    vocabulary-sized groupBy builds the predictions, a broadcast
+    join attaches them, a 1-row global-mean aggregate rides a
+    broadcast crossJoin, and the metrics fold into ONE partial-agg
+    pass over the residuals — no sort, no window, nothing that
+    grows with data size except the single scan."""
+    e = load_table(spark, sf_dir, "events")
+    m = e.groupBy("event_type").agg(F.avg("value").alias("yhat"))
+    g = e.agg(F.avg("value").alias("ybar"))
+    j = (
+        e.select("event_type", F.col("value").alias("y"))
+        .join(F.broadcast(m), "event_type")
+        .crossJoin(F.broadcast(g))
+    )
+    r = F.col("y") - F.col("yhat")
+    d = F.col("y") - F.col("ybar")
+    return j.agg(
+        F.count("*").alias("n"),
+        (F.round(F.avg(F.abs(r)) - 1e-9, _R) + 0.0).alias("mae"),
+        (F.round(F.sqrt(F.avg(r * r)) - 1e-9, _R) + 0.0).alias("rmse"),
+        (F.round(1 - F.sum(r * r) / F.sum(d * d) - 1e-9, _R) + 0.0).alias(
+            "r2"
+        ),
+    )
+
+
+@register(
+    "ml_eval_multiclass",
+    oracle=f"""
+    WITH cnt AS (
+      SELECT user_id, event_type, count(*) AS c
+      FROM events GROUP BY user_id, event_type
+    ),
+    pred AS (
+      SELECT user_id, event_type AS yhat FROM (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY c DESC, event_type) AS rn
+        FROM cnt
+      ) WHERE rn = 1
+    ),
+    lab AS (
+      SELECT e.event_type AS y, p.yhat
+      FROM events e JOIN pred p USING (user_id)
+    ),
+    cls AS (SELECT DISTINCT event_type AS cls FROM events),
+    per AS (
+      SELECT cls,
+             CAST(sum(CASE WHEN y = cls AND yhat = cls THEN 1 ELSE 0 END) AS DOUBLE) AS tp,
+             CAST(sum(CASE WHEN y <> cls AND yhat = cls THEN 1 ELSE 0 END) AS DOUBLE) AS fp,
+             CAST(sum(CASE WHEN y = cls AND yhat <> cls THEN 1 ELSE 0 END) AS DOUBLE) AS fn
+      FROM lab CROSS JOIN cls GROUP BY cls
+    )
+    SELECT cls, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn,
+           round(tp / nullif(tp + fp, 0) - 1e-9, {_R}) + 0.0 AS precision_c,
+           round(tp / nullif(tp + fn, 0) - 1e-9, {_R}) + 0.0 AS recall_c,
+           round(2 * tp / nullif(2 * tp + fp + fn, 0) - 1e-9, {_R}) + 0.0 AS f1_c
+    FROM per
+    """,
+)
+def ml_eval_multiclass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiclass evaluation — per-class tp/fp/fn + precision/recall/
+    F1 of the per-user MAJORITY-CLASS predictor (each user's most
+    frequent event_type, ties broken lexicographically so both
+    engines pick the same class).  The per-user mode is a
+    key-partitioned window over the (user, class) count table —
+    never a global sort; the per-class confusion entries fold into
+    ONE conditional aggregate per class over the labeled scan (the
+    class list is a broadcast of the distinct-agg, so the crossJoin
+    is |classes|-wide fan-out, bounded by the vocabulary)."""
+    e = load_table(spark, sf_dir, "events")
+    cnt = e.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("c"), F.asc("event_type")
+    )
+    pred = (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("yhat"))
+    )
+    lab = e.select("user_id", F.col("event_type").alias("y")).join(
+        pred, "user_id"
+    )
+    cls = e.select(F.col("event_type").alias("cls")).distinct()
+    per = (
+        lab.crossJoin(F.broadcast(cls))
+        .groupBy("cls")
+        .agg(
+            F.sum(F.when((F.col("y") == F.col("cls")) & (F.col("yhat") == F.col("cls")), 1).otherwise(0))
+            .cast("double").alias("tp"),
+            F.sum(F.when((F.col("y") != F.col("cls")) & (F.col("yhat") == F.col("cls")), 1).otherwise(0))
+            .cast("double").alias("fp"),
+            F.sum(F.when((F.col("y") == F.col("cls")) & (F.col("yhat") != F.col("cls")), 1).otherwise(0))
+            .cast("double").alias("fn"),
+        )
+    )
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    z = F.lit(0)
+    return per.select(
+        "cls",
+        tp.cast("long").alias("tp"),
+        fp.cast("long").alias("fp"),
+        fn.cast("long").alias("fn"),
+        (F.round(tp / F.nullif(tp + fp, z) - 1e-9, _R) + 0.0).alias(
+            "precision_c"
+        ),
+        (F.round(tp / F.nullif(tp + fn, z) - 1e-9, _R) + 0.0).alias(
+            "recall_c"
+        ),
+        (F.round(2 * tp / F.nullif(2 * tp + fp + fn, z) - 1e-9, _R) + 0.0)
+        .alias("f1_c"),
+    )
+
+
+@register(
+    "ml_calibration_bins",
+    oracle=f"""
+    WITH lab AS (
+      SELECT value AS v,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events WHERE event_type IN ('purchase', 'view')
+    ),
+    mm AS (SELECT min(v) AS lo, max(v) AS hi FROM lab),
+    s AS (
+      SELECT least(CAST(floor((v - lo) / (hi - lo) * 10) AS BIGINT), 9) AS bin,
+             (v - lo) / (hi - lo) AS score, y
+      FROM lab CROSS JOIN mm
+    )
+    SELECT bin, count(*) AS n,
+           round(avg(score) - 1e-9, {_R}) + 0.0 AS mean_score,
+           round(avg(CAST(y AS DOUBLE)) - 1e-9, {_R}) + 0.0 AS event_rate
+    FROM s GROUP BY bin
+    """,
+)
+def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration (reliability) table — decile bins of a min-max
+    normalized score vs the empirical positive rate, the standard
+    'is the model's confidence honest' diagnostic.  The global
+    min/max is a 1-row aggregate broadcast back over the stream;
+    binning is pure codegen arithmetic; one groupBy(bin) with
+    partial aggregation finishes it.  At 100 TB nothing here grows
+    beyond the single scan + a 10-row result."""
+    lab = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "view"))
+        .select(
+            F.col("value").alias("v"),
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("y"),
+        )
+    )
+    mm = lab.agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    score = (F.col("v") - F.col("lo")) / (F.col("hi") - F.col("lo"))
+    s = lab.crossJoin(F.broadcast(mm)).select(
+        F.least(F.floor(score * 10).cast("long"), F.lit(9)).alias("bin"),
+        score.alias("score"),
+        "y",
+    )
+    return s.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        (F.round(F.avg("score") - 1e-9, _R) + 0.0).alias("mean_score"),
+        (F.round(F.avg(F.col("y").cast("double")) - 1e-9, _R) + 0.0).alias(
+            "event_rate"
+        ),
+    )
+
+
+_TE_FOLDS = 5
+_TE_FOLD_SQL = (
+    "CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT)"
+    f" % {_TE_FOLDS}"
+)
+
+
+@register(
+    "feature_target_encode_cv",
+    oracle=f"""
+    WITH f AS (
+      SELECT event_id, user_id, value,
+             {_TE_FOLD_SQL} AS fold
+      FROM events
+    ),
+    pf AS (
+      SELECT user_id, fold, sum(value) AS s, count(*) AS c
+      FROM f GROUP BY user_id, fold
+    ),
+    tot AS (
+      SELECT user_id, fold, s, c,
+             sum(s) OVER (PARTITION BY user_id) AS s_all,
+             sum(c) OVER (PARTITION BY user_id) AS c_all
+      FROM pf
+    ),
+    g AS (SELECT avg(value) AS gmean FROM events)
+    SELECT f.event_id, f.fold,
+           round(coalesce((t.s_all - t.s) / nullif(t.c_all - t.c, 0),
+                          g.gmean) - 1e-9, {_R}) + 0.0 AS te_user
+    FROM f JOIN tot t ON f.user_id = t.user_id AND f.fold = t.fold
+    CROSS JOIN g
+    """,
+)
+def feature_target_encode_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free (out-of-fold) target encoding of a
+    HIGH-CARDINALITY categorical — user_id encoded by the mean of
+    `value`, where each row's encoding excludes its own fold's
+    contribution: te = (sum_all − sum_fold) / (cnt_all − cnt_fold).
+    Rows whose category appears only in their own fold fall back to
+    the global mean (the standard cold-start prior).  Folds are
+    assigned by the engine-portable md5 hash, so the oracle computes
+    the identical split.
+
+    Scale shape: the per-(category, fold) partial-sum table is
+    |categories|×K rows — the window that turns partials into
+    leave-fold-out sums is PARTITIONED by category (key-partitioned,
+    never global), and the encoded values join back on
+    (category, fold) — every exchange keyed by the category.  This
+    is the shape Kaggle-style target encoding ships at 100 TB; the
+    naive per-row anti-join over the raw data never materializes."""
+    e = load_table(spark, sf_dir, "events")
+    f = e.select(
+        "event_id",
+        "user_id",
+        "value",
+        (
+            portable_hash64(F.col("event_id").cast("string"))
+            % F.lit(_TE_FOLDS)
+        ).alias("fold"),
+    )
+    pf = f.groupBy("user_id", "fold").agg(
+        F.sum("value").alias("s"), F.count("*").alias("c")
+    )
+    wu = Window.partitionBy("user_id")
+    tot = pf.select(
+        "user_id",
+        "fold",
+        "s",
+        "c",
+        F.sum("s").over(wu).alias("s_all"),
+        F.sum("c").over(wu).alias("c_all"),
+    )
+    g = e.agg(F.avg("value").alias("gmean"))
+    oof = (F.col("s_all") - F.col("s")) / F.nullif(
+        F.col("c_all") - F.col("c"), F.lit(0)
+    )
+    return (
+        f.join(tot, ["user_id", "fold"])
+        .crossJoin(F.broadcast(g))
+        .select(
+            "event_id",
+            "fold",
+            (F.round(F.coalesce(oof, F.col("gmean")) - 1e-9, _R) + 0.0)
+            .alias("te_user"),
+        )
+    )
+
+
+@register(
+    "feature_woe_iv",
+    oracle=f"""
+    WITH lab AS (
+      SELECT c_mktsegment AS seg,
+             CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END AS good
+      FROM customer
+    ),
+    per AS (
+      SELECT seg,
+             CAST(sum(good) AS DOUBLE) AS g,
+             CAST(sum(1 - good) AS DOUBLE) AS b
+      FROM lab GROUP BY seg
+    ),
+    tot AS (SELECT sum(g) AS gt, sum(b) AS bt FROM per)
+    SELECT seg, CAST(g AS BIGINT) AS n_good, CAST(b AS BIGINT) AS n_bad,
+           round(ln((g / gt) / (b / bt)) - 1e-9, {_R}) + 0.0 AS woe,
+           round((g / gt - b / bt) * ln((g / gt) / (b / bt)) - 1e-9, {_R})
+             + 0.0 AS iv_contrib
+    FROM per CROSS JOIN tot
+    """,
+)
+def feature_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value profile of a
+    categorical feature against a binary outcome (market segment vs
+    positive account balance) — the credit-scoring-standard
+    predictive-power screen.  WOE_i = ln((good_i/G)/(bad_i/B)); the
+    IV contribution per bucket sums to the feature's IV.  One
+    vocabulary-sized groupBy + a 1-row totals broadcast — the whole
+    diagnostic is two tiny aggregations regardless of data size."""
+    lab = load_table(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("seg"),
+        F.when(F.col("c_acctbal") > 0, 1).otherwise(0).alias("good"),
+    )
+    per = lab.groupBy("seg").agg(
+        F.sum("good").cast("double").alias("g"),
+        F.sum(1 - F.col("good")).cast("double").alias("b"),
+    )
+    tot = per.agg(F.sum("g").alias("gt"), F.sum("b").alias("bt"))
+    gr = F.col("g") / F.col("gt")
+    br = F.col("b") / F.col("bt")
+    return per.crossJoin(F.broadcast(tot)).select(
+        "seg",
+        F.col("g").cast("long").alias("n_good"),
+        F.col("b").cast("long").alias("n_bad"),
+        (F.round(F.log(gr / br) - 1e-9, _R) + 0.0).alias("woe"),
+        (F.round((gr - br) * F.log(gr / br) - 1e-9, _R) + 0.0).alias(
+            "iv_contrib"
+        ),
+    )

@@ -81,12 +81,17 @@ _SHOWCASE: tuple[str, ...] = (
     "agg_hhi_concentration", "window_gap_detection",
     # (b) oracle-checked twins of the declared rows-only holdouts
     "stat_freq_items_verified", "dedup_minhash_ml",
-    # (c) never-driver-touched family representatives
-    "str_replace_extract", "dt_parts", "math_transcendental",
-    "array_hof", "null_funcs", "try_ops",          # §2.H scalars
+    # (c) never-driver-touched family representatives, plus one per
+    # remaining module so a budget-truncated driver still sees every
+    # family (the test_registry_order invariant)
+    "str_replace_extract", "math_transcendental", "array_hof",  # §2.H
     "proj_assign", "na_drop",                      # §2.B relational
-    "set_union_all", "set_except",                 # §2.G sets
+    "set_union_all",                               # §2.G sets
     "stream_static_join",                          # streaming twins
+    "udf_apply_in_pandas",                         # §2.J udfs
+    "multimodal_binary_meta",                      # multimodal
+    "feature_target_encode_cv",                    # encoding (r6 new)
+    "agg_salted_skew",                             # skew
 )
 
 # Round-7 rotation worklist: after r6's window lands, 122 registered

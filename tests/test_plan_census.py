@@ -36,6 +36,11 @@ BNLJ_OK = {
     "dq_psi_drift",  # 1-row snapshot-totals attach
     "dq_referential_integrity",  # 1-row x 1-row count attaches per relationship
     "encode_target_mean", "funnel_three_step",
+    "feature_target_encode_cv",  # 1-row global-mean fallback attach
+    "feature_woe_iv",  # 1-row G/B-totals attach onto the k-row bucket table
+    "ml_calibration_bins",  # 1-row min/max attach
+    "ml_eval_multiclass",  # |classes|-row broadcast fan-out, bounded vocabulary
+    "ml_eval_regression",  # 1-row global-mean attach
     "stat_anova_oneway",  # 1-row grand-mean attach onto the k-row group table
     "graph_modularity",  # 1-row |edges| scalar attach
     "graph_pagerank",

@@ -33,9 +33,12 @@ def test_showcase_spans_every_query_family():
 def test_showcase_mostly_full_oracle():
     qs = all_queries()
     no_oracle = [n for n in _SHOWCASE if qs[n].oracle is None]
-    # stat_freq_items is approximate-by-contract (rows-only); nothing
+    # stat_freq_items is approximate-by-contract (rows-only), and
+    # dedup_minhash_ml is the declared rows-only ml-library variant
+    # (engine-internal hash seeds; its oracle-checked anchor twin
+    # dedup_minhash_lsh sits in the same window); nothing
     # else in the showcase should lack a DuckDB oracle.
-    assert set(no_oracle) <= {"stat_freq_items"}, no_oracle
+    assert set(no_oracle) <= {"stat_freq_items", "dedup_minhash_ml"}, no_oracle
 
 
 def test_registry_complete_after_showcase_reorder():
