@@ -774,3 +774,90 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_contrib"
         ),
     )
+
+
+_BFS_SOURCES = 5  # multi-source frontier: top-degree hub nodes
+_BFS_HOPS = 3
+
+
+@register(
+    "graph_bfs_khop",
+    oracle=f"""
+    WITH e AS ({_EDGES_SQL}),
+    sym AS (
+      SELECT src AS u, dst AS v FROM e
+      UNION ALL SELECT dst, src FROM e
+    ),
+    deg AS (SELECT u AS node, count(*) AS d FROM sym GROUP BY u),
+    src AS (
+      SELECT node FROM (
+        SELECT node, row_number() OVER (ORDER BY d DESC, node) AS rn
+        FROM deg
+      ) WHERE rn <= {_BFS_SOURCES}
+    ),
+    d0 AS (SELECT node, 0 AS dist FROM src),
+    d1 AS (
+      SELECT node, min(dist) AS dist FROM (
+        SELECT node, dist FROM d0
+        UNION ALL
+        SELECT s.v, p.dist + 1 FROM sym s JOIN d0 p ON p.node = s.u
+      ) GROUP BY node
+    ),
+    d2 AS (
+      SELECT node, min(dist) AS dist FROM (
+        SELECT node, dist FROM d1
+        UNION ALL
+        SELECT s.v, p.dist + 1 FROM sym s JOIN d1 p ON p.node = s.u
+      ) GROUP BY node
+    ),
+    d3 AS (
+      SELECT node, min(dist) AS dist FROM (
+        SELECT node, dist FROM d2
+        UNION ALL
+        SELECT s.v, p.dist + 1 FROM sym s JOIN d2 p ON p.node = s.u
+      ) GROUP BY node
+    )
+    SELECT dist, count(*) AS n_nodes FROM d3 GROUP BY dist
+    """,
+)
+def graph_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS over the co-purchase graph: shortest-hop
+    distance from the {_BFS_SOURCES} highest-degree hubs, truncated
+    at {_BFS_HOPS} hops, reported as a reach histogram
+    (distance → node count) — the 'how much of the graph is within
+    k hops of the hubs' reachability question behind influence and
+    cache-seeding analyses.
+
+    Each round relaxes the frontier by ONE edge join + min-groupBy
+    (the Bellman-Ford superstep), so round r holds exact distances
+    ≤ r; {_BFS_HOPS} unrolled rounds stay ONE lazy Catalyst plan —
+    no driver-side loop, no collected state.  The source set is a
+    row_number over the |V|-row degree table (bounded-input window
+    exception).  At 100 TB each superstep is a key-partitioned
+    shuffle of the frontier — the canonical Pregel BFS — and deeper
+    horizons switch to the checkpointed-iteration pattern used by
+    dedup_connected_components."""
+    _evict_retained()
+    edges = _retain(_edges(spark, sf_dir).cache())
+    edges.count()  # eager: sym fans the cache into two union legs
+    sym = _sym(edges)
+    deg = sym.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("d"))
+    src = (
+        deg.withColumn(
+            "rn",
+            F.row_number().over(Window.orderBy(F.desc("d"), F.asc("node"))),
+        )
+        .filter(F.col("rn") <= _BFS_SOURCES)
+        .select("node")
+    )
+    dist = src.withColumn("dist", F.lit(0))
+    for _ in range(_BFS_HOPS):
+        relaxed = sym.join(
+            dist.withColumnRenamed("node", "u"), "u"
+        ).select(F.col("v").alias("node"), (F.col("dist") + 1).alias("dist"))
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+    return dist.groupBy("dist").agg(F.count("*").alias("n_nodes"))

@@ -509,3 +509,96 @@ def join_set_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified.filter(jac >= _SSJ_T).select(
         "pa", "pb", (F.round(jac - 1e-9, 4) + F.lit(0.0)).alias("jaccard")
     )
+
+
+_BLOOM_BITS = 1 << 20  # m bits, packed as <=16384 longs (~128 KB)
+_BLOOM_PRICE = 400_000.0  # build-side predicate: top-tier orders
+
+
+@register(
+    "join_bloom_prefilter",
+    oracle=f"""
+    SELECT l.l_orderkey, o.o_orderpriority,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)) - 1e-9, 4)
+             + 0.0 AS revenue
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_totalprice > {_BLOOM_PRICE}
+    GROUP BY l.l_orderkey, o.o_orderpriority
+    """,
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter join: a Bloom filter built from the SELECTIVE
+    side's join keys prunes the fact-table probe BEFORE its shuffle.
+    Spark applies this internally (spark.sql.optimizer.runtime.
+    bloomFilter) but exposes no SQL surface for it in this build, so
+    the filter is constructed explicitly: each build key sets bit
+    h(k) mod m in an m={_BLOOM_BITS}-bit space packed as a
+    map<word, or-of-bits> (a one-hash Bloom).  The map is a 1-row
+    aggregate — at most m/64 longs, sized so the filter stays
+    sparse at bench scale — broadcast to every probe task, where
+    membership is one hash + one map lookup + one bit test, all
+    codegen.  False positives pass the prefilter and die in the
+    exact join that follows, so the ORACLE IS THE PLAIN JOIN —
+    the Bloom changes the physics, never the result.
+
+    At 100 TB this is THE pattern for selective fact-fact joins:
+    the probe side drops (1 - fill-rate) of its rows before the
+    exchange, paying one broadcast of a fixed-size bitmap instead
+    of shuffling rows that cannot match.  The md5-derived hash keeps
+    the filter deterministic and engine-portable."""
+    from ondemand_dask_spark.functions.texthash import portable_hash64
+
+    def bucket(col):
+        return portable_hash64(col.cast("string")) % F.lit(_BLOOM_BITS)
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > _BLOOM_PRICE)
+        .select("o_orderkey", "o_orderpriority")
+    )
+    bloom = (
+        o.select(bucket(F.col("o_orderkey")).alias("bk"))
+        .select(
+            F.floor(F.col("bk") / 64).cast("long").alias("word"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(bk % 64 AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("bit").alias("bits"))
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("word", "bits"))
+            ).alias("bloom")
+        )
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    pruned = (
+        li.crossJoin(F.broadcast(bloom))
+        .withColumn("bk", bucket(F.col("l_orderkey")))
+        .filter(
+            F.expr(
+                "(shiftright(coalesce("
+                "element_at(bloom, CAST(floor(bk / 64) AS BIGINT)),"
+                " CAST(0 AS BIGINT)), CAST(bk % 64 AS INT)) & 1) = 1"
+            )
+        )
+        .drop("bloom", "bk")
+    )
+    return (
+        pruned.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderpriority")
+        .agg(
+            (
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                    - 1e-9,
+                    4,
+                )
+                + 0.0
+            ).alias("revenue")
+        )
+    )

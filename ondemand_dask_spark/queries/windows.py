@@ -1431,3 +1431,126 @@ def window_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         (us - F.lag(us).over(w)).alias("gap_us"),
     )
     return g.filter(F.col("gap_us") > _GAP_MIN_US)
+
+
+@register(
+    "ts_seasonal_decompose",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_type, extract(hour FROM ts) AS hod, value FROM events
+    ),
+    seas AS (
+      SELECT event_type, hod, avg(value) AS s, count(*) AS n
+      FROM base GROUP BY event_type, hod
+    ),
+    g AS (
+      SELECT event_type, avg(value) AS gmean, var_pop(value) AS vtot
+      FROM base GROUP BY event_type
+    )
+    SELECT s.event_type,
+           round(sum(s.n * (s.s - g.gmean) * (s.s - g.gmean))
+                 / sum(s.n) / g.vtot - 1e-9, {_R}) + 0.0
+             AS seasonal_strength,
+           round(max(s.s) - min(s.s) - 1e-9, {_R}) + 0.0 AS seasonal_range
+    FROM seas s JOIN g USING (event_type)
+    GROUP BY s.event_type, g.vtot
+    """,
+)
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-strength decomposition per series: the hour-of-day
+    seasonal profile (a 24-bucket group mean) and the fraction of
+    total variance it explains — var(seasonal) / var(total), the
+    'is there a daily cycle worth modeling' screen run before any
+    forecasting work.  Both components are vocabulary-sized
+    aggregations (|series|×24 and |series| rows) over one scan with
+    full partial aggregation; the profile-vs-total join is broadcast.
+    Nothing in the plan grows with data volume — the 100 TB shape is
+    the sf0.001 shape."""
+    e = _events(spark, sf_dir)
+    base = e.select(
+        "event_type", F.hour("ts").alias("hod"), "value"
+    )
+    seas = base.groupBy("event_type", "hod").agg(
+        F.avg("value").alias("s"), F.count("*").alias("n")
+    )
+    g = base.groupBy("event_type").agg(
+        F.avg("value").alias("gmean"), F.var_pop("value").alias("vtot")
+    )
+    d = F.col("s") - F.col("gmean")
+    return (
+        seas.join(F.broadcast(g), "event_type")
+        .groupBy("event_type", "vtot")
+        .agg(
+            (
+                F.round(
+                    F.sum(F.col("n") * d * d) / F.sum("n") / F.col("vtot")
+                    - 1e-9,
+                    _R,
+                )
+                + 0.0
+            ).alias("seasonal_strength"),
+            (F.round(F.max("s") - F.min("s") - 1e-9, _R) + 0.0).alias(
+                "seasonal_range"
+            ),
+        )
+        .drop("vtot")
+    )
+
+
+_SNAIVE_LAG_DAYS = 7
+
+
+@register(
+    "ts_seasonal_naive_eval",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+             sum(value) AS total
+      FROM events GROUP BY event_type, d
+    ),
+    j AS (
+      SELECT a.event_type, a.total AS y, b.total AS yhat
+      FROM daily a
+      JOIN daily b ON b.event_type = a.event_type
+                  AND b.d = a.d - {_SNAIVE_LAG_DAYS}
+    )
+    SELECT event_type, count(*) AS n_days,
+           round(avg(abs(y - yhat)) - 1e-9, {_R}) + 0.0 AS mae,
+           round(avg(abs(y - yhat) / abs(y)) - 1e-9, {_R}) + 0.0 AS mape
+    FROM j GROUP BY event_type
+    """,
+)
+def ts_seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest — yhat(d) = y(d − 7) on the
+    per-series daily totals, scored with MAE/MAPE.  The baseline
+    every real forecasting pipeline must beat, and the benchmark
+    harness's sanity metric.  The lag attaches by an EQUI-join on
+    (series, date − 7) rather than a lag() window: gap days drop out
+    naturally (lag() over a sparse calendar silently compares
+    neighbors k ROWS apart, not k days), and the join stays
+    key-partitioned on the same grouping the daily rollup already
+    shuffled on — at 100 TB the daily table is vocabulary-sized
+    anyway."""
+    e = _events(spark, sf_dir)
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).cast("date").alias("d")
+    ).agg(F.sum("value").alias("total"))
+    a = daily.alias("a")
+    b = daily.alias("b")
+    j = a.join(
+        b,
+        (F.col("b.event_type") == F.col("a.event_type"))
+        & (F.col("b.d") == F.date_sub(F.col("a.d"), _SNAIVE_LAG_DAYS)),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.total").alias("y"),
+        F.col("b.total").alias("yhat"),
+    )
+    err = F.abs(F.col("y") - F.col("yhat"))
+    return j.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        (F.round(F.avg(err) - 1e-9, _R) + 0.0).alias("mae"),
+        (F.round(F.avg(err / F.abs(F.col("y"))) - 1e-9, _R) + 0.0).alias(
+            "mape"
+        ),
+    )

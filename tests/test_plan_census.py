@@ -44,6 +44,7 @@ BNLJ_OK = {
     "stat_anova_oneway",  # 1-row grand-mean attach onto the k-row group table
     "graph_modularity",  # 1-row |edges| scalar attach
     "graph_pagerank",
+    "join_bloom_prefilter",  # 1-row bitmap (<=256-long map) attach
     "join_cross", "join_theta", "kmeans_lloyd", "ml_eval_binary",
     "pipeline_heavy_hitters",
     "qcut_by_cutpoints", "stat_bootstrap_ci", "stat_freq_items_verified",

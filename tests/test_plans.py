@@ -455,3 +455,63 @@ def test_graph_pagerank_plan_shape(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert python_eval_count(df) == 0
     assert plan.count("partial_sum") >= 3  # one map-side combine per superstep
+
+
+def test_bloom_prefilter_prunes_probe(spark, sf_dir):
+    """The explicit Bloom must actually shrink the probe side before
+    the exact join — with a selective build predicate, the pruned
+    probe row count sits strictly between the true-match count (no
+    false negatives) and the full scan (real pruning)."""
+    from pyspark.sql import functions as F
+
+    from ondemand_dask_spark.io import load_table
+    from ondemand_dask_spark.functions.texthash import portable_hash64
+    from ondemand_dask_spark.queries.joins import (
+        _BLOOM_BITS,
+        _BLOOM_PRICE,
+    )
+
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > _BLOOM_PRICE
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    n_all = li.count()
+    n_true = li.join(
+        o.select("o_orderkey"),
+        li["l_orderkey"] == o["o_orderkey"],
+        "left_semi",
+    ).count()
+
+    def bucket(col):
+        return portable_hash64(col.cast("string")) % F.lit(_BLOOM_BITS)
+
+    bloom = (
+        o.select(bucket(F.col("o_orderkey")).alias("bk"))
+        .select(
+            F.floor(F.col("bk") / 64).cast("long").alias("word"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(bk % 64 AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("bit").alias("bits"))
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("word", "bits"))
+            ).alias("bloom")
+        )
+    )
+    n_pruned = (
+        li.crossJoin(F.broadcast(bloom))
+        .withColumn("bk", bucket(F.col("l_orderkey")))
+        .filter(
+            F.expr(
+                "(shiftright(coalesce("
+                "element_at(bloom, CAST(floor(bk / 64) AS BIGINT)),"
+                " CAST(0 AS BIGINT)), CAST(bk % 64 AS INT)) & 1) = 1"
+            )
+        )
+        .count()
+    )
+    assert n_true <= n_pruned, "Bloom dropped a true match (false negative)"
+    assert n_pruned < n_all, "Bloom pruned nothing — filter is vacuous"
