@@ -2368,3 +2368,71 @@ def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "stat_cuped_adjustment",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             user_id % 2 AS variant,
+             sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END) AS y,
+             sum(CASE WHEN event_type = 'view' THEN value ELSE 0 END) AS x
+      FROM events GROUP BY user_id
+    ),
+    g AS (
+      SELECT covar_pop(x, y) / var_pop(x) AS theta, avg(x) AS xbar
+      FROM per_user
+    )
+    SELECT variant, count(*) AS n_users,
+           round(avg(y) - 1e-9, {_R}) + 0.0 AS mean_y,
+           round(avg(y - g.theta * (x - g.xbar)) - 1e-9, {_R}) + 0.0
+             AS mean_y_cuped,
+           round(var_pop(y - g.theta * (x - g.xbar)) / var_pop(y)
+                 - 1e-9, {_R}) + 0.0 AS var_ratio
+    FROM per_user CROSS JOIN g
+    GROUP BY variant
+    """,
+)
+def stat_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction for experiment analysis (Deng et al.,
+    'Improving the Sensitivity of Online Controlled Experiments'):
+    per-variant means of the outcome metric before and after
+    subtracting θ·(x − x̄), θ = cov(x, y)/var(x), where x is a
+    pre-experiment covariate (here: per-user view spend) — plus the
+    achieved variance ratio.  Variant assignment is deterministic
+    (user_id parity) so both engines analyze the identical split.
+
+    Scale shape: one groupBy(user) builds the per-unit metric table
+    (partial aggs map-side), θ/x̄ is a 1-row pooled aggregate
+    broadcast back, and the per-variant rollup is a 2-row result.
+    Nothing beyond the user-grain shuffle grows with data — exactly
+    how experiment platforms compute CUPED on billions of units."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)
+        ).alias("y"),
+        F.sum(
+            F.when(F.col("event_type") == "view", F.col("value")).otherwise(0.0)
+        ).alias("x"),
+    ).select(
+        (F.col("user_id") % 2).alias("variant"), "y", "x"
+    )
+    g = per_user.agg(
+        (F.covar_pop("x", "y") / F.var_pop("x")).alias("theta"),
+        F.avg("x").alias("xbar"),
+    )
+    adj = F.col("y") - F.col("theta") * (F.col("x") - F.col("xbar"))
+    return (
+        per_user.crossJoin(F.broadcast(g))
+        .groupBy("variant")
+        .agg(
+            F.count("*").alias("n_users"),
+            (F.round(F.avg("y") - 1e-9, _R) + 0.0).alias("mean_y"),
+            (F.round(F.avg(adj) - 1e-9, _R) + 0.0).alias("mean_y_cuped"),
+            (
+                F.round(F.var_pop(adj) / F.var_pop("y") - 1e-9, _R) + 0.0
+            ).alias("var_ratio"),
+        )
+    )

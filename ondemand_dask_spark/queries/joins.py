@@ -602,3 +602,62 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue")
         )
     )
+
+
+_FUZZY_MAX_EDIT = 3
+
+
+@register(
+    "join_fuzzy_entity_resolution",
+    oracle=f"""
+    WITH t AS (
+      SELECT p_partkey, p_name,
+             string_split(p_name, ' ')[1] AS tok1, p_size
+      FROM part
+    )
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           levenshtein(a.p_name, b.p_name) AS edit_dist
+    FROM t a JOIN t b
+      ON a.tok1 = b.tok1 AND a.p_size = b.p_size
+     AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= {_FUZZY_MAX_EDIT}
+    """,
+)
+def join_fuzzy_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution by BLOCKED fuzzy matching: candidate pairs
+    come only from shared blocking keys (first name token × size),
+    then survive an edit-distance verify (levenshtein ≤
+    {_FUZZY_MAX_EDIT}).  The record-linkage fundamental: the
+    all-pairs O(n²) comparison never materializes — blocking is one
+    equi-join on a derived key, so candidates are sum-of-C(block,2),
+    and the expensive string metric runs ONLY on candidates, as a
+    codegen expression (Spark's built-in levenshtein, no UDF).
+
+    At 100 TB block sizes decide everything: a production blocker
+    layers several cheap keys (phonetic code, sorted-token prefix,
+    length bucket) and unions candidates — the pigeonhole multi-index
+    idea dedup_simhash_pairs uses, applied to strings.  Skewed
+    blocks (one giant token) split under AQE skew handling or an
+    added secondary key."""
+    t = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        F.split(F.col("p_name"), " ").getItem(0).alias("tok1"),
+        "p_size",
+    )
+    a, b = t.alias("a"), t.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.tok1") == F.col("b.tok1"))
+            & (F.col("a.p_size") == F.col("b.p_size"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .filter(dist <= _FUZZY_MAX_EDIT)
+        .select(
+            F.col("a.p_partkey").alias("key_a"),
+            F.col("b.p_partkey").alias("key_b"),
+            dist.alias("edit_dist"),
+        )
+    )
