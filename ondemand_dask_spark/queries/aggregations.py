@@ -2436,3 +2436,42 @@ def stat_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("var_ratio"),
         )
     )
+
+
+@register(
+    "stat_ols_by_group",
+    oracle=f"""
+    SELECT event_type,
+           count(*) AS n,
+           round(regr_slope(value, extract(hour FROM ts)) - 1e-9, {_R})
+             + 0.0 AS slope,
+           round(regr_intercept(value, extract(hour FROM ts)) - 1e-9, {_R})
+             + 0.0 AS intercept,
+           round(regr_r2(value, extract(hour FROM ts)) - 1e-9, {_R})
+             + 0.0 AS r2
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stat_ols_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group simple linear regression (value ~ hour-of-day) via
+    the ANSI regr_* aggregate family — slope, intercept, R² for
+    every series in ONE partial-aggregating groupBy.  The closed-form
+    OLS moments (Σx, Σy, Σxy, Σx², n) combine associatively, so the
+    map-side combiner reduces each partition to five numbers per
+    group before any shuffle — millions of tiny per-group models
+    ('grouped regression', the classic scaled ML-lite workload) cost
+    exactly one aggregation pass at 100 TB.  Spark and DuckDB both
+    implement the same ANSI functions, making the differential
+    check native-to-native."""
+    e = load_table(spark, sf_dir, "events")
+    x = F.hour("ts").cast("double")
+    y = F.col("value")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        (F.round(F.regr_slope(y, x) - 1e-9, _R) + 0.0).alias("slope"),
+        (F.round(F.regr_intercept(y, x) - 1e-9, _R) + 0.0).alias(
+            "intercept"
+        ),
+        (F.round(F.regr_r2(y, x) - 1e-9, _R) + 0.0).alias("r2"),
+    )

@@ -48,6 +48,7 @@ BNLJ_OK = {
     "join_bloom_prefilter",  # 1-row bitmap (<=256-long map) attach
     "join_cross", "join_theta", "kmeans_lloyd", "ml_eval_binary",
     "pipeline_heavy_hitters",
+    "pipeline_leakage_free_split",  # 1-row crossing-pairs audit attach
     "qcut_by_cutpoints", "stat_bootstrap_ci", "stat_freq_items_verified",
     "stat_theta_intersection_banded",
     "text_bigram_perplexity",
