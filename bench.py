@@ -81,6 +81,15 @@ HEADLINE = [
     # 26 s end-to-end.  Correctness still gates at sf0.01 per round.
     "dedup_duplicate_spans",
     "text_bm25_topk",
+    # round-6 widening: the runtime-filter join (probe-prune before
+    # shuffle), the out-of-fold target encoder (window-over-partials
+    # shape), multi-source BFS (iterative frontier joins), and the
+    # pointer-doubling hierarchy rollup (log-depth self-joins) — the
+    # four new shapes whose cost profiles would drift first.
+    "join_bloom_prefilter",
+    "feature_target_encode_cv",
+    "graph_bfs_khop",
+    "sql_recursive_hierarchy_rollup",
 ]
 
 RUNS = 2

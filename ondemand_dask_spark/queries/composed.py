@@ -892,3 +892,67 @@ def orders_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("top_fraction"),
     )
+
+
+_HIER_DOUBLING_ROUNDS = 4  # resolves ancestor chains up to 2^4 = 16 deep
+
+
+@register(
+    "sql_recursive_hierarchy_rollup",
+    oracle=f"""
+    WITH RECURSIVE climb(node, anc) AS (
+      SELECT p_partkey, p_partkey FROM part
+      UNION ALL
+      SELECT node, anc // 4 FROM climb WHERE anc >= 4
+    ),
+    top AS (
+      SELECT node, anc AS top_ancestor FROM climb WHERE anc <= 3
+    )
+    SELECT t.top_ancestor, count(*) AS n_parts,
+           round(sum(p.p_retailprice) - 1e-9, {_R}) + 0.0 AS total_retail
+    FROM top t JOIN part p ON p.p_partkey = t.node
+    GROUP BY t.top_ancestor
+    """,
+)
+def sql_recursive_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy flattening by POINTER DOUBLING: every part sits in a
+    synthetic category tree (parent = partkey // 4, roots 1-3), and
+    the rollup needs each node's TOP ancestor — the BOM-explosion /
+    org-chart / category-tree shape relational engines express as a
+    recursive CTE.  A naive climb joins parent pointers depth times;
+    pointer doubling squares the jump distance each round
+    (anc ← anc's anc, roots self-looped so the fixpoint is stable),
+    resolving depth-d chains in ceil(log2 d) self-joins —
+    {_HIER_DOUBLING_ROUNDS} unrolled rounds cover depth 16, and each
+    added round doubles reach, so 100 TB catalog depths cost one or
+    two more joins, not thousands of supersteps.  Every round is one
+    equi-join of the |V|-row pointer table with itself
+    (key-partitioned shuffle); the final rollup is a 3-row groupBy.
+    The oracle climbs the same tree one level per recursive step —
+    identical fixpoint, opposite physical strategy (the point of the
+    differential check)."""
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    ptr = p.select(
+        F.col("p_partkey").alias("node"),
+        F.when(
+            F.col("p_partkey") >= 4, F.floor(F.col("p_partkey") / 4)
+        )
+        .otherwise(F.col("p_partkey"))
+        .cast("long")
+        .alias("anc"),
+    )
+    for _ in range(_HIER_DOUBLING_ROUNDS):
+        a, b = ptr.alias("a"), ptr.alias("b")
+        ptr = a.join(b, F.col("a.anc") == F.col("b.node")).select(
+            F.col("a.node").alias("node"), F.col("b.anc").alias("anc")
+        )
+    return (
+        p.join(ptr, p["p_partkey"] == ptr["node"])
+        .groupBy(F.col("anc").alias("top_ancestor"))
+        .agg(
+            F.count("*").alias("n_parts"),
+            (F.round(F.sum("p_retailprice") - 1e-9, _R) + 0.0).alias(
+                "total_retail"
+            ),
+        )
+    )
