@@ -465,7 +465,6 @@ def test_bloom_prefilter_prunes_probe(spark, sf_dir):
     from pyspark.sql import functions as F
 
     from ondemand_dask_spark.io import load_table
-    from ondemand_dask_spark.functions.texthash import portable_hash64
     from ondemand_dask_spark.queries.joins import (
         _BLOOM_BITS,
         _BLOOM_PRICE,
@@ -483,7 +482,7 @@ def test_bloom_prefilter_prunes_probe(spark, sf_dir):
     ).count()
 
     def bucket(col):
-        return portable_hash64(col.cast("string")) % F.lit(_BLOOM_BITS)
+        return F.pmod(F.xxhash64(col), F.lit(_BLOOM_BITS))
 
     bloom = (
         o.select(bucket(F.col("o_orderkey")).alias("bk"))
