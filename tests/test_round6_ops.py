@@ -1,0 +1,102 @@
+"""Property pins for the round-6 operators whose correctness has a
+sharp structural bound (not visible at fixture scale alone)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_pointer_doubling_resolves_depth_16_chain(spark):
+    """sql_recursive_hierarchy_rollup unrolls 4 doubling rounds =
+    ancestor chains up to 2^4 = 16 deep.  Drive the SAME doubling
+    logic over a synthetic parent chain of depth exactly 16 and
+    assert every node resolves to the root — the bound is the
+    contract, and this fails loudly if someone lowers the round
+    count without widening the docstring."""
+    from ondemand_dask_spark.queries.composed import _HIER_DOUBLING_ROUNDS
+
+    depth = 2 ** _HIER_DOUBLING_ROUNDS
+    # chain: node i's parent is i-1; node 0 is the root (self-loop)
+    nodes = spark.range(0, depth + 1).select(
+        F.col("id").alias("node"),
+        F.greatest(F.col("id") - 1, F.lit(0)).alias("anc"),
+    )
+    ptr = nodes
+    for _ in range(_HIER_DOUBLING_ROUNDS):
+        a, b = ptr.alias("a"), ptr.alias("b")
+        ptr = a.join(b, F.col("a.anc") == F.col("b.node")).select(
+            F.col("a.node").alias("node"), F.col("b.anc").alias("anc")
+        )
+    got = {r.node: r.anc for r in ptr.collect()}
+    assert len(got) == depth + 1
+    # depth-16 chain: every node's 16-step ancestor is the root
+    assert all(v == 0 for v in got.values()), got
+
+
+def test_target_encode_isolated_user_falls_back_to_global_mean(spark):
+    """A category whose rows all share one fold has no out-of-fold
+    evidence; the encoder must emit the global mean, never a leaked
+    self-mean."""
+    import pandas as pd
+
+    from ondemand_dask_spark.functions.texthash import portable_hash64
+
+    pdf = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4, 5, 6],
+            "user_id": [10, 10, 10, 20, 20, 99],
+            "value": [1.0, 2.0, 3.0, 10.0, 20.0, 500.0],
+        }
+    )
+    e = spark.createDataFrame(pdf)
+    folds = 5
+    f = e.select(
+        "event_id",
+        "user_id",
+        "value",
+        (portable_hash64(F.col("event_id").cast("string")) % folds).alias(
+            "fold"
+        ),
+    )
+    from pyspark.sql.window import Window
+
+    pf = f.groupBy("user_id", "fold").agg(
+        F.sum("value").alias("s"), F.count("*").alias("c")
+    )
+    wu = Window.partitionBy("user_id")
+    tot = pf.select(
+        "user_id", "fold", "s", "c",
+        F.sum("s").over(wu).alias("s_all"),
+        F.sum("c").over(wu).alias("c_all"),
+    )
+    g = e.agg(F.avg("value").alias("gmean"))
+    oof = (F.col("s_all") - F.col("s")) / F.nullif(
+        F.col("c_all") - F.col("c"), F.lit(0)
+    )
+    out = (
+        f.join(tot, ["user_id", "fold"])
+        .crossJoin(F.broadcast(g))
+        .select(
+            "event_id",
+            "user_id",
+            "fold",
+            F.coalesce(oof, F.col("gmean")).alias("te"),
+        )
+    )
+    rows = {r.event_id: r for r in out.collect()}
+    gmean = sum(pdf["value"]) / len(pdf)
+    # user 99 has a single row — necessarily fold-isolated
+    assert abs(rows[6].te - gmean) < 1e-9
+    # any user row whose fold holds ALL of that user's rows gets gmean;
+    # rows with out-of-fold evidence must NOT include their own fold
+    by_user_fold = {}
+    for eid, r in rows.items():
+        by_user_fold.setdefault((r.user_id, r.fold), []).append(eid)
+    for r in rows.values():
+        user_rows = pdf[pdf.user_id == r.user_id]
+        fold_ids = by_user_fold[(r.user_id, r.fold)]
+        others = user_rows[~user_rows.event_id.isin(fold_ids)]
+        if len(others) == 0:
+            assert abs(r.te - gmean) < 1e-9
+        else:
+            assert abs(r.te - others["value"].mean()) < 1e-9
