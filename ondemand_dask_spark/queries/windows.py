@@ -1554,3 +1554,97 @@ def ts_seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mape"
         ),
     )
+
+
+@register(
+    "ts_changepoint_binary",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+             sum(value) AS y
+      FROM events GROUP BY event_type, d
+    ),
+    pre AS (
+      SELECT event_type, d, y,
+             row_number() OVER w AS i,
+             sum(y)     OVER w AS cy,
+             sum(y * y) OVER w AS cy2,
+             count(*)   OVER (PARTITION BY event_type) AS n,
+             sum(y)     OVER (PARTITION BY event_type) AS ty,
+             sum(y * y) OVER (PARTITION BY event_type) AS ty2
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    scored AS (
+      SELECT event_type, d, i, n,
+             (ty2 - ty * ty / n)
+             - ((cy2 - cy * cy / i)
+                + ((ty2 - cy2) - (ty - cy) * (ty - cy) / (n - i)))
+               AS sse_drop
+      FROM pre WHERE i < n
+    ),
+    best AS (
+      SELECT event_type, d AS change_day, sse_drop,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY sse_drop DESC, d) AS rn
+      FROM scored
+    )
+    SELECT event_type, change_day,
+           round(sse_drop - 1e-9, {_R}) + 0.0 AS sse_reduction
+    FROM best WHERE rn = 1
+    """,
+)
+def ts_changepoint_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-changepoint detection (binary segmentation, first
+    split) on each series' daily totals: the split day maximizing the
+    drop in summed squared error when the series is modeled as two
+    constant segments instead of one — the standard level-shift
+    monitor for volume/revenue series.  Every candidate split is
+    scored in O(1) from PREFIX sums (Σy, Σy² running per series +
+    series totals), so scoring all n−1 candidates is one window pass
+    over the DAY-grain table — vocabulary-sized regardless of raw
+    volume; the raw scan contributes only the daily rollup.  All
+    windows are partitioned by series (never global).  Recursing on
+    the two halves gives full binary segmentation; each level is this
+    same plan on a filtered day range."""
+    e = _events(spark, sf_dir)
+    daily = e.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("d"),
+    ).agg(F.sum("value").alias("y"))
+    wp = Window.partitionBy("event_type")
+    w = wp.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    pre = daily.select(
+        "event_type",
+        "d",
+        F.row_number().over(wp.orderBy("d")).alias("i"),
+        F.sum("y").over(w).alias("cy"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("cy2"),
+        F.count("*").over(wp).alias("n"),
+        F.sum("y").over(wp).alias("ty"),
+        F.sum(F.col("y") * F.col("y")).over(wp).alias("ty2"),
+    )
+    i, n = F.col("i").cast("double"), F.col("n").cast("double")
+    cy, cy2 = F.col("cy"), F.col("cy2")
+    ty, ty2 = F.col("ty"), F.col("ty2")
+    sse_drop = (ty2 - ty * ty / n) - (
+        (cy2 - cy * cy / i)
+        + ((ty2 - cy2) - (ty - cy) * (ty - cy) / (n - i))
+    )
+    scored = pre.filter(F.col("i") < F.col("n")).select(
+        "event_type", "d", sse_drop.alias("sse_drop")
+    )
+    best = scored.withColumn(
+        "rn",
+        F.row_number().over(
+            wp.orderBy(F.desc("sse_drop"), F.asc("d"))
+        ),
+    ).filter(F.col("rn") == 1)
+    return best.select(
+        "event_type",
+        F.col("d").cast("timestamp").alias("change_day"),
+        (F.round(F.col("sse_drop") - 1e-9, _R) + 0.0).alias(
+            "sse_reduction"
+        ),
+    )
