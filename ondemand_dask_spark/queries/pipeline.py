@@ -1259,23 +1259,24 @@ def pipeline_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     (small) label table + one md5 hash — the corpus is touched once,
     and the split is stable under corpus growth because the hash
     keys on content-cluster identity, not position."""
-    from ondemand_dask_spark.queries.dedup import (
-        dedup_connected_components,
-        dedup_minhash_lsh,
-    )
+    from ondemand_dask_spark.operators.graphcc import connected_components_star
+    from ondemand_dask_spark.queries.dedup import dedup_minhash_lsh
 
-    # Order + ownership matter: each dedup-module query ENTRY evicts
-    # that module's previously-retained caches, so the pair list is
-    # materialized into a checkpoint owned HERE (not retained in the
-    # dedup module) BEFORE dedup_connected_components runs — calling
-    # the two in the opposite order would release the label
-    # checkpoints this query's returned plan still references.
+    # The minhash pipeline runs ONCE: its pair list is checkpointed
+    # here (owned by this query, outside the dedup module's
+    # retain/evict discipline) and feeds BOTH the cluster labeling —
+    # the O(log n) star-contraction operator directly, not the
+    # registered CC query, which would re-run the whole pipeline for
+    # its own pair build — and the crossing-pairs audit below.
     pairs = (
         dedup_minhash_lsh(spark, sf_dir)
         .select("doc_a", "doc_b")
         .localCheckpoint()
     )
-    labels = dedup_connected_components(spark, sf_dir)
+    labels, _star_edges = connected_components_star(
+        pairs, "doc_a", "doc_b"
+    )
+    labels = labels.select(F.col("node").alias("doc_id"), "cluster_id")
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     assigned = d.join(labels, "doc_id", "left").select(
         "doc_id",
