@@ -94,10 +94,18 @@ _SHOWCASE: tuple[str, ...] = (
     "agg_salted_skew",                             # skew
 )
 
-# Round-7 rotation worklist: after r6's window lands, 122 registered
+# Round-7 rotation worklist: after r6's window lands, 139 registered
 # queries remain never-driver-checked (regenerate from
 # CORRECTNESS_r0{1..6}.json ∪ registry before building the window).
-# Keep the ~8 anchors, fill 42 from these, one per family first:
+# Keep the ~8 anchors, fill 42 from these, prioritizing the round-6
+# additions (all never driver-checked except feature_target_encode_cv,
+# already in the r6 window): ml_eval_regression, ml_eval_multiclass,
+# ml_calibration_bins, feature_woe_iv, layout_zorder_key,
+# layout_file_skipping_stats, join_bloom_prefilter, graph_bfs_khop,
+# ts_seasonal_decompose, ts_seasonal_naive_eval, ts_changepoint_binary,
+# join_fuzzy_entity_resolution, stat_cuped_adjustment,
+# stat_ols_by_group, pipeline_leakage_free_split,
+# sql_recursive_hierarchy_rollup — then one per family:
 #   scalars (str_edit_distance/pad_concat/split_explode/
 #     count_occurrences/char_classes/format/slice_parse, dt_arith/
 #     calendar/boundaries, math_hash/binning/bitwise,
