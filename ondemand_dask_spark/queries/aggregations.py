@@ -2475,3 +2475,114 @@ def stat_ols_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.round(F.regr_r2(y, x) - 1e-9, _R) + 0.0).alias("r2"),
     )
+
+
+_CMS_DEPTH = 3
+_CMS_WIDTH = 256
+_CMS_TOPK = 5
+# DuckDB-side hash of user_id salted by the depth-row number d
+# (correlated column d.d) — must mirror the Spark-side f"cms{d}|" salt.
+_CMS_H_SQL = (
+    "CAST('0x' || substr(md5('cms' || d.d || '|' || "
+    "CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT)"
+)
+
+
+@register(
+    "agg_count_min_estimate",
+    oracle=f"""
+    WITH rows_d AS (
+      SELECT d.d, {_CMS_H_SQL} AS h, user_id
+      FROM events CROSS JOIN (SELECT unnest(generate_series(0, {_CMS_DEPTH - 1})) AS d) d
+    ),
+    cms AS (
+      SELECT d, h % {_CMS_WIDTH} AS bucket, count(*) AS c
+      FROM rows_d GROUP BY d, bucket
+    ),
+    topk AS (
+      SELECT user_id, count(*) AS exact_n
+      FROM events GROUP BY user_id
+      ORDER BY exact_n DESC, user_id LIMIT {_CMS_TOPK}
+    ),
+    est AS (
+      SELECT t.user_id, t.exact_n, min(c.c) AS cms_estimate
+      FROM topk t
+      CROSS JOIN (SELECT unnest(generate_series(0, {_CMS_DEPTH - 1})) AS d) d
+      JOIN cms c
+        ON c.d = d.d
+       AND c.bucket = ({_CMS_H_SQL}) % {_CMS_WIDTH}
+      GROUP BY t.user_id, t.exact_n
+    )
+    SELECT user_id, exact_n, CAST(cms_estimate AS BIGINT) AS cms_estimate,
+           cms_estimate >= exact_n AS admissible
+    FROM est
+    """,
+)
+def agg_count_min_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch built IN the engine (d={_CMS_DEPTH} portable-
+    hash rows x w={_CMS_WIDTH} buckets) and queried for the top-k
+    heavy keys: estimate = min over rows of the key's bucket count.
+    Unlike Spark's opaque `count_min_sketch` binary (which exposes no
+    SQL-side estimator), this sketch is a {_CMS_DEPTH * _CMS_WIDTH}-row
+    TABLE — mergeable by plain addition across batches/partitions
+    (the property that makes CMS the streaming frequency structure),
+    exactly reproducible on any engine via the md5-portable hashes,
+    and therefore exactly differential-checkable, including the
+    one-sided-error certificate (estimate >= exact, always).
+
+    Scale shape: the sketch build is one groupBy over (row, bucket)
+    — {_CMS_DEPTH * _CMS_WIDTH} cells regardless of input size, the
+    definition of sublinear; probing joins the k query keys against
+    those cells.  The full scan contributes only map-side partial
+    counts."""
+    e = load_table(spark, sf_dir, "events").select("user_id")
+
+    def h(d: int):
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"cms{d}|"), F.col("user_id").cast("string")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    cms = None
+    for d in range(_CMS_DEPTH):
+        part = e.select(
+            F.lit(d).alias("d"), (h(d) % _CMS_WIDTH).alias("bucket")
+        )
+        cms = part if cms is None else cms.unionByName(part)
+    cms = cms.groupBy("d", "bucket").agg(F.count("*").alias("c"))
+
+    topk = (
+        e.groupBy("user_id")
+        .agg(F.count("*").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), F.asc("user_id"))
+        .limit(_CMS_TOPK)
+    )
+    probes = None
+    for d in range(_CMS_DEPTH):
+        part = topk.select(
+            "user_id",
+            "exact_n",
+            F.lit(d).alias("d"),
+            (h(d) % _CMS_WIDTH).alias("bucket"),
+        )
+        probes = part if probes is None else probes.unionByName(part)
+    est = (
+        probes.join(F.broadcast(cms), ["d", "bucket"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("c").alias("cms_estimate"))
+    )
+    return est.select(
+        "user_id",
+        "exact_n",
+        F.col("cms_estimate").cast("long").alias("cms_estimate"),
+        (F.col("cms_estimate") >= F.col("exact_n")).alias("admissible"),
+    )
