@@ -525,3 +525,82 @@ def multimodal_wav_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.mapInPandas(
         extract, "doc_id bigint, rms double, peak int, dc_mean double"
     )
+
+
+@register(
+    "multimodal_image_ahash",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id,
+             (4 + doc_id % 8) * (3 + doc_id % 5) AS npix
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    gray AS (
+      SELECT doc_id, npix,
+             list_transform(generate_series(0, npix - 1),
+               p -> (((doc_id + 3 * p) % 256)
+                   + ((doc_id + 3 * p + 1) % 256)
+                   + ((doc_id + 3 * p + 2) % 256)) / 3.0) AS g
+      FROM px
+    ),
+    stats AS (
+      SELECT doc_id, npix, g,
+             list_sum(g) / npix AS mean_gray
+      FROM gray
+    )
+    SELECT doc_id, CAST(npix AS INT) AS n_pixels,
+           round(mean_gray - 1e-9, 4) + 0.0 AS mean_gray,
+           CAST(list_sum(list_transform(
+                  generate_series(1, least(npix, 64)),
+                  i -> CASE WHEN g[i] > mean_gray
+                            THEN CAST(2 AS BIGINT) ** (i - 1)
+                            ELSE 0 END)) AS BIGINT) AS ahash
+    FROM stats
+    """,
+)
+def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image fingerprint — the AVERAGE HASH: decode the
+    REAL binary-PPM pixel stream, gray = mean(R,G,B) per pixel, one
+    bit per pixel (gray > image mean), packed into a 64-bit
+    signature.  aHash is the classic near-duplicate-IMAGE key (two
+    re-encodes of the same picture differ by a few bits; pair them
+    with the same multi-index Hamming blocking dedup_simhash_pairs
+    uses — the signature table is 8 bytes/image, so the pairing
+    stage never touches pixels again).  The decode is an
+    Arrow-batched mapInPandas (numpy over the raw bytes, no image
+    libs needed for PPM); the oracle recomputes gray means and bits
+    from the fixture's pixel-generation formula, so an off-by-one in
+    the header scan, channel order, or bit packing hash-mismatches.
+    At 100 TB the scan is payload-bound and narrow — project
+    metadata first, decode last, emit 8-byte signatures."""
+    import numpy as np
+
+    m = _real_media(spark, sf_dir).filter(F.col("mime") == "image/ppm")
+
+    def ahash(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows: dict[str, list] = {
+            "doc_id": [], "n_pixels": [], "mean_gray": [], "ahash": [],
+        }
+        for pdf in it:
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(p)
+                assert b[:2] == b"P6", "bad magic"
+                parts = b.split(b"\n", 3)
+                w, h = (int(x) for x in parts[1].split())
+                px = np.frombuffer(parts[3], dtype=np.uint8)[: w * h * 3]
+                gray = px.reshape(-1, 3).sum(axis=1) / 3.0
+                mean = float(gray.mean())
+                bits = gray[:64] > mean
+                sig = int(
+                    sum(1 << i for i, hit in enumerate(bits) if hit)
+                )
+                rows["doc_id"].append(doc_id)
+                rows["n_pixels"].append(w * h)
+                rows["mean_gray"].append(round(mean - 1e-9, 4) + 0.0)
+                rows["ahash"].append(sig)
+        yield pd.DataFrame(rows)
+
+    return m.mapInPandas(
+        ahash,
+        "doc_id bigint, n_pixels int, mean_gray double, ahash bigint",
+    )

@@ -61,6 +61,7 @@ BNLJ_OK = {
 PY_OK = {
     "multimodal_decode_features", "multimodal_decode_ppm",
     "multimodal_decode_wav", "multimodal_frame_sample",
+    "multimodal_image_ahash",
     "multimodal_resize", "multimodal_wav_rms",
     "source_from_map", "udf_apply_in_pandas",
     "udf_ewm", "udf_map_in_arrow", "udf_map_in_pandas",
