@@ -2586,3 +2586,122 @@ def agg_count_min_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cms_estimate").cast("long").alias("cms_estimate"),
         (F.col("cms_estimate") >= F.col("exact_n")).alias("admissible"),
     )
+
+
+_FDR_Q = 0.05
+# Abramowitz & Stegun 7.1.26 erf approximation — pure arithmetic
+# (exp + polynomial), written ONCE per engine with identical
+# coefficients so the differential check is exact.
+_AS_COEF = (0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429)
+_AS_P = 0.3275911
+
+
+def _phi_sql(z: str) -> str:
+    """DuckDB expression: standard normal CDF of {z} (A&S 7.1.26)."""
+    a1, a2, a3, a4, a5 = _AS_COEF
+    x = f"(abs({z}) / sqrt(2.0))"
+    t = f"(1.0 / (1.0 + {_AS_P} * {x}))"
+    poly = (
+        f"((((({a5} * {t} + {a4}) * {t} + {a3}) * {t} + {a2}) * {t}"
+        f" + {a1}) * {t})"
+    )
+    erf = f"(1.0 - {poly} * exp(-{x} * {x}))"
+    return f"(0.5 * (1.0 + CASE WHEN {z} < 0 THEN -{erf} ELSE {erf} END))"
+
+
+def _phi(z):
+    """Spark column: standard normal CDF of z (same A&S 7.1.26)."""
+    a1, a2, a3, a4, a5 = _AS_COEF
+    x = F.abs(z) / F.lit(2.0 ** 0.5)
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(_AS_P) * x)
+    poly = (
+        (((F.lit(a5) * t + F.lit(a4)) * t + F.lit(a3)) * t + F.lit(a2)) * t
+        + F.lit(a1)
+    ) * t
+    erf = F.lit(1.0) - poly * F.exp(-x * x)
+    signed = F.when(z < 0, -erf).otherwise(erf)
+    return F.lit(0.5) * (F.lit(1.0) + signed)
+
+
+@register(
+    "stat_fdr_bh",
+    oracle=f"""
+    WITH per AS (
+      SELECT c_mktsegment AS seg, count(*) AS n,
+             avg(c_acctbal) AS m, var_samp(c_acctbal) AS v
+      FROM customer GROUP BY seg
+    ),
+    g AS (SELECT avg(c_acctbal) AS gm FROM customer),
+    z AS (
+      SELECT seg, n, (m - g.gm) / sqrt(v / n) AS zstat
+      FROM per CROSS JOIN g
+    ),
+    p AS (
+      SELECT seg, n, zstat,
+             2.0 * (1.0 - {_phi_sql("abs(zstat)")}) AS pval
+      FROM z
+    ),
+    ranked AS (
+      SELECT seg, n, zstat, pval,
+             row_number() OVER (ORDER BY pval, seg) AS i,
+             count(*) OVER () AS m_tests
+      FROM p
+    ),
+    cutoff AS (
+      SELECT coalesce(max(pval), -1.0) AS pstar
+      FROM ranked WHERE pval <= {_FDR_Q} * i / m_tests
+    )
+    SELECT seg, CAST(n AS BIGINT) AS n,
+           round(zstat - 1e-9, {_R}) + 0.0 AS zstat,
+           round(pval - 1e-9, {_R}) + 0.0 AS pval,
+           pval <= pstar AS rejected
+    FROM ranked CROSS JOIN cutoff
+    """,
+)
+def stat_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg FDR correction over a family of per-group
+    mean tests (each market segment's balance vs the global mean,
+    one-sample z) — the multiple-testing discipline every experiment
+    platform applies before declaring winners.  p-values come from
+    the Abramowitz–Stegun 7.1.26 normal-CDF polynomial — pure
+    exp+arithmetic, identical coefficients in both engines, so even
+    the approximation is differentially pinned.  The BH step-up
+    (largest i with p_(i) ≤ q·i/m) runs over the |groups|-row table
+    (bounded-vocabulary window); everything data-sized folds into
+    the one moments groupBy + a 1-row grand-mean attach."""
+    lab = load_table(spark, sf_dir, "customer")
+    per = lab.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        F.count("*").alias("n"),
+        F.avg("c_acctbal").alias("m"),
+        F.var_samp("c_acctbal").alias("v"),
+    )
+    g = lab.agg(F.avg("c_acctbal").alias("gm"))
+    z = per.crossJoin(F.broadcast(g)).select(
+        "seg",
+        "n",
+        ((F.col("m") - F.col("gm")) / F.sqrt(F.col("v") / F.col("n"))).alias(
+            "zstat"
+        ),
+    )
+    p = z.select(
+        "seg", "n", "zstat",
+        (F.lit(2.0) * (F.lit(1.0) - _phi(F.abs(F.col("zstat"))))).alias(
+            "pval"
+        ),
+    )
+    wr = Window.orderBy("pval", "seg")
+    ranked = p.select(
+        "seg", "n", "zstat", "pval",
+        F.row_number().over(wr).alias("i"),
+        F.count("*").over(Window.partitionBy()).alias("m_tests"),
+    )
+    cutoff = ranked.filter(
+        F.col("pval") <= F.lit(_FDR_Q) * F.col("i") / F.col("m_tests")
+    ).agg(F.coalesce(F.max("pval"), F.lit(-1.0)).alias("pstar"))
+    return ranked.crossJoin(F.broadcast(cutoff)).select(
+        "seg",
+        F.col("n").cast("long").alias("n"),
+        (F.round(F.col("zstat") - 1e-9, _R) + 0.0).alias("zstat"),
+        (F.round(F.col("pval") - 1e-9, _R) + 0.0).alias("pval"),
+        (F.col("pval") <= F.col("pstar")).alias("rejected"),
+    )

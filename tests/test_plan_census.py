@@ -43,6 +43,7 @@ BNLJ_OK = {
     "ml_eval_regression",  # 1-row global-mean attach
     "stat_anova_oneway",  # 1-row grand-mean attach onto the k-row group table
     "stat_cuped_adjustment",  # 1-row theta/xbar pooled-stats attach
+    "stat_fdr_bh",  # 1-row grand-mean + 1-row BH-cutoff attaches
     "graph_modularity",  # 1-row |edges| scalar attach
     "graph_pagerank",
     "join_bloom_prefilter",  # 1-row bitmap (<=256-long map) attach
