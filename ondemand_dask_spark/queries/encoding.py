@@ -784,3 +784,63 @@ def feature_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "iv_contrib"
         ),
     )
+
+
+@register(
+    "ml_eval_logloss",
+    oracle=f"""
+    WITH lab AS (
+      SELECT event_type,
+             CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y
+      FROM events WHERE event_type IN ('purchase', 'view', 'click')
+    ),
+    m AS (
+      SELECT event_type, avg(y) AS p FROM lab GROUP BY event_type
+    ),
+    base AS (SELECT avg(y) AS pbar FROM lab),
+    j AS (
+      SELECT lab.y, m.p, base.pbar
+      FROM lab JOIN m USING (event_type) CROSS JOIN base
+    )
+    SELECT count(*) AS n,
+           round(-avg(y * ln(greatest(p, 1e-15))
+                      + (1 - y) * ln(greatest(1 - p, 1e-15)))
+                 - 1e-9, {_R}) + 0.0 AS logloss,
+           round(-avg(y * ln(pbar) + (1 - y) * ln(1 - pbar))
+                 - 1e-9, {_R}) + 0.0 AS logloss_baseline
+    FROM j
+    """,
+)
+def ml_eval_logloss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-entropy (log loss) of a grouped probability model vs the
+    constant-rate baseline — the probabilistic-calibration metric
+    that AUC can't see (a model can rank perfectly and still be
+    badly calibrated).  Predictions are the per-group empirical
+    rates (clamped at 1e-15 before ln, the standard guard), the
+    baseline is the global rate; both attach by broadcast and the
+    loss folds into ONE partial-agg average over the scan.  The
+    baseline column makes the result self-interpreting: a useful
+    model's logloss sits strictly below it."""
+    lab = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "view", "click"))
+        .select(
+            "event_type",
+            F.when(F.col("event_type") == "purchase", 1.0)
+            .otherwise(0.0)
+            .alias("y"),
+        )
+    )
+    m = lab.groupBy("event_type").agg(F.avg("y").alias("p"))
+    base = lab.agg(F.avg("y").alias("pbar"))
+    j = lab.join(F.broadcast(m), "event_type").crossJoin(F.broadcast(base))
+    y, p, pbar = F.col("y"), F.col("p"), F.col("pbar")
+    ll = y * F.log(F.greatest(p, F.lit(1e-15))) + (1 - y) * F.log(
+        F.greatest(1 - p, F.lit(1e-15))
+    )
+    llb = y * F.log(pbar) + (1 - y) * F.log(1 - pbar)
+    return j.agg(
+        F.count("*").alias("n"),
+        (F.round(-F.avg(ll) - 1e-9, _R) + 0.0).alias("logloss"),
+        (F.round(-F.avg(llb) - 1e-9, _R) + 0.0).alias("logloss_baseline"),
+    )

@@ -41,6 +41,7 @@ BNLJ_OK = {
     "ml_calibration_bins",  # 1-row min/max attach
     "ml_eval_multiclass",  # |classes|-row broadcast fan-out, bounded vocabulary
     "ml_eval_regression",  # 1-row global-mean attach
+    "ml_eval_logloss",  # 1-row baseline-rate attach
     "stat_anova_oneway",  # 1-row grand-mean attach onto the k-row group table
     "stat_cuped_adjustment",  # 1-row theta/xbar pooled-stats attach
     "stat_fdr_bh",  # 1-row grand-mean + 1-row BH-cutoff attaches
