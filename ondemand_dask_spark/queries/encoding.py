@@ -544,10 +544,13 @@ def ml_eval_multiclass(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequent event_type, ties broken lexicographically so both
     engines pick the same class).  The per-user mode is a
     key-partitioned window over the (user, class) count table —
-    never a global sort; the per-class confusion entries fold into
-    ONE conditional aggregate per class over the labeled scan (the
-    class list is a broadcast of the distinct-agg, so the crossJoin
-    is |classes|-wide fan-out, bounded by the vocabulary)."""
+    never a global sort.  The labeled scan reduces FIRST to the
+    |classes|² confusion matrix (one partial-agg groupBy on the
+    bounded (y, yhat) pair — the only data-sized pass), and the
+    per-class tp/fp/fn derive from that tiny matrix by a
+    |classes|-row broadcast fan-out.  Fanning the raw scan out by
+    the class list instead would shuffle |data|×|classes| rows —
+    the shape this formulation exists to avoid at 100 TB."""
     e = load_table(spark, sf_dir, "events")
     cnt = e.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
     w = Window.partitionBy("user_id").orderBy(
@@ -561,16 +564,17 @@ def ml_eval_multiclass(spark: SparkSession, sf_dir: str) -> DataFrame:
     lab = e.select("user_id", F.col("event_type").alias("y")).join(
         pred, "user_id"
     )
+    conf = lab.groupBy("y", "yhat").agg(F.count("*").alias("nc"))
     cls = e.select(F.col("event_type").alias("cls")).distinct()
     per = (
-        lab.crossJoin(F.broadcast(cls))
+        conf.crossJoin(F.broadcast(cls))
         .groupBy("cls")
         .agg(
-            F.sum(F.when((F.col("y") == F.col("cls")) & (F.col("yhat") == F.col("cls")), 1).otherwise(0))
+            F.sum(F.when((F.col("y") == F.col("cls")) & (F.col("yhat") == F.col("cls")), F.col("nc")).otherwise(0))
             .cast("double").alias("tp"),
-            F.sum(F.when((F.col("y") != F.col("cls")) & (F.col("yhat") == F.col("cls")), 1).otherwise(0))
+            F.sum(F.when((F.col("y") != F.col("cls")) & (F.col("yhat") == F.col("cls")), F.col("nc")).otherwise(0))
             .cast("double").alias("fp"),
-            F.sum(F.when((F.col("y") == F.col("cls")) & (F.col("yhat") != F.col("cls")), 1).otherwise(0))
+            F.sum(F.when((F.col("y") == F.col("cls")) & (F.col("yhat") != F.col("cls")), F.col("nc")).otherwise(0))
             .cast("double").alias("fn"),
         )
     )
