@@ -100,3 +100,41 @@ def test_target_encode_isolated_user_falls_back_to_global_mean(spark):
             assert abs(r.te - gmean) < 1e-9
         else:
             assert abs(r.te - others["value"].mean()) < 1e-9
+
+
+def test_round6_plan_shapes(spark, sf_dir):
+    """Exchange-count pins for the round-6 operators: each plan's
+    shuffle budget is part of its contract (the docstrings argue the
+    shape; this keeps the argument true).  Counts are upper bounds —
+    a drop is fine, a rise means a shuffle crept in."""
+    from ondemand_dask_spark.plans import shuffle_count
+    from ondemand_dask_spark.registry import all_queries
+
+    qs = all_queries()
+    budget = {
+        # measured at the fixture SF and pinned as ceilings; most
+        # exchanges here are 1-row/vocab-sized aggregate builds for
+        # broadcast attaches (cheap at any scale) — the pin guards
+        # against a DATA-sized shuffle creeping in, which would show
+        # up as a count above these.
+        "stat_ols_by_group": 1,
+        "ml_eval_regression": 3,
+        "ml_eval_logloss": 3,
+        "ml_calibration_bins": 2,
+        "feature_woe_iv": 3,
+        "stat_cuped_adjustment": 4,
+        "stat_fdr_bh": 5,
+        "ts_seasonal_decompose": 3,
+        "ts_seasonal_naive_eval": 3,
+        "ts_changepoint_binary": 2,
+        "feature_target_encode_cv": 3,
+        "join_fuzzy_entity_resolution": 0,
+        "layout_file_skipping_stats": 2,
+        "layout_zorder_key": 1,
+    }
+    over = []
+    for name, cap in budget.items():
+        n = shuffle_count(qs[name].fn(spark, sf_dir))
+        if n > cap:
+            over.append(f"{name}: {n} exchanges > budget {cap}")
+    assert not over, over
