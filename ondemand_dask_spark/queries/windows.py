@@ -552,8 +552,8 @@ def window_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_pct_change",
     oracle=f"""
     SELECT event_id, user_id,
-           round((value / lag(value) OVER (PARTITION BY user_id
-                                           ORDER BY ts, event_id) - 1)
+           round((value / nullif(lag(value) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id), 0) - 1)
                  - 1e-9, {_R}) + 0.0 AS pct_change
     FROM events
     WHERE value IS NOT NULL
@@ -562,7 +562,10 @@ def window_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
 def window_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ser.pct_change() — relative step change against the previous
     observation per key (first row NULL).  One lag over the shared
-    user window."""
+    user window.  A previous value of exactly 0 yields NULL (nullif
+    guard on BOTH engines): under Spark's default ANSI mode a bare
+    division would raise DIVIDE_BY_ZERO — found by the full sf0.1
+    differential drive, where zero-valued events first appear."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return (
         _events(spark, sf_dir)
@@ -571,7 +574,10 @@ def window_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             "user_id",
             F.round(
-                F.col("value") / F.lag("value").over(w) - 1 - 1e-9, _R
+                F.col("value") / F.nullif(F.lag("value").over(w), F.lit(0))
+                - 1
+                - 1e-9,
+                _R,
             ).alias("pct_change"),
         )
     )
@@ -948,7 +954,8 @@ _CUSUM_ALARM = 120.0  # alarm threshold on the accumulated excess
     )
     SELECT user_id, event_id,
            round((pref - least(0, run_min)) - 1e-9, {_R}) + 0.0 AS cusum,
-           (pref - least(0, run_min)) > {_CUSUM_ALARM} AS alarm
+           round((pref - least(0, run_min)) - 1e-9, {_R}) + 0.0
+             > {_CUSUM_ALARM} AS alarm
     FROM m
     """,
 )
@@ -979,11 +986,18 @@ def window_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cusum = F.col("pref") - F.least(F.lit(0.0), run_min)
+    # the alarm compares the ROUNDED statistic: a raw float sitting
+    # one ulp either side of the threshold across engines would flip
+    # the boolean (observed once in 100k rows at sf0.1 — cusum
+    # exactly at the 120.0 threshold); rounding first makes the
+    # comparison engine-portable, and an alarm level meaningful to
+    # 4 dp is the operational contract anyway.
+    rounded = F.round(cusum - 1e-9, _R)
     return e.select(
         "user_id",
         "event_id",
-        F.round(cusum - 1e-9, _R).alias("cusum"),
-        (cusum > _CUSUM_ALARM).alias("alarm"),
+        rounded.alias("cusum"),
+        (rounded > _CUSUM_ALARM).alias("alarm"),
     )
 
 
