@@ -731,8 +731,9 @@ def window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(((value - avg(value) OVER w)
                   / NULLIF(stddev_samp(value) OVER w, 0)) - 1e-9, {_R})
              + 0.0 AS zscore,
-           (abs((value - avg(value) OVER w)
-                / NULLIF(stddev_samp(value) OVER w, 0)) > 2.0) AS is_anomaly
+           (abs(round(((value - avg(value) OVER w)
+                / NULLIF(stddev_samp(value) OVER w, 0)) - 1e-9, {_R}) + 0.0)
+              > 2.0) AS is_anomaly
     FROM events
     WHERE value IS NOT NULL
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
@@ -761,7 +762,10 @@ def window_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         F.round(z - 1e-9, _R).alias("zscore"),
-        (F.abs(z) > 2.0).alias("is_anomaly"),
+        # threshold on the ROUNDED z: a raw |z| one ulp either side
+        # of 2.0 across engines would flip the boolean (the cusum
+        # alarm lesson, applied proactively)
+        (F.abs(F.round(z - 1e-9, _R)) > 2.0).alias("is_anomaly"),
     )
 
 
@@ -1254,7 +1258,7 @@ def events_burst_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id, event_id,
            round((value - ma) / sd - 1e-9, {_R}) + 0.0 AS z,
-           abs((value - ma) / sd) > 2 AS is_anomaly
+           abs(round((value - ma) / sd - 1e-9, {_R}) + 0.0) > 2 AS is_anomaly
     FROM r
     WHERE n >= 5 AND sd > 0
     """,
@@ -1285,7 +1289,8 @@ def window_zscore_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id", "event_id",
             (F.round(z - 1e-9, _R) + 0.0).alias("z"),
-            (F.abs(z) > 2).alias("is_anomaly"),
+            # rounded-threshold comparison — see window_zscore_anomaly
+            (F.abs(F.round(z - 1e-9, _R)) > 2).alias("is_anomaly"),
         )
     )
 
