@@ -2638,7 +2638,8 @@ def _phi(z):
     ),
     p AS (
       SELECT seg, n, zstat,
-             2.0 * (1.0 - {_phi_sql("abs(zstat)")}) AS pval
+             round(2.0 * (1.0 - {_phi_sql("abs(zstat)")}) - 1e-9, {_R}) + 0.0
+               AS pval
       FROM z
     ),
     ranked AS (
@@ -2653,7 +2654,7 @@ def _phi(z):
     )
     SELECT seg, CAST(n AS BIGINT) AS n,
            round(zstat - 1e-9, {_R}) + 0.0 AS zstat,
-           round(pval - 1e-9, {_R}) + 0.0 AS pval,
+           pval,
            pval <= pstar AS rejected
     FROM ranked CROSS JOIN cutoff
     """,
@@ -2683,11 +2684,21 @@ def stat_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "zstat"
         ),
     )
+    # p-values are ROUNDED before ranking and before the BH-line
+    # comparisons, so every boolean and ordering decision downstream
+    # operates on engine-portable 4 dp values (the cusum-alarm
+    # lesson — a raw p one ulp either side of the step-up line would
+    # flip `rejected`).
     p = z.select(
         "seg", "n", "zstat",
-        (F.lit(2.0) * (F.lit(1.0) - _phi(F.abs(F.col("zstat"))))).alias(
-            "pval"
-        ),
+        (
+            F.round(
+                F.lit(2.0) * (F.lit(1.0) - _phi(F.abs(F.col("zstat"))))
+                - 1e-9,
+                _R,
+            )
+            + 0.0
+        ).alias("pval"),
     )
     wr = Window.orderBy("pval", "seg")
     ranked = p.select(
@@ -2702,6 +2713,6 @@ def stat_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seg",
         F.col("n").cast("long").alias("n"),
         (F.round(F.col("zstat") - 1e-9, _R) + 0.0).alias("zstat"),
-        (F.round(F.col("pval") - 1e-9, _R) + 0.0).alias("pval"),
+        "pval",
         (F.col("pval") <= F.col("pstar")).alias("rejected"),
     )
