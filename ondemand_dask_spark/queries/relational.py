@@ -443,3 +443,62 @@ def sample_n_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("hrank") <= 5)
     )
+
+
+_AES_K = 20
+_AES_M = 1_048_576  # hash-uniform resolution (2^20 buckets)
+
+
+@register(
+    "sample_weighted_reservoir",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT o_orderkey, o_totalprice,
+             round(
+               ln((CAST('0x' || substr(md5('aes|' || CAST(o_orderkey AS VARCHAR)), 1, 15)
+                        AS BIGINT) % {_AES_M} + 0.5) / {_AES_M})
+               / o_totalprice, 9) AS sel_key
+      FROM orders
+    )
+    SELECT o_orderkey, round(o_totalprice - 1e-9, 4) + 0.0 AS weight,
+           sel_key
+    FROM keyed
+    ORDER BY sel_key DESC, o_orderkey
+    LIMIT {_AES_K}
+    """,
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, exact size k — the
+    Efraimidis–Spirakis one-pass reservoir: each row draws
+    u ∈ (0,1) and survives if its key u^(1/w) ranks top-k
+    (equivalently ln(u)/w, the form computed here for numeric
+    stability).  Unlike the Bernoulli `sample_weighted`, the output
+    size is EXACTLY k and inclusion competition is global — the
+    algorithm behind weighted reservoir sampling in every streaming
+    system.  u comes from the salted portable hash, so the draw is
+    deterministic and the differential check exact; keys are rounded
+    to 9 dp before ranking (with the id tiebreak) so a last-ulp ln()
+    divergence between engines cannot reorder the selection
+    boundary.  The top-k plans as TakeOrderedAndProject:
+    per-partition heaps then a k-row merge — one pass, no global
+    sort, at any scale."""
+    from ondemand_dask_spark.functions.texthash import portable_hash64
+
+    o = load_table(spark, sf_dir, "orders")
+    u = (
+        portable_hash64(
+            F.concat(F.lit("aes|"), F.col("o_orderkey").cast("string"))
+        )
+        % _AES_M
+        + 0.5
+    ) / F.lit(float(_AES_M))
+    key = F.round(F.log(u) / F.col("o_totalprice"), 9)
+    return (
+        o.select(
+            "o_orderkey",
+            (F.round(F.col("o_totalprice") - 1e-9, 4) + 0.0).alias("weight"),
+            key.alias("sel_key"),
+        )
+        .orderBy(F.desc("sel_key"), F.asc("o_orderkey"))
+        .limit(_AES_K)
+    )
