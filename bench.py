@@ -199,14 +199,15 @@ def main() -> None:
     # territory) is flagged loudly — the r5 dedup_simhash surprise
     # (+38%, later measured to be load noise) motivated making the
     # comparison visible BEFORE the driver records it.
+    script_dir = os.path.dirname(os.path.abspath(__file__))
     prev_files = sorted(
         f
-        for f in os.listdir(os.path.dirname(os.path.abspath(__file__)))
+        for f in os.listdir(script_dir)
         if re.fullmatch(r"BENCH_r\d+\.json", f)
     )
     if prev_files:
         try:
-            with open(prev_files[-1]) as fh:
+            with open(os.path.join(script_dir, prev_files[-1])) as fh:
                 prev = json.load(fh)
             # the round driver wraps bench stdout under "parsed"
             if isinstance(prev.get("parsed"), dict):

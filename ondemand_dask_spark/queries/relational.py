@@ -457,7 +457,7 @@ _AES_M = 1_048_576  # hash-uniform resolution (2^20 buckets)
              round(
                ln((CAST('0x' || substr(md5('aes|' || CAST(o_orderkey AS VARCHAR)), 1, 15)
                         AS BIGINT) % {_AES_M} + 0.5) / {_AES_M})
-               / o_totalprice, 9) AS sel_key
+               / o_totalprice - 1e-9, 9) + 0.0 AS sel_key
       FROM orders
     )
     SELECT o_orderkey, round(o_totalprice - 1e-9, 4) + 0.0 AS weight,
@@ -492,7 +492,10 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         % _AES_M
         + 0.5
     ) / F.lit(float(_AES_M))
-    key = F.round(F.log(u) / F.col("o_totalprice"), 9)
+    # repo-standard round(x - 1e-9, 9) + 0.0 nudge: ln() can differ by
+    # an ulp between engines and sel_key is both a hash-compared
+    # output column and the selection boundary.
+    key = F.round(F.log(u) / F.col("o_totalprice") - 1e-9, 9) + 0.0
     return (
         o.select(
             "o_orderkey",

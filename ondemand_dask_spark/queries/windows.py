@@ -1535,7 +1535,8 @@ _SNAIVE_LAG_DAYS = 7
     )
     SELECT event_type, count(*) AS n_days,
            round(avg(abs(y - yhat)) - 1e-9, {_R}) + 0.0 AS mae,
-           round(avg(abs(y - yhat) / abs(y)) - 1e-9, {_R}) + 0.0 AS mape
+           round(avg(abs(y - yhat) / nullif(abs(y), 0)) - 1e-9, {_R}) + 0.0
+             AS mape
     FROM j GROUP BY event_type
     """,
 )
@@ -1566,12 +1567,20 @@ def ts_seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.total").alias("yhat"),
     )
     err = F.abs(F.col("y") - F.col("yhat"))
+    # MAPE's per-day term divides by |y|: a day whose total is exactly
+    # 0 must contribute NULL (avg skips it), not raise DIVIDE_BY_ZERO
+    # under Spark 4 ANSI mode — nullif-guarded identically in the
+    # oracle so both engines skip the same days.
     return j.groupBy("event_type").agg(
         F.count("*").alias("n_days"),
         (F.round(F.avg(err) - 1e-9, _R) + 0.0).alias("mae"),
-        (F.round(F.avg(err / F.abs(F.col("y"))) - 1e-9, _R) + 0.0).alias(
-            "mape"
-        ),
+        (
+            F.round(
+                F.avg(err / F.nullif(F.abs(F.col("y")), F.lit(0.0))) - 1e-9,
+                _R,
+            )
+            + 0.0
+        ).alias("mape"),
     )
 
 
@@ -1597,20 +1606,20 @@ def ts_seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     scored AS (
       SELECT event_type, d, i, n,
-             (ty2 - ty * ty / n)
-             - ((cy2 - cy * cy / i)
-                + ((ty2 - cy2) - (ty - cy) * (ty - cy) / (n - i)))
-               AS sse_drop
+             round((ty2 - ty * ty / n)
+                   - ((cy2 - cy * cy / i)
+                      + ((ty2 - cy2) - (ty - cy) * (ty - cy) / (n - i)))
+                   - 1e-9, {_R}) + 0.0
+               AS sse_r
       FROM pre WHERE i < n
     ),
     best AS (
-      SELECT event_type, d AS change_day, sse_drop,
+      SELECT event_type, d AS change_day, sse_r,
              row_number() OVER (PARTITION BY event_type
-                                ORDER BY sse_drop DESC, d) AS rn
+                                ORDER BY sse_r DESC, d) AS rn
       FROM scored
     )
-    SELECT event_type, change_day,
-           round(sse_drop - 1e-9, {_R}) + 0.0 AS sse_reduction
+    SELECT event_type, change_day, sse_r AS sse_reduction
     FROM best WHERE rn = 1
     """,
 )
@@ -1651,19 +1660,23 @@ def ts_changepoint_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         (cy2 - cy * cy / i)
         + ((ty2 - cy2) - (ty - cy) * (ty - cy) / (n - i))
     )
+    # Rank on the ROUNDED statistic (repo-standard round-before-compare
+    # discipline): ty/cy prefix sums can differ by an ulp between
+    # engines, and two near-tied candidate days must resolve to the
+    # same change_day on both sides — the d tiebreak then decides.
     scored = pre.filter(F.col("i") < F.col("n")).select(
-        "event_type", "d", sse_drop.alias("sse_drop")
+        "event_type",
+        "d",
+        (F.round(sse_drop - 1e-9, _R) + 0.0).alias("sse_r"),
     )
     best = scored.withColumn(
         "rn",
         F.row_number().over(
-            wp.orderBy(F.desc("sse_drop"), F.asc("d"))
+            wp.orderBy(F.desc("sse_r"), F.asc("d"))
         ),
     ).filter(F.col("rn") == 1)
     return best.select(
         "event_type",
         F.col("d").cast("timestamp").alias("change_day"),
-        (F.round(F.col("sse_drop") - 1e-9, _R) + 0.0).alias(
-            "sse_reduction"
-        ),
+        F.col("sse_r").alias("sse_reduction"),
     )
