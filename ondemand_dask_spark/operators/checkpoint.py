@@ -56,6 +56,7 @@ class RetainedCaches:
 
     def __init__(self) -> None:
         self._frames: list[DataFrame] = []
+        _ALL_CACHES.append(self)
 
     def retain(self, df: DataFrame) -> DataFrame:
         self._frames.append(df)
@@ -69,3 +70,21 @@ class RetainedCaches:
                     df.unpersist()
             except Exception:
                 pass  # session already stopped — nothing to release
+
+
+_ALL_CACHES: list[RetainedCaches] = []
+
+
+def evict_all_retained() -> None:
+    """Release every module's retained caches and checkpoints at once.
+
+    The per-module discipline frees a query's blocks at the NEXT
+    entry into the same module — correct for memory bounds, but a
+    benchmark timing query B right after query A from a different
+    module still runs under A's leftover blocks (measured: graph
+    leftovers added ~0.5-0.8 s to the next dedup query at
+    sf0.1).  Benchmarks call this between queries for self-contained
+    timings; the driver's long sessions may also call it between
+    query families."""
+    for c in _ALL_CACHES:
+        c.evict()

@@ -30,7 +30,10 @@ from pyspark.sql.window import Window
 
 
 def global_row_numbers(
-    df: DataFrame, *keys: str | Column, col_name: str = "pos"
+    df: DataFrame,
+    *keys: str | Column,
+    col_name: str = "pos",
+    retain=None,
 ) -> DataFrame:
     """Append 1-based global positions ordered by `keys` (must form a
     total order) without a single-task global window.
@@ -44,13 +47,18 @@ def global_row_numbers(
     one sampled set of range boundaries would be applied to row
     numbers from another, silently corrupting positions.  The
     checkpoint RDD is computed once at first action and shared by
-    both plan branches; callers holding many ranked frames can free
-    the blocks early via operators.checkpoint.release_local_checkpoint."""
+    both plan branches.  Pass `retain` (a module's
+    RetainedCaches.retain) to register the pinned frame for eager
+    release at the module's next query entry — otherwise the blocks
+    linger until GC, which measurably taxes the NEXT query in a
+    bench session."""
     ranged = df.repartitionByRange(*keys).sortWithinPartitions(*keys)
     with_pid = ranged.withColumn("__pid", F.spark_partition_id())
     w_local = Window.partitionBy("__pid").orderBy(*keys)
     local = with_pid.withColumn("__rn", F.row_number().over(w_local))
     local = local.localCheckpoint(eager=False)
+    if retain is not None:
+        retain(local)
     counts = local.groupBy("__pid").agg(F.count("*").alias("__cnt"))
     w_off = Window.orderBy("__pid").rowsBetween(
         Window.unboundedPreceding, -1
@@ -66,11 +74,65 @@ def global_row_numbers(
     )
 
 
+def global_prefix_sums(
+    df: DataFrame,
+    value_col: str,
+    *keys: str | Column,
+    pos_col: str = "pos",
+    cum_col: str = "cum",
+    retain=None,
+) -> DataFrame:
+    """Append 1-based global positions AND the running sum of
+    `value_col` in that order — the distributed twin of
+    `sum(v) OVER (ORDER BY keys ROWS UNBOUNDED PRECEDING)` plus
+    `row_number()`, without a single-task global window.
+
+    Same two-pass shape as `global_row_numbers` (one range exchange,
+    shared by both outputs): local row numbers + local running sums
+    within each range partition, then per-partition (count, sum)
+    totals — a #partitions-row table — cumulated into broadcast
+    offsets.  Summation is reassociated across partitions (partial
+    sums + offset rather than strictly sequential), which is the
+    same reassociation every engine's parallel window aggregation
+    performs; callers needing cross-engine float determinism should
+    round the addends first, as with any distributed sum."""
+    ranged = df.repartitionByRange(*keys).sortWithinPartitions(*keys)
+    with_pid = ranged.withColumn("__pid", F.spark_partition_id())
+    w_local = Window.partitionBy("__pid").orderBy(*keys)
+    w_run = w_local.rowsBetween(Window.unboundedPreceding, 0)
+    local = with_pid.withColumn(
+        "__rn", F.row_number().over(w_local)
+    ).withColumn("__cs", F.sum(value_col).over(w_run))
+    # pin the range exchange: counts and the final join must read ONE
+    # materialization (see global_row_numbers).
+    local = local.localCheckpoint(eager=False)
+    if retain is not None:
+        retain(local)
+    counts = local.groupBy("__pid").agg(
+        F.count("*").alias("__cnt"), F.sum(value_col).alias("__sum")
+    )
+    w_off = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "__pid",
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__coff"),
+        F.coalesce(F.sum("__sum").over(w_off), F.lit(0.0)).alias("__soff"),
+    )
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(pos_col, F.col("__coff") + F.col("__rn"))
+        .withColumn(cum_col, F.col("__soff") + F.col("__cs"))
+        .drop("__pid", "__rn", "__cs", "__coff", "__soff")
+    )
+
+
 def global_min_ranks(
     df: DataFrame,
     value_col: str,
     tiebreak: str | Column,
     col_name: str = "rnk",
+    retain=None,
 ) -> DataFrame:
     """Append `rank() OVER (ORDER BY value_col)` — ties share their
     MIN position — without a single-task global window.
@@ -84,7 +146,9 @@ def global_min_ranks(
     value), which AQE's skew handling splits.  `tiebreak` must make
     (value_col, tiebreak) a total order or positions are
     nondeterministic."""
-    numbered = global_row_numbers(df, value_col, tiebreak, col_name="__pos")
+    numbered = global_row_numbers(
+        df, value_col, tiebreak, col_name="__pos", retain=retain
+    )
     w_val = Window.partitionBy(value_col)
     return numbered.withColumn(
         col_name, F.min("__pos").over(w_val)

@@ -3,6 +3,7 @@
 from ondemand_dask_spark.plans.inspect import (  # noqa: F401
     broadcast_join_count,
     codegen_span_count,
+    global_window_count,
     plan_string,
     pushed_filters,
     python_eval_count,

@@ -66,6 +66,61 @@ def codegen_span_count(df: DataFrame) -> int:
     return len(set(re.findall(r"\*\((\d+)\)", plan_string(df, mode="simple"))))
 
 
+def _top_level_brackets(s: str) -> list[str]:
+    """Split a formatted-plan Arguments line into its top-level
+    `[...]` groups (bracket-depth scan — function bodies inside the
+    first group may nest brackets)."""
+    groups: list[str] = []
+    depth, start = 0, None
+    for i, ch in enumerate(s):
+        if ch == "[":
+            if depth == 0:
+                start = i
+            depth += 1
+        elif ch == "]" and depth > 0:
+            depth -= 1
+            if depth == 0 and start is not None:
+                groups.append(s[start + 1 : i])
+                start = None
+    return groups
+
+
+def global_window_count(df: DataFrame) -> int:
+    """Unpartitioned Window operators — a no-partition window moves
+    every row through ONE task, the single-task collapse this repo
+    only permits on provably bounded inputs (k-row cut tables, |V|
+    degree tables, per-partition count tables).  A formatted-plan
+    Window node's Arguments line has three top-level groups
+    `[funcs], [partitionSpec], [orderSpec]` when partitioned and two
+    when not.  The two-phase rank machinery's offsets window
+    (`operators/rank.py`: ORDER BY the synthetic __pid — exactly
+    #partitions rows by construction) is excluded: it is the
+    bounded-by-construction core of the SCALE-SAFE alternative, not
+    a collapse.
+
+    Discriminating the two-group case: a formatted Arguments line has
+    `[funcs], [partitionSpec], [orderSpec]` when both are present,
+    but an UNORDERED partitioned window (`partitionBy` only — scales
+    fine, it is just groupBy+broadcast-back) also prints two groups.
+    Order specs always carry ASC/DESC markers; partition specs are
+    bare columns — that marker is the tell."""
+    plan = plan_string(df)
+    n = 0
+    for m in re.finditer(
+        r"\(\d+\) Window\b[^\n]*\nInput[^\n]*\nArguments: ([^\n]*)", plan
+    ):
+        groups = _top_level_brackets(m.group(1))
+        if len(groups) <= 1:
+            n += 1  # neither partition nor order: one global frame
+        elif (
+            len(groups) == 2
+            and (" ASC" in groups[1] or " DESC" in groups[1])
+            and "__pid#" not in groups[1]
+        ):
+            n += 1  # ordered, unpartitioned (and not the rank offsets)
+    return n
+
+
 def pushed_filters(df: DataFrame) -> list[str]:
     """Every non-empty PushedFilters entry across the plan's scans."""
     out = []

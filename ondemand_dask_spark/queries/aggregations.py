@@ -23,9 +23,15 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ondemand_dask_spark.io import load_table
+from ondemand_dask_spark.operators.checkpoint import RetainedCaches
 from ondemand_dask_spark.registry import register
 
 _R = 4
+
+# Checkpoint lifecycle for stat_spearman_corr's two pinned range
+# exchanges (operators/rank.py): retained past the call, released at
+# the next entry — same discipline as dedup/graph.
+_CACHES = RetainedCaches()
 
 
 @register(
@@ -2162,6 +2168,7 @@ def stat_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle on o_orderkey) to pair (rx, ry) per row before corr."""
     from ondemand_dask_spark.operators.rank import global_min_ranks
 
+    _CACHES.evict()
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_totalprice",
@@ -2170,9 +2177,11 @@ def stat_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     rx = global_min_ranks(
         o.select("o_orderkey", "o_totalprice"),
         "o_totalprice", "o_orderkey", col_name="rx",
+        retain=_CACHES.retain,
     ).select("o_orderkey", "rx")
     ry = global_min_ranks(
-        o.select("o_orderkey", "__od"), "__od", "o_orderkey", col_name="ry"
+        o.select("o_orderkey", "__od"), "__od", "o_orderkey",
+        col_name="ry", retain=_CACHES.retain,
     ).select("o_orderkey", "ry")
     r = rx.join(ry, "o_orderkey")
     return r.agg(

@@ -23,7 +23,7 @@ therefore breaks on `diff >= gap`, not `>`.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -741,14 +741,22 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation — the classic customer-value quartiling:
     recency (latest event), frequency (event count), monetary
     (purchase value sum) per user, each quartiled independently
-    (1 = best).  The per-user rollup is one partial-agg groupBy; the
-    three ntile windows run over the |users|-row aggregate — the
-    documented bounded-input exception (at 100 TB users are data-
-    sized: swap each ntile for broadcast quantile cutpoints from the
-    distributed exact-quantile operator, the qcut_by_cutpoints
-    pattern).  Monetary rounds to 4 dp before ranking so float-sum
-    partial ordering cannot flip a quartile boundary between
-    engines; all ties break on user_id."""
+    (1 = best).  The per-user rollup is one partial-agg groupBy.
+    Scale shape: users are DATA-sized at 100 TB, so the three
+    quartile assignments must not run as unpartitioned ntile windows
+    (single-task collapse on the engine's busiest dimension).
+    Instead each metric gets an exact global position from the
+    two-phase distributed rank (`global_row_numbers`: range exchange
+    + per-partition numbering + broadcast offsets — every exchange
+    parallel), and ntile(4)'s bucket is reconstructed closed-form
+    from (position, n): the first n mod 4 buckets take ceil(n/4)
+    rows, the rest floor(n/4) — bit-identical to the window ntile
+    the oracle runs, at any scale.  Monetary rounds to 4 dp before
+    ranking so float-sum partial ordering cannot flip a quartile
+    boundary between engines; all ties break on user_id."""
+    from ondemand_dask_spark.operators.rank import global_row_numbers
+
+    _CACHES.evict()
     e = load_table(spark, sf_dir, "events")
     agg = e.groupBy("user_id").agg(
         F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("last_us"),
@@ -758,17 +766,39 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(0.0)
         ).alias("monetary"),
     )
-    return agg.select(
+    ranked = global_row_numbers(
+        agg, F.col("last_us").desc(), F.col("user_id").asc(),
+        col_name="__rpos", retain=_CACHES.retain,
+    )
+    ranked = global_row_numbers(
+        ranked, F.col("freq").desc(), F.col("user_id").asc(),
+        col_name="__fpos", retain=_CACHES.retain,
+    )
+    ranked = global_row_numbers(
+        ranked, F.round(F.col("monetary"), 4).desc(),
+        F.col("user_id").asc(), col_name="__mpos",
+        retain=_CACHES.retain,
+    )
+    n_row = agg.agg(F.count("*").alias("__n"))
+
+    def ntile4(pos: str) -> Column:
+        # ntile(4) closed form: q = n div 4, r = n mod 4; buckets
+        # 1..r hold q+1 rows, buckets r+1..4 hold q rows.  n < 4
+        # degenerates to bucket = position (each row its own bucket).
+        i, n = F.col(pos), F.col("__n")
+        q = F.floor(n / 4).cast("long")
+        r = n - 4 * q
+        big = r * (q + 1)
+        bucket = F.when(i <= big, F.ceil(i / (q + 1))).otherwise(
+            r + F.ceil((i - big) / q)
+        )
+        return F.when(q == 0, i).otherwise(bucket).cast("int")
+
+    return ranked.crossJoin(F.broadcast(n_row)).select(
         "user_id",
-        F.ntile(4).over(
-            Window.orderBy(F.desc("last_us"), F.asc("user_id"))
-        ).alias("r_score"),
-        F.ntile(4).over(
-            Window.orderBy(F.desc("freq"), F.asc("user_id"))
-        ).alias("f_score"),
-        F.ntile(4).over(
-            Window.orderBy(F.desc(F.round("monetary", 4)), F.asc("user_id"))
-        ).alias("m_score"),
+        ntile4("__rpos").alias("r_score"),
+        ntile4("__fpos").alias("f_score"),
+        ntile4("__mpos").alias("m_score"),
     )
 
 
@@ -858,30 +888,32 @@ def orders_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer prefix, by descending revenue, whose cumulative revenue
     reaches 80% of the total — 'what fraction of customers carry
     80% of the business'.  The data-sized pass is one
-    groupBy(custkey); the running-share windows run over the
-    |customers|-row aggregate rounded to 4 dp BEFORE cumulating (so
-    both engines accumulate identical addends in identical rank
-    order — float-sum path divergence cannot move the 80% crossing).
-    At 100 TB the aggregate is still data-sized: swap the global
-    windows for the two-pass partition-offset rank
-    (operators/rank.py) plus a scalar total, same answer."""
+    groupBy(custkey); customers are ALSO data-sized at 100 TB, so
+    the running share comes from the two-phase distributed prefix
+    sum (`global_prefix_sums`: one range exchange, per-partition
+    running sums, broadcast per-partition offsets — no single-task
+    window), and the (total, count) pair rides a broadcast 1-row
+    attach.  Revenue is rounded to 4 dp BEFORE cumulating so both
+    engines accumulate identical addends; the cross-partition
+    reassociation this introduces is the same reassociation
+    DuckDB's segment-tree window aggregation performs."""
+    from ondemand_dask_spark.operators.rank import global_prefix_sums
+
+    _CACHES.evict()
     o = load_table(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
         F.round(F.sum("o_totalprice"), 4).alias("rev")
     )
-    w = Window.orderBy(F.desc("rev"), F.asc("o_custkey"))
-    ranked = per_cust.select(
-        "o_custkey", "rev",
-        F.sum("rev").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ).alias("cum_rev"),
-        F.sum("rev").over(
-            Window.partitionBy()
-        ).alias("total_rev"),
-        F.row_number().over(w).alias("rnk"),
-        F.count("*").over(Window.partitionBy()).alias("n_cust"),
+    ranked = global_prefix_sums(
+        per_cust, "rev", F.col("rev").desc(), F.col("o_custkey").asc(),
+        pos_col="rnk", cum_col="cum_rev", retain=_CACHES.retain,
     )
-    hit = ranked.filter(F.col("cum_rev") >= 0.8 * F.col("total_rev"))
+    tot = per_cust.agg(
+        F.sum("rev").alias("total_rev"), F.count("*").alias("n_cust")
+    )
+    hit = ranked.crossJoin(F.broadcast(tot)).filter(
+        F.col("cum_rev") >= 0.8 * F.col("total_rev")
+    )
     return hit.agg(
         F.min("rnk").cast("long").alias("n_top_customers"),
         F.max("n_cust").cast("long").alias("n_customers"),

@@ -172,17 +172,20 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     intersection form shuffles only edges + |V| adjacency rows
     (1.2 M + 20 k) and was measured 4× faster.  The oracle keeps the
     wedge-join formulation as the semantic spec — same census,
-    different physical strategy.  The single global window computing
-    ranks runs over the aggregated degree table — |V| rows, not
-    data-sized — the same bounded-input exception documented for
-    agg_mode."""
+    different physical strategy.  Degree ranks come from the
+    two-phase distributed rank (`global_row_numbers`) so the graph
+    family has zero single-task stages even at data-sized |V| — the
+    (d, node) chain is a total order, so the numbering is identical
+    to the window form the oracle runs."""
+    from ondemand_dask_spark.operators.rank import global_row_numbers
+
     _evict_retained()
     edges = _retain(_edges(spark, sf_dir).cache())
     sym = _sym(edges)
     deg = sym.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("d"))
-    rnk = deg.select(
-        "node", F.row_number().over(Window.orderBy("d", "node")).alias("r")
-    )
+    rnk = global_row_numbers(
+        deg, "d", "node", col_name="r", retain=_retain
+    ).select("node", "r")
     # rank map is |V| rows → broadcast; canonical edges then orient
     # from lower rank to higher with zero additional exchanges.
     ru = F.broadcast(rnk).alias("ru")
@@ -832,32 +835,44 @@ def graph_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the Bellman-Ford superstep), so round r holds exact distances
     ≤ r; {_BFS_HOPS} unrolled rounds stay ONE lazy Catalyst plan —
     no driver-side loop, no collected state.  The source set is a
-    row_number over the |V|-row degree table (bounded-input window
-    exception).  At 100 TB each superstep is a key-partitioned
-    shuffle of the frontier — the canonical Pregel BFS — and deeper
-    horizons switch to the checkpointed-iteration pattern used by
-    dedup_connected_components."""
+    top-k over the degree table (TakeOrderedAndProject: per-partition
+    heaps + a k-row merge — no global window even at data-sized |V|).
+
+    FRONTIER-DELTA supersteps: in an unweighted graph a node's final
+    distance is the round it is FIRST reached, so each round joins
+    only the newly-reached frontier against the edges and anti-joins
+    the already-settled set — strictly less work than re-relaxing
+    every settled node each round (the textbook delta optimization;
+    the full-frontier form re-joined the whole reached set).  Each
+    round's delta is pinned with a lazy localCheckpoint so the
+    settled set is a linear union of materialized deltas, not a
+    2^hops lineage tree.  At 100 TB each superstep is a
+    key-partitioned shuffle of the frontier — the canonical Pregel
+    BFS — and deeper horizons switch to the checkpointed-iteration
+    pattern used by dedup_connected_components."""
     _evict_retained()
     edges = _retain(_edges(spark, sf_dir).cache())
     edges.count()  # eager: sym fans the cache into two union legs
     sym = _sym(edges)
     deg = sym.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("d"))
     src = (
-        deg.withColumn(
-            "rn",
-            F.row_number().over(Window.orderBy(F.desc("d"), F.asc("node"))),
-        )
-        .filter(F.col("rn") <= _BFS_SOURCES)
+        deg.orderBy(F.desc("d"), F.asc("node"))
+        .limit(_BFS_SOURCES)
         .select("node")
     )
     dist = src.withColumn("dist", F.lit(0))
-    for _ in range(_BFS_HOPS):
-        relaxed = sym.join(
-            dist.withColumnRenamed("node", "u"), "u"
-        ).select(F.col("v").alias("node"), (F.col("dist") + 1).alias("dist"))
-        dist = (
-            dist.unionByName(relaxed)
-            .groupBy("node")
-            .agg(F.min("dist").alias("dist"))
+    frontier = src
+    for hop in range(1, _BFS_HOPS + 1):
+        reached = (
+            sym.join(frontier.withColumnRenamed("node", "u"), "u")
+            .select(F.col("v").alias("node"))
+            .distinct()
         )
+        new = _retain(
+            reached.join(dist.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(hop))
+            .localCheckpoint(eager=False)
+        )
+        dist = dist.unionByName(new)
+        frontier = new.select("node")
     return dist.groupBy("dist").agg(F.count("*").alias("n_nodes"))

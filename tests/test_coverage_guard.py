@@ -42,55 +42,39 @@ def test_coverage_md_total_matches_registry():
     )
 
 
-def test_worklist_comment_names_exist_in_registry():
-    """Every query-shaped name in registry.py's rotation-worklist
-    comment must resolve to a registered query (slash-joined
-    alternatives like `source_orc/fwf` expand against the shared
-    prefix; `foo_*` family globs match by prefix)."""
-    with open(
-        os.path.join(REPO, "ondemand_dask_spark", "registry.py")
-    ) as f:
-        src = f.read()
-    m = re.search(r"# Round-\d+ rotation worklist.*?\n\n", src, re.S)
-    assert m, "rotation worklist comment not found in registry.py"
-    comment = m.group(0)
-    # a slash-chain wrapped across comment lines continues after
-    # "#     " on the next line — rejoin before tokenizing
-    comment = re.sub(r"/\n#\s*", "/", comment)
+def test_rotation_md_matches_recomputation():
+    """ROTATION.md is the machine-generated driver-coverage worklist
+    (it replaced the hand-maintained registry.py comment block, whose
+    counts drifted two rounds running).  Recompute it from
+    CORRECTNESS_r*.json ∪ the live registry and require the committed
+    file to match byte-for-byte — any new CORRECTNESS file, renamed
+    query, or registration change must re-run
+    `python tools/rotation.py --write`."""
+    import sys
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from rotation import rotation_md
+
+    with open(os.path.join(REPO, "ROTATION.md")) as f:
+        committed = f.read()
+    assert committed == rotation_md(), (
+        "ROTATION.md is stale — regenerate with "
+        "`python tools/rotation.py --write`"
+    )
+
+
+def test_rotation_priority_names_exist_in_registry():
+    """The verdict-named PRIORITY list in tools/rotation.py must
+    resolve against the live registry, or a rename would silently
+    drop a priority pick from the next window."""
+    import sys
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from rotation import ANCHORS, PRIORITY
+
     names = set(all_queries())
-
-    # tokens that look like query names: lowercase words joined by _
-    # possibly with /-separated alternative suffixes
-    def resolves(cand: str) -> bool:
-        if cand in names:
-            return True
-        # family shorthand: a foo_* glob, or a truncated stem like
-        # source_orc standing for source_orc_roundtrip
-        return any(n.startswith(cand) for n in names)
-
-    bad: list[str] = []
-    for tok in re.findall(r"[a-z][a-z0-9_]*(?:/[a-z0-9_]+)*", comment):
-        if "_" not in tok:
-            continue  # prose word, not a query name
-        parts = tok.split("/")
-        head = parts[0]
-        if not resolves(head):
-            bad.append(head)
-        # expand source_orc/fwf/... by grafting each alternative onto
-        # every underscore prefix of the head (the alternative may
-        # replace one or several trailing segments — or be a full
-        # name itself, e.g. pipeline_chunk_overlap/topk_per_group)
-        head_segs = head.split("_")
-        prefixes = [
-            "_".join(head_segs[:i]) for i in range(len(head_segs), 0, -1)
-        ]
-        for p in parts[1:]:
-            if resolves(p) or any(
-                resolves(f"{pre}_{p}") for pre in prefixes
-            ):
-                continue
-            bad.append(f"{head}/{p}")
-    assert not bad, f"worklist comment names not in registry: {sorted(set(bad))}"
+    bad = [n for n in (*ANCHORS, *PRIORITY) if n not in names]
+    assert not bad, f"rotation names not in registry: {bad}"
 
 
 def test_showcase_is_exactly_driver_window_size():

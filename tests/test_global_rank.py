@@ -76,3 +76,36 @@ def test_min_ranks_all_distinct(spark):
 
 def test_min_ranks_single_value(spark):
     _check_min_ranks(spark, [(7, i) for i in range(50)])
+
+
+def _check_prefix(spark, rows):
+    from ondemand_dask_spark.operators.rank import global_prefix_sums
+
+    df = spark.createDataFrame(rows, "k long, v long")
+    got = {
+        (r.k, r.v): (r.pos, r.cum)
+        for r in global_prefix_sums(df, "v", "k", "v").collect()
+    }
+    w = Window.orderBy("k", "v")
+    wr = w.rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        (r.k, r.v): (r.pos, r.cum)
+        for r in df.withColumn("pos", F.row_number().over(w))
+        .withColumn("cum", F.sum("v").over(wr))
+        .collect()
+    }
+    assert got == want
+
+
+def test_prefix_sums_match_global_window(spark):
+    rng = random.Random(11)
+    rows = [(rng.randrange(100), i) for i in range(5000)]
+    _check_prefix(spark, rows)
+
+
+def test_prefix_sums_tiny_and_skewed(spark):
+    _check_prefix(spark, [(1, 3), (1, 1), (1, 2)])
+    rng = random.Random(13)
+    _check_prefix(
+        spark, [(rng.choice([7, 7, 7, 9]), i) for i in range(500)]
+    )

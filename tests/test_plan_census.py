@@ -12,7 +12,15 @@ so no future operator ships a scale cliff unnoticed:
    join_theta);
 3. Python boundaries only in the declared Arrow-vectorized families
    (§2.J UDF surface, multimodal decoders, from_map), and never the
-   row-at-a-time BatchEvalPython.
+   row-at-a-time BatchEvalPython;
+4. unpartitioned Window operators (single-task collapse at scale)
+   only in the pinned whitelist of provably bounded inputs —
+   distinct-value / vocabulary / contingency tables — or contracts
+   that are inherently a global order with a documented scalable
+   twin.  This used to rest on per-docstring claims alone; two of
+   those claims (events_rfm_segmentation, orders_pareto_
+   concentration) turned out data-sized and were rebuilt on the
+   operators/rank.py two-phase machinery.
 
 Only plans are built (no execution) except where a query runs eager
 probe actions by design, so the sweep stays cheap at the test SF.
@@ -22,7 +30,7 @@ from __future__ import annotations
 
 import re
 
-from ondemand_dask_spark.plans import plan_string
+from ondemand_dask_spark.plans import global_window_count, plan_string
 from ondemand_dask_spark.registry import all_queries
 
 # 1-row scalar attaches + deliberately-bounded non-equi operators.
@@ -33,12 +41,14 @@ BNLJ_OK = {
     "dedup_semantic_embedding",  # k-row seed-centroid broadcast, like ann_ivf_probe
     "embedding_matryoshka_recall",  # 10-row query-set broadcast, like ann_cosine_topk
     "embedding_pca_power", "encode_minmax", "encode_standardize",
+    "events_rfm_segmentation",  # 1-row |users| attach for closed-form ntile
     "dq_psi_drift",  # 1-row snapshot-totals attach
     "dq_referential_integrity",  # 1-row x 1-row count attaches per relationship
     "encode_target_mean", "funnel_three_step",
     "feature_target_encode_cv",  # 1-row global-mean fallback attach
     "feature_woe_iv",  # 1-row G/B-totals attach onto the k-row bucket table
     "ml_calibration_bins",  # 1-row min/max attach
+    "orders_pareto_concentration",  # 1-row (total, count) attach
     "ml_eval_multiclass",  # |classes|-row broadcast fan-out, bounded vocabulary
     "ml_eval_regression",  # 1-row global-mean attach
     "ml_eval_logloss",  # 1-row baseline-rate attach
@@ -59,6 +69,25 @@ BNLJ_OK = {
     "text_unigram_surprisal", "tpch_q11", "tpch_q22",
 }
 
+# Unpartitioned ordered windows over provably BOUNDED inputs.  The
+# detector (plans.global_window_count) already excludes the rank
+# machinery's #partitions-row __pid offsets window; everything else
+# must be named here with its boundedness argument.
+GWIN_OK = {
+    "agg_mode",  # per-value counts table (value vocabulary)
+    "encode_label",  # label vocabulary
+    "incremental_partial_agg_merge",  # merged k-group agg table
+    "ml_eval_binary",  # per-distinct-score counts (AUC via U identity)
+    "pipeline_bpe_pair_counts",  # adjacent-pair vocabulary
+    "qcut_quartiles",  # exact-rank CONTRACT; scale twin qcut_by_cutpoints
+    "sort_values_global",  # global-order CONTRACT; twin sort_global_rank_scalable
+    "stat_chi2_independence",  # contingency cells (|lang|x|source|)
+    "stat_fdr_bh",  # k-row p-value table
+    "stat_ks_two_sample",  # distinct rounded values
+    "stat_mann_whitney",  # distinct rounded values
+    "text_zipf_fit",  # term vocabulary
+}
+
 # Arrow-vectorized Python stages by design (never BatchEvalPython).
 PY_OK = {
     "multimodal_decode_features", "multimodal_decode_ppm",
@@ -75,7 +104,10 @@ PY_OK = {
 def test_registry_wide_plan_guards(spark, sf_dir):
     violations = []
     for name, q in sorted(all_queries().items()):
-        plan = plan_string(q.fn(spark, sf_dir))
+        df = q.fn(spark, sf_dir)
+        plan = plan_string(df)
+        if global_window_count(df) and name not in GWIN_OK:
+            violations.append(f"{name}: unwhitelisted unpartitioned Window")
         if re.search(r"\(\d+\) CartesianProduct\b", plan):
             violations.append(f"{name}: CartesianProduct")
         if (

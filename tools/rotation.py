@@ -1,14 +1,22 @@
-"""Propose the next round's showcase window.
+"""Generate the round's showcase window + the ROTATION.md worklist.
 
 Reads CORRECTNESS_r*.json ∪ the live registry, computes the
-never-driver-checked queries, and prints a 50-entry window: the 8
-anchors + 42 never-checked picks chosen to (a) honor the
-every-family invariant (tests/test_registry_order.py), (b) prefer
-full-oracle queries, (c) spread across modules round-robin so no one
-family floods the window.  Output is the Python tuple body to paste
-into registry._SHOWCASE (the guard tests verify the paste).
+never-driver-checked queries, and emits:
 
-Run: python tools/rotation.py
+1. stdout — the Python tuple body to paste into
+   `registry._SHOWCASE` (the guard tests verify the paste): the 8
+   anchors + 42 picks chosen to (a) take every PRIORITY query first
+   (the previous round's additions, named by the verdict), (b) honor
+   the every-family invariant (tests/test_registry_order.py),
+   (c) prefer full-oracle queries, (d) spread the remaining slots
+   across modules round-robin so no one family floods the window;
+2. ROTATION.md — the machine-generated worklist (registry size,
+   driver-checked count, the full never-checked list).  A guard test
+   (tests/test_coverage_guard.py) recomputes the same numbers from
+   CORRECTNESS history and fails when the committed file drifts —
+   the hand-maintained comment block this replaces drifted twice.
+
+Run: python tools/rotation.py [--write]   (--write rewrites ROTATION.md)
 """
 
 from __future__ import annotations
@@ -28,6 +36,21 @@ ANCHORS = (
     "window_cumsum", "dedup_minhash_lsh", "pipeline_end_to_end",
 )
 
+# Never-checked queries the verdict explicitly called out — taken
+# first, before the round-robin fill.  Refresh each round from
+# VERDICT.md's "next round" item.
+PRIORITY = (
+    "ml_eval_regression", "ml_eval_multiclass", "ml_calibration_bins",
+    "ml_eval_logloss", "feature_woe_iv", "layout_zorder_key",
+    "layout_file_skipping_stats", "join_bloom_prefilter",
+    "join_fuzzy_entity_resolution", "graph_bfs_khop",
+    "ts_seasonal_decompose", "ts_seasonal_naive_eval",
+    "ts_changepoint_binary", "stat_cuped_adjustment",
+    "stat_ols_by_group", "stat_fdr_bh", "pipeline_leakage_free_split",
+    "sql_recursive_hierarchy_rollup", "agg_count_min_estimate",
+    "multimodal_image_ahash", "sample_weighted_reservoir",
+)
+
 # every module the family-span invariant requires in the window
 REQUIRED_MODULES = {
     "tpch", "sources", "relational", "joins", "aggregations",
@@ -39,18 +62,21 @@ REQUIRED_MODULES = {
 WINDOW = 50
 
 
-def main() -> None:
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+def checked_names(repo: str) -> set[str]:
     checked: set[str] = set()
     for f in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         with open(f) as fh:
             checked.update(json.load(fh).keys())
+    return checked
 
+
+def build_window() -> tuple[list[str], set[str], dict[str, str]]:
+    """Return (window, driver-checked names, query→module map)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    checked = checked_names(repo)
     qs = all_queries()
     mod = {n: q.fn.__module__.rsplit(".", 1)[-1] for n, q in qs.items()}
     never = [n for n in qs if n not in checked and n not in ANCHORS]
-    print(f"# registry={len(qs)} driver-checked={len(checked)} "
-          f"never-checked={len(never)}", file=sys.stderr)
 
     picks: list[str] = []
     chosen_mods = {mod[a] for a in ANCHORS}
@@ -60,9 +86,14 @@ def main() -> None:
             picks.append(name)
             chosen_mods.add(mod[name])
 
-    # 1. cover required modules missing from the anchor set, preferring
-    #    never-checked oracle-carrying queries; fall back to any
-    #    registered query from the module (re-green) if none remain.
+    # 1. verdict-named priorities first (only those still unchecked).
+    for n in PRIORITY:
+        if n in qs and n not in checked:
+            take(n)
+
+    # 2. cover required modules missing from the window so far,
+    #    preferring never-checked oracle-carrying queries; fall back
+    #    to any registered query from the module (re-green) if none.
     for m in sorted(REQUIRED_MODULES - chosen_mods):
         cands = [n for n in never if mod[n] == m and qs[n].oracle]
         cands = cands or [n for n in never if mod[n] == m]
@@ -70,7 +101,7 @@ def main() -> None:
         if cands:
             take(cands[0])
 
-    # 2. fill remaining slots round-robin across modules from the
+    # 3. fill remaining slots round-robin across modules from the
     #    never-checked pool (oracle-carrying first within each module).
     by_mod: dict[str, list[str]] = {}
     for n in never:
@@ -88,12 +119,59 @@ def main() -> None:
 
     window = list(ANCHORS) + picks
     assert len(window) == WINDOW, len(window)
+    return window, checked, mod
+
+
+def rotation_md() -> str:
+    """The machine-generated worklist (guard-tested against drift)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    checked = checked_names(repo)
+    qs = all_queries()
+    mod = {n: q.fn.__module__.rsplit(".", 1)[-1] for n, q in qs.items()}
+    never = sorted(n for n in qs if n not in checked)
+    rounds = sorted(
+        os.path.basename(f)
+        for f in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
+    )
+    by_mod: dict[str, list[str]] = {}
+    for n in never:
+        by_mod.setdefault(mod[n], []).append(n)
+    lines = [
+        "# ROTATION — driver-coverage worklist",
+        "",
+        "Generated by `tools/rotation.py --write` from "
+        f"{' ∪ '.join(rounds)} ∪ the registry; do not edit by hand "
+        "(tests/test_coverage_guard.py recomputes and diffs).",
+        "",
+        f"- registered queries: **{len(qs)}**",
+        f"- driver-checked (≥1 CORRECTNESS row, any round): "
+        f"**{len(checked & set(qs))}**",
+        f"- never driver-checked: **{len(never)}**",
+        "",
+        "## Never-checked, by module",
+        "",
+    ]
+    for m in sorted(by_mod):
+        lines.append(f"- **{m}** ({len(by_mod[m])}): "
+                     + ", ".join(f"`{n}`" for n in by_mod[m]))
+    lines.append("")
+    return "\n".join(lines)
+
+
+def main() -> None:
+    window, checked, _mod = build_window()
     print("_SHOWCASE: tuple[str, ...] = (")
     for n in window:
         print(f'    "{n}",')
     print(")")
     new = [n for n in window if n not in checked]
     print(f"# new-to-driver in this window: {len(new)}", file=sys.stderr)
+    if "--write" in sys.argv:
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        out = os.path.join(repo, "ROTATION.md")
+        with open(out, "w") as f:
+            f.write(rotation_md())
+        print(f"wrote {out}", file=sys.stderr)
 
 
 if __name__ == "__main__":
