@@ -2725,3 +2725,54 @@ def stat_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pval",
         (F.col("pval") <= F.col("pstar")).alias("rejected"),
     )
+
+
+@register(
+    "dq_benford_first_digit",
+    oracle=f"""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    obs AS (SELECT digit, count(*) AS n FROM digits GROUP BY digit),
+    tot AS (SELECT count(*) AS t FROM digits)
+    SELECT digit, n,
+           round(n * 1.0 / t - 1e-9, {_R}) + 0.0 AS obs_share,
+           round(log10(1.0 + 1.0 / digit) - 1e-9, {_R}) + 0.0
+             AS benford_share,
+           round(abs(n * 1.0 / t - log10(1.0 + 1.0 / digit)) - 1e-9, {_R})
+             + 0.0 AS abs_dev
+    FROM obs CROSS JOIN tot
+    """,
+)
+def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit — the classic fabricated-data
+    / truncation-artifact screen for monetary columns: the observed
+    leading-digit distribution vs the log10(1 + 1/d) law, with the
+    per-digit absolute deviation.  The leading digit comes from the
+    integer part's decimal string (floor → bigint → substr), which
+    is exact on both engines — no log10-of-a-boundary-value float
+    hazard.  One hash agg over the scan into a 9-row table plus a
+    1-row total attach: the 100 TB plan is the sf0.001 plan."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") >= 1
+    )
+    digits = o.select(
+        F.substring(
+            F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    obs = digits.groupBy("digit").agg(F.count("*").alias("n"))
+    tot = digits.agg(F.count("*").alias("t"))
+    share = F.col("n") / F.col("t")
+    law = F.log10(1.0 + 1.0 / F.col("digit"))
+    return obs.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n",
+        (F.round(share - 1e-9, _R) + 0.0).alias("obs_share"),
+        (F.round(law - 1e-9, _R) + 0.0).alias("benford_share"),
+        (F.round(F.abs(share - law) - 1e-9, _R) + 0.0).alias("abs_dev"),
+    )

@@ -848,3 +848,133 @@ def ml_eval_logloss(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(-F.avg(ll) - 1e-9, _R) + 0.0).alias("logloss"),
         (F.round(-F.avg(llb) - 1e-9, _R) + 0.0).alias("logloss_baseline"),
     )
+
+
+_NDCG_K = 10
+
+
+@register(
+    "ml_eval_ndcg",
+    oracle=f"""
+    WITH scored AS (
+      SELECT user_id, event_id, value AS score,
+             CASE event_type WHEN 'purchase' THEN 3
+                             WHEN 'click' THEN 1 ELSE 0 END AS gain
+      FROM events
+    ),
+    by_score AS (
+      SELECT user_id, gain,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY score DESC, event_id) AS i
+      FROM scored
+    ),
+    by_gain AS (
+      SELECT user_id, gain,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY gain DESC, event_id) AS i
+      FROM scored
+    ),
+    dcg AS (
+      SELECT user_id, sum(gain / log2(i + 1.0)) AS dcg
+      FROM by_score WHERE i <= {_NDCG_K} GROUP BY user_id
+    ),
+    idcg AS (
+      SELECT user_id, sum(gain / log2(i + 1.0)) AS idcg
+      FROM by_gain WHERE i <= {_NDCG_K} GROUP BY user_id
+    )
+    SELECT d.user_id,
+           round(d.dcg / i.idcg - 1e-9, {_R}) + 0.0 AS ndcg_at_k
+    FROM dcg d JOIN idcg i ON i.user_id = d.user_id
+    WHERE i.idcg > 0
+    """,
+)
+def ml_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality evaluation — NDCG@{_NDCG_K} per user, treating
+    `value` as the model score and purchase/click/view as graded
+    relevance (3/1/0): the metric behind recommender and search-
+    ranking evals.  DCG ranks by score, ideal DCG by gain (both with
+    the event_id tiebreak so the two engines rank identically);
+    users with no positive gain anywhere have IDCG = 0 — an exact
+    integer-sum zero on both engines — and abstain.
+
+    Scale shape: two per-user ordered windows (key-partitioned — the
+    same single user_id exchange every session/window query here
+    pays, reused across both windows by AQE) cut to the top
+    {_NDCG_K} rows each, two per-user hash aggs, one keyed join.
+    Nothing global, nothing data-wide: the 100 TB plan is this
+    plan."""
+    e = load_table(spark, sf_dir, "events")
+    scored = e.select(
+        "user_id",
+        "event_id",
+        F.col("value").alias("score"),
+        F.when(F.col("event_type") == "purchase", 3)
+        .when(F.col("event_type") == "click", 1)
+        .otherwise(0)
+        .alias("gain"),
+    )
+    w_score = Window.partitionBy("user_id").orderBy(
+        F.desc("score"), F.asc("event_id")
+    )
+    w_gain = Window.partitionBy("user_id").orderBy(
+        F.desc("gain"), F.asc("event_id")
+    )
+
+    def dcg_at_k(w, out: str) -> DataFrame:
+        return (
+            scored.withColumn("i", F.row_number().over(w))
+            .filter(F.col("i") <= _NDCG_K)
+            .groupBy("user_id")
+            .agg(
+                F.sum(
+                    F.col("gain") / F.log2(F.col("i") + F.lit(1.0))
+                ).alias(out)
+            )
+        )
+
+    dcg = dcg_at_k(w_score, "dcg")
+    idcg = dcg_at_k(w_gain, "idcg").filter(F.col("idcg") > 0)
+    return dcg.join(idcg, "user_id").select(
+        "user_id",
+        (F.round(F.col("dcg") / F.col("idcg") - 1e-9, _R) + 0.0).alias(
+            "ndcg_at_k"
+        ),
+    )
+
+
+_FH_D = 64  # hashed feature-space width
+_H_SQL = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
+
+
+@register(
+    "encode_feature_hash_signed",
+    oracle=f"""
+    SELECT o_orderkey,
+           {_H_SQL.format(x="'fh|' || o_orderpriority")} % {_FH_D}
+             AS bucket,
+           CASE WHEN {_H_SQL.format(x="'fh|' || o_orderpriority")}
+                     % {2 * _FH_D} < {_FH_D}
+                THEN 1 ELSE -1 END AS sign
+    FROM orders
+    """,
+)
+def encode_feature_hash_signed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIGNED feature hashing — `encode_feature_hash`'s sibling
+    with the sign trick (hash-bit ±1 per value) that makes collision
+    noise zero-mean, the form Vowpal Wabbit / sklearn's
+    FeatureHasher actually ship.  Same statelessness: no vocabulary,
+    no fit pass, no broadcast — a pure codegen projection on the
+    scan, the 100 TB default for unbounded category spaces.  The
+    sign bit is read as h mod 2D < D (avoiding integer-division
+    semantics that differ across engines)."""
+    from ondemand_dask_spark.functions.texthash import portable_hash64
+
+    o = load_table(spark, sf_dir, "orders")
+    h = portable_hash64(
+        F.concat(F.lit("fh|"), F.col("o_orderpriority"))
+    )
+    return o.select(
+        "o_orderkey",
+        (h % _FH_D).alias("bucket"),
+        F.when(h % (2 * _FH_D) < _FH_D, 1).otherwise(-1).alias("sign"),
+    )

@@ -505,3 +505,66 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("sel_key"), F.asc("o_orderkey"))
         .limit(_AES_K)
     )
+
+
+_AESG_K = 4  # exact sample size per group
+
+
+@register(
+    "sample_weighted_reservoir_group",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT o_orderpriority, o_orderkey,
+             round(
+               ln((CAST('0x' || substr(md5('aesg|' || CAST(o_orderkey AS VARCHAR)), 1, 15)
+                        AS BIGINT) % {_AES_M} + 0.5) / {_AES_M})
+               / o_totalprice - 1e-9, 9) + 0.0 AS sel_key
+      FROM orders
+    ),
+    r AS (
+      SELECT o_orderpriority, o_orderkey, sel_key,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY sel_key DESC, o_orderkey) AS rn
+      FROM keyed
+    )
+    SELECT o_orderpriority, o_orderkey, sel_key
+    FROM r WHERE rn <= {_AESG_K}
+    """,
+)
+def sample_weighted_reservoir_group(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-group weighted sampling WITHOUT replacement, exact size
+    {_AESG_K} per group — the stratified form of
+    `sample_weighted_reservoir` (same Efraimidis–Spirakis keys, same
+    salted portable hash for the deterministic draw, same
+    round-before-rank discipline on sel_key), with the top-k
+    competition scoped to each o_orderpriority stratum.  The
+    stratified eval-set builder: 'k examples per class, weighted by
+    importance, same k every run on any engine.'
+
+    Scale shape: ONE key-partitioned window (group sizes bound the
+    sort; LimitPushDownThroughWindow turns the rank filter into a
+    per-group heap via WindowGroupLimit) — no global window, no
+    second pass, at any scale."""
+    from ondemand_dask_spark.functions.texthash import portable_hash64
+    from pyspark.sql.window import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    u = (
+        portable_hash64(
+            F.concat(F.lit("aesg|"), F.col("o_orderkey").cast("string"))
+        )
+        % _AES_M
+        + 0.5
+    ) / F.lit(float(_AES_M))
+    key = F.round(F.log(u) / F.col("o_totalprice") - 1e-9, 9) + 0.0
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.desc("sel_key"), F.asc("o_orderkey")
+    )
+    return (
+        o.select("o_orderpriority", "o_orderkey", key.alias("sel_key"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _AESG_K)
+        .drop("rn")
+    )

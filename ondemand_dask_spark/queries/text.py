@@ -782,3 +782,92 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
         )
     )
+
+
+_PMI_MIN_COUNT = 5
+_PMI_TOP_K = 20
+
+
+@register(
+    "text_pmi_collocations",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, pos, term FROM (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS term,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+      )
+    ),
+    bp AS (
+      SELECT w1, w2 FROM (
+        SELECT term AS w2,
+               lag(term) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+        FROM tok
+      ) WHERE w1 IS NOT NULL
+    ),
+    c2 AS (SELECT w1, w2, count(*) AS pair_count FROM bp GROUP BY w1, w2),
+    c1 AS (SELECT term AS w, count(*) AS c1 FROM tok GROUP BY term),
+    nb AS (SELECT count(*) AS nb FROM bp),
+    nu AS (SELECT count(*) AS nu FROM tok)
+    SELECT w1, w2, pair_count,
+           round(ln(pair_count) + 2 * ln(nu) - ln(nb) - ln(a.c1) - ln(b.c1)
+                 - 1e-9, {_R}) + 0.0 AS pmi
+    FROM c2
+    JOIN c1 a ON a.w = c2.w1
+    JOIN c1 b ON b.w = c2.w2
+    CROSS JOIN nb CROSS JOIN nu
+    WHERE pair_count >= {_PMI_MIN_COUNT}
+    ORDER BY pmi DESC, w1, w2
+    LIMIT {_PMI_TOP_K}
+    """,
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by pointwise mutual information — the
+    top-{_PMI_TOP_K} adjacent word pairs that co-occur far more than
+    their unigram frequencies predict (multi-word expressions,
+    boilerplate phrases, the classic corpus-linguistics screen before
+    tokenizer-vocabulary decisions).  PMI = ln p(a,b) − ln p(a) −
+    ln p(b), computed in pure log-count arithmetic so both engines
+    evaluate the identical expression; ranking is on the ROUNDED
+    statistic with the (w1, w2) tiebreak per repo discipline.
+
+    Scale shape: bigram counts come from a per-document lag window
+    (bounded by document length) feeding a partial hash agg, so the
+    shuffle carries pair counts, never tokens; the min-count filter
+    runs BEFORE the unigram joins; the two corpus totals ride 1-row
+    broadcast attaches; the top-k plans as TakeOrderedAndProject.
+    Nothing here is wider than the pair-vocabulary exchange at any
+    corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "term")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bp = tok.select(
+        F.col("term").alias("w2"), F.lag("term").over(w).alias("w1")
+    ).where(F.col("w1").isNotNull())
+    c2 = bp.groupBy("w1", "w2").agg(F.count("*").alias("pair_count"))
+    c1 = tok.groupBy(F.col("term").alias("w")).agg(F.count("*").alias("c1"))
+    nb = bp.agg(F.count("*").alias("nb"))
+    nu = tok.agg(F.count("*").alias("nu"))
+    pmi = (
+        F.log("pair_count")
+        + 2 * F.log("nu")
+        - F.log("nb")
+        - F.log("a.c1")
+        - F.log("b.c1")
+    )
+    return (
+        c2.filter(F.col("pair_count") >= _PMI_MIN_COUNT)
+        .join(F.broadcast(c1).alias("a"), F.col("a.w") == F.col("w1"))
+        .join(F.broadcast(c1).alias("b"), F.col("b.w") == F.col("w2"))
+        .crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(nu))
+        .select(
+            "w1", "w2", "pair_count",
+            (F.round(pmi - 1e-9, _R) + 0.0).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(_PMI_TOP_K)
+    )

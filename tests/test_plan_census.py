@@ -42,6 +42,7 @@ BNLJ_OK = {
     "embedding_matryoshka_recall",  # 10-row query-set broadcast, like ann_cosine_topk
     "embedding_pca_power", "encode_minmax", "encode_standardize",
     "events_rfm_segmentation",  # 1-row |users| attach for closed-form ntile
+    "dq_benford_first_digit",  # 1-row total attach onto the 9-digit table
     "dq_psi_drift",  # 1-row snapshot-totals attach
     "dq_referential_integrity",  # 1-row x 1-row count attaches per relationship
     "encode_target_mean", "funnel_three_step",
@@ -65,6 +66,7 @@ BNLJ_OK = {
     "stat_theta_intersection_banded",
     "text_bigram_perplexity",
     "text_bm25_topk",  # 1-row (N, avgdl) corpus-stats attach
+    "text_pmi_collocations",  # two 1-row corpus-total attaches
     "text_tfidf_cosine_pairs", "text_tfidf_top_term",
     "text_unigram_surprisal", "tpch_q11", "tpch_q22",
 }
