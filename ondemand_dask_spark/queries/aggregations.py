@@ -2776,3 +2776,96 @@ def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(law - 1e-9, _R) + 0.0).alias("benford_share"),
         (F.round(F.abs(share - law) - 1e-9, _R) + 0.0).alias("abs_dev"),
     )
+
+
+@register(
+    "stat_kruskal_wallis",
+    oracle=f"""
+    WITH cgv AS (
+      SELECT event_type AS g, round(value, 3) AS v, count(*) AS c
+      FROM events GROUP BY event_type, round(value, 3)
+    ),
+    tv AS (
+      SELECT v, sum(c) AS t FROM cgv GROUP BY v
+    ),
+    mr AS (
+      SELECT v, t,
+             coalesce(sum(t) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + (t + 1) / 2.0 AS midrank
+      FROM tv
+    ),
+    rg AS (
+      SELECT g, CAST(sum(c) AS DOUBLE) AS ng,
+             sum(c * mr.midrank) AS r
+      FROM cgv JOIN mr USING (v) GROUP BY g
+    ),
+    tot AS (
+      SELECT CAST(sum(ng) AS DOUBLE) AS n,
+             CAST(count(*) AS BIGINT) AS k,
+             sum(r * r / ng) AS s
+      FROM rg
+    ),
+    ties AS (SELECT CAST(sum(t * t * t - t) AS DOUBLE) AS tt FROM tv)
+    SELECT k AS n_groups, CAST(n AS BIGINT) AS n,
+           round(12.0 / (n * (n + 1)) * s - 3.0 * (n + 1) - 1e-9, {_R})
+             + 0.0 AS h_stat,
+           round((12.0 / (n * (n + 1)) * s - 3.0 * (n + 1))
+                 / (1.0 - tt / (n * n * n - n)) - 1e-9, {_R}) + 0.0
+             AS h_tie_corrected
+    FROM tot CROSS JOIN ties
+    """,
+)
+def stat_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal–Wallis H — the k-group rank ANOVA (the nonparametric
+    `stat_anova_oneway`, and the k-group extension of
+    `stat_mann_whitney`), testing whether any event type's value
+    distribution is stochastically shifted.  Rank arithmetic is
+    COUNT-side like its two siblings: midranks come from the
+    per-distinct-value count table (values rounded to 3 dp so both
+    engines bucket identically), per-group rank sums are one keyed
+    join + hash agg, and the tie-corrected H = H / (1 − Σ(t³−t)/
+    (N³−N)) folds from two scalar aggregates.  The only ordered
+    window runs over distinct values — bounded by value cardinality,
+    never a data-sized rank — so the 100 TB plan is one value-level
+    shuffle plus vocabulary-sized arithmetic."""
+    from pyspark.sql.window import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    cgv = e.groupBy(
+        F.col("event_type").alias("g"), F.round("value", 3).alias("v")
+    ).agg(F.count("*").alias("c"))
+    tv = cgv.groupBy("v").agg(F.sum("c").alias("t"))
+    cum = F.coalesce(
+        F.sum("t").over(W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    mr = tv.select("v", (cum + (F.col("t") + 1) / 2.0).alias("midrank"))
+    rg = (
+        cgv.join(mr, "v")
+        .groupBy("g")
+        .agg(
+            F.sum("c").cast("double").alias("ng"),
+            F.sum(F.col("c") * F.col("midrank")).alias("r"),
+        )
+    )
+    tot = rg.agg(
+        F.sum("ng").cast("double").alias("n"),
+        F.count("*").alias("k"),
+        F.sum(F.col("r") * F.col("r") / F.col("ng")).alias("s"),
+    )
+    ties = tv.agg(
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("double")
+        .alias("tt")
+    )
+    n, s, tt = F.col("n"), F.col("s"), F.col("tt")
+    h = 12.0 / (n * (n + 1)) * s - 3.0 * (n + 1)
+    return tot.crossJoin(F.broadcast(ties)).select(
+        F.col("k").alias("n_groups"),
+        n.cast("long").alias("n"),
+        (F.round(h - 1e-9, _R) + 0.0).alias("h_stat"),
+        (
+            F.round(h / (1.0 - tt / (n * n * n - n)) - 1e-9, _R) + 0.0
+        ).alias("h_tie_corrected"),
+    )

@@ -876,3 +876,81 @@ def graph_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
         dist = dist.unionByName(new)
         frontier = new.select("node")
     return dist.groupBy("dist").agg(F.count("*").alias("n_nodes"))
+
+
+_LPA_ROUNDS = 3
+
+
+def _lpa_oracle() -> str:
+    """Chained-CTE oracle for {R} synchronous LPA rounds."""
+    parts = [
+        f"WITH e AS ({_EDGES_SQL}),",
+        """
+    sym AS (
+      SELECT src AS u, dst AS v FROM e
+      UNION ALL SELECT dst, src FROM e
+    ),
+    l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM sym)""",
+    ]
+    for i in range(1, _LPA_ROUNDS + 1):
+        parts.append(f""",
+    c{i} AS (
+      SELECT s.u AS node, l.lbl, count(*) AS c
+      FROM sym s JOIN l{i - 1} l ON l.node = s.v
+      GROUP BY s.u, l.lbl
+    ),
+    l{i} AS (
+      SELECT node, lbl FROM (
+        SELECT node, lbl,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY c DESC, lbl) AS rn
+        FROM c{i}) WHERE rn = 1
+    )""")
+    parts.append(
+        f"\n    SELECT node AS part_id, lbl AS label FROM l{_LPA_ROUNDS}"
+    )
+    return "".join(parts)
+
+
+@register("graph_label_propagation", oracle=_lpa_oracle())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (LPA,
+    Raghavan et al.): every node starts as its own label and each
+    round adopts the most frequent label among its NEIGHBORS, ties
+    to the smallest label — which makes the classically
+    order-dependent algorithm fully deterministic and therefore
+    oracle-checkable.  Complements the other graph analytics: unlike
+    connected components it finds DENSE communities inside one
+    component; unlike k-core it assigns every node.
+
+    {R} unrolled rounds stay one lazy Catalyst plan: each round is a
+    keyed edge join (labels onto the symmetric edge list), a
+    (node, label) partial-agg count, and a per-node argmax window —
+    all exchanges partitioned on node, nothing global, the Pregel
+    superstep shape shared with graph_pagerank.  Deeper horizons
+    switch to the checkpointed-iteration pattern used by
+    dedup_connected_components."""
+    _evict_retained()
+    edges = _retain(_edges(spark, sf_dir).cache())
+    edges.count()  # eager: sym fans the cache into two union legs
+    sym = _sym(edges)
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+    )
+    wn = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("lbl"))
+    for _ in range(_LPA_ROUNDS):
+        cnt = (
+            sym.join(labels.withColumnRenamed("node", "v"), "v")
+            .groupBy(F.col("u").alias("node"), "lbl")
+            .agg(F.count("*").alias("c"))
+        )
+        labels = (
+            cnt.withColumn("rn", F.row_number().over(wn))
+            .filter(F.col("rn") == 1)
+            .select("node", "lbl")
+        )
+    return labels.select(
+        F.col("node").alias("part_id"), F.col("lbl").alias("label")
+    )

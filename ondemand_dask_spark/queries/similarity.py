@@ -1078,3 +1078,88 @@ def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("recall_at_k"),
     )
+
+
+_SB_TOP_K = 5
+
+# sign-bit word: dims lo..lo+31 (1-based) packed little-endian into a
+# 32-bit value carried as BIGINT.  DuckDB arrays are 1-based;
+# the Spark twin indexes embedding[i-1].
+_SB_WORD_SQL = """CAST(list_sum(list_transform(generate_series({lo}, {hi}),
+    i -> CASE WHEN embedding[i] > 0
+              THEN (CAST(1 AS BIGINT) << (i - {lo})) ELSE 0 END)) AS BIGINT)"""
+
+
+@register(
+    "embedding_signbit_hamming",
+    oracle=f"""
+    WITH sk AS (
+      SELECT vec_id,
+             {_SB_WORD_SQL.format(lo=1, hi=32)} AS w0,
+             {_SB_WORD_SQL.format(lo=33, hi=64)} AS w1
+      FROM embeddings
+    ),
+    q AS (SELECT * FROM sk WHERE vec_id < 10),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(bit_count(xor(q.w0, c.w0))
+                  + bit_count(xor(q.w1, c.w1)) AS BIGINT) AS hamming
+      FROM q JOIN sk c ON c.vec_id != q.vec_id
+    )
+    SELECT query_id, neighbor_id, hamming, rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY hamming, neighbor_id) AS rnk
+          FROM pairs)
+    WHERE rnk <= {_SB_TOP_K}
+    """,
+)
+def embedding_signbit_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary sign sketch + Hamming top-k — the 1-bit-per-dimension
+    quantization (the simplest of the SimHash/RaBitQ family): each
+    64-dim float vector collapses to 64 sign bits packed into two
+    32-bit words, and neighbor shortlists rank by Hamming distance
+    (XOR + popcount, pure codegen integer ops).  Sign-bit Hamming is
+    a monotone estimator of angular distance, so this is the
+    SHORTLIST stage of two-stage retrieval — 32× less data scanned
+    than the float vectors (8 B vs 256 B per vector at 100 TB), with
+    `ann_cosine_topk` as the exact re-rank stage on the survivors.
+    The sketch build is one narrow projection; the query set (10
+    rows) broadcasts, so scoring is a single corpus pass with a
+    per-query top-k window — no corpus shuffle.  Packing uses two
+    32-bit words in BIGINTs rather than one 64-bit word because a
+    1<<63 literal overflows DuckDB's checked BIGINT while Spark
+    wraps — the two-word form is exact on both engines."""
+
+    def word(lo: int):
+        # Spark arrays are 0-based: dim i (1-based) is embedding[i-1]
+        return F.expr(
+            f"aggregate(sequence({lo}, {lo + 31}), 0L, (acc, i) -> "
+            f"acc + IF(embedding[i-1] > 0, shiftleft(1L, i - {lo}), 0L))"
+        )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    sk = e.select("vec_id", word(1).alias("w0"), word(33).alias("w1"))
+    q = sk.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("w0").alias("q0"),
+        F.col("w1").alias("q1"),
+    ).filter(F.col("query_id") < 10)
+    ham = (
+        F.bit_count(F.col("q0").bitwiseXOR(F.col("w0")))
+        + F.bit_count(F.col("q1").bitwiseXOR(F.col("w1")))
+    ).cast("long")
+    pairs = sk.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        ham.alias("hamming"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("hamming"), F.asc("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _SB_TOP_K)
+        .select("query_id", "neighbor_id", "hamming", "rnk")
+    )

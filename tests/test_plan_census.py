@@ -40,6 +40,7 @@ BNLJ_OK = {
     "dedup_ngram_containment",  # 1-row corpus-total attach (same as its jaccard twin)
     "dedup_semantic_embedding",  # k-row seed-centroid broadcast, like ann_ivf_probe
     "embedding_matryoshka_recall",  # 10-row query-set broadcast, like ann_cosine_topk
+    "embedding_signbit_hamming",  # 10-row query-sketch broadcast, like ann_cosine_topk
     "embedding_pca_power", "encode_minmax", "encode_standardize",
     "events_rfm_segmentation",  # 1-row |users| attach for closed-form ntile
     "dq_benford_first_digit",  # 1-row total attach onto the 9-digit table
@@ -56,6 +57,7 @@ BNLJ_OK = {
     "stat_anova_oneway",  # 1-row grand-mean attach onto the k-row group table
     "stat_cuped_adjustment",  # 1-row theta/xbar pooled-stats attach
     "stat_fdr_bh",  # 1-row grand-mean + 1-row BH-cutoff attaches
+    "stat_kruskal_wallis",  # 1-row tie-sum attach onto the 1-row totals
     "graph_modularity",  # 1-row |edges| scalar attach
     "graph_pagerank",
     "join_bloom_prefilter",  # 1-row bitmap (<=256-long map) attach
@@ -85,6 +87,7 @@ GWIN_OK = {
     "sort_values_global",  # global-order CONTRACT; twin sort_global_rank_scalable
     "stat_chi2_independence",  # contingency cells (|lang|x|source|)
     "stat_fdr_bh",  # k-row p-value table
+    "stat_kruskal_wallis",  # distinct rounded values (midrank table)
     "stat_ks_two_sample",  # distinct rounded values
     "stat_mann_whitney",  # distinct rounded values
     "text_zipf_fit",  # term vocabulary
