@@ -93,6 +93,15 @@ HEADLINE = [
     "feature_target_encode_cv",
     "graph_bfs_khop",
     "sql_recursive_hierarchy_rollup",
+    # round-7 widening: per-user ranking eval (two top-k windows over
+    # one key exchange), PMI collocations (bigram-vocabulary joins +
+    # global top-k), the binary-sketch ANN shortlist (codegen bit
+    # ops + broadcast query set), and synchronous label propagation
+    # (3 Pregel supersteps with an argmax window per round).
+    "ml_eval_ndcg",
+    "text_pmi_collocations",
+    "embedding_signbit_hamming",
+    "graph_label_propagation",
 ]
 
 # Best-of-3: this round's probes showed the host's load floor moving
