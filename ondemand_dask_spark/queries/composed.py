@@ -820,8 +820,8 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY user_id HAVING count(gap_us) >= 5
     )
     SELECT user_id, CAST(n_gaps AS BIGINT) AS n_gaps,
-           round(sd_gap / mean_gap - 1e-9, {_R}) + 0.0 AS gap_cv,
-           (sd_gap / mean_gap < 0.3) AS bot_flag
+           round(sd_gap / nullif(mean_gap, 0) - 1e-9, {_R}) + 0.0 AS gap_cv,
+           (sd_gap / nullif(mean_gap, 0) < 0.3) AS bot_flag
     FROM stats
     """,
 )
@@ -850,7 +850,11 @@ def events_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_gaps") >= 5)
     )
-    cv = F.col("sd_gap") / F.col("mean_gap")
+    # mean_gap = 0 would need a user whose >=6 events all share one
+    # timestamp — not in the current fixtures, but a real bot shape;
+    # nullif-guard both engines (NULL cv / NULL flag) rather than
+    # raising DIVIDE_BY_ZERO under ANSI.
+    cv = F.col("sd_gap") / F.nullif(F.col("mean_gap"), F.lit(0.0))
     return stats.select(
         "user_id",
         F.col("n_gaps").cast("long").alias("n_gaps"),

@@ -506,11 +506,12 @@ _CS_THRESHOLD = 0.35
       GROUP BY a.doc_id, b.doc_id
     )
     SELECT doc_a, doc_b,
-           round(dot / (na.nrm * nb.nrm) - 1e-9, {_R}) + 0.0 AS cosine
+           round(dot / nullif(na.nrm * nb.nrm, 0) - 1e-9, {_R}) + 0.0
+             AS cosine
     FROM dots
     JOIN norms na ON na.doc_id = doc_a
     JOIN norms nb ON nb.doc_id = doc_b
-    WHERE dot / (na.nrm * nb.nrm) >= {_CS_THRESHOLD}
+    WHERE dot / nullif(na.nrm * nb.nrm, 0) >= {_CS_THRESHOLD}
     """,
 )
 def text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -571,7 +572,14 @@ def text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("dot"))
     )
-    cos = F.col("dot") / (F.col("na.nrm") * F.col("nb.nrm"))
+    # a zero norm needs a doc whose kept terms ALL have idf = 0 —
+    # impossible while the stop-term cut keeps df < n_docs, but on a
+    # degenerate <= _CS_DF_MIN-doc corpus it can happen: nullif-guard
+    # (NULL cosine fails the threshold filter in both engines) rather
+    # than raising DIVIDE_BY_ZERO under ANSI.
+    cos = F.col("dot") / F.nullif(
+        F.col("na.nrm") * F.col("nb.nrm"), F.lit(0.0)
+    )
     return (
         dots.join(F.broadcast(norms).alias("na"),
                   F.col("na.doc_id") == F.col("doc_a"))

@@ -1312,7 +1312,7 @@ def window_zscore_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id,
            round(max(run_max) - 1e-9, {_R}) + 0.0 AS peak,
-           round(min(value / run_max - 1.0) - 1e-9, {_R}) + 0.0
+           round(min(value / nullif(run_max, 0) - 1.0) - 1e-9, {_R}) + 0.0
              AS max_drawdown
     FROM r GROUP BY user_id
     """,
@@ -1325,8 +1325,11 @@ def window_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     One per-key ordered window (running max) + one partial-agg
     groupBy — no self-join over time, which the quadratic
     'for each point find prior peak' formulation would need.
-    Values here are positive (event values), so value/run_max is
-    well-defined; the min of the ratio-minus-one IS the drawdown."""
+    A leading run of zero values makes run_max = 0 (sf0.1 DOES
+    contain zero-valued events), so the ratio guards with
+    nullif(run_max, 0) in both engines — rows before the first
+    nonzero peak contribute NULL and min skips them, identically on
+    both sides, instead of raising DIVIDE_BY_ZERO under ANSI."""
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -1339,7 +1342,14 @@ def window_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.groupBy("user_id").agg(
         (F.round(F.max("run_max") - 1e-9, _R) + F.lit(0.0)).alias("peak"),
         (
-            F.round(F.min(F.col("value") / F.col("run_max") - 1.0) - 1e-9, _R)
+            F.round(
+                F.min(
+                    F.col("value") / F.nullif(F.col("run_max"), F.lit(0.0))
+                    - 1.0
+                )
+                - 1e-9,
+                _R,
+            )
             + F.lit(0.0)
         ).alias("max_drawdown"),
     )

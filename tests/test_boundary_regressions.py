@@ -70,3 +70,49 @@ def test_cusum_alarm_at_exact_threshold_is_stable(spark):
     ).collect()[0]
     assert row.cusum == _CUSUM_ALARM
     assert row.alarm is False
+
+
+def test_max_drawdown_zero_leading_peak_yields_null_not_error(spark):
+    """A user whose series STARTS at value 0 has run_max = 0 until
+    the first nonzero value — the ratio must skip those rows via
+    nullif, not raise ANSI DIVIDE_BY_ZERO (sf0.1 contains
+    zero-valued events; an unlucky ordering makes one lead a
+    partition)."""
+    e = _mini_events(spark, [0.0, 0.0, 10.0, 4.0])
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = e.select(
+        "user_id", "value", F.max("value").over(w).alias("run_max")
+    )
+    out = r.groupBy("user_id").agg(
+        F.round(
+            F.min(
+                F.col("value") / F.nullif(F.col("run_max"), F.lit(0.0)) - 1.0
+            )
+            - 1e-9,
+            4,
+        ).alias("max_drawdown")
+    ).collect()
+    # rows 1-2 (run_max 0) are skipped; worst ratio is 4/10 - 1
+    assert abs(out[0].max_drawdown - (-0.6)) < 1e-9
+
+
+def test_seasonal_naive_mape_zero_actual_is_skipped(spark):
+    """MAPE's per-day |err|/|y| term must contribute NULL (skipped by
+    avg) when the actual y is exactly 0, matching the
+    nullif-guarded oracle, instead of raising DIVIDE_BY_ZERO."""
+    pdf = pd.DataFrame(
+        {"y": [0.0, 10.0, 20.0], "yhat": [5.0, 5.0, 10.0]}
+    )
+    df = spark.createDataFrame(pdf)
+    err = F.abs(F.col("y") - F.col("yhat"))
+    out = df.agg(
+        F.round(
+            F.avg(err / F.nullif(F.abs(F.col("y")), F.lit(0.0))) - 1e-9, 4
+        ).alias("mape")
+    ).collect()
+    # day with y=0 skipped: mean(5/10, 10/20) = 0.5
+    assert abs(out[0].mape - 0.5) < 1e-9
