@@ -362,3 +362,63 @@ def scd2_pit_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "custkey", "version_key",
         (F.round(F.col("attr") - 1e-9, _R) + F.lit(0.0)).alias("attr_asof"),
     )
+
+
+@register(
+    "cdc_apply_with_deletes",
+    oracle="""
+    WITH batch AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN 'D' ELSE 'U' END AS op,
+             round(o_totalprice * 1.1, 4) AS new_price
+      FROM orders
+      WHERE o_orderkey % 7 = 0 OR o_orderkey % 5 = 0
+    )
+    SELECT s.o_orderkey,
+           round(CASE WHEN b.op = 'U' THEN b.new_price
+                      ELSE round(s.o_totalprice, 4) END - 1e-9, 4) + 0.0
+             AS price,
+           (b.op IS NOT NULL) AS touched
+    FROM orders s
+    LEFT JOIN batch b USING (o_orderkey)
+    WHERE b.op IS NULL OR b.op != 'D'
+    """,
+)
+def cdc_apply_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a CDC batch WITH tombstones to a snapshot — the full
+    MERGE WHEN MATCHED THEN UPDATE / WHEN MATCHED AND op = 'D' THEN
+    DELETE shape that `merge_upsert` (insert/update only) does not
+    cover, and the batch twin of the streaming CDC-upsert job.  The
+    batch is synthesized deterministically from the snapshot itself
+    (keys % 7 = 0 delete, remaining % 5 = 0 update at +10%), so the
+    differential check is exact.  One keyed left join on the
+    snapshot's primary key + a filter — at 100 TB both sides
+    partition on the key, and a real table service would feed the
+    same plan from the change log instead of the synthetic batch."""
+    o = load_table(spark, sf_dir, "orders")
+    batch = o.filter(
+        (F.col("o_orderkey") % 7 == 0) | (F.col("o_orderkey") % 5 == 0)
+    ).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, "D").otherwise("U").alias("op"),
+        F.round(F.col("o_totalprice") * 1.1, 4).alias("new_price"),
+    )
+    applied = o.select("o_orderkey", "o_totalprice").join(
+        batch, "o_orderkey", "left"
+    )
+    return applied.filter(
+        F.col("op").isNull() | (F.col("op") != "D")
+    ).select(
+        "o_orderkey",
+        (
+            F.round(
+                F.when(F.col("op") == "U", F.col("new_price")).otherwise(
+                    F.round(F.col("o_totalprice"), 4)
+                )
+                - 1e-9,
+                4,
+            )
+            + 0.0
+        ).alias("price"),
+        F.col("op").isNotNull().alias("touched"),
+    )

@@ -186,3 +186,74 @@ def layout_file_skipping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cls.groupBy("layout", "file_class").agg(
         F.count("*").alias("n_files"), F.sum("n_rows").alias("total_rows")
     )
+
+
+_COMPACT_TARGET = 2000  # rows per compacted output file
+
+
+@register(
+    "layout_compaction_planner",
+    oracle=f"""
+    WITH files AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+             count(*) AS n_rows
+      FROM orders GROUP BY 1
+    ),
+    packed AS (
+      SELECT d, n_rows,
+             coalesce(sum(n_rows) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS before
+      FROM files
+    )
+    SELECT CAST(before // {_COMPACT_TARGET} AS BIGINT) AS bin_id,
+           count(*) AS n_files,
+           CAST(sum(n_rows) AS BIGINT) AS total_rows,
+           CAST(min(d) AS TIMESTAMP) AS first_day,
+           CAST(max(d) AS TIMESTAMP) AS last_day
+    FROM packed GROUP BY bin_id
+    """,
+)
+def layout_compaction_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning — the table-maintenance job
+    behind OPTIMIZE/rewrite: model the current layout as one file
+    per ingestion day (day-grain row counts), then assign
+    CONSECUTIVE files to output bins of ~{_COMPACT_TARGET} rows by
+    bucketing the running row count (cum-before // target — the
+    pipeline_pack_sequences shape).  Consecutive-order packing is
+    deliberate: real compaction preserves the table's clustering
+    (time order here), so bins must be contiguous ranges, not
+    first-fit-decreasing bins that interleave dates.  The plan per
+    bin (file count, rows, day range) is exactly what a rewrite job
+    schedules.  Scale shape: one day-grain hash agg off the scan,
+    then an ordered window over the DAY table — calendar-bounded
+    (~2.4k rows/7 years), never data-sized — and a final tiny
+    groupBy."""
+    o = load_table(spark, sf_dir, "orders")
+    files = o.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).cast("date").alias("d")
+    ).agg(F.count("*").alias("n_rows"))
+    from pyspark.sql.window import Window as W
+
+    before = F.coalesce(
+        F.sum("n_rows").over(
+            W.orderBy("d").rowsBetween(W.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    packed = files.select(
+        "d", "n_rows", before.alias("before")
+    )
+    return (
+        packed.groupBy(
+            F.floor(F.col("before") / _COMPACT_TARGET)
+            .cast("long")
+            .alias("bin_id")
+        )
+        .agg(
+            F.count("*").alias("n_files"),
+            F.sum("n_rows").cast("long").alias("total_rows"),
+            F.min("d").cast("timestamp").alias("first_day"),
+            F.max("d").cast("timestamp").alias("last_day"),
+        )
+    )

@@ -81,6 +81,7 @@ GWIN_OK = {
     "agg_mode",  # per-value counts table (value vocabulary)
     "encode_label",  # label vocabulary
     "incremental_partial_agg_merge",  # merged k-group agg table
+    "layout_compaction_planner",  # calendar-bounded day-grain file table
     "ml_eval_binary",  # per-distinct-score counts (AUC via U identity)
     "pipeline_bpe_pair_counts",  # adjacent-pair vocabulary
     "qcut_quartiles",  # exact-rank CONTRACT; scale twin qcut_by_cutpoints
