@@ -199,6 +199,24 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
+    # Environment calibration: a fixed CPU-bound JVM job (no I/O, no
+    # shuffle, whole-stage codegen) whose cost depends only on the
+    # host's effective CPU speed.  The r7 exclusive re-bench measured
+    # EVERY query — including untouched pure-scan tpch_q1 — uniformly
+    # +20-35% vs the r6 artifact purely from hypervisor noisy-neighbor
+    # drift; recording the calibration beside the timings lets any
+    # cross-round comparison divide that drift out instead of
+    # misreading it as regressions.
+    def calibrate() -> float:
+        t0 = time.perf_counter()
+        spark.range(1_000_000_000).selectExpr(
+            "sum(CAST(id AS DOUBLE) * id) AS s"  # double: no ANSI overflow
+        ).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    calibrate()  # warm
+    calib = round(min(calibrate() for _ in range(RUNS)), 4)
+
     # Warm-up pass: JIT, code cache, file-system cache.
     for n in names:
         run_once(n)
@@ -239,9 +257,21 @@ def main() -> None:
                 prev = prev["parsed"]
             if prev.get("sf") == _sf_from_dir(sf_dir):
                 pq = prev.get("queries", {})
+                # Normalize the comparison by the calibration ratio
+                # when the prior artifact carries one: host drift
+                # moves every query together, and the guard should
+                # flag only drift-adjusted regressions.
+                drift = 1.0
+                if prev.get("calib_sec"):
+                    drift = calib / prev["calib_sec"]
+                    print(
+                        f"calibration drift vs {prev_files[-1]}: "
+                        f"x{drift:.2f} (host speed)",
+                        file=sys.stderr,
+                    )
                 flagged = []
                 for n, t in timings.items():
-                    if n in pq and pq[n] > 0.5 and t > pq[n] * 1.25:
+                    if n in pq and pq[n] > 0.5 and t > pq[n] * drift * 1.25:
                         flagged.append((n, pq[n], t))
                 for n, was, now in sorted(
                     flagged, key=lambda x: x[2] - x[1], reverse=True
@@ -249,12 +279,14 @@ def main() -> None:
                     print(
                         f"REGRESSION vs {prev_files[-1]}: {n} "
                         f"{was:.2f}s -> {now:.2f}s "
-                        f"(+{(now / was - 1) * 100:.0f}%)",
+                        f"(+{(now / was - 1) * 100:.0f}% raw, "
+                        f"drift-adjusted threshold applied)",
                         file=sys.stderr,
                     )
                 if not flagged:
                     print(
-                        f"no >25% regressions vs {prev_files[-1]}",
+                        f"no >25% drift-adjusted regressions vs "
+                        f"{prev_files[-1]}",
                         file=sys.stderr,
                     )
         except (OSError, ValueError):
@@ -273,6 +305,10 @@ def main() -> None:
                 # under-reported iterative queries) — cross-round
                 # series must compare like-tagged artifacts.
                 "timing": "from_plan_construction",
+                # fixed CPU-bound JVM job (range(1e9) sum of squares,
+                # best-of-RUNS): divide cross-round query deltas by
+                # the calib ratio to remove host-speed drift.
+                "calib_sec": calib,
                 "r2_comparable_subtotal": r2_subtotal,
                 "r3_comparable_subtotal": r3_subtotal,
                 "graph_family_subtotal": graph_subtotal,
