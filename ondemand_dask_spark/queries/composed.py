@@ -992,3 +992,49 @@ def sql_recursive_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFram
             ),
         )
     )
+
+
+_PATH_TOP_K = 10
+
+
+@register(
+    "events_top_paths",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type, 1) OVER w AS p1,
+             lag(event_type, 2) OVER w AS p2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    paths AS (
+      SELECT p2 || ' > ' || p1 || ' > ' || event_type AS path,
+             count(*) AS n
+      FROM seq WHERE p2 IS NOT NULL
+      GROUP BY 1
+    )
+    SELECT path, n FROM paths
+    ORDER BY n DESC, path LIMIT {_PATH_TOP_K}
+    """,
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top event sequences — the most common 3-step user paths
+    ('view > click > purchase'), the product-analytics path query
+    behind funnel discovery (vs funnel_three_step, which checks ONE
+    prespecified ordering).  Two per-user lag windows share a single
+    (user_id) sort to build the trigrams; sequence counts collapse
+    into a path-vocabulary hash agg (|event_types|³ ≤ 125 rows here,
+    always vocabulary-bounded); the top-k plans as
+    TakeOrderedAndProject.  The shuffle carries path counts, never
+    events — the sf0.001 plan IS the 100 TB plan."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        F.lag("event_type", 1).over(w).alias("p1"),
+        F.lag("event_type", 2).over(w).alias("p2"),
+    ).where(F.col("p2").isNotNull())
+    paths = seq.groupBy(
+        F.concat_ws(" > ", "p2", "p1", "event_type").alias("path")
+    ).agg(F.count("*").alias("n"))
+    return paths.orderBy(F.desc("n"), "path").limit(_PATH_TOP_K)
