@@ -978,3 +978,82 @@ def encode_feature_hash_signed(spark: SparkSession, sf_dir: str) -> DataFrame:
         (h % _FH_D).alias("bucket"),
         F.when(h % (2 * _FH_D) < _FH_D, 1).otherwise(-1).alias("sign"),
     )
+
+
+@register(
+    "ml_eval_pr_auc",
+    oracle=f"""
+    WITH c AS (
+      SELECT round(value, 3) AS s,
+             count(CASE WHEN event_type = 'purchase' THEN 1 END) AS pos_c,
+             count(CASE WHEN event_type != 'purchase' THEN 1 END) AS neg_c
+      FROM events GROUP BY round(value, 3)
+    ),
+    w AS (
+      SELECT pos_c,
+             sum(pos_c) OVER (ORDER BY s DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos,
+             sum(neg_c) OVER (ORDER BY s DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_neg
+      FROM c
+    ),
+    tot AS (SELECT CAST(sum(pos_c) AS DOUBLE) AS npos FROM c)
+    SELECT CAST(max(npos) AS BIGINT) AS n_pos,
+           round(sum(pos_c / npos * (cum_pos / (cum_pos + cum_neg)))
+                 - 1e-9, {_R}) + 0.0 AS pr_auc
+    FROM w CROSS JOIN tot
+    WHERE npos > 0
+    """,
+)
+def ml_eval_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (area under the precision-recall curve, the
+    step-interpolated sklearn definition) — the imbalanced-class
+    companion to `ml_eval_binary`'s AUC, scoring `value` against the
+    purchase label.  Like its siblings the rank arithmetic is
+    COUNT-side: per-distinct-score positive/negative counts (scores
+    rounded to 3 dp so both engines bucket identically), one ordered
+    window over the SCORE vocabulary for cumulative TP/FP, then
+    AP = sum over score cuts of (TP gained / total P) x precision at
+    the cut — ties grouped at a single step, deterministic on both
+    engines.  Nothing data-sized: one hash agg off the scan, a
+    bounded-vocabulary window, a 1-row total attach."""
+    from pyspark.sql.window import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    c = e.groupBy(F.round("value", 3).alias("s")).agg(
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias(
+            "pos_c"
+        ),
+        F.count(F.when(F.col("event_type") != "purchase", 1)).alias(
+            "neg_c"
+        ),
+    )
+    wd = W.orderBy(F.desc("s")).rowsBetween(W.unboundedPreceding, 0)
+    w = c.select(
+        "pos_c",
+        F.sum("pos_c").over(wd).alias("cum_pos"),
+        F.sum("neg_c").over(wd).alias("cum_neg"),
+    )
+    tot = w.agg(F.sum("pos_c").cast("double").alias("npos"))
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .filter(F.col("npos") > 0)
+        .agg(
+            F.max("npos").cast("long").alias("n_pos"),
+            (
+                F.round(
+                    F.sum(
+                        F.col("pos_c")
+                        / F.col("npos")
+                        * (
+                            F.col("cum_pos")
+                            / (F.col("cum_pos") + F.col("cum_neg"))
+                        )
+                    )
+                    - 1e-9,
+                    _R,
+                )
+                + 0.0
+            ).alias("pr_auc"),
+        )
+    )

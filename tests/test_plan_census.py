@@ -54,6 +54,7 @@ BNLJ_OK = {
     "ml_eval_multiclass",  # |classes|-row broadcast fan-out, bounded vocabulary
     "ml_eval_regression",  # 1-row global-mean attach
     "ml_eval_logloss",  # 1-row baseline-rate attach
+    "ml_eval_pr_auc",  # 1-row positive-total attach
     "stat_anova_oneway",  # 1-row grand-mean attach onto the k-row group table
     "stat_cuped_adjustment",  # 1-row theta/xbar pooled-stats attach
     "stat_fdr_bh",  # 1-row grand-mean + 1-row BH-cutoff attaches
@@ -83,6 +84,7 @@ GWIN_OK = {
     "incremental_partial_agg_merge",  # merged k-group agg table
     "layout_compaction_planner",  # calendar-bounded day-grain file table
     "ml_eval_binary",  # per-distinct-score counts (AUC via U identity)
+    "ml_eval_pr_auc",  # per-distinct-score counts (AP step curve)
     "pipeline_bpe_pair_counts",  # adjacent-pair vocabulary
     "qcut_quartiles",  # exact-rank CONTRACT; scale twin qcut_by_cutpoints
     "sort_values_global",  # global-order CONTRACT; twin sort_global_rank_scalable
