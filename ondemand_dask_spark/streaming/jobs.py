@@ -723,3 +723,66 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.col("value") - 1e-9, _R) + F.lit(0.0)).alias("last_value"),
         F.unix_micros(F.col("ts").cast("timestamp")).alias("last_ts_us"),
     )
+
+
+@register(
+    "stream_chained_windowed_agg",
+    oracle=f"""
+    WITH mx AS (SELECT max(ts) AS m FROM events),
+    hourly AS (
+      SELECT date_trunc('hour', ts) AS h, event_type,
+             round(sum(value) - 1e-9, {_R}) AS hour_total
+      FROM events GROUP BY 1, 2
+    ),
+    daily AS (
+      SELECT date_trunc('day', h) AS day_start, event_type,
+             max(hour_total) AS mh, count(*) AS n_hours
+      FROM hourly GROUP BY 1, 2
+    )
+    SELECT day_start, event_type,
+           round(mh - 1e-9, {_R}) + 0.0 AS max_hour_total, n_hours
+    FROM daily CROSS JOIN mx
+    WHERE day_start + INTERVAL 1 DAY <= m - INTERVAL 10 MINUTE
+    """,
+)
+def stream_chained_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful aggregations in one streaming query (the
+    multiple-stateful-operator capability added in Spark 3.4):
+    hourly per-type totals roll up into daily peak-hour statistics —
+    hourly window agg → window-over-window daily agg, both stateful,
+    one watermark propagated through the chain.  Pre-3.4 this
+    required two queries stitched through an intermediate sink;
+    state for BOTH levels is still watermark-bounded, so the chain
+    holds at 100 TB/day ingest.
+
+    Append-mode finalization is part of the contract: a daily window
+    emits only once the propagated watermark (max event time − 10
+    minutes) passes its end, so the final partial day never emits —
+    the oracle applies the identical cutoff, making the differential
+    check exact on a finite availableNow run."""
+    e = read_events_stream(spark, sf_dir)
+    hourly = (
+        e.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.round(F.sum("value") - 1e-9, _R).alias("hour_total"))
+    )
+    daily = (
+        hourly.groupBy(
+            F.window(F.col("w"), "1 day").alias("d"), "event_type"
+        )
+        .agg(
+            (F.round(F.max("hour_total") - 1e-9, _R) + 0.0).alias(
+                "max_hour_total"
+            ),
+            F.count("*").alias("n_hours"),
+        )
+        .select(
+            F.col("d.start").alias("day_start"),
+            "event_type",
+            "max_hour_total",
+            "n_hours",
+        )
+    )
+    return run_to_table(
+        spark, daily, "stream_chained_windowed_agg", "append"
+    )
