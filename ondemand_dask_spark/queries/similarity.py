@@ -1170,3 +1170,95 @@ def embedding_signbit_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _SB_TOP_K)
         .select("query_id", "neighbor_id", "hamming", "rnk")
     )
+
+
+@register(
+    "ann_lsh_multiprobe",
+    oracle=f"""
+    WITH sig AS ({_SIG_SQL}),
+    probes AS (
+      SELECT vec_id AS query_id, embedding AS q_emb,
+             unnest(list_prepend(signature,
+               list_transform(generate_series(0, {N_PLANES - 1}),
+                 p -> xor(signature, CAST(power(2.0, p) AS BIGINT)))))
+               AS probe_sig
+      FROM sig WHERE vec_id < 20
+    ),
+    pairs AS (
+      SELECT probes.query_id, c.vec_id AS neighbor_id,
+             {_dot_sql("probes.q_emb", "c.embedding")}
+               / (sqrt({_dot_sql("probes.q_emb", "probes.q_emb")})
+                  * sqrt({_dot_sql("c.embedding", "c.embedding")})) AS cos
+      FROM probes JOIN sig c
+        ON c.signature = probes.probe_sig
+       AND c.vec_id != probes.query_id
+    )
+    SELECT query_id, neighbor_id,
+           round(cos - 1e-9, {_R}) + 0.0 AS cosine, rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id) AS rnk
+          FROM pairs)
+    WHERE rnk <= 3
+    """,
+)
+def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiprobe LSH — `ann_lsh_probe` with the classic recall fix
+    (Lv et al.): each query probes its own bucket PLUS the
+    {N_PLANES} Hamming-1 buckets (one sign bit flipped), because a
+    near neighbor most often lands one plane's flip away.  The
+    probe fan-out is a {N_PLANES + 1}-row explode per query — still
+    an equi-join on the bucket key, never a distance scan — and
+    each candidate matches at most one probe key (bucket keys are
+    unique per vector), so no dedup pass is needed before the exact
+    cosine re-rank.  This is THE standard trade at scale: ~17x more
+    candidate buckets per query for recall that single-bucket LSH
+    cannot reach on high-dimensional data (measured in
+    tests/test_recall.py against the same exact-cosine truth), at a
+    cost that stays proportional to bucket occupancy, not corpus
+    size."""
+    sig = _signatures(spark, sf_dir)
+    q = sig.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("signature").alias("q_sig"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    flips = F.transform(
+        F.sequence(F.lit(0), F.lit(N_PLANES - 1)),
+        lambda p: F.col("q_sig").bitwiseXOR(
+            F.pow(F.lit(2.0), p).cast("long")
+        ),
+    )
+    probes = q.select(
+        "query_id",
+        "q_emb",
+        "q_nrm",
+        F.explode(
+            F.concat(F.array(F.col("q_sig")), flips)
+        ).alias("probe_sig"),
+    )
+    pairs = sig.join(
+        F.broadcast(probes),
+        (F.col("signature") == F.col("probe_sig"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (
+            _dot(F.col("q_emb"), F.col("embedding"))
+            / (F.col("q_nrm") * F.col("nrm"))
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("cos") - 1e-9, _R).alias("cosine"),
+            "rnk",
+        )
+    )

@@ -66,3 +66,24 @@ def test_signbit_hamming_recall_at_3(spark, sf_dir, truth):
     )
     recall = len(truth & got) / len(truth)
     assert recall >= 0.15, f"sign-bit recall@3 degraded: {recall:.2f}"
+
+
+def test_multiprobe_recall_dominates_single_probe(spark, sf_dir, truth):
+    """Hamming-1 multiprobe must recover at least what single-bucket
+    LSH does (its 17 probe keys are a superset of the 1), and
+    measurably more on this geometry: measured 0.13 -> 0.17 at
+    sf0.001, 0.03 -> 0.07 at sf0.01.  Both sit far below IVF on
+    uniform vectors — the documented single-table-LSH floor — but
+    the multiprobe direction must never invert."""
+
+    def recall(name):
+        pdf = QUERIES[name].fn(spark, sf_dir).toPandas()
+        pdf = pdf[pdf.query_id < 10]
+        got = set(
+            map(tuple, pdf[["query_id", "neighbor_id"]].values.tolist())
+        )
+        return len(truth & got) / len(truth)
+
+    single, multi = recall("ann_lsh_probe"), recall("ann_lsh_multiprobe")
+    assert multi >= single, f"multiprobe {multi:.2f} < single {single:.2f}"
+    assert multi >= 0.05
