@@ -422,3 +422,85 @@ def cdc_apply_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("price"),
         F.col("op").isNotNull().alias("touched"),
     )
+
+
+_SCD2_BASE_TS = "1995-01-01"
+_SCD2_EFF_TS = "1998-06-01"
+
+
+@register(
+    "scd2_apply_changes",
+    oracle=f"""
+    WITH base AS (
+      SELECT c_custkey, round(c_acctbal, 2) AS bal FROM customer
+    ),
+    batch AS (
+      SELECT c_custkey, round(c_acctbal + 100, 2) AS bal
+      FROM customer WHERE c_custkey % 7 = 0
+    )
+    SELECT c_custkey, round(bal - 1e-9, 2) + 0.0 AS bal,
+           CAST('{_SCD2_BASE_TS}' AS TIMESTAMP) AS valid_from,
+           CAST(NULL AS TIMESTAMP) AS valid_to,
+           TRUE AS is_current
+    FROM base WHERE c_custkey % 7 != 0
+    UNION ALL
+    SELECT c_custkey, round(bal - 1e-9, 2) + 0.0,
+           CAST('{_SCD2_BASE_TS}' AS TIMESTAMP),
+           CAST('{_SCD2_EFF_TS}' AS TIMESTAMP),
+           FALSE
+    FROM base WHERE c_custkey % 7 = 0
+    UNION ALL
+    SELECT c_custkey, round(bal - 1e-9, 2) + 0.0,
+           CAST('{_SCD2_EFF_TS}' AS TIMESTAMP),
+           CAST(NULL AS TIMESTAMP),
+           TRUE
+    FROM batch
+    """,
+)
+def scd2_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD-2 APPLY — the dimension-maintenance MERGE that
+    `scd2_intervals` (which rebuilds history from a full event log)
+    does not cover: given the current dimension snapshot and a batch
+    of changed rows, emit the new table state in one pass —
+    untouched rows pass through, changed keys get their open row
+    CLOSED (valid_to = effective ts) plus a NEW current row with the
+    updated attribute.  Three legs: anti-join (pass-through),
+    semi-join (close), and the batch itself (insert) — all keyed on
+    the dimension's primary key, unioned by name.  At 100 TB the
+    batch side is the small one; the two joins share one exchange of
+    the snapshot and a real table service swaps the union's output
+    in as the next snapshot version (the copy-on-write pattern the
+    streaming CDC job uses).  The batch is synthesized from the
+    snapshot (keys % 7, balance + 100) so the check is exact."""
+    base_ts = F.lit(_SCD2_BASE_TS).cast("timestamp_ntz")
+    eff_ts = F.lit(_SCD2_EFF_TS).cast("timestamp_ntz")
+    null_ts = F.lit(None).cast("timestamp_ntz")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.round("c_acctbal", 2).alias("bal")
+    )
+    batch = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 7 == 0)
+        .select(
+            "c_custkey",
+            F.round(F.col("c_acctbal") + 100, 2).alias("bal"),
+        )
+    )
+    keys = batch.select("c_custkey")
+    out_bal = (F.round(F.col("bal") - 1e-9, 2) + 0.0).alias("bal")
+    unchanged = c.join(keys, "c_custkey", "left_anti").select(
+        "c_custkey", out_bal,
+        base_ts.alias("valid_from"), null_ts.alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    closed = c.join(keys, "c_custkey", "left_semi").select(
+        "c_custkey", out_bal,
+        base_ts.alias("valid_from"), eff_ts.alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    inserted = batch.select(
+        "c_custkey", out_bal,
+        eff_ts.alias("valid_from"), null_ts.alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return unchanged.unionByName(closed).unionByName(inserted)
