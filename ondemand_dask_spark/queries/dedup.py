@@ -1311,3 +1311,155 @@ def dedup_priority_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("duplicate_same_tier"))
         .alias("drop_reason"),
     )
+
+
+_EST_AGREE_SQL = " + ".join(
+    f"CASE WHEN a.mh{s} = b.mh{s} THEN 1 ELSE 0 END"
+    for s in range(NUM_HASHES)
+)
+
+
+@register(
+    "dedup_minhash_estimate_certificate",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    hashed AS (SELECT DISTINCT doc_id,
+                      ({_H_SQL.format(x="shingle")} % 1073741824) AS h FROM sh),
+    mh AS (SELECT doc_id, {_MH_MIN_SQL} FROM hashed GROUP BY doc_id),
+    sig AS ({_SIG_UNION_SQL}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sig a JOIN sig b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    counts AS (SELECT doc_id, count(*) AS n FROM hashed GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS i
+      FROM cand c
+      JOIN hashed x ON x.doc_id = c.doc_a
+      JOIN hashed y ON y.doc_id = c.doc_b AND y.h = x.h
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    est AS (
+      SELECT c.doc_a, c.doc_b,
+             ({_EST_AGREE_SQL}) / {NUM_HASHES}.0 AS est_j
+      FROM cand c
+      JOIN mh a ON a.doc_id = c.doc_a
+      JOIN mh b ON b.doc_id = c.doc_b
+    ),
+    scored AS (
+      SELECT e.doc_a, e.doc_b, e.est_j,
+             CAST(coalesce(i.i, 0) AS DOUBLE)
+               / (na.n + nb.n - coalesce(i.i, 0)) AS ex
+      FROM est e
+      LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+      JOIN counts na ON na.doc_id = e.doc_a
+      JOIN counts nb ON nb.doc_id = e.doc_b
+    )
+    SELECT doc_a, doc_b,
+           round(est_j - 1e-9, {_R}) + 0.0 AS est_jaccard,
+           round(ex - 1e-9, {_R}) + 0.0 AS exact_jaccard,
+           round(abs(est_j - ex) - 1e-9, {_R}) + 0.0 AS abs_err
+    FROM scored
+    """,
+)
+def dedup_minhash_estimate_certificate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sketch-accuracy CERTIFICATE for the minhash estimator — for
+    every LSH candidate pair, the signature-agreement estimate
+    (matching seeds / {NUM_HASHES}) side by side with the exact
+    Jaccard and the absolute error.  This is the quantified answer
+    to 'how much do I trust the sketch': at 100 TB the exact leg
+    runs on a SAMPLE of candidate pairs while the estimate is free
+    for all of them, and this query IS that audit (same shape as
+    the KLL/theta sketch certificates).  Candidate pairs with a
+    band collision but zero common shingles get exact = 0 via the
+    left join — exactly the false-positive class the estimate
+    overstates.  Plan: the same banded-LSH candidate join as
+    dedup_minhash_lsh (never n²), one signature equi-join per side,
+    and the candidate-restricted intersection count."""
+    _evict_retained()
+    sh = _retain(_hashed_shingles(spark, sf_dir).cache())
+    mh = _retain(
+        sh.groupBy("doc_id")
+        .agg(
+            *[
+                F.min(
+                    (F.lit(_MH_A[s]) * F.col("h") + F.lit(_MH_B[s]))
+                    % F.lit(_MH_P)
+                ).alias(f"mh{s}")
+                for s in range(NUM_HASHES)
+            ]
+        )
+        .cache()
+    )
+    sig = None
+    for b in range(NUM_HASHES // BAND_ROWS):
+        part = mh.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                ",",
+                F.col(f"mh{b * BAND_ROWS}").cast("string"),
+                F.col(f"mh{b * BAND_ROWS + 1}").cast("string"),
+            ).alias("sig"),
+        )
+        sig = part if sig is None else sig.unionByName(part)
+    a, b = sig.alias("a"), sig.alias("b")
+    cand = _retain(
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+        .cache()
+    )
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    x, y = sh.alias("x"), sh.alias("y")
+    inter = (
+        cand.join(x, F.col("x.doc_id") == F.col("doc_a"))
+        .join(
+            y,
+            (F.col("y.doc_id") == F.col("doc_b"))
+            & (F.col("y.h") == F.col("x.h")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    agree = sum(
+        F.when(F.col(f"ma.mh{s}") == F.col(f"mb.mh{s}"), 1).otherwise(0)
+        for s in range(NUM_HASHES)
+    )
+    est = (
+        cand.join(mh.alias("ma"), F.col("ma.doc_id") == F.col("doc_a"))
+        .join(mh.alias("mb"), F.col("mb.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b",
+            (agree / float(NUM_HASHES)).alias("est_j"),
+        )
+    )
+    ii = F.coalesce(F.col("i"), F.lit(0)).cast("double")
+    ex = ii / (F.col("na.n") + F.col("nb.n") - ii)
+    return (
+        est.join(inter, ["doc_a", "doc_b"], "left")
+        .join(counts.alias("na"), F.col("na.doc_id") == F.col("doc_a"))
+        .join(counts.alias("nb"), F.col("nb.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.round(F.col("est_j") - 1e-9, _R) + 0.0).alias(
+                "est_jaccard"
+            ),
+            (F.round(ex - 1e-9, _R) + 0.0).alias("exact_jaccard"),
+            (F.round(F.abs(F.col("est_j") - ex) - 1e-9, _R) + 0.0).alias(
+                "abs_err"
+            ),
+        )
+    )
