@@ -624,3 +624,57 @@ def source_csv_corrupt_permissive(spark: SparkSession, sf_dir: str) -> DataFrame
         ),
         F.sum(F.coalesce(F.col("v"), F.lit(0))).alias("v_sum"),
     )
+
+
+@register(
+    "source_csv_multiline_quoted",
+    oracle="""
+    SELECT count(*) AS n_docs,
+           CAST(sum(CASE WHEN contains(ml, chr(10)) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_multiline,
+           CAST(sum(CAST('0x' || substr(md5(ml), 1, 15) AS BIGINT)
+                    % 1000000) AS BIGINT) AS hash_sum
+    FROM (SELECT 'hdr:' || chr(10) || text AS ml FROM documents)
+    """,
+)
+def source_csv_multiline_quoted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV round-trip of values containing EMBEDDED NEWLINES — the
+    ingestion shape that silently corrupts naive line-split readers:
+    a record's text field spans physical lines, so the reader must
+    honor quoting across line boundaries (`multiLine=true`; Spark's
+    writer quotes such fields automatically).  Every document gets a
+    manufactured leading line, round-trips through CSV, and the
+    check hashes the reconstructed values against the oracle's
+    direct computation from parquet — a single flipped or lost
+    newline changes hash_sum.  Note the scale caveat baked into the
+    option: multiLine CSV cannot be split within a file (records
+    cross line boundaries), so parallelism is per-FILE — this write
+    produces one file per shuffle partition, which is exactly how
+    the format stays parallel at 100 TB."""
+    from ondemand_dask_spark.functions.texthash import portable_hash64
+
+    path = _scratch(sf_dir, "documents_multiline_csv")
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("hdr:\n"), F.col("text")).alias("ml"),
+    )
+    d.write.mode("overwrite").option("header", True).csv(path)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("ml", T.StringType()),
+        ]
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("multiLine", True)
+        .csv(path)
+    )
+    return back.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(
+            F.when(F.col("ml").contains("\n"), 1).otherwise(0)
+        ).alias("n_multiline"),
+        F.sum(portable_hash64(F.col("ml")) % 1_000_000).alias("hash_sum"),
+    )
