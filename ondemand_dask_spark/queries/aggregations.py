@@ -2869,3 +2869,77 @@ def stat_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(h / (1.0 - tt / (n * n * n - n)) - 1e-9, _R) + 0.0
         ).alias("h_tie_corrected"),
     )
+
+
+_WILSON_Z = 1.96  # 95% two-sided
+
+
+@register(
+    "stat_wilson_ci",
+    oracle=f"""
+    WITH g AS (
+      SELECT date_trunc('day', ts) AS d,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS k
+      FROM events GROUP BY 1
+    )
+    SELECT d, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+           round(k / n - 1e-9, {_R}) + 0.0 AS p,
+           round(((k / n + {_WILSON_Z} * {_WILSON_Z} / (2 * n))
+                  - {_WILSON_Z} * sqrt((k / n) * (1 - k / n) / n
+                        + {_WILSON_Z} * {_WILSON_Z} / (4 * n * n)))
+                 / (1 + {_WILSON_Z} * {_WILSON_Z} / n) - 1e-9, {_R}) + 0.0
+             AS wilson_lo,
+           round(((k / n + {_WILSON_Z} * {_WILSON_Z} / (2 * n))
+                  + {_WILSON_Z} * sqrt((k / n) * (1 - k / n) / n
+                        + {_WILSON_Z} * {_WILSON_Z} / (4 * n * n)))
+                 / (1 + {_WILSON_Z} * {_WILSON_Z} / n) - 1e-9, {_R}) + 0.0
+             AS wilson_hi
+    FROM g
+    """,
+)
+def stat_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score interval for a daily conversion rate (share of
+    'purchase' events), the binomial CI that stays inside [0, 1] and
+    behaves at k=0 / k=n where the naive Wald interval collapses —
+    the standard error bar on any rate dashboard.
+
+    The scan reduces to |days| (k, n) integer pairs in one
+    partial-agg shuffle; the interval itself is a closed-form scalar
+    projection over that vocabulary-sized table, written with the
+    IDENTICAL operation order on both engines (all inputs are exact
+    small integers, so the doubles agree bit-for-bit before the
+    defensive 4 dp round)."""
+    z = F.lit(_WILSON_Z)
+    g = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("day", "ts").cast("timestamp_ntz").alias("d")
+        )
+        .agg(
+            F.count("*").cast("double").alias("n"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            .cast("double")
+            .alias("k"),
+        )
+    )
+    n, k = F.col("n"), F.col("k")
+    p = k / n
+    center = p + z * z / (2 * n)
+    half = z * F.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+    denom = 1 + z * z / n
+    return g.select(
+        "d",
+        n.cast("long").alias("n"),
+        k.cast("long").alias("k"),
+        (F.round(p - 1e-9, _R) + 0.0).alias("p"),
+        (F.round((center - half) / denom - 1e-9, _R) + 0.0).alias(
+            "wilson_lo"
+        ),
+        (F.round((center + half) / denom - 1e-9, _R) + 0.0).alias(
+            "wilson_hi"
+        ),
+    )

@@ -1057,3 +1057,85 @@ def ml_eval_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pr_auc"),
         )
     )
+
+
+@register(
+    "ml_eval_agreement",
+    oracle=f"""
+    WITH conf AS (
+      SELECT CAST(sum(CASE WHEN value >  {_EVAL_THRESHOLD}
+                            AND event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS tp,
+             CAST(sum(CASE WHEN value >  {_EVAL_THRESHOLD}
+                            AND event_type = 'view' THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS fp,
+             CAST(sum(CASE WHEN value <= {_EVAL_THRESHOLD}
+                            AND event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS fn,
+             CAST(sum(CASE WHEN value <= {_EVAL_THRESHOLD}
+                            AND event_type = 'view' THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS tn
+      FROM events
+      WHERE event_type IN ('purchase', 'view') AND value IS NOT NULL
+    )
+    SELECT round((tp + tn) / (tp + fp + fn + tn) - 1e-9, {_R}) + 0.0
+             AS accuracy,
+           round(((tp + tn) / (tp + fp + fn + tn)
+                  - ((tp + fp) * (tp + fn) + (tn + fn) * (tn + fp))
+                    / pow(tp + fp + fn + tn, 2))
+                 / NULLIF(1 - ((tp + fp) * (tp + fn)
+                               + (tn + fn) * (tn + fp))
+                              / pow(tp + fp + fn + tn, 2), 0)
+                 - 1e-9, {_R}) + 0.0 AS cohen_kappa,
+           round((tp * tn - fp * fn)
+                 / NULLIF(sqrt((tp + fp) * (tp + fn)
+                               * (tn + fp) * (tn + fn)), 0)
+                 - 1e-9, {_R}) + 0.0 AS mcc,
+           round((tp / NULLIF(tp + fn, 0)
+                  + tn / NULLIF(tn + fp, 0)) / 2 - 1e-9, {_R}) + 0.0
+             AS balanced_accuracy
+    FROM conf
+    """,
+)
+def ml_eval_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chance-corrected agreement metrics for the thresholded binary
+    classifier: Cohen's kappa, Matthews correlation (MCC), and
+    balanced accuracy — the evaluation battery for IMBALANCED label
+    distributions, where ml_eval_binary's raw accuracy/F1 reward the
+    majority-class guess.  All four are closed forms of the 2×2
+    confusion matrix, so the whole query is ONE conditional aggregate
+    over the labeled scan (full map-side partial aggregation; four
+    doubles cross the wire per partition) and a scalar projection —
+    the same 100 TB shape as ml_eval_binary's confusion leg.
+    Degenerate margins (an all-one-class slice makes kappa/MCC/
+    balanced-accuracy 0/0) pin to SQL NULL on both engines via
+    NULLIF/try_divide."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+        & F.col("value").isNotNull()
+    )
+    pred = F.col("value") > _EVAL_THRESHOLD
+    actual = F.col("event_type") == "purchase"
+    conf = e.agg(
+        F.sum((pred & actual).cast("double")).alias("tp"),
+        F.sum((pred & ~actual).cast("double")).alias("fp"),
+        F.sum((~pred & actual).cast("double")).alias("fn"),
+        F.sum((~pred & ~actual).cast("double")).alias("tn"),
+    )
+    tp, fp, fn, tn = (F.col(c) for c in ("tp", "fp", "fn", "tn"))
+    n = tp + fp + fn + tn
+    po = (tp + tn) / n
+    pe = ((tp + fp) * (tp + fn) + (tn + fn) * (tn + fp)) / F.pow(n, 2)
+    mcc = F.try_divide(
+        tp * tn - fp * fn,
+        F.sqrt((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)),
+    )
+    bal = (F.try_divide(tp, tp + fn) + F.try_divide(tn, tn + fp)) / 2
+    return conf.select(
+        (F.round(po - 1e-9, _R) + 0.0).alias("accuracy"),
+        (
+            F.round(F.try_divide(po - pe, F.lit(1.0) - pe) - 1e-9, _R) + 0.0
+        ).alias("cohen_kappa"),
+        (F.round(mcc - 1e-9, _R) + 0.0).alias("mcc"),
+        (F.round(bal - 1e-9, _R) + 0.0).alias("balanced_accuracy"),
+    )

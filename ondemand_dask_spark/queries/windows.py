@@ -1699,3 +1699,154 @@ def ts_changepoint_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").cast("timestamp").alias("change_day"),
         F.col("sse_r").alias("sse_reduction"),
     )
+
+
+_ACF_MAX_LAG = 7
+
+_ACF_UNION = "\n      UNION ALL ".join(
+    f"SELECT event_type, {k} AS lag_k, tot, p{k} AS prev FROM l"
+    for k in range(1, _ACF_MAX_LAG + 1)
+)
+
+
+@register(
+    "ts_acf_correlogram",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+             sum(value) AS tot
+      FROM events GROUP BY 1, 2
+    ),
+    l AS (
+      SELECT event_type, tot,
+             {", ".join(f"lag(tot, {k}) OVER w AS p{k}"
+                        for k in range(1, _ACF_MAX_LAG + 1))}
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY d)
+    ),
+    u AS (
+      {_ACF_UNION}
+    ),
+    g AS (
+      SELECT event_type, lag_k, corr(tot, prev) AS c,
+             count(CASE WHEN tot IS NOT NULL AND prev IS NOT NULL
+                        THEN 1 END) AS n_pairs
+      FROM u GROUP BY 1, 2
+    )
+    SELECT event_type, CAST(lag_k AS BIGINT) AS lag_k,
+           CASE WHEN n_pairs >= 2
+                THEN round(c - 1e-9, {_R}) + 0.0 END AS acf,
+           n_pairs
+    FROM g
+    """,
+)
+def ts_acf_correlogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function at lags 1..7 of each series' daily
+    total — the correlogram a forecaster reads before picking model
+    order (lag-7 spikes = weekly seasonality; slow decay = trend).
+    Extends window_autocorr_lag1 from one coefficient to the full
+    head of the ACF.
+
+    Scale shape: the raw scan collapses to |series|×|days| daily
+    totals in one partial-agg shuffle; ONE ordered window per series
+    over that vocabulary-sized table emits all seven shifted columns
+    in a single sort (not seven), and an unpivot + (series, lag)
+    hash-agg reduces them.  Nothing downstream of the first agg grows
+    with data volume.  Degenerate series (under 2 pairs at a lag, or
+    zero variance → Spark NaN vs DuckDB NULL) pin to NULL identically
+    on both engines."""
+    e = _events(spark, sf_dir)
+    daily = e.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).agg(F.sum("value").alias("tot"))
+    w = Window.partitionBy("event_type").orderBy("d")
+    shifted = daily.select(
+        "event_type",
+        "tot",
+        *[
+            F.lag("tot", k).over(w).alias(f"p{k}")
+            for k in range(1, _ACF_MAX_LAG + 1)
+        ],
+    )
+    stack = ", ".join(
+        f"{k}L, p{k}" for k in range(1, _ACF_MAX_LAG + 1)
+    )
+    u = shifted.select(
+        "event_type",
+        "tot",
+        F.expr(
+            f"stack({_ACF_MAX_LAG}, {stack}) AS (lag_k, prev)"
+        ),
+    )
+    g = u.groupBy("event_type", "lag_k").agg(
+        F.corr("tot", "prev").alias("c"),
+        F.count(
+            F.when(
+                F.col("tot").isNotNull() & F.col("prev").isNotNull(), 1
+            )
+        ).alias("n_pairs"),
+    )
+    return g.select(
+        "event_type",
+        "lag_k",
+        F.when(
+            (F.col("n_pairs") >= 2) & ~F.isnan(F.col("c")),
+            F.round(F.col("c") - 1e-9, _R) + 0.0,
+        ).alias("acf"),
+        "n_pairs",
+    )
+
+
+@register(
+    "window_rolling_slope",
+    oracle=f"""
+    SELECT event_id, user_id,
+           round((covar_samp(value, x) OVER w
+                  / NULLIF(var_samp(x) OVER w, 0)) - 1e-9, {_R})
+             + 0.0 AS roll_slope
+    FROM (SELECT event_id, user_id, value,
+                 CAST(row_number() OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id)
+                      AS DOUBLE) AS x
+          FROM events WHERE value IS NOT NULL)
+    WINDOW w AS (PARTITION BY user_id ORDER BY x
+                 ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling least-squares trend per key: the OLS slope of `value`
+    against event position over the trailing 10 observations — the
+    'is this metric locally rising or falling' detector (the window
+    analogue of stat_theil_sen_slope's global fit).  Regressing on
+    the in-key row POSITION rather than the epoch timestamp is
+    deliberate: positions are small exact integers, so the
+    covar/var sums stay numerically identical across engines where
+    epoch-scale abscissae (~1.7e9) lose low bits differently.
+
+    One user_id exchange+sort serves both the position column and
+    the frame; slope = covar_samp/var_samp as algebraic window
+    aggregates (no per-frame recomputation).  Single-point and
+    constant-x frames divide by zero — try_divide/NULLIF pins both
+    engines to SQL NULL (same contract as window_rolling_corr)."""
+    wp = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    pos = e.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.row_number().over(wp).cast("double").alias("x"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("x")
+        .rowsBetween(-9, 0)
+    )
+    slope = F.try_divide(
+        F.covar_samp(F.col("value"), F.col("x")).over(w),
+        F.nullif(F.var_samp("x").over(w), F.lit(0.0)),
+    )
+    return pos.select(
+        "event_id",
+        "user_id",
+        (F.round(slope - 1e-9, _R) + 0.0).alias("roll_slope"),
+    )
