@@ -2943,3 +2943,411 @@ def stat_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "wilson_hi"
         ),
     )
+
+
+@register(
+    "stat_kaplan_meier",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id,
+             CAST(min(ts) AS DATE) AS t0,
+             CAST(min(CASE WHEN event_type = 'purchase' THEN ts END)
+                  AS DATE) AS tp,
+             CAST(max(ts) AS DATE) AS tl
+      FROM events GROUP BY user_id
+    ),
+    dur AS (
+      SELECT CAST(coalesce(tp, tl) - t0 AS BIGINT) AS duration_day,
+             CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM u
+    ),
+    c AS (
+      SELECT duration_day,
+             CAST(sum(ev) AS BIGINT) AS n_event,
+             CAST(sum(1 - ev) AS BIGINT) AS n_censored
+      FROM dur GROUP BY duration_day
+    ),
+    r AS (
+      SELECT duration_day, n_event, n_censored,
+             sum(n_event + n_censored) OVER (
+               ORDER BY duration_day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS n_risk
+      FROM c
+    )
+    SELECT duration_day, CAST(n_risk AS BIGINT) AS n_risk,
+           n_event, n_censored,
+           CASE WHEN min(n_risk - n_event) OVER (
+                  ORDER BY duration_day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 0
+                THEN 0.0
+                ELSE round(exp(sum(ln(CASE WHEN n_event < n_risk
+                                           THEN 1.0 - CAST(n_event AS DOUBLE)
+                                                      / n_risk
+                                           ELSE 1.0 END)) OVER (
+                       ORDER BY duration_day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                     - 1e-9, {_R}) + 0.0
+           END AS km_survival
+    FROM r
+    """,
+)
+def stat_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for time-to-first-purchase: each
+    user is 'born' at their first event; users who never purchase are
+    right-censored at their last event.  S(t) multiplies the
+    conditional survival (1 - d_i/n_i) at each event time — the
+    estimator behind every retention/conversion-lag curve that must
+    NOT throw away users who haven't converted yet (naive conversion
+    curves over converters only are biased toward fast converters).
+
+    Scale shape: one user-keyed partial agg collapses the event scan
+    to |users| (t0, tp, tl) triples, a second agg collapses those to
+    the DAY-GRAIN duration table (calendar-bounded: <= observation
+    span in days), and the at-risk/product windows run over that
+    bounded table only — the same counts-table discipline as
+    stat_mann_whitney.  An all-events-fail row would make the factor
+    ln(0) (NULL in Spark, an ERROR in DuckDB), so the log argument is
+    clamped to 1 there and the running min(n_risk - n_event) CASE
+    pins every row at-or-after it to exactly 0.0 on both engines."""
+    u = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.min(F.to_date("ts")).alias("t0"),
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.to_date("ts"))
+            ).alias("tp"),
+            F.max(F.to_date("ts")).alias("tl"),
+        )
+    )
+    dur = u.select(
+        F.datediff(F.coalesce("tp", "tl"), F.col("t0"))
+        .cast("long")
+        .alias("duration_day"),
+        F.when(F.col("tp").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    c = dur.groupBy("duration_day").agg(
+        F.sum("ev").cast("long").alias("n_event"),
+        F.sum(1 - F.col("ev")).cast("long").alias("n_censored"),
+    )
+    w_suffix = Window.orderBy("duration_day").rowsBetween(
+        0, Window.unboundedFollowing
+    )
+    w_cur = Window.orderBy("duration_day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    r = c.withColumn(
+        "n_risk",
+        F.sum(F.col("n_event") + F.col("n_censored"))
+        .over(w_suffix)
+        .cast("long"),
+    )
+    surv = F.when(
+        F.min(F.col("n_risk") - F.col("n_event")).over(w_cur) == 0, F.lit(0.0)
+    ).otherwise(
+        F.round(
+            F.exp(
+                F.sum(
+                    F.log(
+                        F.when(
+                            F.col("n_event") < F.col("n_risk"),
+                            1.0
+                            - F.col("n_event").cast("double")
+                            / F.col("n_risk"),
+                        ).otherwise(F.lit(1.0))
+                    )
+                ).over(w_cur)
+            )
+            - 1e-9,
+            _R,
+        )
+        + 0.0
+    )
+    return r.select(
+        "duration_day", "n_risk", "n_event", "n_censored",
+        surv.alias("km_survival"),
+    )
+
+
+@register(
+    "stat_mann_kendall",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+             round(sum(value) - 1e-9, 6) + 0.0 AS x
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT a.event_type,
+             CAST(sum(CASE WHEN b.x > a.x THEN 1
+                           WHEN b.x < a.x THEN -1 ELSE 0 END)
+                  AS DOUBLE) AS s_stat
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.d < b.d
+      GROUP BY 1
+    ),
+    t AS (
+      SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(tc * (tc - 1) * (2 * tc + 5)) AS DOUBLE) AS tie_term
+      FROM (
+        SELECT event_type, x, count(*) AS tc
+        FROM daily GROUP BY event_type, x
+      ) GROUP BY event_type
+    )
+    SELECT s.event_type,
+           CAST(t.n AS BIGINT) AS n_days,
+           CAST(s.s_stat AS BIGINT) AS s_stat,
+           round((t.n * (t.n - 1) * (2 * t.n + 5) - t.tie_term) / 18.0
+                 - 1e-9, {_R}) + 0.0 AS var_s,
+           round(CASE WHEN s.s_stat > 0 THEN (s.s_stat - 1)
+                      WHEN s.s_stat < 0 THEN (s.s_stat + 1)
+                      ELSE 0.0 END
+                 / sqrt((t.n * (t.n - 1) * (2 * t.n + 5) - t.tie_term)
+                        / 18.0)
+                 - 1e-9, {_R}) + 0.0 AS z_score
+    FROM s JOIN t ON s.event_type = t.event_type
+    """,
+)
+def stat_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotonic-trend test per event-type daily series —
+    the nonparametric 'is this KPI drifting up or down' detector
+    (pairs with stat_theil_sen_slope exactly as the textbook
+    prescribes: MK decides significance, Theil-Sen sizes the slope).
+    S counts concordant-minus-discordant day pairs; the variance
+    carries the standard tie correction; Z applies the +/-1
+    continuity correction.
+
+    Scale shape: the raw scan collapses to |series| x |days| daily
+    totals in one partial-agg shuffle; the pairwise self-join runs
+    over that CALENDAR-BOUNDED table only (30 days -> 435 pairs per
+    series at any data volume), keyed on event_type so it plans as an
+    ordinary equi-join.  Daily totals are rounded to 6 dp on BOTH
+    engines before the sign/tie logic so partial-sum ulp drift cannot
+    flip a comparison."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.to_date(F.date_trunc("day", "ts")).alias("d")
+        )
+        .agg((F.round(F.sum("value") - 1e-9, 6) + 0.0).alias("x"))
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    s = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.d") < F.col("b.d")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.x") > F.col("a.x"), 1)
+                .when(F.col("b.x") < F.col("a.x"), -1)
+                .otherwise(0)
+            )
+            .cast("double")
+            .alias("s_stat")
+        )
+    )
+    t = (
+        daily.groupBy("event_type", "x")
+        .agg(F.count("*").alias("tc"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("double").alias("n"),
+            F.sum(
+                F.col("tc") * (F.col("tc") - 1) * (2 * F.col("tc") + 5)
+            )
+            .cast("double")
+            .alias("tie_term"),
+        )
+    )
+    n, ss, tie = F.col("n"), F.col("s_stat"), F.col("tie_term")
+    var_s = (n * (n - 1) * (2 * n + 5) - tie) / 18.0
+    cc = (
+        F.when(ss > 0, ss - 1).when(ss < 0, ss + 1).otherwise(F.lit(0.0))
+    )
+    return (
+        s.join(t, "event_type")
+        .select(
+            "event_type",
+            n.cast("long").alias("n_days"),
+            ss.cast("long").alias("s_stat"),
+            (F.round(var_s - 1e-9, _R) + 0.0).alias("var_s"),
+            (F.round(cc / F.sqrt(var_s) - 1e-9, _R) + 0.0).alias("z_score"),
+        )
+    )
+
+
+_DID_CUTOVER = "2024-01-16 00:00:00"
+
+
+@register(
+    "stat_diff_in_diff",
+    oracle=f"""
+    WITH cells AS (
+      SELECT
+        avg(CASE WHEN user_id % 2 = 0 AND ts <  TIMESTAMP '{_DID_CUTOVER}'
+                 THEN value END) AS m_c_pre,
+        avg(CASE WHEN user_id % 2 = 0 AND ts >= TIMESTAMP '{_DID_CUTOVER}'
+                 THEN value END) AS m_c_post,
+        avg(CASE WHEN user_id % 2 = 1 AND ts <  TIMESTAMP '{_DID_CUTOVER}'
+                 THEN value END) AS m_t_pre,
+        avg(CASE WHEN user_id % 2 = 1 AND ts >= TIMESTAMP '{_DID_CUTOVER}'
+                 THEN value END) AS m_t_post,
+        var_samp(CASE WHEN user_id % 2 = 0 AND ts < TIMESTAMP '{_DID_CUTOVER}'
+                 THEN value END) AS v_c_pre,
+        var_samp(CASE WHEN user_id % 2 = 0 AND ts >= TIMESTAMP '{_DID_CUTOVER}'
+                 THEN value END) AS v_c_post,
+        var_samp(CASE WHEN user_id % 2 = 1 AND ts < TIMESTAMP '{_DID_CUTOVER}'
+                 THEN value END) AS v_t_pre,
+        var_samp(CASE WHEN user_id % 2 = 1 AND ts >= TIMESTAMP '{_DID_CUTOVER}'
+                 THEN value END) AS v_t_post,
+        count(CASE WHEN user_id % 2 = 0 AND ts < TIMESTAMP '{_DID_CUTOVER}'
+                 THEN value END) AS n_c_pre,
+        count(CASE WHEN user_id % 2 = 0 AND ts >= TIMESTAMP '{_DID_CUTOVER}'
+                 THEN value END) AS n_c_post,
+        count(CASE WHEN user_id % 2 = 1 AND ts < TIMESTAMP '{_DID_CUTOVER}'
+                 THEN value END) AS n_t_pre,
+        count(CASE WHEN user_id % 2 = 1 AND ts >= TIMESTAMP '{_DID_CUTOVER}'
+                 THEN value END) AS n_t_post
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT round(m_c_pre - 1e-9, {_R}) + 0.0 AS mean_ctrl_pre,
+           round(m_c_post - 1e-9, {_R}) + 0.0 AS mean_ctrl_post,
+           round(m_t_pre - 1e-9, {_R}) + 0.0 AS mean_treat_pre,
+           round(m_t_post - 1e-9, {_R}) + 0.0 AS mean_treat_post,
+           round((m_t_post - m_t_pre) - (m_c_post - m_c_pre)
+                 - 1e-9, {_R}) + 0.0 AS did_estimate,
+           round(sqrt(v_t_post / n_t_post + v_t_pre / n_t_pre
+                      + v_c_post / n_c_post + v_c_pre / n_c_pre)
+                 - 1e-9, {_R}) + 0.0 AS se,
+           round(((m_t_post - m_t_pre) - (m_c_post - m_c_pre))
+                 / sqrt(v_t_post / n_t_post + v_t_pre / n_t_pre
+                        + v_c_post / n_c_post + v_c_pre / n_c_pre)
+                 - 1e-9, {_R}) + 0.0 AS t_stat
+    FROM cells
+    """,
+)
+def stat_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: the causal-inference workhorse for
+    'did the change move the metric, net of the background trend'.
+    Treatment assignment is deterministic (odd user_id) and the
+    cutover is a fixed calendar instant, so the four (group x period)
+    cells are plain conditional aggregates; the estimate is the
+    interaction of the two differences, with a Welch-style SE from
+    the per-cell variances (the standard 2x2 DiD with independent
+    cells).
+
+    Scale shape: the ENTIRE query is one conditional aggregate over
+    the event scan — full map-side partial aggregation, twelve
+    doubles per partition across the wire, one scalar projection.
+    The same shape as ml_eval_agreement's confusion matrix; nothing
+    downstream grows with data volume.  Empty cells (no events in a
+    group-period) null the estimate on both engines via avg/var over
+    zero rows -> NULL propagation."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    cut = F.lit(_DID_CUTOVER).cast("timestamp")
+    treat = F.col("user_id") % 2 == 1
+    post = F.col("ts") >= cut
+
+    def cell(cond):
+        v = F.when(cond, F.col("value"))
+        return v
+
+    conds = {
+        "c_pre": ~treat & ~post,
+        "c_post": ~treat & post,
+        "t_pre": treat & ~post,
+        "t_post": treat & post,
+    }
+    aggs = []
+    for k, cond in conds.items():
+        aggs += [
+            F.avg(cell(cond)).alias(f"m_{k}"),
+            F.var_samp(cell(cond)).alias(f"v_{k}"),
+            F.count(cell(cond)).alias(f"n_{k}"),
+        ]
+    cells = e.agg(*aggs)
+    m = {k: F.col(f"m_{k}") for k in conds}
+    did = (m["t_post"] - m["t_pre"]) - (m["c_post"] - m["c_pre"])
+    se = F.sqrt(
+        sum(
+            F.col(f"v_{k}") / F.col(f"n_{k}")
+            for k in conds
+        )
+    )
+    return cells.select(
+        (F.round(m["c_pre"] - 1e-9, _R) + 0.0).alias("mean_ctrl_pre"),
+        (F.round(m["c_post"] - 1e-9, _R) + 0.0).alias("mean_ctrl_post"),
+        (F.round(m["t_pre"] - 1e-9, _R) + 0.0).alias("mean_treat_pre"),
+        (F.round(m["t_post"] - 1e-9, _R) + 0.0).alias("mean_treat_post"),
+        (F.round(did - 1e-9, _R) + 0.0).alias("did_estimate"),
+        (F.round(se - 1e-9, _R) + 0.0).alias("se"),
+        (F.round(did / se - 1e-9, _R) + 0.0).alias("t_stat"),
+    )
+
+
+@register(
+    "stat_proportions_ztest",
+    oracle=f"""
+    WITH c AS (
+      SELECT
+        CAST(count(CASE WHEN user_id % 2 = 0 THEN 1 END) AS DOUBLE) AS na,
+        CAST(count(CASE WHEN user_id % 2 = 1 THEN 1 END) AS DOUBLE) AS nb,
+        CAST(count(CASE WHEN user_id % 2 = 0
+                         AND event_type = 'purchase' THEN 1 END)
+             AS DOUBLE) AS xa,
+        CAST(count(CASE WHEN user_id % 2 = 1
+                         AND event_type = 'purchase' THEN 1 END)
+             AS DOUBLE) AS xb
+      FROM events
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           round(xa / na - 1e-9, {_R}) + 0.0 AS p_a,
+           round(xb / nb - 1e-9, {_R}) + 0.0 AS p_b,
+           round((xa + xb) / (na + nb) - 1e-9, {_R}) + 0.0 AS p_pooled,
+           round((xa / na - xb / nb)
+                 / sqrt(((xa + xb) / (na + nb))
+                        * (1 - (xa + xb) / (na + nb))
+                        * (1 / na + 1 / nb))
+                 - 1e-9, {_R}) + 0.0 AS z_score
+    FROM c
+    """,
+)
+def stat_proportions_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample pooled-variance z-test on conversion proportions
+    (purchase share of events, even- vs odd-user split) — the
+    first-line A/B significance test on a rate metric, complementing
+    stat_welch_ttest (means), stat_wilson_ci (one-sample rate CI),
+    and stat_diff_in_diff (trend-adjusted lift).
+
+    Scale shape: ONE conditional aggregate over the event scan (four
+    counting doubles cross the wire per partition) and a scalar
+    projection — nothing downstream grows with data.  All inputs to
+    the closed form are exact integer counts, so the doubles agree
+    bit-for-bit across engines before the defensive round."""
+    e = load_table(spark, sf_dir, "events")
+    even = F.col("user_id") % 2 == 0
+    purchase = F.col("event_type") == "purchase"
+    c = e.agg(
+        F.count(F.when(even, 1)).cast("double").alias("na"),
+        F.count(F.when(~even, 1)).cast("double").alias("nb"),
+        F.count(F.when(even & purchase, 1)).cast("double").alias("xa"),
+        F.count(F.when(~even & purchase, 1)).cast("double").alias("xb"),
+    )
+    na, nb, xa, xb = (F.col(c_) for c_ in ("na", "nb", "xa", "xb"))
+    pa, pb = xa / na, xb / nb
+    pp = (xa + xb) / (na + nb)
+    z = (pa - pb) / F.sqrt(pp * (1 - pp) * (1 / na + 1 / nb))
+    return c.select(
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        (F.round(pa - 1e-9, _R) + 0.0).alias("p_a"),
+        (F.round(pb - 1e-9, _R) + 0.0).alias("p_b"),
+        (F.round(pp - 1e-9, _R) + 0.0).alias("p_pooled"),
+        (F.round(z - 1e-9, _R) + 0.0).alias("z_score"),
+    )
