@@ -3351,3 +3351,78 @@ def stat_proportions_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(pp - 1e-9, _R) + 0.0).alias("p_pooled"),
         (F.round(z - 1e-9, _R) + 0.0).alias("z_score"),
     )
+
+
+_TOST_MARGIN = 0.5  # equivalence margin on the mean difference
+_TOST_Z_CRIT = 1.6449  # one-sided 5% normal critical value
+
+
+@register(
+    "stat_tost_equivalence",
+    oracle=f"""
+    WITH g AS (
+      SELECT avg(CASE WHEN event_type = 'purchase' THEN value END) AS m1,
+             var_samp(CASE WHEN event_type = 'purchase' THEN value END) AS v1,
+             count(CASE WHEN event_type = 'purchase' THEN value END) AS n1,
+             avg(CASE WHEN event_type = 'view' THEN value END) AS m2,
+             var_samp(CASE WHEN event_type = 'view' THEN value END) AS v2,
+             count(CASE WHEN event_type = 'view' THEN value END) AS n2
+      FROM events
+    ),
+    t AS (
+      SELECT n1, n2, m1 - m2 AS diff, sqrt(v1 / n1 + v2 / n2) AS se
+      FROM g
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           round(diff - 1e-9, {_R}) + 0.0 AS mean_diff,
+           round(se - 1e-9, {_R}) + 0.0 AS se,
+           round((diff + {_TOST_MARGIN}) / se - 1e-9, {_R}) + 0.0
+             AS t_lower,
+           round((diff - {_TOST_MARGIN}) / se - 1e-9, {_R}) + 0.0
+             AS t_upper,
+           (round((diff + {_TOST_MARGIN}) / se - 1e-9, {_R})
+              >  {_TOST_Z_CRIT})
+           AND (round((diff - {_TOST_MARGIN}) / se - 1e-9, {_R})
+              < -{_TOST_Z_CRIT}) AS equivalent
+    FROM t
+    """,
+)
+def stat_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOST equivalence test (two one-sided tests) on the purchase-
+    vs-view mean difference: unlike stat_welch_ttest, which can only
+    fail to reject 'no difference', TOST POSITIVELY demonstrates the
+    means are within ±margin — the test you actually need for 'the
+    new pipeline produces the same metric' parity checks.  Rejecting
+    both one-sided nulls (diff ≤ -margin, diff ≥ +margin) at 5%
+    bounds the difference inside the margin at 90% confidence.
+
+    Scale shape: identical to stat_welch_ttest — ONE conditional
+    aggregate over the scan (six moments cross the wire per
+    partition) and scalar arithmetic on the 1-row result.  The
+    `equivalent` verdict compares the ROUNDED t statistics against
+    the critical value on both engines, so an ulp of se drift cannot
+    flip the boolean (house round-before-compare discipline)."""
+    e = load_table(spark, sf_dir, "events")
+    p = F.when(F.col("event_type") == "purchase", F.col("value"))
+    v = F.when(F.col("event_type") == "view", F.col("value"))
+    g = e.agg(
+        F.avg(p).alias("m1"), F.var_samp(p).alias("v1"),
+        F.count(p).alias("n1"),
+        F.avg(v).alias("m2"), F.var_samp(v).alias("v2"),
+        F.count(v).alias("n2"),
+    )
+    diff = F.col("m1") - F.col("m2")
+    se = F.sqrt(F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2"))
+    t_lo = F.round((diff + _TOST_MARGIN) / se - 1e-9, _R)
+    t_hi = F.round((diff - _TOST_MARGIN) / se - 1e-9, _R)
+    return g.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        (F.round(diff - 1e-9, _R) + 0.0).alias("mean_diff"),
+        (F.round(se - 1e-9, _R) + 0.0).alias("se"),
+        (t_lo + 0.0).alias("t_lower"),
+        (t_hi + 0.0).alias("t_upper"),
+        ((t_lo > _TOST_Z_CRIT) & (t_hi < -_TOST_Z_CRIT)).alias(
+            "equivalent"
+        ),
+    )

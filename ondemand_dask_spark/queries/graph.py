@@ -929,8 +929,11 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     justification as graph_pagerank's broadcast rank vector;
     measured 15.7 -> 11.8 s at sf0.1 vs the keyed-join form, which
     remains the billion-node fallback), then a (node, label)
-    partial-agg count and a per-node argmax window — every exchange
-    partitioned on node.  Deeper horizons switch to the
+    partial-agg count and a per-node argmax via max_by over
+    struct(count, -label) — a second hash aggregate, NOT a window,
+    so no per-node sort exists anywhere in the round (r7 A/B, one
+    warm session best-of-3 at sf0.1: row_number window 11.3 s vs
+    max_by 8.2 s, −28%) — every exchange partitioned on node.  Deeper horizons switch to the
     checkpointed-iteration pattern used by
     dedup_connected_components (a per-round localCheckpoint was
     A/B'd and adds nothing: the broadcast already materializes each
@@ -944,7 +947,6 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("lbl", F.col("node"))
     )
-    wn = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("lbl"))
     for _ in range(_LPA_ROUNDS):
         cnt = (
             sym.join(
@@ -953,11 +955,70 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("u").alias("node"), "lbl")
             .agg(F.count("*").alias("c"))
         )
-        labels = (
-            cnt.withColumn("rn", F.row_number().over(wn))
-            .filter(F.col("rn") == 1)
-            .select("node", "lbl")
+        # argmax by (count desc, label asc) as a hash aggregate:
+        # max_by over struct(c, -lbl) is deterministic here because
+        # (c, lbl) is unique within a node group — no window, no
+        # per-node sort, and the partial agg runs map-side on the
+        # (node, lbl)-partitioned count output.
+        labels = cnt.groupBy("node").agg(
+            F.max_by("lbl", F.struct(F.col("c"), -F.col("lbl"))).alias(
+                "lbl"
+            )
         )
     return labels.select(
         F.col("node").alias("part_id"), F.col("lbl").alias("label")
+    )
+
+
+@register(
+    "graph_assortativity",
+    oracle=f"""
+    WITH e AS ({_EDGES_SQL}),
+    sym AS (
+      SELECT src AS u, dst AS v FROM e
+      UNION ALL SELECT dst, src FROM e
+    ),
+    deg AS (SELECT u AS node, CAST(count(*) AS DOUBLE) AS d
+            FROM sym GROUP BY u)
+    SELECT CAST(count(*) AS BIGINT) AS n_directed_edges,
+           round(corr(da.d, db.d) - 1e-9, {_R}) + 0.0 AS assortativity
+    FROM sym
+    JOIN deg da ON da.node = sym.u
+    JOIN deg db ON db.node = sym.v
+    """,
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman r): the Pearson correlation of
+    endpoint degrees over every directed edge of the symmetrized
+    graph — positive means hubs attach to hubs (social-network
+    shape), negative means hubs attach to leaves (hub-and-spoke /
+    dependency shape).  The single scalar that tells you whether
+    degree-based partitioning or hub-salting will be the scale
+    problem on THIS graph.
+
+    Scale shape: one groupBy builds the |V|-row degree table, which
+    is dimension-sized (the part catalog) and BROADCAST onto the
+    edge list twice — so the only data-sized operation is a linear
+    pass over the edges feeding corr's algebraic partial aggregate
+    (six moments per partition cross the wire).  No window, no
+    self-join, no data-sized shuffle at all beyond the edge build
+    shared by the whole graph family."""
+    _evict_retained()
+    edges = _retain(_edges(spark, sf_dir).cache())
+    edges.count()  # eager: sym fans the cache into two union legs
+    sym = _sym(edges)
+    deg = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").cast("double").alias("d")
+    )
+    da = F.broadcast(deg.select(F.col("node").alias("u"), F.col("d").alias("da")))
+    db = F.broadcast(deg.select(F.col("node").alias("v"), F.col("d").alias("db")))
+    return (
+        sym.join(da, "u")
+        .join(db, "v")
+        .agg(
+            F.count("*").alias("n_directed_edges"),
+            (F.round(F.corr("da", "db") - 1e-9, _R) + 0.0).alias(
+                "assortativity"
+            ),
+        )
     )

@@ -604,3 +604,131 @@ def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ahash,
         "doc_id bigint, n_pixels int, mean_gray double, ahash bigint",
     )
+
+
+_BAND_BINS = (1, 2, 4, 8)  # DFT bins probed over the N=32 sample clip
+_BAND_N = _WAV_DATA_LEN // 2  # 32 int16 samples
+
+
+def _band_energy_sql() -> str:
+    """Oracle: recompute the int16 samples from the generation
+    formula (wav data bytes = the text's first 64 ASCII bytes,
+    zero-padded), normalize by 2^15, and evaluate the DFT power at
+    each probed bin as (Σ x·cos)² + (Σ x·sin)² — the identical
+    closed form the Spark-side extractor runs on the decoded bytes."""
+    bands = []
+    for k in _BAND_BINS:
+        c = (
+            f"list_sum(list_transform(generate_series(0, {_BAND_N - 1}), "
+            f"n -> xs[n + 1] * cos(2 * pi() * {k} * n / {_BAND_N}.0)))"
+        )
+        s = (
+            f"list_sum(list_transform(generate_series(0, {_BAND_N - 1}), "
+            f"n -> xs[n + 1] * sin(2 * pi() * {k} * n / {_BAND_N}.0)))"
+        )
+        bands.append(
+            f"round(({c}) * ({c}) + ({s}) * ({s}) - 1e-9, {_R}) + 0.0"
+            f" AS p{k}"
+        )
+    band_cols = ",\n           ".join(bands)
+    dom = (
+        "CASE WHEN p1 >= p2 AND p1 >= p4 AND p1 >= p8 THEN 1 "
+        "WHEN p2 >= p4 AND p2 >= p8 THEN 2 "
+        "WHEN p4 >= p8 THEN 4 ELSE 8 END"
+    )
+    return f"""
+    WITH wav AS (
+      SELECT doc_id, substr(text, 1, {_WAV_DATA_LEN}) AS t
+      FROM documents WHERE doc_id % 10 = 1
+    ),
+    s AS (
+      SELECT doc_id,
+             list_transform(
+               list_transform(
+                 list_transform(generate_series(0, {_BAND_N - 1}),
+                   k -> (CASE WHEN 2*k+1 <= length(t)
+                              THEN ascii(substr(t, 2*k+1, 1)) ELSE 0 END)
+                      + 256 * (CASE WHEN 2*k+2 <= length(t)
+                                    THEN ascii(substr(t, 2*k+2, 1))
+                                    ELSE 0 END)),
+                 r -> CASE WHEN r >= 32768 THEN r - 65536 ELSE r END),
+               i -> i / 32768.0) AS xs
+      FROM wav
+    ),
+    p AS (
+      SELECT doc_id,
+           {band_cols}
+      FROM s
+    )
+    SELECT doc_id, p1, p2, p4, p8,
+           CAST({dom} AS INT) AS dominant_bin
+    FROM p
+    """
+
+
+@register("multimodal_audio_band_energy", oracle=_band_energy_sql())
+def multimodal_audio_band_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL spectral feature extraction over decoded PCM: DFT power
+    at four probe bins (1, 2, 4, 8 cycles per clip) of the
+    2^15-normalized int16 samples, plus the dominant bin — the
+    single-bin Goertzel evaluation behind tone detection, hum
+    checks, and cheap audio fingerprints.  One step past
+    multimodal_wav_rms's time-domain stats into the frequency
+    domain, on the same honest-differential contract: Spark decodes
+    the actual WAV bytes (struct.unpack + numpy), the oracle
+    recomputes the identical samples from the fixture's generation
+    formula and evaluates the same closed form in SQL.
+
+    Numerics: samples normalize to |x| ≤ 1 BEFORE the projection, so
+    each power is ≤ 2·N² ≈ 2048 and cross-engine libm cos/sin ulp
+    drift (~1e-13 absolute after the square) cannot reach the 4 dp
+    round; dominant_bin compares the ROUNDED powers with a
+    smallest-bin tie rule on both engines.  Scale shape: payload
+    bytes cross to Python once in the narrow mapInPandas (declared
+    Arrow boundary), features return as five scalars per clip,
+    nothing shuffles."""
+    m = _real_media(spark, sf_dir).filter(F.col("mime") == "audio/wav")
+    n = _BAND_N
+
+    def extract(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        basis = {
+            k: (
+                np.cos(2.0 * np.pi * k * np.arange(n) / n),
+                np.sin(2.0 * np.pi * k * np.arange(n) / n),
+            )
+            for k in _BAND_BINS
+        }
+        rows: dict[str, list] = {"doc_id": []}
+        for k in _BAND_BINS:
+            rows[f"p{k}"] = []
+        rows["dominant_bin"] = []
+        for pdf in it:
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                (data_len,) = struct.unpack("<I", b[40:44])
+                xs = (
+                    np.frombuffer(b[44 : 44 + data_len], dtype="<i2")
+                    .astype(np.float64)
+                    / 32768.0
+                )
+                rows["doc_id"].append(doc_id)
+                powers = {}
+                for k in _BAND_BINS:
+                    cvec, svec = basis[k]
+                    c = float(np.dot(xs, cvec))
+                    s = float(np.dot(xs, svec))
+                    powers[k] = round(c * c + s * s - 1e-9, _R) + 0.0
+                    rows[f"p{k}"].append(powers[k])
+                dom = max(_BAND_BINS, key=lambda k: (powers[k], -k))
+                rows["dominant_bin"].append(dom)
+        yield pd.DataFrame(rows)
+
+    return m.mapInPandas(
+        extract,
+        "doc_id bigint, p1 double, p2 double, p4 double, p8 double, "
+        "dominant_bin int",
+    )
