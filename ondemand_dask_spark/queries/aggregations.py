@@ -3426,3 +3426,112 @@ def stat_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "equivalent"
         ),
     )
+
+
+@register(
+    "stat_runs_test",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+             round(sum(value) - 1e-9, 6) + 0.0 AS x
+      FROM events GROUP BY 1, 2
+    ),
+    med AS (
+      SELECT event_type, quantile_cont(x, 0.5) AS m
+      FROM daily GROUP BY event_type
+    ),
+    marked AS (
+      SELECT daily.event_type, d,
+             CASE WHEN x > m THEN 1 ELSE 0 END AS up
+      FROM daily JOIN med ON daily.event_type = med.event_type
+      WHERE x <> m
+    ),
+    runs AS (
+      SELECT event_type, up,
+             CASE WHEN lag(up) OVER (PARTITION BY event_type ORDER BY d)
+                       IS DISTINCT FROM up THEN 1 ELSE 0 END AS boundary
+      FROM marked
+    ),
+    g AS (
+      SELECT event_type,
+             CAST(sum(up) AS DOUBLE) AS n1,
+             CAST(sum(1 - up) AS DOUBLE) AS n2,
+             CAST(sum(boundary) AS BIGINT) AS n_runs
+      FROM runs GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n1 AS BIGINT) AS n_above,
+           CAST(n2 AS BIGINT) AS n_below,
+           n_runs,
+           round((n_runs - (2 * n1 * n2 / (n1 + n2) + 1))
+                 / nullif(sqrt(2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
+                          / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1))), 0)
+                 - 1e-9, {_R}) + 0.0 AS z_score
+    FROM g
+    """,
+)
+def stat_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test per event-type daily series: are the
+    above-median / below-median days RANDOMLY interleaved, or do they
+    clump (trend / regime) or alternate (overcorrection)?  The
+    randomness check that complements stat_mann_kendall — MK asks
+    'is there a monotone trend', runs asks 'is the sequence
+    exchangeable at all'.  Median-equal days are excluded (the
+    standard convention); the first row of each series counts as a
+    run boundary, so n_runs = 1 + sign changes.
+
+    Scale shape: the raw scan collapses to the calendar-bounded
+    daily table in one partial-agg shuffle; the median, the lag
+    window, and the run count all operate per-series over that
+    bounded table (windows PARTITIONED by event_type — never
+    global).  Daily totals round to 6 dp on both engines before
+    median/compare so partial-sum ulp drift cannot flip a side;
+    a one-sided series (n1 or n2 = 0) pins z to NULL via NULLIF."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.to_date(F.date_trunc("day", "ts")).alias("d")
+        )
+        .agg((F.round(F.sum("value") - 1e-9, 6) + 0.0).alias("x"))
+    )
+    med = daily.groupBy("event_type").agg(
+        F.percentile("x", 0.5).alias("m")
+    )
+    marked = (
+        daily.join(med, "event_type")
+        .filter(F.col("x") != F.col("m"))
+        .select(
+            "event_type",
+            "d",
+            F.when(F.col("x") > F.col("m"), 1).otherwise(0).alias("up"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    runs = marked.select(
+        "event_type",
+        "up",
+        F.when(
+            ~F.lag("up").over(w).eqNullSafe(F.col("up")), 1
+        )
+        .otherwise(0)
+        .alias("boundary"),
+    )
+    g = runs.groupBy("event_type").agg(
+        F.sum("up").cast("double").alias("n1"),
+        F.sum(1 - F.col("up")).cast("double").alias("n2"),
+        F.sum("boundary").cast("long").alias("n_runs"),
+    )
+    n1, n2, r = F.col("n1"), F.col("n2"), F.col("n_runs")
+    n = n1 + n2
+    e_r = 2 * n1 * n2 / n + 1
+    sd = F.nullif(
+        F.sqrt(2 * n1 * n2 * (2 * n1 * n2 - n1 - n2) / (n * n * (n - 1))),
+        F.lit(0.0),
+    )
+    return g.select(
+        "event_type",
+        n1.cast("long").alias("n_above"),
+        n2.cast("long").alias("n_below"),
+        r.alias("n_runs"),
+        (F.round((r - e_r) / sd - 1e-9, _R) + 0.0).alias("z_score"),
+    )

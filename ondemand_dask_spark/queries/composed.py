@@ -1038,3 +1038,92 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(" > ", "p2", "p1", "event_type").alias("path")
     ).agg(F.count("*").alias("n"))
     return paths.orderBy(F.desc("n"), "path").limit(_PATH_TOP_K)
+
+
+@register(
+    "events_burstiness_index",
+    oracle=f"""
+    WITH gaps AS (
+      SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    ),
+    per_user AS (
+      SELECT user_id,
+             count(gap_us) AS n_gaps,
+             avg(CAST(gap_us AS DOUBLE)) AS mu,
+             stddev_samp(CAST(gap_us AS DOUBLE)) AS sigma
+      FROM gaps GROUP BY user_id
+      HAVING count(gap_us) >= 2
+    ),
+    b AS (
+      SELECT round((sigma - mu) / nullif(sigma + mu, 0) - 1e-9, {_R})
+               + 0.0 AS burst
+      FROM per_user
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           round(avg(burst) - 1e-9, {_R}) + 0.0 AS mean_burstiness,
+           round(stddev_samp(burst) - 1e-9, {_R}) + 0.0 AS sd_burstiness,
+           round(min(burst) - 1e-9, {_R}) + 0.0 AS min_burstiness,
+           round(max(burst) - 1e-9, {_R}) + 0.0 AS max_burstiness,
+           CAST(count(CASE WHEN burst > 0 THEN 1 END) AS BIGINT)
+             AS n_bursty
+    FROM b
+    """,
+)
+def events_burstiness_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh-Barabási burstiness B = (σ−μ)/(σ+μ) of each user's
+    inter-event gaps, summarized across the user base — B→-1 is a
+    metronome (bot-like regularity, the same signal family as
+    events_bot_regularity's coefficient-of-variation), B≈0 is
+    Poisson, B→+1 is bursty human sessions.  The one-number answer
+    to 'does this population arrive in bursts', which drives session
+    timeout choice (sessionize_gap) and rate-limit sizing.
+
+    Scale shape: gaps come from ONE user-partitioned ordered window
+    over the event scan (data-sized but keyed — never global); the
+    per-user moments are a decomposable agg to |users| rows; the
+    final summary is algebraic over per-user scalars.  Gaps are
+    EXACT int64 microseconds (unix_micros / epoch_us) on both
+    engines, and each user's B rounds to 4 dp before the cross-user
+    summary so per-user fp drift cannot accumulate.  Single-gap
+    users are excluded (sample σ undefined); a constant-gap user
+    (σ=0, μ>0) contributes B=-1 exactly on both engines."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gaps = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        (us - F.lag(us).over(w)).alias("gap_us"),
+    )
+    per_user = (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count("gap_us").alias("n_gaps"),
+            F.avg(F.col("gap_us").cast("double")).alias("mu"),
+            F.stddev_samp(F.col("gap_us").cast("double")).alias("sigma"),
+        )
+        .filter(F.col("n_gaps") >= 2)
+    )
+    burst = (
+        F.round(
+            (F.col("sigma") - F.col("mu"))
+            / F.nullif(F.col("sigma") + F.col("mu"), F.lit(0.0))
+            - 1e-9,
+            _R,
+        )
+        + 0.0
+    )
+    b = per_user.select(burst.alias("burst"))
+    return b.agg(
+        F.count("*").cast("long").alias("n_users"),
+        (F.round(F.avg("burst") - 1e-9, _R) + 0.0).alias("mean_burstiness"),
+        (F.round(F.stddev_samp("burst") - 1e-9, _R) + 0.0).alias(
+            "sd_burstiness"
+        ),
+        (F.round(F.min("burst") - 1e-9, _R) + 0.0).alias("min_burstiness"),
+        (F.round(F.max("burst") - 1e-9, _R) + 0.0).alias("max_burstiness"),
+        F.count(F.when(F.col("burst") > 0, 1))
+        .cast("long")
+        .alias("n_bursty"),
+    )

@@ -1139,3 +1139,96 @@ def ml_eval_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(mcc - 1e-9, _R) + 0.0).alias("mcc"),
         (F.round(bal - 1e-9, _R) + 0.0).alias("balanced_accuracy"),
     )
+
+
+_LC_BUCKETS = 16  # hash-bucket space: 15 train buckets + 1 holdout
+_LC_FRACTIONS = (4, 8, 15)  # nested train sizes in buckets
+
+
+def _lc_oracle() -> str:
+    legs = []
+    for nb in _LC_FRACTIONS:
+        legs.append(f"""
+    SELECT {nb} AS train_buckets,
+           (SELECT count(*) FROM t WHERE bucket < {nb}
+                                     AND value IS NOT NULL) AS n_train,
+           round(avg(pow(h.value - m.mean_value, 2)) - 1e-9, {_R}) + 0.0
+             AS mse
+    FROM (SELECT * FROM t WHERE bucket = {_LC_BUCKETS - 1}
+                            AND value IS NOT NULL) h
+    JOIN (SELECT event_type, avg(value) AS mean_value
+          FROM t WHERE bucket < {nb} AND value IS NOT NULL
+          GROUP BY event_type) m
+      ON h.event_type = m.event_type""")
+    union = "\n    UNION ALL".join(legs)
+    return f"""
+    WITH t AS (
+      SELECT event_type, value,
+             CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) % {_LC_BUCKETS} AS bucket
+      FROM events
+    )
+    {union}
+    """
+
+
+@register("ml_learning_curve", oracle=_lc_oracle())
+def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learning curve for the per-category mean predictor: holdout
+    MSE of the event_type→mean(value) model trained on nested
+    25% / 50% / ~94% hash-bucket subsets — the 'do we need more
+    data' diagnostic every data-pipeline budget decision starts
+    from (a flat curve says stop collecting; a falling curve says
+    the model is still data-starved).  Nesting via the SAME
+    deterministic portable hash as sample_hash_split makes each
+    training set a strict superset of the previous one, so the
+    curve is monotone in information, never resampling noise.
+
+    Scale shape: per fraction, one partial-agg shuffle collapses
+    the train slice to |categories| means which BROADCAST onto the
+    fixed holdout slice; the three legs union into one plan and
+    share the scan.  All comparisons are on the exact md5 bucket,
+    identical across engines."""
+    t = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        (portable_hash64(F.col("event_id").cast("string")) % _LC_BUCKETS).alias(
+            "bucket"
+        ),
+    )
+    holdout = t.filter(
+        (F.col("bucket") == _LC_BUCKETS - 1) & F.col("value").isNotNull()
+    )
+    legs = []
+    for nb in _LC_FRACTIONS:
+        train = t.filter((F.col("bucket") < nb) & F.col("value").isNotNull())
+        m = train.groupBy("event_type").agg(
+            F.avg("value").alias("mean_value"),
+        )
+        n_train = train.agg(F.count("*").alias("n_train"))
+        leg = (
+            holdout.join(F.broadcast(m), "event_type")
+            .agg(
+                (
+                    F.round(
+                        F.avg(
+                            F.pow(F.col("value") - F.col("mean_value"), 2)
+                        )
+                        - 1e-9,
+                        _R,
+                    )
+                    + 0.0
+                ).alias("mse")
+            )
+            .crossJoin(F.broadcast(n_train))
+            .select(
+                F.lit(nb).alias("train_buckets"),
+                "n_train",
+                "mse",
+            )
+        )
+        legs.append(leg)
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out

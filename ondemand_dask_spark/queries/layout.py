@@ -17,6 +17,7 @@ import operator
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ondemand_dask_spark.io import load_table
 from ondemand_dask_spark.registry import register
@@ -256,4 +257,75 @@ def layout_compaction_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("d").cast("timestamp").alias("first_day"),
             F.max("d").cast("timestamp").alias("last_day"),
         )
+    )
+
+
+_TARGET_ROWS_PER_FILE = 25_000  # stand-in for a bytes-based target
+
+
+@register(
+    "layout_partition_skew_advisor",
+    oracle=f"""
+    WITH p AS (
+      SELECT date_trunc('month', o_orderdate) AS part_month,
+             CAST(count(*) AS DOUBLE) AS n_rows
+      FROM orders GROUP BY 1
+    ),
+    t AS (
+      SELECT part_month, n_rows,
+             avg(n_rows) OVER () AS mean_rows,
+             sum(n_rows) OVER () AS total_rows
+      FROM p
+    )
+    SELECT part_month,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           round(n_rows / total_rows - 1e-9, {_R}) + 0.0 AS share,
+           round(n_rows / mean_rows - 1e-9, {_R}) + 0.0 AS skew_vs_mean,
+           CAST(ceil(n_rows / {_TARGET_ROWS_PER_FILE}.0) AS BIGINT)
+             AS recommended_files,
+           round(n_rows / mean_rows - 1e-9, {_R}) > 2.0 AS salt_advised
+    FROM t
+    """,
+)
+def layout_partition_skew_advisor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Partition-layout skew report for a month-partitioned orders
+    table: per-partition row count, share of the table, skew ratio
+    against the mean partition, the file count a writer should
+    target (ceil(rows / target-per-file) — the knob behind
+    `spark.sql.files.maxPartitionBytes` sizing), and a salt-advised
+    flag when a partition exceeds 2× the mean — exactly the
+    maintenance report a table service consults before compaction
+    (layout_compaction_planner) or before enabling AQE skew-join
+    handling on the write side.
+
+    Scale shape: ONE partial-agg shuffle collapses the scan to
+    |months| rows; the mean/total windows run over that calendar-
+    bounded table only.  The advisory boolean compares the ROUNDED
+    skew ratio on both engines."""
+    p = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("part_month"))
+        .agg(F.count("*").cast("double").alias("n_rows"))
+    )
+    w = Window.partitionBy()
+    t = p.select(
+        "part_month",
+        "n_rows",
+        F.avg("n_rows").over(w).alias("mean_rows"),
+        F.sum("n_rows").over(w).alias("total_rows"),
+    )
+    skew_r = F.round(F.col("n_rows") / F.col("mean_rows") - 1e-9, _R)
+    return t.select(
+        "part_month",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        (F.round(F.col("n_rows") / F.col("total_rows") - 1e-9, _R) + 0.0).alias(
+            "share"
+        ),
+        (skew_r + 0.0).alias("skew_vs_mean"),
+        F.ceil(F.col("n_rows") / float(_TARGET_ROWS_PER_FILE))
+        .cast("long")
+        .alias("recommended_files"),
+        (skew_r > 2.0).alias("salt_advised"),
     )

@@ -35,6 +35,7 @@ from ondemand_dask_spark.registry import all_queries
 
 # 1-row scalar attaches + deliberately-bounded non-equi operators.
 BNLJ_OK = {
+    "ml_learning_curve",  # 1-row train-count attach per curve leg
     "agg_hll_sketch_merge", "agg_nunique_approx", "ann_cosine_topk",
     "ann_ivf_probe", "basket_association_rules", "dedup_ngram_jaccard",
     "dedup_ngram_containment",  # 1-row corpus-total attach (same as its jaccard twin)
@@ -83,6 +84,7 @@ GWIN_OK = {
     "encode_label",  # label vocabulary
     "incremental_partial_agg_merge",  # merged k-group agg table
     "layout_compaction_planner",  # calendar-bounded day-grain file table
+    "layout_partition_skew_advisor",  # calendar-bounded month-grain table
     "ml_eval_binary",  # per-distinct-score counts (AUC via U identity)
     "ml_eval_pr_auc",  # per-distinct-score counts (AP step curve)
     "pipeline_bpe_pair_counts",  # adjacent-pair vocabulary
