@@ -3535,3 +3535,62 @@ def stat_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         r.alias("n_runs"),
         (F.round((r - e_r) / sd - 1e-9, _R) + 0.0).alias("z_score"),
     )
+
+
+@register(
+    "dq_completeness_trend",
+    oracle=f"""
+    WITH u AS (
+      SELECT date_trunc('day', ts) AS d, 'value' AS col_name,
+             CASE WHEN value IS NULL THEN 1 ELSE 0 END AS is_null
+      FROM events
+      UNION ALL
+      SELECT date_trunc('day', ts), 'props',
+             CASE WHEN props IS NULL THEN 1 ELSE 0 END
+      FROM events
+      UNION ALL
+      SELECT date_trunc('day', ts), 'user_id',
+             CASE WHEN user_id IS NULL THEN 1 ELSE 0 END
+      FROM events
+    )
+    SELECT d, col_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(is_null) AS BIGINT) AS n_null,
+           round(CAST(sum(is_null) AS DOUBLE) / count(*) - 1e-9, {_R})
+             + 0.0 AS null_rate
+    FROM u GROUP BY d, col_name
+    """,
+)
+def dq_completeness_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day, per-column completeness (null-rate) trend — the
+    first chart on any data-quality dashboard, and the signal that
+    catches an upstream schema break the day it happens (a column's
+    null rate stepping from 2% to 100% is a dropped field, not
+    noise).  Complements dq_profile_report (one snapshot) with the
+    TIME dimension, and dq_psi_drift (distribution shift) with the
+    presence dimension.
+
+    Scale shape: the unpivot is a column-projection stack, not a
+    join — each probed column contributes one (day, name, is_null)
+    stream and the whole query is ONE partial-agg shuffle to
+    |days| × |columns| rows.  Counts are exact integers; only the
+    final rate divides."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").cast("timestamp_ntz").alias("d"),
+        F.expr(
+            "stack(3, 'value', CASE WHEN value IS NULL THEN 1 ELSE 0 END,"
+            " 'props', CASE WHEN props IS NULL THEN 1 ELSE 0 END,"
+            " 'user_id', CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)"
+            " AS (col_name, is_null)"
+        ),
+    )
+    return e.groupBy("d", "col_name").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("is_null").cast("long").alias("n_null"),
+        (
+            F.round(
+                F.sum("is_null").cast("double") / F.count("*") - 1e-9, _R
+            )
+            + 0.0
+        ).alias("null_rate"),
+    )

@@ -1127,3 +1127,73 @@ def events_burstiness_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_bursty"),
     )
+
+
+@register(
+    "events_dau_wau_stickiness",
+    oracle=f"""
+    WITH ud AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d, user_id
+      FROM events
+    ),
+    dau AS (SELECT d, count(*) AS dau FROM ud GROUP BY d),
+    contrib AS (
+      SELECT DISTINCT ud.d + CAST(k AS INT) AS td, ud.user_id
+      FROM ud, unnest(generate_series(0, 6)) AS t(k)
+    ),
+    wau AS (SELECT td AS d, count(*) AS wau FROM contrib GROUP BY td)
+    SELECT CAST(dau.d AS TIMESTAMP) AS d, dau.dau, wau.wau,
+           round(CAST(dau.dau AS DOUBLE) / wau.wau - 1e-9, {_R}) + 0.0
+             AS stickiness
+    FROM dau JOIN wau ON dau.d = wau.d
+    """,
+)
+def events_dau_wau_stickiness(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness (DAU÷WAU) per day — the
+    canonical engagement triple.  The trailing distinct-user window
+    is NOT computed as a sliding distinct (exact distinct doesn't
+    decompose over frames): each active (user, day) pair instead
+    CONTRIBUTES itself to the 7 calendar days it keeps the user
+    active in, and WAU(d) is a plain distinct-count of contributions
+    landing on d — turning an order-dependent window into two
+    hash-distincts, the standard scale-out formulation.
+
+    Scale shape: the scan collapses to |users|×|days| distinct
+    pairs in one shuffle; the contribution explode is a bounded ×7
+    row multiplier on that reduced table (never on raw events); both
+    counts are partial-agg shuffles keyed on day.  Days with no
+    events produce no DAU row (inner join), so trailing windows at
+    the calendar edge are reported exactly as observed."""
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select(
+        F.to_date(F.date_trunc("day", "ts")).alias("d"), "user_id"
+    ).distinct()
+    dau = ud.groupBy("d").agg(F.count("*").alias("dau"))
+    contrib = (
+        ud.select(
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("k"),
+            "d",
+            "user_id",
+        )
+        .select(F.date_add("d", F.col("k")).alias("td"), "user_id")
+        .distinct()
+    )
+    wau = contrib.groupBy(F.col("td").alias("d")).agg(
+        F.count("*").alias("wau")
+    )
+    return (
+        dau.join(wau, "d")
+        .select(
+            F.col("d").cast("timestamp_ntz").alias("d"),
+            "dau",
+            "wau",
+            (
+                F.round(
+                    F.col("dau").cast("double") / F.col("wau") - 1e-9, _R
+                )
+                + 0.0
+            ).alias("stickiness"),
+        )
+    )

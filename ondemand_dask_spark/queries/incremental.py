@@ -504,3 +504,74 @@ def scd2_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(True).alias("is_current"),
     )
     return unchanged.unionByName(closed).unionByName(inserted)
+
+
+_VACUUM_HORIZON = "2024-01-20 00:00:00"  # time-travel retention cutoff
+
+
+@register(
+    "incremental_retention_vacuum",
+    oracle=f"""
+    WITH o AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    ch AS (
+      SELECT user_id, ts, event_id, event_type FROM o
+      WHERE prev IS NULL OR prev <> event_type
+    ),
+    hist AS (
+      SELECT user_id, event_type,
+             ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS version
+      FROM ch
+    )
+    SELECT user_id, event_type, version, valid_from, valid_to
+    FROM hist
+    WHERE valid_to IS NOT NULL
+      AND valid_to < TIMESTAMP '{_VACUUM_HORIZON}'
+    """,
+)
+def incremental_retention_vacuum(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Retention-policy vacuum candidates over the SCD-2 history
+    (scd2_intervals' build): versions that are BOTH superseded
+    (valid_to set) and fully outside the time-travel horizon — the
+    row set a lakehouse VACUUM/retention job may physically delete
+    without breaking any time-travel query at or after the cutoff.
+    Current versions and rows whose validity overlaps the horizon
+    survive; pairs with pipeline_purge_audit (which proves what a
+    purge removed) and layout_compaction_planner (which rewrites
+    what remains).
+
+    Scale shape: identical to scd2_intervals — both windows share
+    ONE user-keyed shuffle+sort; the horizon filter is a residual
+    predicate on the window output, so the vacuum scan costs exactly
+    the history build.  The cutoff is a fixed timestamp literal,
+    compared identically on both engines."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = load_table(spark, sf_dir, "events")
+    ch = (
+        e.withColumn("prev", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev").isNull() | (F.col("prev") != F.col("event_type"))
+        )
+        .select("user_id", "ts", "event_id", "event_type")
+    )
+    hist = ch.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.row_number().over(w).alias("version"),
+    )
+    cut = F.lit(_VACUUM_HORIZON).cast("timestamp_ntz")
+    return hist.filter(
+        F.col("valid_to").isNotNull() & (F.col("valid_to") < cut)
+    ).select("user_id", "event_type", "version", "valid_from", "valid_to")

@@ -1319,3 +1319,73 @@ def pipeline_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("split", "n_docs", "n_clustered", "crossing_pairs")
     )
+
+
+_MIX_ALPHA = 0.7  # temperature exponent (t5/mt5 multilingual convention)
+_MIX_BUDGET = 10_000  # total samples to apportion
+
+
+@register(
+    "pipeline_mixture_temperature",
+    oracle=f"""
+    WITH c AS (
+      SELECT lang, CAST(count(*) AS DOUBLE) AS n_docs
+      FROM documents GROUP BY lang
+    ),
+    t AS (SELECT CAST(sum(pow(n_docs, {_MIX_ALPHA})) AS DOUBLE) AS z FROM c)
+    SELECT lang,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           round(pow(n_docs, {_MIX_ALPHA}) / z - 1e-9, {_R}) + 0.0
+             AS weight,
+           CAST(round({_MIX_BUDGET} * pow(n_docs, {_MIX_ALPHA}) / z, 0)
+                AS BIGINT) AS expected_samples,
+           round(pow(n_docs, {_MIX_ALPHA}) / z
+                 - n_docs / (SELECT sum(n_docs) FROM c)
+                 - 1e-9, {_R}) + 0.0 AS boost_vs_natural
+    FROM c, t
+    """,
+)
+def pipeline_mixture_temperature(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Temperature-scaled mixture weights per language:
+    w_i ∝ n_i^α (α = {_MIX_ALPHA}) — the standard multilingual
+    up-sampling rule (T5/mT5, XLM-R) that boosts low-resource slices
+    without letting the head language drown the mixture.  Emits the
+    normalized weight, the sample apportionment for a fixed budget,
+    and the boost relative to natural (proportional) sampling — the
+    table a mixture-materialization job (pipeline_mixture_sample)
+    consumes as its rates.
+
+    Scale shape: ONE partial-agg shuffle collapses the corpus to
+    |langs| counts; the normalizer is a 1-row aggregate of that
+    vocabulary-sized table attached by broadcast — nothing downstream
+    grows with data.  pow's cross-engine ulp drift is absorbed by
+    the 4 dp round on ratios ≤ 1."""
+    c = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count("*").cast("double").alias("n_docs"))
+    )
+    t = c.agg(
+        F.sum(F.pow("n_docs", _MIX_ALPHA)).alias("z"),
+        F.sum("n_docs").alias("n_total"),
+    )
+    w = F.pow("n_docs", _MIX_ALPHA) / F.col("z")
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "lang",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            (F.round(w - 1e-9, _R) + 0.0).alias("weight"),
+            F.round(_MIX_BUDGET * w, 0).cast("long").alias(
+                "expected_samples"
+            ),
+            (
+                F.round(
+                    w - F.col("n_docs") / F.col("n_total") - 1e-9, _R
+                )
+                + 0.0
+            ).alias("boost_vs_natural"),
+        )
+    )
