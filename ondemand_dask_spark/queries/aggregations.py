@@ -3103,8 +3103,8 @@ def stat_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(CASE WHEN s.s_stat > 0 THEN (s.s_stat - 1)
                       WHEN s.s_stat < 0 THEN (s.s_stat + 1)
                       ELSE 0.0 END
-                 / sqrt((t.n * (t.n - 1) * (2 * t.n + 5) - t.tie_term)
-                        / 18.0)
+                 / nullif(sqrt((t.n * (t.n - 1) * (2 * t.n + 5)
+                                - t.tie_term) / 18.0), 0)
                  - 1e-9, {_R}) + 0.0 AS z_score
     FROM s JOIN t ON s.event_type = t.event_type
     """,
@@ -3175,7 +3175,12 @@ def stat_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
             n.cast("long").alias("n_days"),
             ss.cast("long").alias("s_stat"),
             (F.round(var_s - 1e-9, _R) + 0.0).alias("var_s"),
-            (F.round(cc / F.sqrt(var_s) - 1e-9, _R) + 0.0).alias("z_score"),
+            (
+                F.round(
+                    cc / F.nullif(F.sqrt(var_s), F.lit(0.0)) - 1e-9, _R
+                )
+                + 0.0
+            ).alias("z_score"),
         )
     )
 
@@ -3224,8 +3229,8 @@ _DID_CUTOVER = "2024-01-16 00:00:00"
                       + v_c_post / n_c_post + v_c_pre / n_c_pre)
                  - 1e-9, {_R}) + 0.0 AS se,
            round(((m_t_post - m_t_pre) - (m_c_post - m_c_pre))
-                 / sqrt(v_t_post / n_t_post + v_t_pre / n_t_pre
-                        + v_c_post / n_c_post + v_c_pre / n_c_pre)
+                 / nullif(sqrt(v_t_post / n_t_post + v_t_pre / n_t_pre
+                          + v_c_post / n_c_post + v_c_pre / n_c_pre), 0)
                  - 1e-9, {_R}) + 0.0 AS t_stat
     FROM cells
     """,
@@ -3287,7 +3292,9 @@ def stat_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(m["t_post"] - 1e-9, _R) + 0.0).alias("mean_treat_post"),
         (F.round(did - 1e-9, _R) + 0.0).alias("did_estimate"),
         (F.round(se - 1e-9, _R) + 0.0).alias("se"),
-        (F.round(did / se - 1e-9, _R) + 0.0).alias("t_stat"),
+        (
+            F.round(did / F.nullif(se, F.lit(0.0)) - 1e-9, _R) + 0.0
+        ).alias("t_stat"),
     )
 
 
@@ -3311,9 +3318,9 @@ def stat_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(xb / nb - 1e-9, {_R}) + 0.0 AS p_b,
            round((xa + xb) / (na + nb) - 1e-9, {_R}) + 0.0 AS p_pooled,
            round((xa / na - xb / nb)
-                 / sqrt(((xa + xb) / (na + nb))
-                        * (1 - (xa + xb) / (na + nb))
-                        * (1 / na + 1 / nb))
+                 / nullif(sqrt(((xa + xb) / (na + nb))
+                          * (1 - (xa + xb) / (na + nb))
+                          * (1 / na + 1 / nb)), 0)
                  - 1e-9, {_R}) + 0.0 AS z_score
     FROM c
     """,
@@ -3342,7 +3349,9 @@ def stat_proportions_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     na, nb, xa, xb = (F.col(c_) for c_ in ("na", "nb", "xa", "xb"))
     pa, pb = xa / na, xb / nb
     pp = (xa + xb) / (na + nb)
-    z = (pa - pb) / F.sqrt(pp * (1 - pp) * (1 / na + 1 / nb))
+    z = (pa - pb) / F.nullif(
+        F.sqrt(pp * (1 - pp) * (1 / na + 1 / nb)), F.lit(0.0)
+    )
     return c.select(
         na.cast("long").alias("n_a"),
         nb.cast("long").alias("n_b"),
@@ -3370,7 +3379,8 @@ _TOST_Z_CRIT = 1.6449  # one-sided 5% normal critical value
       FROM events
     ),
     t AS (
-      SELECT n1, n2, m1 - m2 AS diff, sqrt(v1 / n1 + v2 / n2) AS se
+      SELECT n1, n2, m1 - m2 AS diff,
+             nullif(sqrt(v1 / n1 + v2 / n2), 0) AS se
       FROM g
     )
     SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
@@ -3412,7 +3422,10 @@ def stat_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(v).alias("n2"),
     )
     diff = F.col("m1") - F.col("m2")
-    se = F.sqrt(F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2"))
+    se = F.nullif(
+        F.sqrt(F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")),
+        F.lit(0.0),
+    )
     t_lo = F.round((diff + _TOST_MARGIN) / se - 1e-9, _R)
     t_hi = F.round((diff - _TOST_MARGIN) / se - 1e-9, _R)
     return g.select(

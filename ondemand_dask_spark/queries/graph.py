@@ -982,6 +982,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM sym GROUP BY u)
     SELECT CAST(count(*) AS BIGINT) AS n_directed_edges,
            round(corr(da.d, db.d) - 1e-9, {_R}) + 0.0 AS assortativity
+           -- DuckDB corr -> NULL on zero variance; Spark pins NaN->NULL
     FROM sym
     JOIN deg da ON da.node = sym.u
     JOIN deg db ON db.node = sym.v
@@ -1017,8 +1018,15 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(db, "v")
         .agg(
             F.count("*").alias("n_directed_edges"),
-            (F.round(F.corr("da", "db") - 1e-9, _R) + 0.0).alias(
-                "assortativity"
-            ),
+            (
+                F.round(
+                    F.when(
+                        ~F.isnan(F.corr("da", "db")), F.corr("da", "db")
+                    )
+                    - 1e-9,
+                    _R,
+                )
+                + 0.0
+            ).alias("assortativity"),
         )
     )

@@ -1,0 +1,199 @@
+"""Scale-independent invariants for the round-7 stats/analytics
+additions — properties that must hold at ANY scale factor, plus
+degenerate-input guards for the failure classes the sf0.1 drives
+have historically caught (ANSI divide-by-zero, NaN-vs-NULL)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ondemand_dask_spark.registry import all_queries
+
+QUERIES = all_queries()
+
+
+@pytest.fixture(scope="module")
+def km(spark, sf_dir):
+    return (
+        QUERIES["stat_kaplan_meier"]
+        .fn(spark, sf_dir)
+        .orderBy("duration_day")
+        .toPandas()
+    )
+
+
+def test_km_survival_monotone_nonincreasing_in_unit_interval(km):
+    s = km["km_survival"].tolist()
+    assert all(0.0 <= v <= 1.0 for v in s)
+    # allow 1-ulp-at-4dp slack from the per-row rounding
+    assert all(a >= b - 1e-4 for a, b in zip(s, s[1:]))
+
+
+def test_km_at_risk_accounting(km):
+    # n_risk at the first duration equals everyone; each later at-risk
+    # set shrinks by exactly the events+censored that left before it.
+    expected = km["n_event"].sum() + km["n_censored"].sum()
+    assert km["n_risk"].iloc[0] == expected
+    left = (km["n_event"] + km["n_censored"]).cumsum().shift(1).fillna(0)
+    assert (km["n_risk"] == expected - left).all()
+
+
+def test_mann_kendall_s_within_pair_bound(spark, sf_dir):
+    out = QUERIES["stat_mann_kendall"].fn(spark, sf_dir).toPandas()
+    for _, r in out.iterrows():
+        bound = r.n_days * (r.n_days - 1) / 2
+        assert abs(r.s_stat) <= bound
+        assert r.var_s > 0
+
+
+def test_burstiness_bounds_and_constant_gap_user(spark, sf_dir):
+    out = QUERIES["events_burstiness_index"].fn(spark, sf_dir).toPandas()
+    r = out.iloc[0]
+    assert -1.0 <= r.min_burstiness <= r.mean_burstiness <= r.max_burstiness <= 1.0
+    assert 0 <= r.n_bursty <= r.n_users
+    # inline degenerate pin: a metronome user (constant gaps) must land
+    # exactly at B = -1 via the same guarded expression, not error.
+    t0 = datetime.datetime(2024, 1, 1)
+    pdf = pd.DataFrame(
+        {
+            "user_id": [1] * 4,
+            "event_id": range(4),
+            "ts": [t0 + datetime.timedelta(seconds=60 * i) for i in range(4)],
+        }
+    )
+    mini = spark.createDataFrame(pdf)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gaps = mini.select("user_id", (us - F.lag(us).over(w)).alias("g"))
+    b = (
+        gaps.groupBy("user_id")
+        .agg(F.avg("g").alias("mu"), F.stddev_samp("g").alias("sigma"))
+        .select(
+            (
+                (F.col("sigma") - F.col("mu"))
+                / F.nullif(F.col("sigma") + F.col("mu"), F.lit(0.0))
+            ).alias("b")
+        )
+        .collect()[0]
+        .b
+    )
+    assert b == -1.0
+
+
+def test_tost_zero_variance_yields_null_not_error(spark):
+    """Both groups constant → se = 0 → the guarded t stats must be
+    NULL, never ANSI DIVIDE_BY_ZERO."""
+    pdf = pd.DataFrame(
+        {
+            "event_type": ["purchase"] * 3 + ["view"] * 3,
+            "value": [5.0] * 6,
+        }
+    )
+    e = spark.createDataFrame(pdf)
+    p = F.when(F.col("event_type") == "purchase", F.col("value"))
+    v = F.when(F.col("event_type") == "view", F.col("value"))
+    g = e.agg(
+        F.avg(p).alias("m1"), F.var_samp(p).alias("v1"),
+        F.count(p).alias("n1"),
+        F.avg(v).alias("m2"), F.var_samp(v).alias("v2"),
+        F.count(v).alias("n2"),
+    )
+    se = F.nullif(
+        F.sqrt(F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")),
+        F.lit(0.0),
+    )
+    row = g.select(((F.col("m1") - F.col("m2")) / se).alias("t")).collect()[0]
+    assert row.t is None
+
+
+def test_learning_curve_nested_training_sets(spark, sf_dir):
+    out = (
+        QUERIES["ml_learning_curve"]
+        .fn(spark, sf_dir)
+        .orderBy("train_buckets")
+        .toPandas()
+    )
+    assert out["train_buckets"].tolist() == [4, 8, 15]
+    n = out["n_train"].tolist()
+    assert n[0] < n[1] < n[2]  # strictly nested subsets
+    assert (out["mse"] > 0).all()
+
+
+def test_dau_wau_stickiness_bounds(spark, sf_dir):
+    out = QUERIES["events_dau_wau_stickiness"].fn(spark, sf_dir).toPandas()
+    assert (out["wau"] >= out["dau"]).all()
+    assert ((out["stickiness"] > 0) & (out["stickiness"] <= 1.0)).all()
+
+
+def test_band_energy_pure_tone_dominates(spark):
+    """A synthesized pure tone at probe bin 2 must win dominant_bin —
+    pins the decoder offset, the basis sign, and the argmax tie rule
+    end-to-end through the REAL WAV bytes."""
+    import struct
+
+    import numpy as np
+
+    from ondemand_dask_spark.queries.multimodal import (
+        _BAND_N,
+        multimodal_audio_band_energy,
+    )
+
+    n = _BAND_N
+    tone = (
+        (np.sin(2.0 * np.pi * 2 * np.arange(n) / n) * 20000)
+        .astype("<i2")
+        .tobytes()
+    )
+    header = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(tone))
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(tone))
+    )
+    payload = header + tone
+    pdf = pd.DataFrame({"doc_id": [1], "mime": ["audio/wav"],
+                        "payload": [payload]})
+    src = spark.createDataFrame(pdf)
+    # Reuse the registered query's extractor by monkey-free plumbing:
+    # the mapInPandas stage is the function under test, so apply the
+    # same schema-preserving stage to a hand-built media frame.
+    import ondemand_dask_spark.queries.multimodal as mm
+
+    orig = mm._real_media
+    try:
+        mm._real_media = lambda spark_, sf_dir_: src
+        out = multimodal_audio_band_energy(spark, "unused").toPandas()
+    finally:
+        mm._real_media = orig
+    assert out.iloc[0].dominant_bin == 2
+    assert out.iloc[0].p2 > out.iloc[0].p1
+    assert out.iloc[0].p2 > out.iloc[0].p4
+
+
+def test_proportions_degenerate_all_purchase_null_z(spark):
+    pdf = pd.DataFrame(
+        {"user_id": [0, 1, 2, 3], "event_type": ["purchase"] * 4}
+    )
+    e = spark.createDataFrame(pdf)
+    even = F.col("user_id") % 2 == 0
+    purchase = F.col("event_type") == "purchase"
+    c = e.agg(
+        F.count(F.when(even, 1)).cast("double").alias("na"),
+        F.count(F.when(~even, 1)).cast("double").alias("nb"),
+        F.count(F.when(even & purchase, 1)).cast("double").alias("xa"),
+        F.count(F.when(~even & purchase, 1)).cast("double").alias("xb"),
+    )
+    na, nb, xa, xb = (F.col(x) for x in ("na", "nb", "xa", "xb"))
+    pp = (xa + xb) / (na + nb)
+    z = (xa / na - xb / nb) / F.nullif(
+        F.sqrt(pp * (1 - pp) * (1 / na + 1 / nb)), F.lit(0.0)
+    )
+    assert c.select(z.alias("z")).collect()[0].z is None
