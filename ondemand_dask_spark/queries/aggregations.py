@@ -3607,3 +3607,80 @@ def dq_completeness_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.0
         ).alias("null_rate"),
     )
+
+
+@register(
+    "stat_effect_sizes",
+    oracle=f"""
+    WITH g AS (
+      SELECT avg(CASE WHEN event_type = 'purchase' THEN value END) AS m1,
+             var_samp(CASE WHEN event_type = 'purchase' THEN value END) AS v1,
+             CAST(count(CASE WHEN event_type = 'purchase' THEN value END)
+                  AS DOUBLE) AS n1,
+             avg(CASE WHEN event_type = 'view' THEN value END) AS m2,
+             var_samp(CASE WHEN event_type = 'view' THEN value END) AS v2,
+             CAST(count(CASE WHEN event_type = 'view' THEN value END)
+                  AS DOUBLE) AS n2
+      FROM events
+    ),
+    d AS (
+      SELECT n1, n2, m1 - m2 AS diff,
+             sqrt(((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - 2))
+               AS pooled_sd
+      FROM g
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           round(diff - 1e-9, {_R}) + 0.0 AS mean_diff,
+           round(pooled_sd - 1e-9, {_R}) + 0.0 AS pooled_sd,
+           round(diff / nullif(pooled_sd, 0) - 1e-9, {_R}) + 0.0
+             AS cohens_d,
+           round(diff / nullif(pooled_sd, 0)
+                 * (1 - 3 / (4 * (n1 + n2) - 9)) - 1e-9, {_R}) + 0.0
+             AS hedges_g,
+           round(diff / nullif(pooled_sd, 0)
+                 * sqrt((n1 + n2 - 2) / (n1 + n2)) - 1e-9, {_R}) + 0.0
+             AS glass_like_d
+    FROM d
+    """,
+)
+def stat_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardized effect sizes for the purchase-vs-view mean gap:
+    Cohen's d (pooled-SD units), Hedges' g (small-sample bias
+    correction), and the population-SD variant — the numbers that
+    say whether a 'significant' stat_welch_ttest result is actually
+    LARGE (at 100 TB sample sizes, everything is significant; only
+    effect size still means something).
+
+    Scale shape: identical to stat_welch_ttest — ONE conditional
+    aggregate over the scan, scalar closed forms on the 1-row
+    result; a zero pooled SD (both groups constant and equal) pins
+    every ratio to NULL via NULLIF on both engines."""
+    e = load_table(spark, sf_dir, "events")
+    p = F.when(F.col("event_type") == "purchase", F.col("value"))
+    v = F.when(F.col("event_type") == "view", F.col("value"))
+    g = e.agg(
+        F.avg(p).alias("m1"), F.var_samp(p).alias("v1"),
+        F.count(p).cast("double").alias("n1"),
+        F.avg(v).alias("m2"), F.var_samp(v).alias("v2"),
+        F.count(v).cast("double").alias("n2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    diff = F.col("m1") - F.col("m2")
+    pooled = F.sqrt(
+        ((n1 - 1) * F.col("v1") + (n2 - 1) * F.col("v2")) / (n1 + n2 - 2)
+    )
+    dd = diff / F.nullif(pooled, F.lit(0.0))
+    return g.select(
+        n1.cast("long").alias("n1"),
+        n2.cast("long").alias("n2"),
+        (F.round(diff - 1e-9, _R) + 0.0).alias("mean_diff"),
+        (F.round(pooled - 1e-9, _R) + 0.0).alias("pooled_sd"),
+        (F.round(dd - 1e-9, _R) + 0.0).alias("cohens_d"),
+        (
+            F.round(dd * (1 - 3 / (4 * (n1 + n2) - 9)) - 1e-9, _R) + 0.0
+        ).alias("hedges_g"),
+        (
+            F.round(dd * F.sqrt((n1 + n2 - 2) / (n1 + n2)) - 1e-9, _R)
+            + 0.0
+        ).alias("glass_like_d"),
+    )

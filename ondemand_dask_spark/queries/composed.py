@@ -1197,3 +1197,142 @@ def events_dau_wau_stickiness(
             ).alias("stickiness"),
         )
     )
+
+
+@register(
+    "cohort_revenue_curve",
+    oracle=f"""
+    WITH first_day AS (
+      SELECT user_id, min(CAST(date_trunc('day', ts) AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    rev AS (
+      SELECT f.cohort_day,
+             datediff('day', f.cohort_day,
+                      CAST(date_trunc('day', e.ts) AS DATE)) AS offset_days,
+             e.value
+      FROM events e JOIN first_day f USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.value IS NOT NULL
+    ),
+    daily AS (
+      SELECT cohort_day, offset_days,
+             sum(value) AS rev_day
+      FROM rev WHERE offset_days <= 7 GROUP BY 1, 2
+    )
+    SELECT CAST(cohort_day AS VARCHAR) AS cohort_day, offset_days,
+           round(rev_day - 1e-9, {_R}) + 0.0 AS revenue,
+           round(sum(rev_day) OVER (PARTITION BY cohort_day
+                                    ORDER BY offset_days
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW)
+                 - 1e-9, {_R}) + 0.0 AS cum_revenue
+    FROM daily
+    """,
+)
+def cohort_revenue_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curve: purchase revenue by first-seen cohort and
+    day offset, with the running cumulative — the revenue twin of
+    cohort_retention (presence) that an LTV model calibrates against
+    and a payback-period decision reads directly.
+
+    Scale shape: identical to cohort_retention — one per-user
+    first-seen agg broadcast back onto the scan, then a (cohort,
+    offset) partial-agg sum whose keyspace is days² regardless of
+    data volume; the cumulative window runs per-cohort over that
+    bounded table.  Revenue sums round to 4 dp on both engines
+    before the cumulative is compared."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    first_day = e.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    rev = (
+        e.filter(
+            (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+        )
+        .join(F.broadcast(first_day), "user_id")
+        .select(
+            "cohort_day",
+            F.datediff(day, F.col("cohort_day")).alias("offset_days"),
+            "value",
+        )
+        .filter(F.col("offset_days") <= 7)
+    )
+    daily = rev.groupBy("cohort_day", "offset_days").agg(
+        F.sum("value").alias("rev_day")
+    )
+    w = (
+        Window.partitionBy("cohort_day")
+        .orderBy("offset_days")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return daily.select(
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+        "offset_days",
+        (F.round(F.col("rev_day") - 1e-9, _R) + 0.0).alias("revenue"),
+        (F.round(F.sum("rev_day").over(w) - 1e-9, _R) + 0.0).alias(
+            "cum_revenue"
+        ),
+    )
+
+
+@register(
+    "orders_ship_latency_percentiles",
+    oracle=f"""
+    WITH lag_days AS (
+      SELECT date_trunc('month', o.o_orderdate) AS order_month,
+             datediff('day', CAST(o.o_orderdate AS DATE),
+                      CAST(l.l_shipdate AS DATE)) AS lag_d
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT order_month,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(quantile_cont(lag_d, 0.5) - 1e-9, {_R}) + 0.0 AS p50_days,
+           round(quantile_cont(lag_d, 0.9) - 1e-9, {_R}) + 0.0 AS p90_days,
+           round(quantile_cont(lag_d, 0.99) - 1e-9, {_R}) + 0.0 AS p99_days,
+           CAST(max(lag_d) AS BIGINT) AS max_days
+    FROM lag_days GROUP BY order_month
+    """,
+)
+def orders_ship_latency_percentiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Order-to-ship latency SLO report: p50/p90/p99/max days from
+    order placement to line shipment, per order month — the ops
+    dashboard that catches a fulfillment regression the month it
+    starts, and the standard example of a tail-latency percentile
+    over a fact-fact join.
+
+    Scale shape: orders↔lineitem is the canonical co-partitioned
+    fact-fact equi-join on the order key (neither side broadcasts at
+    100 TB; both shuffle once on l_orderkey/o_orderkey and AQE picks
+    SMJ); the latency column is exact integer days; the percentile
+    is Spark's exact interpolated `percentile` per month group —
+    groups are calendar-bounded in NUMBER, but each holds a
+    data-sized value list, which is exactly the documented contract
+    of agg_groupby_quantile (the KLL-banded twin is the
+    sketch-bounded alternative at extreme group sizes)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").alias("order_month"),
+        F.to_date("o_orderdate").alias("od"),
+    )
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.to_date("l_shipdate").alias("sd")
+    )
+    lag_days = o.join(
+        l, o["o_orderkey"] == l["l_orderkey"]
+    ).select(
+        "order_month", F.datediff("sd", "od").alias("lag_d")
+    )
+    return lag_days.groupBy("order_month").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        (F.round(F.percentile("lag_d", 0.5) - 1e-9, _R) + 0.0).alias(
+            "p50_days"
+        ),
+        (F.round(F.percentile("lag_d", 0.9) - 1e-9, _R) + 0.0).alias(
+            "p90_days"
+        ),
+        (F.round(F.percentile("lag_d", 0.99) - 1e-9, _R) + 0.0).alias(
+            "p99_days"
+        ),
+        F.max("lag_d").cast("long").alias("max_days"),
+    )

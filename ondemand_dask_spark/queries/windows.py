@@ -1850,3 +1850,76 @@ def window_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         (F.round(slope - 1e-9, _R) + 0.0).alias("roll_slope"),
     )
+
+
+@register(
+    "ts_seasonal_zscore",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS d,
+             round(sum(value) - 1e-9, 6) + 0.0 AS x
+      FROM events GROUP BY 1, 2
+    ),
+    season AS (
+      SELECT event_type, dayofweek(d) AS dow,
+             avg(x) AS mu, stddev_samp(x) AS sigma,
+             count(*) AS n_obs
+      FROM daily GROUP BY 1, 2
+    )
+    SELECT daily.event_type, d, x,
+           CAST(season.n_obs AS BIGINT) AS n_same_dow,
+           round((x - mu) / nullif(sigma, 0) - 1e-9, {_R}) + 0.0
+             AS seasonal_z,
+           coalesce(abs(round((x - mu) / nullif(sigma, 0) - 1e-9, {_R}))
+                    > 2.0, FALSE) AS anomaly
+    FROM daily
+    JOIN season ON daily.event_type = season.event_type
+              AND dayofweek(d) = season.dow
+    """,
+)
+def ts_seasonal_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday-adjusted anomaly score: each daily total is z-scored
+    against the history of the SAME day-of-week for its series —
+    the seasonal variant of window_zscore_anomaly that stops Sunday
+    from alarming merely for being Sunday (raw z-scores on weekly-
+    seasonal traffic flag every weekend; deseasonalized ones flag
+    only real deviations).
+
+    Scale shape: the scan collapses to the calendar-bounded daily
+    table; the seasonal profile is a 7-row-per-series aggregate
+    joined back (both sides vocabulary-sized).  Totals round to 6 dp
+    before profiling, the z compares on the ROUNDED statistic, and a
+    zero-variance weekday (all its days identical) pins z to NULL —
+    with the anomaly flag coalesced to FALSE — on both engines."""
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", "ts").cast("timestamp_ntz").alias("d"),
+        )
+        .agg((F.round(F.sum("value") - 1e-9, 6) + 0.0).alias("x"))
+    )
+    season = daily.groupBy(
+        "event_type", F.dayofweek("d").alias("dow")
+    ).agg(
+        F.avg("x").alias("mu"),
+        F.stddev_samp("x").alias("sigma"),
+        F.count("*").cast("long").alias("n_obs"),
+    )
+    z = F.round(
+        (F.col("x") - F.col("mu")) / F.nullif(F.col("sigma"), F.lit(0.0))
+        - 1e-9,
+        _R,
+    )
+    return (
+        daily.withColumn("dow", F.dayofweek("d"))
+        .join(F.broadcast(season), ["event_type", "dow"])
+        .select(
+            "event_type",
+            "d",
+            "x",
+            F.col("n_obs").alias("n_same_dow"),
+            (z + 0.0).alias("seasonal_z"),
+            F.coalesce(F.abs(z) > 2.0, F.lit(False)).alias("anomaly"),
+        )
+    )
