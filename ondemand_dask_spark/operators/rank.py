@@ -153,3 +153,53 @@ def global_min_ranks(
     return numbered.withColumn(
         col_name, F.min("__pos").over(w_val)
     ).drop("__pos")
+
+
+def global_prefix_min(
+    df: DataFrame,
+    value_col: str,
+    *keys: str | Column,
+    col_name: str = "pmin",
+    retain=None,
+) -> DataFrame:
+    """Append the running minimum of `value_col` over all STRICT
+    predecessors in the total order given by `keys` — the distributed
+    twin of `min(v) OVER (ORDER BY keys ROWS BETWEEN UNBOUNDED
+    PRECEDING AND 1 PRECEDING)` without a single-task global window
+    (NULL for the global first row, like the window form).
+
+    Same two-pass shape as `global_prefix_sums` (one range exchange):
+    a strict local running min within each range partition, then a
+    #partitions-row table of per-partition minima cumulated into
+    strict-predecessor offsets and broadcast back; the final value is
+    `least(local, offset)` with NULL-as-identity.  min is associative
+    and order-insensitive, so unlike the sum variant there is no
+    reassociation caveat — the result is bitwise identical to the
+    sequential window."""
+    ranged = df.repartitionByRange(*keys).sortWithinPartitions(*keys)
+    with_pid = ranged.withColumn("__pid", F.spark_partition_id())
+    w_strict = (
+        Window.partitionBy("__pid")
+        .orderBy(*keys)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = with_pid.withColumn(
+        "__lm", F.min(value_col).over(w_strict)
+    )
+    # pin the range exchange: the per-partition min table and the
+    # final join must read ONE materialization (see global_row_numbers).
+    local = local.localCheckpoint(eager=False)
+    if retain is not None:
+        retain(local)
+    mins = local.groupBy("__pid").agg(F.min(value_col).alias("__pm"))
+    w_off = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = mins.select(
+        "__pid", F.min("__pm").over(w_off).alias("__off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(col_name, F.least("__lm", "__off"))
+        .drop("__pid", "__lm", "__off")
+    )

@@ -1336,3 +1336,62 @@ def orders_ship_latency_percentiles(
         ),
         F.max("lag_d").cast("long").alias("max_days"),
     )
+
+
+@register(
+    "part_skyline_frontier",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT p_partkey, p_retailprice, p_size,
+             min(p_size) OVER (ORDER BY p_retailprice, p_size, p_partkey
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS pmin
+      FROM part
+    )
+    SELECT p_partkey,
+           round(p_retailprice - 1e-9, {_R}) + 0.0 AS p_retailprice,
+           p_size
+    FROM ordered
+    WHERE pmin IS NULL OR p_size < pmin
+    """,
+)
+def part_skyline_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier): the parts not strictly
+    dominated on (price, size) — no other part is at most as
+    expensive AND at most as large with at least one strict
+    improvement.  The multi-criteria shortlist query behind 'cheapest
+    adequate option' procurement and model-selection frontiers
+    (cost vs latency).  Exact duplicates keep their first occurrence
+    by part key (the distinct-value skyline convention).
+
+    Scale shape: in 2-D the skyline is exactly the strict-prefix-min
+    filter over the (price, size, key) total order, so the query
+    rides `global_prefix_min` (operators/rank.py) — one range
+    exchange + a #partitions-row broadcast, NO single-task global
+    window even at catalog scale; the oracle keeps the sequential
+    window formulation as the semantic spec.  Dominance compares the
+    raw parquet doubles (identical bits on both engines); only the
+    reported price rounds."""
+    from ondemand_dask_spark.operators.rank import global_prefix_min
+
+    _CACHES.evict()
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    o = global_prefix_min(
+        p,
+        "p_size",
+        "p_retailprice",
+        "p_size",
+        "p_partkey",
+        retain=_CACHES.retain,
+    )
+    return o.filter(
+        F.col("pmin").isNull() | (F.col("p_size") < F.col("pmin"))
+    ).select(
+        "p_partkey",
+        (F.round(F.col("p_retailprice") - 1e-9, _R) + 0.0).alias(
+            "p_retailprice"
+        ),
+        "p_size",
+    )

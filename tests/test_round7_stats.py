@@ -197,3 +197,60 @@ def test_proportions_degenerate_all_purchase_null_z(spark):
         F.sqrt(pp * (1 - pp) * (1 / na + 1 / nb)), F.lit(0.0)
     )
     assert c.select(z.alias("z")).collect()[0].z is None
+
+
+def test_skyline_mutually_nondominated_and_complete(spark, sf_dir):
+    """Brute-force dominance check: every returned part is
+    undominated, and every omitted part is dominated by some
+    returned one (on the deduped value set)."""
+    out = QUERIES["part_skyline_frontier"].fn(spark, sf_dir).toPandas()
+    allp = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .select("p_partkey", "p_retailprice", "p_size")
+        .toPandas()
+    )
+    sky = set(zip(out.p_retailprice.round(4), out.p_size))
+
+    def dominated(price, size):
+        return any(
+            (sp <= price and ss <= size) and (sp < price or ss < size)
+            for sp, ss in sky
+        )
+
+    for _, r in out.iterrows():
+        assert not dominated(round(r.p_retailprice, 4), r.p_size)
+    kept_keys = set(out.p_partkey)
+    for _, r in allp.iterrows():
+        if r.p_partkey not in kept_keys:
+            assert dominated(round(r.p_retailprice, 4), r.p_size) or (
+                (round(r.p_retailprice, 4), r.p_size) in sky
+            )
+
+
+def test_global_prefix_min_matches_sequential_window(spark):
+    """The distributed strict prefix-min is bitwise identical to the
+    single-task window form on a shuffled frame."""
+    import numpy as np
+
+    from pyspark.sql.window import Window as W
+
+    from ondemand_dask_spark.operators.rank import global_prefix_min
+
+    rng = np.random.RandomState(7)
+    pdf = pd.DataFrame(
+        {
+            "k": rng.permutation(500),
+            "v": rng.randint(0, 50, 500),
+        }
+    )
+    df = spark.createDataFrame(pdf).repartition(8)
+    got = (
+        global_prefix_min(df, "v", "k", col_name="pm")
+        .orderBy("k")
+        .toPandas()
+    )
+    w = W.orderBy("k").rowsBetween(W.unboundedPreceding, -1)
+    want = (
+        df.withColumn("pm", F.min("v").over(w)).orderBy("k").toPandas()
+    )
+    assert got.pm.fillna(-1).tolist() == want.pm.fillna(-1).tolist()
