@@ -102,6 +102,14 @@ HEADLINE = [
     "text_pmi_collocations",
     "embedding_signbit_hamming",
     "graph_label_propagation",
+    # round-7 final wave: the sliding-distinct replacement (explode ×7
+    # + two hash-distincts), the range-exchange prefix-min skyline
+    # (the new global_prefix_min operator end-to-end), and the
+    # fact-fact join feeding exact group percentiles — the three new
+    # shapes whose cost profiles would drift first.
+    "events_dau_wau_stickiness",
+    "part_skyline_frontier",
+    "orders_ship_latency_percentiles",
 ]
 
 # Best-of-3: this round's probes showed the host's load floor moving

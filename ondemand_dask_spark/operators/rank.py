@@ -175,7 +175,10 @@ def global_prefix_min(
     `least(local, offset)` with NULL-as-identity.  min is associative
     and order-insensitive, so unlike the sum variant there is no
     reassociation caveat — the result is bitwise identical to the
-    sequential window."""
+    sequential window (tools/probe_prefix_min.py: 0 mismatches on 1M
+    sampled of 50M rows; crossover vs the single-task window at
+    ~tens of millions of rows locally — 46.3 s vs 61.5 s at 50M —
+    and the single-task form cannot run at all at cluster scale)."""
     ranged = df.repartitionByRange(*keys).sortWithinPartitions(*keys)
     with_pid = ranged.withColumn("__pid", F.spark_partition_id())
     w_strict = (

@@ -3684,3 +3684,77 @@ def stat_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.0
         ).alias("glass_like_d"),
     )
+
+
+@register(
+    "stat_capture_recapture",
+    oracle=f"""
+    WITH s1 AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+    ),
+    s2 AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+    ),
+    c AS (
+      SELECT (SELECT CAST(count(*) AS DOUBLE) FROM s1) AS n1,
+             (SELECT CAST(count(*) AS DOUBLE) FROM s2) AS n2,
+             (SELECT CAST(count(*) AS DOUBLE)
+              FROM s1 JOIN s2 USING (user_id)) AS m
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_first,
+           CAST(n2 AS BIGINT) AS n_second,
+           CAST(m AS BIGINT) AS n_both,
+           CAST(round((n1 + 1) * (n2 + 1) / (m + 1) - 1, 0) AS BIGINT)
+             AS chapman_estimate,
+           round(sqrt((n1 + 1) * (n2 + 1) * (n1 - m) * (n2 - m)
+                      / ((m + 1) * (m + 1) * (m + 2)))
+                 - 1e-9, {_R}) + 0.0 AS se
+    FROM c
+    """,
+)
+def stat_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chapman capture-recapture estimate of the TOTAL user
+    population from two observation windows (first vs second half of
+    the period): users seen in both windows are the 'recaptures', and
+    N̂ = (n1+1)(n2+1)/(m+1) − 1 estimates how many users exist that
+    the log never saw — the standard answer to 'how big is the real
+    audience / entity universe' when the catalog is incomplete
+    (Chapman's +1 correction keeps the estimator finite and
+    near-unbiased at small overlap, where naive Lincoln-Petersen
+    n1·n2/m blows up).
+
+    Scale shape: two distinct-user collapses (one partial-agg shuffle
+    each over the half-range scans) and one key join of the two
+    |users|-sized sets; three exact counts feed a closed form on a
+    1-row result.  All inputs to the arithmetic are exact integer
+    counts, so the doubles agree bit-for-bit before the defensive
+    round."""
+    e = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp_ntz")
+    s1 = e.filter(F.col("ts") < cut).select("user_id").distinct()
+    s2 = e.filter(F.col("ts") >= cut).select("user_id").distinct()
+    n1 = s1.agg(F.count("*").cast("double").alias("n1"))
+    n2 = s2.agg(F.count("*").cast("double").alias("n2"))
+    m = s1.join(s2, "user_id").agg(F.count("*").cast("double").alias("m"))
+    c = (
+        n1.crossJoin(F.broadcast(n2))
+        .crossJoin(F.broadcast(m))
+    )
+    cn1, cn2, cm = F.col("n1"), F.col("n2"), F.col("m")
+    est = F.round((cn1 + 1) * (cn2 + 1) / (cm + 1) - 1, 0)
+    se = F.sqrt(
+        (cn1 + 1)
+        * (cn2 + 1)
+        * (cn1 - cm)
+        * (cn2 - cm)
+        / ((cm + 1) * (cm + 1) * (cm + 2))
+    )
+    return c.select(
+        cn1.cast("long").alias("n_first"),
+        cn2.cast("long").alias("n_second"),
+        cm.cast("long").alias("n_both"),
+        est.cast("long").alias("chapman_estimate"),
+        (F.round(se - 1e-9, _R) + 0.0).alias("se"),
+    )

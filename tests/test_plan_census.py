@@ -37,6 +37,7 @@ from ondemand_dask_spark.registry import all_queries
 BNLJ_OK = {
     "ml_learning_curve",  # 1-row train-count attach per curve leg
     "pipeline_mixture_temperature",  # 1-row normalizer attach
+    "stat_capture_recapture",  # three 1-row count attaches
     "agg_hll_sketch_merge", "agg_nunique_approx", "ann_cosine_topk",
     "ann_ivf_probe", "basket_association_rules", "dedup_ngram_jaccard",
     "dedup_ngram_containment",  # 1-row corpus-total attach (same as its jaccard twin)
