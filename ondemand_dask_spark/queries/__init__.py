@@ -8,6 +8,7 @@ from ondemand_dask_spark.queries import (  # noqa: F401
     composed,
     dedup,
     encoding,
+    geo,
     graph,
     incremental,
     joins,

@@ -3758,3 +3758,66 @@ def stat_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
         est.cast("long").alias("chapman_estimate"),
         (F.round(se - 1e-9, _R) + 0.0).alias("se"),
     )
+
+
+_PWR_Z_ALPHA = 1.96  # two-sided 5%
+_PWR_Z_BETA = 0.8416  # 80% power
+_PWR_MDE = 0.5  # minimum detectable effect on the value scale
+
+
+@register(
+    "stat_power_sample_size",
+    oracle=f"""
+    WITH g AS (
+      SELECT var_samp(value) AS s2, CAST(count(value) AS DOUBLE) AS n
+      FROM events WHERE event_type IN ('purchase', 'view')
+        AND value IS NOT NULL
+    )
+    SELECT round(s2 - 1e-9, {_R}) + 0.0 AS variance,
+           CAST(n AS BIGINT) AS n_observed,
+           CAST(ceil(2 * s2 * pow({_PWR_Z_ALPHA} + {_PWR_Z_BETA}, 2)
+                     / pow({_PWR_MDE}, 2)) AS BIGINT) AS n_per_arm,
+           round(({_PWR_Z_ALPHA} + {_PWR_Z_BETA})
+                 * sqrt(2 * s2 / floor(n / 2)) - 1e-9, {_R}) + 0.0
+             AS mde_at_half_split
+    FROM g
+    """,
+)
+def stat_power_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B test power calculation from the MEASURED metric variance:
+    the per-arm sample size needed to detect a {_PWR_MDE}-unit mean
+    shift at 5% two-sided significance with 80% power
+    (n = 2σ²(z_α+z_β)²/δ²), plus the inverse — the minimum
+    detectable effect if the observed population were split in half
+    today.  The pre-experiment companion to stat_welch_ttest /
+    stat_effect_sizes: those judge a finished test, this sizes the
+    next one.
+
+    Scale shape: ONE aggregate over the scan (variance is
+    decomposable) and closed-form scalar arithmetic on the 1-row
+    result.  The constants are fixed literals, so both engines
+    compute the identical expression tree."""
+    g = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            F.col("event_type").isin("purchase", "view")
+            & F.col("value").isNotNull()
+        )
+        .agg(
+            F.var_samp("value").alias("s2"),
+            F.count("value").cast("double").alias("n"),
+        )
+    )
+    s2, n = F.col("s2"), F.col("n")
+    zsum = _PWR_Z_ALPHA + _PWR_Z_BETA
+    return g.select(
+        (F.round(s2 - 1e-9, _R) + 0.0).alias("variance"),
+        n.cast("long").alias("n_observed"),
+        F.ceil(2 * s2 * zsum * zsum / (_PWR_MDE * _PWR_MDE))
+        .cast("long")
+        .alias("n_per_arm"),
+        (
+            F.round(zsum * F.sqrt(2 * s2 / F.floor(n / 2)) - 1e-9, _R)
+            + 0.0
+        ).alias("mde_at_half_split"),
+    )

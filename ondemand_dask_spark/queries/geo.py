@@ -1,0 +1,293 @@
+"""Geospatial operators — grid-bucketed spatial joins.
+
+The fixture tables carry no coordinates, so each entity gets a
+DETERMINISTIC synthetic position derived from its key via the
+engine's portable md5 hash (functions/texthash.py) — identical on
+both engines, so the differential check exercises the real thing:
+the spatial JOIN machinery.  The operator family is the spatial
+analogue of LSH blocking: bucket points into coarse grid cells,
+probe only the 3×3 neighbor ring, refine with exact haversine —
+candidates per probe are O(density × 9 cells) instead of O(n), the
+same candidate-cut discipline as the minhash/simhash families.
+
+Semantics note: the ring probe bounds the search radius at one cell
+(~1100 km at the 10° grid used here); points whose true nearest
+neighbor lies farther away report no match — the bounded-radius
+nearest-neighbor contract, stated identically on both engines.  No
+longitude wraparound at ±180° (both engines agree, so the
+differential stays exact); a production variant would union a
+shifted copy of the ±170°..180° band.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ondemand_dask_spark.functions.texthash import portable_hash64
+from ondemand_dask_spark.io import load_table
+from ondemand_dask_spark.registry import register
+
+_R = 4
+_CELL_DEG = 10  # grid cell size in degrees
+_EARTH_KM = 6371.0
+
+# DuckDB twin of portable_hash64 (same md5 top-15-hex construction).
+_HASH_SQL = "CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
+
+def _lat_sql(key: str) -> str:
+    h = _HASH_SQL.format(expr=f"CAST({key} AS VARCHAR) || '_lat'")
+    return f"(({h}) % 16000) / 100.0 - 80.0"
+
+
+def _lon_sql(key: str) -> str:
+    h = _HASH_SQL.format(expr=f"CAST({key} AS VARCHAR) || '_lon'")
+    return f"(({h}) % 36000) / 100.0 - 180.0"
+
+
+def _lat_col(key: Column) -> Column:
+    h = portable_hash64(F.concat(key.cast("string"), F.lit("_lat")))
+    return (h % 16000) / 100.0 - 80.0
+
+
+def _lon_col(key: Column) -> Column:
+    h = portable_hash64(F.concat(key.cast("string"), F.lit("_lon")))
+    return (h % 36000) / 100.0 - 180.0
+
+
+_HAVERSINE_SQL = f"""2 * {_EARTH_KM} * asin(sqrt(
+      pow(sin(radians(({{lat2}}) - ({{lat1}})) / 2), 2)
+      + cos(radians({{lat1}})) * cos(radians({{lat2}}))
+        * pow(sin(radians(({{lon2}}) - ({{lon1}})) / 2), 2)))"""
+
+
+def _haversine_km(
+    lat1: Column, lon1: Column, lat2: Column, lon2: Column
+) -> Column:
+    dphi = F.radians(lat2 - lat1) / 2
+    dlmb = F.radians(lon2 - lon1) / 2
+    a = F.pow(F.sin(dphi), 2) + F.cos(F.radians(lat1)) * F.cos(
+        F.radians(lat2)
+    ) * F.pow(F.sin(dlmb), 2)
+    return 2 * _EARTH_KM * F.asin(F.sqrt(a))
+
+
+@register(
+    "geo_cell_knn_join",
+    oracle=f"""
+    WITH cust AS (
+      SELECT c_custkey, {_lat_sql('c_custkey')} AS lat,
+             {_lon_sql('c_custkey')} AS lon
+      FROM customer
+    ),
+    supp AS (
+      SELECT s_suppkey, {_lat_sql('s_suppkey')} AS lat,
+             {_lon_sql('s_suppkey')} AS lon
+      FROM supplier
+    ),
+    supp_cells AS (
+      SELECT s.*, CAST(floor(s.lat / {_CELL_DEG}) + dx AS BIGINT) AS cx,
+             CAST(floor(s.lon / {_CELL_DEG}) + dy AS BIGINT) AS cy
+      FROM supp s, unnest(generate_series(-1, 1)) t1(dx),
+                   unnest(generate_series(-1, 1)) t2(dy)
+    ),
+    cand AS (
+      SELECT c.c_custkey, sc.s_suppkey,
+             round({_HAVERSINE_SQL.format(
+                 lat1='c.lat', lon1='c.lon',
+                 lat2='sc.lat', lon2='sc.lon')} - 1e-9, {_R}) + 0.0 AS d
+      FROM cust c
+      JOIN supp_cells sc
+        ON sc.cx = CAST(floor(c.lat / {_CELL_DEG}) AS BIGINT)
+       AND sc.cy = CAST(floor(c.lon / {_CELL_DEG}) AS BIGINT)
+    ),
+    ranked AS (
+      SELECT c_custkey, s_suppkey, d,
+             count(*) OVER (PARTITION BY c_custkey) AS n_candidates,
+             row_number() OVER (PARTITION BY c_custkey
+                                ORDER BY d, s_suppkey) AS rn
+      FROM cand
+    )
+    SELECT c_custkey, s_suppkey AS nearest_suppkey, d AS distance_km,
+           CAST(n_candidates AS BIGINT) AS n_candidates
+    FROM ranked WHERE rn = 1
+    """,
+)
+def geo_cell_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-radius nearest-neighbor spatial join: each customer's
+    closest supplier within the 3×3 ring of {_CELL_DEG}° grid cells,
+    with exact haversine refinement — the 'nearest warehouse /
+    branch / driver' query, and the spatial member of this engine's
+    blocking-join family (LSH bands : embeddings :: grid cells :
+    coordinates).
+
+    Scale shape: the dimension side (suppliers) explodes into its 9
+    neighbor cells and BROADCASTS (9 × |supp| rows); the probe side
+    joins on its own single cell — one narrow pass over the
+    data-sized table, candidates bounded by ring density, never
+    |supp|.  The per-probe argmin is min_by over struct(rounded
+    distance, key) — a hash aggregate with a deterministic tie rule,
+    no per-customer sort.  Distances compare ROUNDED to {_R} dp so
+    cross-engine libm trig ulps cannot reorder near-ties (the oracle
+    ranks on the identical rounded value)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        _lat_col(F.col("c_custkey")).alias("lat"),
+        _lon_col(F.col("c_custkey")).alias("lon"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        _lat_col(F.col("s_suppkey")).alias("slat"),
+        _lon_col(F.col("s_suppkey")).alias("slon"),
+    )
+    offsets = F.explode(
+        F.expr(
+            "flatten(transform(sequence(-1, 1), dx ->"
+            " transform(sequence(-1, 1), dy -> struct(dx, dy))))"
+        )
+    ).alias("o")
+    supp_cells = supp.select(
+        "*",
+        offsets,
+    ).select(
+        "s_suppkey",
+        "slat",
+        "slon",
+        (F.floor(F.col("slat") / _CELL_DEG) + F.col("o.dx"))
+        .cast("long")
+        .alias("cx"),
+        (F.floor(F.col("slon") / _CELL_DEG) + F.col("o.dy"))
+        .cast("long")
+        .alias("cy"),
+    )
+    probe = cust.select(
+        "*",
+        F.floor(F.col("lat") / _CELL_DEG).cast("long").alias("cx"),
+        F.floor(F.col("lon") / _CELL_DEG).cast("long").alias("cy"),
+    )
+    d = (
+        F.round(
+            _haversine_km(
+                F.col("lat"), F.col("lon"), F.col("slat"), F.col("slon")
+            )
+            - 1e-9,
+            _R,
+        )
+        + 0.0
+    )
+    cand = probe.join(F.broadcast(supp_cells), ["cx", "cy"]).select(
+        "c_custkey", "s_suppkey", d.alias("d")
+    )
+    return cand.groupBy("c_custkey").agg(
+        F.min_by(
+            "s_suppkey", F.struct(F.col("d"), F.col("s_suppkey"))
+        ).alias("nearest_suppkey"),
+        F.min(F.struct(F.col("d"), F.col("s_suppkey")))
+        .getField("d")
+        .alias("distance_km"),
+        F.count("*").cast("long").alias("n_candidates"),
+    )
+
+
+_PAIR_RADIUS_KM = 500.0
+
+
+@register(
+    "geo_pairs_within_radius",
+    oracle=f"""
+    WITH supp AS (
+      SELECT s_suppkey, {_lat_sql('s_suppkey')} AS lat,
+             {_lon_sql('s_suppkey')} AS lon
+      FROM supplier
+    ),
+    cells AS (
+      SELECT s.*, CAST(floor(s.lat / {_CELL_DEG}) + dx AS BIGINT) AS cx,
+             CAST(floor(s.lon / {_CELL_DEG}) + dy AS BIGINT) AS cy
+      FROM supp s, unnest(generate_series(-1, 1)) t1(dx),
+                   unnest(generate_series(-1, 1)) t2(dy)
+    ),
+    home AS (
+      SELECT s.*, CAST(floor(s.lat / {_CELL_DEG}) AS BIGINT) AS cx,
+             CAST(floor(s.lon / {_CELL_DEG}) AS BIGINT) AS cy
+      FROM supp s
+    ),
+    pairs AS (
+      SELECT DISTINCT h.s_suppkey AS a, c.s_suppkey AS b,
+             round({_HAVERSINE_SQL.format(
+                 lat1='h.lat', lon1='h.lon',
+                 lat2='c.lat', lon2='c.lon')} - 1e-9, {_R}) + 0.0 AS d
+      FROM home h
+      JOIN cells c ON c.cx = h.cx AND c.cy = h.cy
+                  AND h.s_suppkey < c.s_suppkey
+    )
+    SELECT a, b, d AS distance_km
+    FROM pairs WHERE d <= {_PAIR_RADIUS_KM}
+    """,
+)
+def geo_pairs_within_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All supplier pairs within {_PAIR_RADIUS_KM} km — the spatial
+    self-join behind consolidation ('which warehouses could merge'),
+    coverage-overlap, and co-location audits.  Same cell+ring
+    blocking as geo_cell_knn_join turned on itself: each point joins
+    only candidates in its 3×3 ring (cell {_CELL_DEG}° ≫ the radius,
+    so no qualifying pair can escape the ring), the canonical a < b
+    ordering dedups the symmetric pair, and exact haversine refines.
+
+    Scale shape: candidates are ring-density-bounded (the all-pairs
+    join this replaces is O(n²)); the DISTINCT collapses the ≤ 9
+    duplicate cell-coincidences of each pair before the radius
+    filter.  Distances compare rounded, same as the knn twin."""
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        _lat_col(F.col("s_suppkey")).alias("lat"),
+        _lon_col(F.col("s_suppkey")).alias("lon"),
+    )
+    offsets = F.explode(
+        F.expr(
+            "flatten(transform(sequence(-1, 1), dx ->"
+            " transform(sequence(-1, 1), dy -> struct(dx, dy))))"
+        )
+    ).alias("o")
+    cells = supp.select("*", offsets).select(
+        F.col("s_suppkey").alias("b_key"),
+        F.col("lat").alias("blat"),
+        F.col("lon").alias("blon"),
+        (F.floor(F.col("lat") / _CELL_DEG) + F.col("o.dx"))
+        .cast("long")
+        .alias("cx"),
+        (F.floor(F.col("lon") / _CELL_DEG) + F.col("o.dy"))
+        .cast("long")
+        .alias("cy"),
+    )
+    home = supp.select(
+        F.col("s_suppkey").alias("a_key"),
+        F.col("lat").alias("alat"),
+        F.col("lon").alias("alon"),
+        F.floor(F.col("lat") / _CELL_DEG).cast("long").alias("cx"),
+        F.floor(F.col("lon") / _CELL_DEG).cast("long").alias("cy"),
+    )
+    d = (
+        F.round(
+            _haversine_km(
+                F.col("alat"), F.col("alon"), F.col("blat"), F.col("blon")
+            )
+            - 1e-9,
+            _R,
+        )
+        + 0.0
+    )
+    pairs = (
+        home.join(
+            F.broadcast(cells),
+            ["cx", "cy"],
+        )
+        .filter(F.col("a_key") < F.col("b_key"))
+        .select(
+            F.col("a_key").alias("a"), F.col("b_key").alias("b"), d.alias("d")
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("d") <= _PAIR_RADIUS_KM).select(
+        "a", "b", F.col("d").alias("distance_km")
+    )
