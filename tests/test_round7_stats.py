@@ -254,3 +254,59 @@ def test_global_prefix_min_matches_sequential_window(spark):
         df.withColumn("pm", F.min("v").over(w)).orderBy("k").toPandas()
     )
     assert got.pm.fillna(-1).tolist() == want.pm.fillna(-1).tolist()
+
+
+def test_geo_ring_blocking_loses_no_pair(spark, sf_dir):
+    """Completeness of the 3×3 cell-ring blocking: every supplier
+    pair within the radius per brute-force haversine must appear in
+    the blocked result (the blocking may only DROP non-candidates,
+    never true pairs — cell size 10° ≈ 1100 km ≫ 500 km radius)."""
+    import numpy as np
+
+    from ondemand_dask_spark.queries.geo import (
+        _PAIR_RADIUS_KM,
+        _haversine_km,
+        _lat_col,
+        _lon_col,
+    )
+
+    out = QUERIES["geo_pairs_within_radius"].fn(spark, sf_dir).toPandas()
+    got = {(a, b) for a, b in zip(out.a, out.b)}
+
+    supp = (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .select(
+            "s_suppkey",
+            _lat_col(F.col("s_suppkey")).alias("lat"),
+            _lon_col(F.col("s_suppkey")).alias("lon"),
+        )
+        .toPandas()
+    )
+    lat = np.radians(supp.lat.to_numpy())
+    lon = np.radians(supp.lon.to_numpy())
+    keys = supp.s_suppkey.to_numpy()
+    want = set()
+    for i in range(len(keys)):
+        dphi = (lat - lat[i]) / 2
+        dlmb = (lon - lon[i]) / 2
+        a = np.sin(dphi) ** 2 + np.cos(lat[i]) * np.cos(lat) * np.sin(dlmb) ** 2
+        d = 2 * 6371.0 * np.arcsin(np.sqrt(np.clip(a, 0, 1)))
+        for j in np.nonzero(d <= _PAIR_RADIUS_KM)[0]:
+            if keys[i] < keys[j]:
+                want.add((keys[i], keys[j]))
+    # rounding at the radius boundary may flip a pair at exactly
+    # 500.0000 km; allow the blocked set to differ only there
+    missing = want - got
+    for a, b in missing:
+        i = np.nonzero(keys == a)[0][0]
+        j = np.nonzero(keys == b)[0][0]
+        dphi = (lat[j] - lat[i]) / 2
+        dlmb = (lon[j] - lon[i]) / 2
+        aa = (
+            np.sin(dphi) ** 2
+            + np.cos(lat[i]) * np.cos(lat[j]) * np.sin(dlmb) ** 2
+        )
+        d = 2 * 6371.0 * np.arcsin(np.sqrt(aa))
+        assert abs(d - _PAIR_RADIUS_KM) < 1e-3, (a, b, d)
+    # and it must never invent pairs beyond brute force either
+    assert not (got - want), f"invented pairs: {sorted(got - want)[:5]}"
