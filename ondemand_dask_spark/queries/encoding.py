@@ -1184,11 +1184,16 @@ def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     training set a strict superset of the previous one, so the
     curve is monotone in information, never resampling noise.
 
-    Scale shape: per fraction, one partial-agg shuffle collapses
-    the train slice to |categories| means which BROADCAST onto the
-    fixed holdout slice; the three legs union into one plan and
-    share the scan.  All comparisons are on the exact md5 bucket,
-    identical across engines."""
+    Scale shape: TWO partial-agg scans total — per-(category,
+    bucket) train sums/counts and per-category holdout
+    (n, Σv, Σv²) — and every curve leg is then pure arithmetic on
+    those vocabulary-sized tables: the per-leg MSE expands
+    algebraically as Σ(v−m)² = Σv² − 2mΣv + nm², so adding a
+    fraction to the curve costs nothing data-sized (the naive
+    per-leg form re-scanned train and holdout per fraction — 7
+    scans for 3 legs).  All comparisons are on the exact md5
+    bucket, identical across engines; the oracle keeps the row-wise
+    per-leg formulation as the semantic spec."""
     t = load_table(spark, sf_dir, "events").select(
         "event_type",
         "value",
@@ -1196,39 +1201,58 @@ def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bucket"
         ),
     )
-    holdout = t.filter(
-        (F.col("bucket") == _LC_BUCKETS - 1) & F.col("value").isNotNull()
+    t = t.filter(F.col("value").isNotNull())
+    # ONE pass each over the train and holdout slices: everything
+    # downstream operates on sufficient statistics (per-(category,
+    # bucket) sums / counts — a |categories|×|buckets| table), so the
+    # three curve legs cost vocabulary-sized arithmetic, not three
+    # more scans.  MSE expands algebraically:
+    #   Σ(v − m)² = Σv² − 2·m·Σv + n·m²   per category.
+    parts = (
+        t.filter(F.col("bucket") < _LC_BUCKETS - 1)
+        .groupBy("event_type", "bucket")
+        .agg(F.sum("value").alias("s"), F.count("value").alias("c"))
     )
-    legs = []
-    for nb in _LC_FRACTIONS:
-        train = t.filter((F.col("bucket") < nb) & F.col("value").isNotNull())
-        m = train.groupBy("event_type").agg(
-            F.avg("value").alias("mean_value"),
-        )
-        n_train = train.agg(F.count("*").alias("n_train"))
-        leg = (
-            holdout.join(F.broadcast(m), "event_type")
-            .agg(
-                (
-                    F.round(
-                        F.avg(
-                            F.pow(F.col("value") - F.col("mean_value"), 2)
-                        )
-                        - 1e-9,
-                        _R,
+    hold = t.filter(F.col("bucket") == _LC_BUCKETS - 1).groupBy(
+        "event_type"
+    ).agg(
+        F.count("value").alias("n_h"),
+        F.sum("value").alias("sum_h"),
+        F.sum(F.col("value") * F.col("value")).alias("sumsq_h"),
+    )
+    nb = F.explode(
+        F.array(*[F.lit(x) for x in _LC_FRACTIONS])
+    ).alias("train_buckets")
+    train_stats = (
+        parts.select("*", nb)
+        .filter(F.col("bucket") < F.col("train_buckets"))
+        .groupBy("train_buckets", "event_type")
+        .agg(F.sum("s").alias("ts"), F.sum("c").alias("tc"))
+    )
+    n_train = train_stats.groupBy("train_buckets").agg(
+        F.sum("tc").alias("n_train")
+    )
+    m = F.col("ts") / F.col("tc")
+    mse = (
+        train_stats.join(hold, "event_type")
+        .groupBy("train_buckets")
+        .agg(
+            (
+                F.round(
+                    F.sum(
+                        F.col("sumsq_h")
+                        - 2 * m * F.col("sum_h")
+                        + F.col("n_h") * m * m
                     )
-                    + 0.0
-                ).alias("mse")
-            )
-            .crossJoin(F.broadcast(n_train))
-            .select(
-                F.lit(nb).alias("train_buckets"),
-                "n_train",
-                "mse",
-            )
+                    / F.sum("n_h")
+                    - 1e-9,
+                    _R,
+                )
+                + 0.0
+            ).alias("mse")
         )
-        legs.append(leg)
-    out = legs[0]
-    for leg in legs[1:]:
-        out = out.unionByName(leg)
-    return out
+    )
+    return (
+        n_train.join(mse, "train_buckets")
+        .select("train_buckets", "n_train", "mse")
+    )

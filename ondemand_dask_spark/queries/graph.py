@@ -310,7 +310,12 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     halves the shuffle before it moves.  |V| and the degree map
     enter via broadcast joins (aggregate-derived, small); no scalar
     is ever collected to the driver, so the whole 3-iteration
-    computation is ONE lazy plan Catalyst sees end to end.  Emitted
+    computation is ONE lazy plan Catalyst sees end to end.  The
+    rank-vector join is left declarative on purpose: AQE already
+    converts the |V|-row side to a runtime broadcast, so the
+    explicit-broadcast rewrite that won for LPA is a wash here
+    (r7 A/B, warm best-of-3 at sf0.1: 6.34 s declarative vs 6.77 s
+    explicit).  Emitted
     ranks are scaled by |V| (mean exactly 1) — scale-free and
     numerically in a range where the repo's standard rounding makes
     the cross-engine check exact."""
