@@ -527,10 +527,10 @@ def multimodal_wav_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "multimodal_image_ahash",
-    oracle="""
-    WITH px AS (
+# Shared oracle CTE body: recompute the aHash from the PPM
+# generation formula (doc_id%10==0 images, deterministic pixels).
+_AHASH_ORACLE = """
+    px AS (
       SELECT doc_id,
              (4 + doc_id % 8) * (3 + doc_id % 5) AS npix
       FROM documents WHERE doc_id % 10 = 0
@@ -547,15 +547,24 @@ def multimodal_wav_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, npix, g,
              list_sum(g) / npix AS mean_gray
       FROM gray
-    )
-    SELECT doc_id, CAST(npix AS INT) AS n_pixels,
-           round(mean_gray - 1e-9, 4) + 0.0 AS mean_gray,
-           CAST(list_sum(list_transform(
-                  generate_series(1, least(npix, 64)),
-                  i -> CASE WHEN g[i] > mean_gray
-                            THEN CAST(2 AS BIGINT) ** (i - 1)
-                            ELSE 0 END)) AS BIGINT) AS ahash
-    FROM stats
+    ),
+    ah AS (
+      SELECT doc_id, CAST(npix AS INT) AS n_pixels,
+             round(mean_gray - 1e-9, 4) + 0.0 AS mean_gray,
+             CAST(list_sum(list_transform(
+                    generate_series(1, least(npix, 64)),
+                    i -> CASE WHEN g[i] > mean_gray
+                              THEN CAST(2 AS BIGINT) ** (i - 1)
+                              ELSE 0 END)) AS BIGINT) AS ahash
+      FROM stats
+    )"""
+
+
+@register(
+    "multimodal_image_ahash",
+    oracle=f"""
+    WITH {_AHASH_ORACLE}
+    SELECT doc_id, n_pixels, mean_gray, ahash FROM ah
     """,
 )
 def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -731,4 +740,82 @@ def multimodal_audio_band_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract,
         "doc_id bigint, p1 double, p2 double, p4 double, p8 double, "
         "dominant_bin int",
+    )
+
+
+_NEARDUP_MAX_HAMMING = 3
+_NEARDUP_BANDS = 4  # 16-bit bands over the 64-bit aHash
+
+
+@register(
+    "multimodal_image_near_dup",
+    oracle=f"""
+    WITH {_AHASH_ORACLE},
+    bands AS (
+      SELECT doc_id, ahash, b,
+             (ahash >> (16 * b)) & 65535 AS band_val
+      FROM ah, unnest(generate_series(0, {_NEARDUP_BANDS - 1})) t(b)
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+             x.ahash AS ha, y.ahash AS hb
+      FROM bands x JOIN bands y
+        ON x.b = y.b AND x.band_val = y.band_val
+       AND x.doc_id < y.doc_id
+    )
+    SELECT a, b,
+           CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(ha, hb)) <= {_NEARDUP_MAX_HAMMING}
+    """,
+)
+def multimodal_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate IMAGE pairs by banded aHash Hamming distance —
+    the visual member of the near-dup family (minhash : text ::
+    simhash : tokens :: aHash bands : pixels).  Reuses the real
+    PPM-decode aHash (multimodal_image_ahash) and blocks with the
+    pigeonhole guarantee: hamming ≤ {_NEARDUP_MAX_HAMMING} over 64
+    bits split into {_NEARDUP_BANDS} 16-bit bands forces at least
+    one band to match exactly, so banding finds EVERY qualifying
+    pair while probing only per-band bucket collisions — the same
+    completeness argument as dedup_simhash_pairs.
+
+    Scale shape: one decode pass to |images| 64-bit signatures, a
+    ×{_NEARDUP_BANDS} band explode on that signature table (never on
+    payloads), a bucket equi-join, and a codegen'd xor+bit_count
+    refine — candidates are bucket-bounded, not all-pairs.  The
+    Hamming distance is exact integer arithmetic, identical on both
+    engines."""
+    ah = multimodal_image_ahash(spark, sf_dir).select("doc_id", "ahash")
+    bands = ah.select(
+        "doc_id",
+        "ahash",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(_NEARDUP_BANDS - 1))
+        ).alias("b"),
+    ).withColumn(
+        "band_val", F.expr("shiftright(ahash, 16 * b) & 65535")
+    )
+    x = bands.alias("x")
+    y = bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.b") == F.col("y.b"))
+            & (F.col("x.band_val") == F.col("y.band_val"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("a"),
+            F.col("y.doc_id").alias("b"),
+            F.col("x.ahash").alias("ha"),
+            F.col("y.ahash").alias("hb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(
+        F.col("ha").bitwiseXOR(F.col("hb"))
+    ).cast("int")
+    return cand.select("a", "b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= _NEARDUP_MAX_HAMMING
     )

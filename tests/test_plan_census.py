@@ -103,6 +103,7 @@ GWIN_OK = {
 # Arrow-vectorized Python stages by design (never BatchEvalPython).
 PY_OK = {
     "multimodal_audio_band_energy",
+    "multimodal_image_near_dup",
     "multimodal_decode_features", "multimodal_decode_ppm",
     "multimodal_decode_wav", "multimodal_frame_sample",
     "multimodal_image_ahash",
