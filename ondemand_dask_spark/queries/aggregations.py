@@ -3821,3 +3821,66 @@ def stat_power_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.0
         ).alias("mde_at_half_split"),
     )
+
+
+@register(
+    "dq_uniqueness_report",
+    oracle="""
+    SELECT 'events.event_id' AS key_column,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+           CAST(count(*) - count(DISTINCT event_id) AS BIGINT)
+             AS n_duplicate_rows,
+           count(*) = count(DISTINCT event_id) AS is_unique
+    FROM events
+    UNION ALL
+    SELECT 'orders.o_orderkey', count(*), count(DISTINCT o_orderkey),
+           count(*) - count(DISTINCT o_orderkey),
+           count(*) = count(DISTINCT o_orderkey)
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem.(l_orderkey,l_linenumber)', count(*),
+           count(DISTINCT l_orderkey * 10000 + l_linenumber),
+           count(*) - count(DISTINCT l_orderkey * 10000 + l_linenumber),
+           count(*) = count(DISTINCT l_orderkey * 10000 + l_linenumber)
+    FROM lineitem
+    """,
+)
+def dq_uniqueness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key uniqueness audit across three tables — the
+    constraint check every ingestion gate runs before anything
+    downstream assumes key semantics (a duplicated order key turns
+    every join into a silent fan-out).  Covers a single-column key,
+    a surrogate key, and a composite key (encoded as one integer so
+    the distinct is a plain column distinct on both engines).
+
+    Scale shape: each leg is one COUNT DISTINCT — Spark plans the
+    standard two-level expand/partial-agg (distinct-aggregate
+    rewrite), so the shuffle carries distinct keys, not rows; the
+    three legs union into one plan.  All outputs are exact
+    integers."""
+    def leg(df, name, key_col):
+        return df.agg(
+            F.lit(name).alias("key_column"),
+            F.count("*").cast("long").alias("n_rows"),
+            F.count_distinct(key_col).cast("long").alias("n_distinct"),
+            (F.count("*") - F.count_distinct(key_col))
+            .cast("long")
+            .alias("n_duplicate_rows"),
+            (F.count("*") == F.count_distinct(key_col)).alias("is_unique"),
+        )
+
+    e = load_table(spark, sf_dir, "events")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        leg(e, "events.event_id", F.col("event_id"))
+        .unionByName(leg(o, "orders.o_orderkey", F.col("o_orderkey")))
+        .unionByName(
+            leg(
+                li,
+                "lineitem.(l_orderkey,l_linenumber)",
+                F.col("l_orderkey") * 10000 + F.col("l_linenumber"),
+            )
+        )
+    )

@@ -1395,3 +1395,66 @@ def part_skyline_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "p_size",
     )
+
+
+_DEBOUNCE_MIN_EVENTS = 3  # state runs shorter than this are glitches
+
+
+@register(
+    "events_alarm_debounce",
+    oracle=f"""
+    WITH runs AS (
+      SELECT user_id, ts, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id)
+             - row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS grp
+      FROM events
+    ),
+    islands AS (
+      SELECT user_id, event_type,
+             min(ts) AS run_start, max(ts) AS run_end,
+             count(*) AS run_len
+      FROM runs GROUP BY user_id, event_type, grp
+    )
+    SELECT user_id, event_type, run_start, run_end,
+           CAST(run_len AS BIGINT) AS run_len
+    FROM islands
+    WHERE run_len >= {_DEBOUNCE_MIN_EVENTS}
+    """,
+)
+def events_alarm_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounced state runs: maximal same-event-type runs per user
+    (classic gaps-and-islands via the double-row_number difference),
+    keeping only runs of ≥ {_DEBOUNCE_MIN_EVENTS} events — the
+    'ignore one-off flaps' filter every alerting pipeline applies
+    before paging a human (a single stray 'error' between clicks is
+    a glitch; three in a row is an incident).
+
+    Scale shape: the two row_numbers share ONE user-keyed
+    exchange+sort (the second adds only a sub-ordering), and the
+    island collapse is a partial-agg shuffle on (user, type, grp) —
+    the same single-exchange discipline as scd2_intervals, which
+    models the COMPLEMENTARY question (every change interval vs
+    only the stable ones)."""
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_typ = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    runs = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        (F.row_number().over(w_all) - F.row_number().over(w_typ)).alias(
+            "grp"
+        ),
+    )
+    islands = runs.groupBy("user_id", "event_type", "grp").agg(
+        F.min("ts").alias("run_start"),
+        F.max("ts").alias("run_end"),
+        F.count("*").cast("long").alias("run_len"),
+    )
+    return islands.filter(
+        F.col("run_len") >= _DEBOUNCE_MIN_EVENTS
+    ).select("user_id", "event_type", "run_start", "run_end", "run_len")

@@ -291,3 +291,68 @@ def geo_pairs_within_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.filter(F.col("d") <= _PAIR_RADIUS_KM).select(
         "a", "b", F.col("d").alias("distance_km")
     )
+
+
+@register(
+    "geo_density_grid",
+    oracle=f"""
+    WITH pts AS (
+      SELECT c_custkey, {_lat_sql('c_custkey')} AS lat,
+             {_lon_sql('c_custkey')} AS lon
+      FROM customer
+    ),
+    cells AS (
+      SELECT CAST(floor(lat / {_CELL_DEG}) AS BIGINT) AS cx,
+             CAST(floor(lon / {_CELL_DEG}) AS BIGINT) AS cy,
+             count(*) AS n_points,
+             round(avg(lat) - 1e-9, {_R}) + 0.0 AS centroid_lat,
+             round(avg(lon) - 1e-9, {_R}) + 0.0 AS centroid_lon
+      FROM pts GROUP BY 1, 2
+    ),
+    t AS (SELECT CAST(sum(n_points) AS DOUBLE) AS total FROM cells)
+    SELECT cx, cy, n_points, centroid_lat, centroid_lon,
+           round(n_points / total - 1e-9, {_R}) + 0.0 AS share
+    FROM cells, t
+    WHERE n_points >= 30
+    """,
+)
+def geo_density_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial density heatmap: customer count, centroid, and share
+    per {_CELL_DEG}° grid cell, reporting the dense cells (≥ 30
+    points) — the aggregation behind coverage maps, demand
+    heatmaps, and the cell-occupancy statistics that SIZE the
+    blocking grid the knn/radius joins use (a cell at 100× the mean
+    density is where their candidate bound degrades — this is the
+    advisor that would trigger a finer grid).
+
+    Scale shape: ONE partial-agg shuffle to |occupied cells| rows
+    (≤ 648 at this grid), then a 1-row total attached by broadcast.
+    Counts are exact; centroids round."""
+    pts = load_table(spark, sf_dir, "customer").select(
+        _lat_col(F.col("c_custkey")).alias("lat"),
+        _lon_col(F.col("c_custkey")).alias("lon"),
+    )
+    cells = pts.groupBy(
+        F.floor(F.col("lat") / _CELL_DEG).cast("long").alias("cx"),
+        F.floor(F.col("lon") / _CELL_DEG).cast("long").alias("cy"),
+    ).agg(
+        F.count("*").alias("n_points"),
+        (F.round(F.avg("lat") - 1e-9, _R) + 0.0).alias("centroid_lat"),
+        (F.round(F.avg("lon") - 1e-9, _R) + 0.0).alias("centroid_lon"),
+    )
+    t = cells.agg(F.sum("n_points").cast("double").alias("total"))
+    return (
+        cells.crossJoin(F.broadcast(t))
+        .filter(F.col("n_points") >= 30)
+        .select(
+            "cx",
+            "cy",
+            "n_points",
+            "centroid_lat",
+            "centroid_lon",
+            (
+                F.round(F.col("n_points") / F.col("total") - 1e-9, _R)
+                + 0.0
+            ).alias("share"),
+        )
+    )

@@ -1923,3 +1923,52 @@ def ts_seasonal_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.abs(z) > 2.0, F.lit(False)).alias("anomaly"),
         )
     )
+
+
+_VRF_BAND = 5.0  # value-range half-width
+
+
+@register(
+    "window_value_range_frame",
+    oracle=f"""
+    SELECT event_id, user_id, value,
+           CAST(count(*) OVER w AS BIGINT) AS n_similar,
+           round(avg(value) OVER w - 1e-9, {_R}) + 0.0 AS avg_similar
+    FROM events
+    WHERE value IS NOT NULL
+    WINDOW w AS (PARTITION BY user_id ORDER BY value
+                 RANGE BETWEEN {_VRF_BAND} PRECEDING
+                       AND {_VRF_BAND} FOLLOWING)
+    """,
+)
+def window_value_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUE-based RANGE frame: for each event, the count and mean of
+    the same user's events whose value lies within ±{_VRF_BAND} of
+    it — 'how typical is this amount for this account', the local-
+    density feature behind amount-anomaly scoring.  Completes the
+    window-frame surface: rolling_rows is ROWS-framed,
+    rolling_time is time-RANGE-framed, this is numeric-RANGE-framed
+    (frame membership decided by VALUE distance, not position — a
+    frame no row-count window can express).
+
+    Scale shape: one user-keyed exchange + per-key sort serves the
+    whole window; Spark evaluates the range frame with two moving
+    pointers over the sorted run (each advances monotonically — the
+    frame is O(run), not O(run²)).  Frame BOUNDARIES compare raw
+    parquet doubles — bit-identical across engines — so no rounding
+    is needed for membership, only for the reported mean."""
+    # the Python rangeBetween API only accepts integral offsets, so
+    # the fractional value-range frame is expressed in SQL form
+    wsql = (
+        "PARTITION BY user_id ORDER BY value "
+        f"RANGE BETWEEN {_VRF_BAND} PRECEDING AND {_VRF_BAND} FOLLOWING"
+    )
+    e = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    return e.selectExpr(
+        "event_id",
+        "user_id",
+        "value",
+        f"CAST(count(*) OVER ({wsql}) AS LONG) AS n_similar",
+        f"round(avg(value) OVER ({wsql}) - 1e-9, {_R}) + 0.0"
+        " AS avg_similar",
+    )

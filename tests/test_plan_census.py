@@ -35,6 +35,7 @@ from ondemand_dask_spark.registry import all_queries
 
 # 1-row scalar attaches + deliberately-bounded non-equi operators.
 BNLJ_OK = {
+    "geo_density_grid",  # 1-row total attach
     "pipeline_mixture_temperature",  # 1-row normalizer attach
     "stat_capture_recapture",  # three 1-row count attaches
     "agg_hll_sketch_merge", "agg_nunique_approx", "ann_cosine_topk",
