@@ -1458,3 +1458,165 @@ def events_alarm_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return islands.filter(
         F.col("run_len") >= _DEBOUNCE_MIN_EVENTS
     ).select("user_id", "event_type", "run_start", "run_end", "run_len")
+
+
+@register(
+    "sessionize_metrics",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    ), per_session AS (
+      SELECT user_id, sid,
+             CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS DOUBLE)
+               / 1000000 AS dur_s,
+             count(*) AS n_ev
+      FROM sess GROUP BY user_id, sid
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           round(avg(dur_s) - 1e-9, {_R}) + 0.0 AS avg_duration_s,
+           round(avg(CAST(n_ev AS DOUBLE)) - 1e-9, {_R}) + 0.0
+             AS avg_events,
+           round(CAST(count(CASE WHEN n_ev = 1 THEN 1 END) AS DOUBLE)
+                 / count(*) - 1e-9, {_R}) + 0.0 AS bounce_rate,
+           CAST(max(n_ev) AS BIGINT) AS max_events
+    FROM per_session
+    """,
+)
+def sessionize_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-quality summary over the 30-minute-gap sessions:
+    count, reach, mean duration, mean depth, bounce rate (one-event
+    sessions), and the deepest session — the engagement KPIs a
+    product dashboard reads daily, one rollup past sessionize_gap
+    (which emits the sessions themselves).
+
+    Scale shape: the native session_window agg does the heavy
+    lifting in ONE user-keyed exchange (merging happens inside the
+    aggregation operator); the summary is a second, |sessions|→1
+    algebraic reduce.  Durations are exact integer microseconds
+    before the divide, so both engines agree bit-for-bit pre-round."""
+    e = load_table(spark, sf_dir, "events")
+    per_session = e.groupBy(
+        "user_id", F.session_window("ts", "30 minutes")
+    ).agg(
+        (
+            (
+                F.unix_micros(F.max("ts").cast("timestamp"))
+                - F.unix_micros(F.min("ts").cast("timestamp"))
+            ).cast("double")
+            / 1000000
+        ).alias("dur_s"),
+        F.count("*").alias("n_ev"),
+    )
+    return per_session.agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+        (F.round(F.avg("dur_s") - 1e-9, _R) + 0.0).alias("avg_duration_s"),
+        (
+            F.round(F.avg(F.col("n_ev").cast("double")) - 1e-9, _R) + 0.0
+        ).alias("avg_events"),
+        (
+            F.round(
+                F.count(F.when(F.col("n_ev") == 1, 1)).cast("double")
+                / F.count("*")
+                - 1e-9,
+                _R,
+            )
+            + 0.0
+        ).alias("bounce_rate"),
+        F.max("n_ev").cast("long").alias("max_events"),
+    )
+
+
+@register(
+    "orders_revenue_bridge",
+    oracle=f"""
+    WITH monthly AS (
+      SELECT date_trunc('month', l_shipdate) AS m,
+             CAST(sum(l_extendedprice) AS DOUBLE) AS rev,
+             CAST(sum(l_quantity) AS DOUBLE) AS vol
+      FROM lineitem GROUP BY 1
+    ),
+    b AS (
+      SELECT m, rev, vol,
+             lag(rev) OVER (ORDER BY m) AS rev0,
+             lag(vol) OVER (ORDER BY m) AS vol0
+      FROM monthly
+    )
+    SELECT m AS ship_month,
+           round(rev - 1e-9, {_R}) + 0.0 AS revenue,
+           round(rev - rev0 - 1e-9, {_R}) + 0.0 AS delta_revenue,
+           round((vol - vol0) * (rev0 / vol0) - 1e-9, {_R}) + 0.0
+             AS volume_effect,
+           round(vol * (rev / vol - rev0 / vol0) - 1e-9, {_R}) + 0.0
+             AS price_effect
+    FROM b WHERE rev0 IS NOT NULL
+    """,
+)
+def orders_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue bridge: ΔRevenue decomposed into a
+    VOLUME effect (Δqty at last month's average price) and a PRICE
+    effect (this month's qty at the average-price change) — the
+    price-volume-mix waterfall every finance review walks through,
+    with the exact-additivity property volume_effect + price_effect
+    = delta_revenue (this decomposition order attributes the
+    interaction term to price).
+
+    Scale shape: ONE partial-agg shuffle collapses the fact scan to
+    |months| (rev, vol) pairs; the lag window runs over that
+    calendar-bounded table only.  Sums of parquet doubles round to
+    {_R} dp on both engines before comparison."""
+    monthly = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.date_trunc("month", "l_shipdate").alias("m"))
+        .agg(
+            F.sum("l_extendedprice").cast("double").alias("rev"),
+            F.sum("l_quantity").cast("double").alias("vol"),
+        )
+    )
+    w = Window.orderBy("m")
+    b = monthly.select(
+        "m",
+        "rev",
+        "vol",
+        F.lag("rev").over(w).alias("rev0"),
+        F.lag("vol").over(w).alias("vol0"),
+    ).filter(F.col("rev0").isNotNull())
+    return b.select(
+        F.col("m").alias("ship_month"),
+        (F.round(F.col("rev") - 1e-9, _R) + 0.0).alias("revenue"),
+        (F.round(F.col("rev") - F.col("rev0") - 1e-9, _R) + 0.0).alias(
+            "delta_revenue"
+        ),
+        (
+            F.round(
+                (F.col("vol") - F.col("vol0"))
+                * (F.col("rev0") / F.col("vol0"))
+                - 1e-9,
+                _R,
+            )
+            + 0.0
+        ).alias("volume_effect"),
+        (
+            F.round(
+                F.col("vol")
+                * (
+                    F.col("rev") / F.col("vol")
+                    - F.col("rev0") / F.col("vol0")
+                )
+                - 1e-9,
+                _R,
+            )
+            + 0.0
+        ).alias("price_effect"),
+    )

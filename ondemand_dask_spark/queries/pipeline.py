@@ -1389,3 +1389,91 @@ def pipeline_mixture_temperature(
             ).alias("boost_vs_natural"),
         )
     )
+
+
+_QWM_QUALITY_CUT = 0.5  # hi/lo quality tier boundary
+_QWM_LO_MULT = 0.5  # down-weight applied to the low-quality tier
+
+from ondemand_dask_spark.queries.text import STOPWORDS  # noqa: E402
+
+
+@register(
+    "pipeline_quality_weighted_mixture",
+    oracle=f"""
+    WITH scored AS (
+      SELECT lang,
+             CASE WHEN least(1.0, len(string_split(text, ' ')) / 50.0)
+                       * (1.0 - CAST(len(list_filter(
+                               string_split(text, ' '),
+                               x -> x IN {STOPWORDS})) AS DOUBLE)
+                            / len(string_split(text, ' ')))
+                       >= {_QWM_QUALITY_CUT}
+                  THEN 'hi' ELSE 'lo' END AS tier
+      FROM documents
+    ),
+    c AS (
+      SELECT lang, tier, CAST(count(*) AS DOUBLE) AS n_docs,
+             CASE WHEN tier = 'hi' THEN 1.0 ELSE {_QWM_LO_MULT} END
+               * pow(count(*), {_MIX_ALPHA}) AS raw_w
+      FROM scored GROUP BY lang, tier
+    ),
+    t AS (SELECT CAST(sum(raw_w) AS DOUBLE) AS z FROM c)
+    SELECT lang, tier, CAST(n_docs AS BIGINT) AS n_docs,
+           round(raw_w / z - 1e-9, {_R}) + 0.0 AS weight,
+           CAST(round({_MIX_BUDGET} * raw_w / z, 0) AS BIGINT)
+             AS expected_samples
+    FROM c, t
+    """,
+)
+def pipeline_quality_weighted_mixture(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quality-aware mixture design: temperature weights per
+    (language, quality tier), with the low-quality tier down-weighted
+    ×{_QWM_LO_MULT} before normalization — the two-axis sampling
+    table real pretraining mixtures use (boost low-resource
+    languages, but not by flooding them with their worst documents).
+    Composes pipeline_mixture_temperature's n^α rule with
+    text_quality_score's codegen heuristic.
+
+    Scale shape: the quality tier is a pure codegen projection on the
+    scan (no Python), ONE partial-agg shuffle collapses to
+    |langs|×2 cells, and the normalizer attaches by broadcast —
+    identical economics to the single-axis mixture."""
+    from ondemand_dask_spark.queries.text import STOPWORDS as _SW
+
+    d = load_table(spark, sf_dir, "documents")
+    arr = F.split("text", " ")
+    n_words = F.size(arr).cast("double")
+    stop_n = F.size(F.filter(arr, lambda x: x.isin(*_SW))).cast("double")
+    quality = F.least(F.lit(1.0), n_words / 50.0) * (
+        1.0 - stop_n / n_words
+    )
+    scored = d.select(
+        "lang",
+        F.when(quality >= _QWM_QUALITY_CUT, "hi").otherwise("lo").alias(
+            "tier"
+        ),
+    )
+    c = scored.groupBy("lang", "tier").agg(
+        F.count("*").cast("double").alias("n_docs")
+    ).withColumn(
+        "raw_w",
+        F.when(F.col("tier") == "hi", 1.0).otherwise(_QWM_LO_MULT)
+        * F.pow("n_docs", _MIX_ALPHA),
+    )
+    t = c.agg(F.sum("raw_w").alias("z"))
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "lang",
+            "tier",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            (F.round(F.col("raw_w") / F.col("z") - 1e-9, _R) + 0.0).alias(
+                "weight"
+            ),
+            F.round(_MIX_BUDGET * F.col("raw_w") / F.col("z"), 0)
+            .cast("long")
+            .alias("expected_samples"),
+        )
+    )

@@ -1972,3 +1972,89 @@ def window_value_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"round(avg(value) OVER ({wsql}) - 1e-9, {_R}) + 0.0"
         " AS avg_similar",
     )
+
+
+_LB_MAX_LAG = 7
+
+
+@register(
+    "stat_ljung_box",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+             sum(value) AS tot
+      FROM events GROUP BY 1, 2
+    ),
+    l AS (
+      SELECT event_type, tot,
+             {", ".join(f"lag(tot, {k}) OVER w AS p{k}"
+                        for k in range(1, _LB_MAX_LAG + 1))}
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY d)
+    ),
+    g AS (
+      SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+             {", ".join(
+                 f"round(corr(tot, p{k}) - 1e-9, {_R}) + 0.0 AS r{k}"
+                 for k in range(1, _LB_MAX_LAG + 1))}
+      FROM l GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           {_LB_MAX_LAG} AS df,
+           round(n * (n + 2) * ({" + ".join(
+               f"r{k} * r{k} / (n - {k})"
+               for k in range(1, _LB_MAX_LAG + 1))})
+                 - 1e-9, {_R}) + 0.0 AS q_stat
+    FROM g
+    """,
+)
+def stat_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test per event-type daily series:
+    Q = n(n+2)·Σ ρ_k²/(n−k) over lags 1..{_LB_MAX_LAG} — the formal
+    'is this series white noise' decision that the ACF correlogram
+    (ts_acf_correlogram) eyeballs.  Large Q rejects independence →
+    the series has structure worth modeling; the residual-diagnosis
+    step after any forecast fit (ts_seasonal_naive_eval).  ρ_k here
+    is the sample correlation of the series with its lag-k shift
+    (the same estimator the correlogram reports), computed over the
+    overlap pairs.
+
+    Scale shape: same as the correlogram — the scan collapses to
+    |series|×|days| daily totals; ONE ordered window per series
+    emits all {_LB_MAX_LAG} shifted columns in a single sort; the
+    correlations are algebraic aggregates of that bounded table.
+    Each ρ_k ROUNDS before entering Q on both engines, so the
+    statistic is built from identical addends."""
+    e = _events(spark, sf_dir)
+    daily = e.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).agg(F.sum("value").alias("tot"))
+    w = Window.partitionBy("event_type").orderBy("d")
+    shifted = daily.select(
+        "event_type",
+        "tot",
+        *[
+            F.lag("tot", k).over(w).alias(f"p{k}")
+            for k in range(1, _LB_MAX_LAG + 1)
+        ],
+    )
+    g = shifted.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("n"),
+        *[
+            (F.round(F.corr("tot", f"p{k}") - 1e-9, _R) + 0.0).alias(
+                f"r{k}"
+            )
+            for k in range(1, _LB_MAX_LAG + 1)
+        ],
+    )
+    n = F.col("n")
+    q = n * (n + 2) * sum(
+        F.col(f"r{k}") * F.col(f"r{k}") / (n - k)
+        for k in range(1, _LB_MAX_LAG + 1)
+    )
+    return g.select(
+        "event_type",
+        n.cast("long").alias("n_days"),
+        F.lit(_LB_MAX_LAG).alias("df"),
+        (F.round(q - 1e-9, _R) + 0.0).alias("q_stat"),
+    )

@@ -37,6 +37,7 @@ from ondemand_dask_spark.registry import all_queries
 BNLJ_OK = {
     "geo_density_grid",  # 1-row total attach
     "pipeline_mixture_temperature",  # 1-row normalizer attach
+    "pipeline_quality_weighted_mixture",  # 1-row normalizer attach
     "stat_capture_recapture",  # three 1-row count attaches
     "agg_hll_sketch_merge", "agg_nunique_approx", "ann_cosine_topk",
     "ann_ivf_probe", "basket_association_rules", "dedup_ngram_jaccard",
@@ -89,6 +90,7 @@ GWIN_OK = {
     "layout_partition_skew_advisor",  # calendar-bounded month-grain table
     "ml_eval_binary",  # per-distinct-score counts (AUC via U identity)
     "ml_eval_pr_auc",  # per-distinct-score counts (AP step curve)
+    "orders_revenue_bridge",  # calendar-bounded month-grain table
     "pipeline_bpe_pair_counts",  # adjacent-pair vocabulary
     "qcut_quartiles",  # exact-rank CONTRACT; scale twin qcut_by_cutpoints
     "sort_values_global",  # global-order CONTRACT; twin sort_global_rank_scalable
