@@ -3884,3 +3884,112 @@ def dq_uniqueness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@register(
+    "agg_multi_distinct",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           count(DISTINCT user_id) AS n_users,
+           count(DISTINCT event_type) AS n_types,
+           count(DISTINCT date_trunc('day', ts)) AS n_days,
+           count(DISTINCT CASE WHEN event_type = 'purchase'
+                               THEN user_id END) AS n_buyers
+    FROM events
+    """,
+)
+def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Several COUNT DISTINCTs over DIFFERENT columns in one
+    aggregate — the daily-summary shape ('rows, users, types, active
+    days, buyers') that tempts people into N separate scans.  Spark's
+    distinct-aggregate rewrite plans ONE scan with an Expand operator
+    (each row replicated once per distinct group, then two-level
+    aggregation), so the table is read once no matter how many
+    distinct columns the summary adds; the conditional distinct
+    (buyers) rides the same machinery.
+
+    Scale shape: one scan + one Expand(×5) + partial/final hash aggs
+    — shuffle volume is the distinct key sets, not raw rows.  All
+    outputs exact integers."""
+    e = load_table(spark, sf_dir, "events")
+    return e.agg(
+        F.count("*").alias("n_rows"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.count_distinct("event_type").alias("n_types"),
+        F.count_distinct(F.date_trunc("day", "ts")).alias("n_days"),
+        F.count_distinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("n_buyers"),
+    )
+
+
+@register(
+    "stat_g_test",
+    oracle=f"""
+    WITH c AS (
+      SELECT lang, source, CAST(count(*) AS DOUBLE) AS o
+      FROM documents GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT lang, source, o,
+             sum(o) OVER (PARTITION BY lang)   AS row_tot,
+             sum(o) OVER (PARTITION BY source) AS col_tot,
+             sum(o) OVER ()                    AS n
+      FROM c
+    )
+    SELECT CAST(count(DISTINCT lang) AS BIGINT)   AS n_row_levels,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_col_levels,
+           round(2 * sum(o * ln(o / (row_tot * col_tot / n)))
+                 - 1e-9, {_R}) + 0.0 AS g_stat,
+           CAST((count(DISTINCT lang) - 1) * (count(DISTINCT source) - 1)
+                AS BIGINT) AS dof
+    FROM t
+    """,
+)
+def stat_g_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-test (log-likelihood ratio) of independence over the
+    lang × source contingency table — the information-theoretic twin
+    of stat_chi2_independence: G = 2·Σ O·ln(O/E) is additive across
+    table partitions and is what collocation mining (Dunning) and
+    feature selection actually use where Pearson's χ² degrades on
+    small expected counts.  Zero cells contribute 0 (they don't
+    occur in the observed-count table, so the sum simply omits
+    them — identical on both engines).
+
+    Scale shape: identical to the chi-square — one partial-agg
+    shuffle to |lang|×|source| cells, marginal windows over that
+    bounded table, one scalar reduce."""
+    c = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count("*").cast("double").alias("o"))
+    )
+    w_row = Window.partitionBy("lang")
+    w_col = Window.partitionBy("source")
+    w_all = Window.partitionBy()
+    t = c.select(
+        "lang",
+        "source",
+        "o",
+        F.sum("o").over(w_row).alias("row_tot"),
+        F.sum("o").over(w_col).alias("col_tot"),
+        F.sum("o").over(w_all).alias("n"),
+    )
+    e_cell = F.col("row_tot") * F.col("col_tot") / F.col("n")
+    return t.agg(
+        F.count_distinct("lang").cast("long").alias("n_row_levels"),
+        F.count_distinct("source").cast("long").alias("n_col_levels"),
+        (
+            F.round(
+                2 * F.sum(F.col("o") * F.log(F.col("o") / e_cell)) - 1e-9,
+                _R,
+            )
+            + 0.0
+        ).alias("g_stat"),
+        (
+            (F.count_distinct("lang") - 1)
+            * (F.count_distinct("source") - 1)
+        )
+        .cast("long")
+        .alias("dof"),
+    )

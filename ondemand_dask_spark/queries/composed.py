@@ -1620,3 +1620,85 @@ def orders_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.0
         ).alias("price_effect"),
     )
+
+
+@register(
+    "events_view_to_purchase_conversion",
+    oracle=f"""
+    WITH views AS (
+      SELECT event_id, user_id, ts,
+             CAST(date_trunc('day', ts) AS DATE) AS d
+      FROM events WHERE event_type = 'view'
+    ),
+    nxt AS (
+      SELECT v.event_id, v.d, r.ts AS p_ts, v.ts AS v_ts
+      FROM views v
+      ASOF LEFT JOIN (SELECT user_id, ts FROM events
+                      WHERE event_type = 'purchase') r
+        ON v.user_id = r.user_id AND v.ts <= r.ts
+    )
+    SELECT CAST(d AS TIMESTAMP) AS d,
+           CAST(count(*) AS BIGINT) AS n_views,
+           CAST(count(CASE WHEN p_ts IS NOT NULL
+                            AND p_ts - v_ts <= INTERVAL 1 HOUR
+                           THEN 1 END) AS BIGINT) AS n_converted,
+           round(CAST(count(CASE WHEN p_ts IS NOT NULL
+                            AND p_ts - v_ts <= INTERVAL 1 HOUR
+                           THEN 1 END) AS DOUBLE) / count(*)
+                 - 1e-9, {_R}) + 0.0 AS conversion_rate
+    FROM nxt GROUP BY d
+    """,
+)
+def events_view_to_purchase_conversion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Daily view→purchase conversion within a 1-hour window: for
+    each view, did the SAME user purchase within the hour — the
+    attribution-window conversion rate product teams actually track
+    (funnel_three_step counts unordered reach; this respects order
+    AND the clock).  Rides the engine's merge_asof operator
+    (direction='forward', 1 h tolerance) against DuckDB's native
+    ASOF JOIN as the independent spec.
+
+    Scale shape: one union-window carry pass keyed on user_id (the
+    operators/asof.py shape — |views|+|purchases| rows through ONE
+    exchange), then a calendar-keyed partial agg.  Interval
+    comparison is exact (integer microsecond timestamps)."""
+    from ondemand_dask_spark.operators.asof import merge_asof
+
+    e = load_table(spark, sf_dir, "events")
+    views = e.filter(F.col("event_type") == "view").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.date_trunc("day", "ts").cast("timestamp_ntz").alias("d"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+    m = merge_asof(
+        views,
+        purchases,
+        on="ts",
+        by="user_id",
+        direction="forward",
+        suffix="_p",
+    )
+    converted = F.col("ts_p").isNotNull() & (
+        F.unix_micros(F.col("ts_p").cast("timestamp"))
+        - F.unix_micros(F.col("ts").cast("timestamp"))
+        <= 3_600_000_000
+    )
+    return m.groupBy("d").agg(
+        F.count("*").cast("long").alias("n_views"),
+        F.count(F.when(converted, 1)).cast("long").alias("n_converted"),
+        (
+            F.round(
+                F.count(F.when(converted, 1)).cast("double")
+                / F.count("*")
+                - 1e-9,
+                _R,
+            )
+            + 0.0
+        ).alias("conversion_rate"),
+    )

@@ -879,3 +879,67 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), "w1", "w2")
         .limit(_PMI_TOP_K)
     )
+
+
+@register(
+    "text_readability",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS DOUBLE) AS words,
+             CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                  AS DOUBLE) AS sentences,
+             CAST(greatest(len(regexp_extract_all(lower(text),
+                                                  '[aeiouy]+')), 1)
+                  AS DOUBLE) AS syllables
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(words AS BIGINT) AS n_words,
+           CAST(sentences AS BIGINT) AS n_sentences,
+           CAST(syllables AS BIGINT) AS n_syllables,
+           round(206.835 - 1.015 * (words / sentences)
+                 - 84.6 * (syllables / words) - 1e-9, {_R}) + 0.0
+             AS flesch_reading_ease,
+           round(0.39 * (words / sentences)
+                 + 11.8 * (syllables / words) - 15.59 - 1e-9, {_R}) + 0.0
+             AS fk_grade_level
+    FROM m
+    """,
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease + Flesch-Kincaid grade level per document,
+    with the standard cheap proxies (sentences = terminal-punctuation
+    runs, min 1; syllables = vowel-group runs, min 1) — the
+    readability screen a pretraining quality pipeline runs alongside
+    text_quality_score (which measures lexical form, not reading
+    difficulty).  Both formulas are the published closed forms over
+    three counts.
+
+    Scale shape: pure codegen projection — two regexp_extract_all
+    counts and a split-length per row, no shuffle at all until a
+    consumer aggregates.  Counts are exact integers on both engines
+    (the regex classes are ASCII and the fixture corpus is ASCII);
+    only the two scores round."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.size(F.split("text", " ")).cast("double")
+    sentences = F.greatest(
+        F.size(F.expr(r"regexp_extract_all(text, '[.!?]+', 0)")),
+        F.lit(1),
+    ).cast("double")
+    syllables = F.greatest(
+        F.size(F.expr(r"regexp_extract_all(lower(text), '[aeiouy]+', 0)")),
+        F.lit(1),
+    ).cast("double")
+    fre = 206.835 - 1.015 * (words / sentences) - 84.6 * (
+        syllables / words
+    )
+    fkgl = 0.39 * (words / sentences) + 11.8 * (syllables / words) - 15.59
+    return d.select(
+        "doc_id",
+        words.cast("long").alias("n_words"),
+        sentences.cast("long").alias("n_sentences"),
+        syllables.cast("long").alias("n_syllables"),
+        (F.round(fre - 1e-9, _R) + 0.0).alias("flesch_reading_ease"),
+        (F.round(fkgl - 1e-9, _R) + 0.0).alias("fk_grade_level"),
+    )

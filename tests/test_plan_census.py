@@ -96,6 +96,7 @@ GWIN_OK = {
     "sort_values_global",  # global-order CONTRACT; twin sort_global_rank_scalable
     "stat_chi2_independence",  # contingency cells (|lang|x|source|)
     "stat_fdr_bh",  # k-row p-value table
+    "stat_g_test",  # contingency cells (|lang|x|source|)
     "stat_kaplan_meier",  # day-grain duration table (calendar-bounded)
     "stat_kruskal_wallis",  # distinct rounded values (midrank table)
     "stat_ks_two_sample",  # distinct rounded values
