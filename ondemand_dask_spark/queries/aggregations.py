@@ -3993,3 +3993,52 @@ def stat_g_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("dof"),
     )
+
+
+@register(
+    "agg_pivot_multi",
+    oracle=f"""
+    SELECT c_mktsegment,
+           count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS F_n,
+           round(avg(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END)
+                 - 1e-9, {_R}) + 0.0 AS F_avg,
+           count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS O_n,
+           round(avg(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END)
+                 - 1e-9, {_R}) + 0.0 AS O_avg,
+           count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS P_n,
+           round(avg(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END)
+                 - 1e-9, {_R}) + 0.0 AS P_avg
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def agg_pivot_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pivot with MULTIPLE aggregate expressions per cell — Spark
+    emits one suffixed column per (pivot value × aggregate), here
+    (status × {count, avg}) — the wide KPI-matrix shape
+    (`pivot_table(values=[...], aggfunc=[...])`) that agg_pivot's
+    single-measure form doesn't cover.  Explicit pivot values, so no
+    distinct-discovery pre-job runs at scale.
+
+    Scale shape: identical to agg_pivot — the pivot compiles to
+    conditional aggregates in ONE hash agg (no extra shuffle per
+    measure); the customer join is left to AQE.  Counts exact,
+    averages rounded."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    j = o.join(c, o["o_custkey"] == c["c_custkey"])
+    p = (
+        j.groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count("o_totalprice").alias("n"),
+            F.avg("o_totalprice").alias("avg"),
+        )
+    )
+    cols = [F.col("c_mktsegment")]
+    for s in ("F", "O", "P"):
+        cols.append(F.col(f"{s}_n").alias(f"{s}_n"))
+        cols.append(
+            (F.round(F.col(f"{s}_avg") - 1e-9, _R) + 0.0).alias(f"{s}_avg")
+        )
+    return p.select(*cols)

@@ -1066,3 +1066,98 @@ def json_normalize_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("j.vals", 1).alias("val0"),
         F.size("j.vals").cast("long").alias("n_vals"),
     )
+
+
+@register(
+    "str_collation_distinct",
+    oracle="""
+    WITH toks AS (
+      SELECT CASE WHEN doc_id % 2 = 0
+                  THEN upper(string_split(text, ' ')[1])
+                  ELSE string_split(text, ' ')[1] END AS tok
+      FROM documents
+    )
+    SELECT count(DISTINCT tok) AS n_binary_distinct,
+           count(DISTINCT lower(tok)) AS n_lcase_distinct,
+           count(DISTINCT tok) - count(DISTINCT lower(tok))
+             AS n_case_only_variants
+    FROM toks
+    """,
+)
+def str_collation_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware distinct (Spark 4 collations): the lead token
+    of each document — upper-cased for half the corpus to synthesize
+    case variants — counted distinct under BINARY (UTF8_BINARY)
+    vs case-insensitive (UTF8_LCASE) collation.  The gap is the
+    case-only-variant vocabulary, the quantity a dedup or join-key
+    normalization decision needs BEFORE choosing whether keys must
+    be case-folded.  Spark's native collated comparison replaces the
+    lower() rewrite the oracle uses as its independent spec (DuckDB
+    1.x collations don't compose with count DISTINCT, so the oracle
+    folds explicitly — same semantics for ASCII tokens).
+
+    Scale shape: one distinct-aggregate over the token projection —
+    the collated distinct runs entirely JVM-side with collation-
+    aware hashing, no UDF, no second scan for the folded count
+    (both distincts share one Expand)."""
+    d = load_table(spark, sf_dir, "documents")
+    lead = F.split("text", " ").getItem(0)
+    tok = F.when(F.col("doc_id") % 2 == 0, F.upper(lead)).otherwise(lead)
+    t = d.select(tok.alias("tok"))
+    return t.agg(
+        F.count_distinct("tok").alias("n_binary_distinct"),
+        F.count_distinct(F.collate(F.col("tok"), "UTF8_LCASE")).alias(
+            "n_lcase_distinct"
+        ),
+        (
+            F.count_distinct("tok")
+            - F.count_distinct(F.collate(F.col("tok"), "UTF8_LCASE"))
+        ).alias("n_case_only_variants"),
+    )
+
+
+@register(
+    "array_posexplode_zip",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(text, ' ') AS words
+      FROM documents WHERE doc_id % 50 = 0
+    )
+    SELECT doc_id,
+           CAST(i - 1 AS INT) AS pos,
+           words[i] AS word,
+           CASE WHEN i < len(words) THEN words[i + 1] END AS next_word,
+           CAST(length(words[i]) AS INT) AS word_len
+    FROM t, unnest(generate_series(1, len(words))) u(i)
+    """,
+)
+def array_posexplode_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional explode with a self-zip: each word of the document
+    paired with its POSITION and its successor — the ordered-explode
+    shape behind n-gram builders and positional tokenization
+    (explode alone loses order; posexplode keeps the index, and the
+    successor lookup is element_at on the SAME array, not a
+    window or self-join).
+
+    Scale shape: pure codegen Generate (posexplode) + element_at —
+    the row multiplier is document length, no shuffle, no window;
+    at 100 TB this is the scan-shaped stage every token pipeline
+    starts with.  A 1-in-50 document sample keeps the differential
+    result compact without changing the shape."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 50 == 0
+    )
+    t = d.select("doc_id", F.split("text", " ").alias("words"))
+    ex = t.select(
+        "doc_id",
+        "words",
+        F.posexplode("words").alias("pos", "word"),
+    )
+    return ex.select(
+        "doc_id",
+        F.col("pos").cast("int").alias("pos"),
+        "word",
+        F.try_element_at("words", F.col("pos") + 2).alias("next_word"),
+        F.length("word").cast("int").alias("word_len"),
+    )
