@@ -310,3 +310,62 @@ def test_geo_ring_blocking_loses_no_pair(spark, sf_dir):
         assert abs(d - _PAIR_RADIUS_KM) < 1e-3, (a, b, d)
     # and it must never invent pairs beyond brute force either
     assert not (got - want), f"invented pairs: {sorted(got - want)[:5]}"
+
+
+def test_revenue_bridge_additivity(spark, sf_dir):
+    """volume_effect + price_effect must reconstruct delta_revenue
+    exactly (up to the 4 dp rounding of each addend)."""
+    out = QUERIES["orders_revenue_bridge"].fn(spark, sf_dir).toPandas()
+    assert len(out) > 0
+    resid = (
+        out.volume_effect + out.price_effect - out.delta_revenue
+    ).abs()
+    assert (resid < 3e-4).all()
+
+
+def test_ljung_box_nonnegative(spark, sf_dir):
+    out = QUERIES["stat_ljung_box"].fn(spark, sf_dir).toPandas()
+    assert (out.q_stat >= 0).all()
+    assert (out.df == 7).all()
+
+
+def test_conversion_rate_bounds(spark, sf_dir):
+    out = (
+        QUERIES["events_view_to_purchase_conversion"]
+        .fn(spark, sf_dir)
+        .toPandas()
+    )
+    assert (out.n_converted <= out.n_views).all()
+    assert ((out.conversion_rate >= 0) & (out.conversion_rate <= 1)).all()
+
+
+def test_alarm_debounce_min_run_length(spark, sf_dir):
+    out = QUERIES["events_alarm_debounce"].fn(spark, sf_dir).toPandas()
+    assert (out.run_len >= 3).all()
+    assert (out.run_end >= out.run_start).all()
+
+
+def test_uniqueness_report_consistency(spark, sf_dir):
+    out = QUERIES["dq_uniqueness_report"].fn(spark, sf_dir).toPandas()
+    assert len(out) == 3
+    assert (out.n_distinct + out.n_duplicate_rows == out.n_rows).all()
+    assert (out.is_unique == (out.n_duplicate_rows == 0)).all()
+
+
+def test_mixture_weights_normalize(spark, sf_dir):
+    for name in (
+        "pipeline_mixture_temperature",
+        "pipeline_quality_weighted_mixture",
+    ):
+        out = QUERIES[name].fn(spark, sf_dir).toPandas()
+        assert abs(out.weight.sum() - 1.0) < 1e-3, name
+        assert (out.weight > 0).all(), name
+
+
+def test_skyline_and_capture_sanity(spark, sf_dir):
+    cr = QUERIES["stat_capture_recapture"].fn(spark, sf_dir).toPandas()
+    r = cr.iloc[0]
+    # the estimate can never undercut the directly observed union
+    observed = r.n_first + r.n_second - r.n_both
+    assert r.chapman_estimate >= observed - 1  # Chapman floor, ±round
+    assert r.n_both <= min(r.n_first, r.n_second)
