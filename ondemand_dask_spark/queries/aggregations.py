@@ -4042,3 +4042,80 @@ def agg_pivot_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(F.col(f"{s}_avg") - 1e-9, _R) + 0.0).alias(f"{s}_avg")
         )
     return p.select(*cols)
+
+
+_HU_BINS = 1000
+
+
+@register(
+    "dq_hash_uniformity",
+    oracle=f"""
+    WITH h AS (
+      SELECT CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) % {_HU_BINS} AS b
+      FROM events
+    ),
+    c AS (SELECT b, CAST(count(*) AS DOUBLE) AS n FROM h GROUP BY b),
+    e AS (
+      SELECT b, n,
+             sum(n) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(n) OVER () AS total
+      FROM c
+    )
+    SELECT CAST(max(total) AS BIGINT) AS n_rows,
+           {_HU_BINS} AS n_bins,
+           round(max(abs(cum / total
+                         - CAST(b + 1 AS DOUBLE) / {_HU_BINS}))
+                 - 1e-9, {_R}) + 0.0 AS ks_d,
+           round(1.36 / sqrt(max(total)) - 1e-9, {_R}) + 0.0
+             AS ks_crit_5pct,
+           round(max(abs(cum / total
+                         - CAST(b + 1 AS DOUBLE) / {_HU_BINS}))
+                 - 1e-9, {_R})
+             <= round(1.36 / sqrt(max(total)) - 1e-9, {_R}) AS uniform_ok
+    FROM e
+    """,
+)
+def dq_hash_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sample KS uniformity audit of the engine's portable hash:
+    bucket every event key into {_HU_BINS} hash bins and measure the
+    max deviation of the empirical CDF from uniform — the check that
+    certifies hash-based SPLITS and SALTS (sample_hash_split,
+    agg_salted_skew, the LSH band hashes) actually spread keys
+    evenly; a biased hash silently skews every downstream sample and
+    every salted partition.  Compared against the 5% KS critical
+    value 1.36/√n on the ROUNDED statistics.
+
+    Scale shape: one partial-agg shuffle collapses the scan to
+    ≤ {_HU_BINS} bin counts; the ECDF windows run over that
+    fixed-size table only (binned KS — exact for the binned
+    statistic, the scale-correct form of a test whose raw version
+    needs a data-sized sort)."""
+    from ondemand_dask_spark.functions.texthash import portable_hash64
+
+    h = load_table(spark, sf_dir, "events").select(
+        (portable_hash64(F.col("event_id").cast("string")) % _HU_BINS).alias(
+            "b"
+        )
+    )
+    c = h.groupBy("b").agg(F.count("*").cast("double").alias("n"))
+    w_cum = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    e = c.select(
+        "b",
+        F.sum("n").over(w_cum).alias("cum"),
+        F.sum("n").over(w_all).alias("total"),
+    )
+    dev = F.abs(
+        F.col("cum") / F.col("total")
+        - (F.col("b") + 1).cast("double") / _HU_BINS
+    )
+    ks = F.round(F.max(dev) - 1e-9, _R)
+    crit = F.round(1.36 / F.sqrt(F.max("total")) - 1e-9, _R)
+    return e.agg(
+        F.max("total").cast("long").alias("n_rows"),
+        F.lit(_HU_BINS).alias("n_bins"),
+        (ks + 0.0).alias("ks_d"),
+        (crit + 0.0).alias("ks_crit_5pct"),
+        (ks <= crit).alias("uniform_ok"),
+    )

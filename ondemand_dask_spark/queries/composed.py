@@ -1702,3 +1702,88 @@ def events_view_to_purchase_conversion(
             + 0.0
         ).alias("conversion_rate"),
     )
+
+
+@register(
+    "orders_abc_classification",
+    oracle="""
+    WITH per_part AS (
+      SELECT l_partkey, round(sum(l_extendedprice), 4) AS rev
+      FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+      SELECT l_partkey, rev,
+             sum(rev) OVER (ORDER BY rev DESC, l_partkey
+                            ROWS UNBOUNDED PRECEDING) AS cum_rev,
+             sum(rev) OVER () AS total_rev
+      FROM per_part
+    ),
+    classed AS (
+      SELECT CASE WHEN (cum_rev - rev) / total_rev < 0.8 THEN 'A'
+                  WHEN (cum_rev - rev) / total_rev < 0.95 THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             rev, total_rev
+      FROM ranked
+    )
+    SELECT abc_class,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           round(sum(rev) - 1e-9, 4) + 0.0 AS class_revenue,
+           round(sum(rev) / max(total_rev) - 1e-9, 4) + 0.0
+             AS revenue_share
+    FROM classed GROUP BY abc_class
+    """,
+)
+def orders_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification: parts ranked by descending
+    revenue, classed A while the revenue accumulated BEFORE a part
+    is under 80% of total, B under 95%, C otherwise — the standard
+    prioritization every supply-chain and catalog team runs
+    (A-parts get tight stock control, C-parts get bulk rules).
+    Boundary semantics: a part is classed by the share STRICTLY
+    before it (cum − own), so the part that crosses a threshold
+    still belongs to the class it completes.
+
+    Scale shape: parts are data-sized at 100 TB, so the running
+    revenue comes from the same two-phase `global_prefix_sums` as
+    orders_pareto_concentration (one range exchange, broadcast
+    offsets, no single-task window); revenue rounds to 4 dp BEFORE
+    cumulating so both engines accumulate identical addends; the
+    class rollup is a 3-row hash agg."""
+    from ondemand_dask_spark.operators.rank import global_prefix_sums
+
+    _CACHES.evict()
+    per_part = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.round(F.sum("l_extendedprice"), 4).alias("rev"))
+    )
+    ranked = global_prefix_sums(
+        per_part,
+        "rev",
+        F.col("rev").desc(),
+        "l_partkey",
+        cum_col="cum_rev",
+        retain=_CACHES.retain,
+    )
+    tot = ranked.agg(F.sum("rev").alias("total_rev"))
+    classed = ranked.crossJoin(F.broadcast(tot)).select(
+        "rev",
+        "total_rev",
+        F.when(
+            (F.col("cum_rev") - F.col("rev")) / F.col("total_rev") < 0.8,
+            "A",
+        )
+        .when(
+            (F.col("cum_rev") - F.col("rev")) / F.col("total_rev") < 0.95,
+            "B",
+        )
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count("*").cast("long").alias("n_parts"),
+        (F.round(F.sum("rev") - 1e-9, 4) + 0.0).alias("class_revenue"),
+        (
+            F.round(F.sum("rev") / F.max("total_rev") - 1e-9, 4) + 0.0
+        ).alias("revenue_share"),
+    )

@@ -36,6 +36,7 @@ from ondemand_dask_spark.registry import all_queries
 # 1-row scalar attaches + deliberately-bounded non-equi operators.
 BNLJ_OK = {
     "geo_density_grid",  # 1-row total attach
+    "orders_abc_classification",  # 1-row total attach
     "pipeline_mixture_temperature",  # 1-row normalizer attach
     "pipeline_quality_weighted_mixture",  # 1-row normalizer attach
     "stat_capture_recapture",  # three 1-row count attaches
@@ -97,6 +98,7 @@ GWIN_OK = {
     "stat_chi2_independence",  # contingency cells (|lang|x|source|)
     "stat_fdr_bh",  # k-row p-value table
     "stat_g_test",  # contingency cells (|lang|x|source|)
+    "dq_hash_uniformity",  # fixed 1000-bin ECDF table
     "stat_kaplan_meier",  # day-grain duration table (calendar-bounded)
     "stat_kruskal_wallis",  # distinct rounded values (midrank table)
     "stat_ks_two_sample",  # distinct rounded values
