@@ -786,3 +786,113 @@ def stream_chained_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_table(
         spark, daily, "stream_chained_windowed_agg", "append"
     )
+
+
+@register(
+    "stream_hourly_anomaly_alert",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS w_start,
+             round(sum(value) - 1e-9, 6) + 0.0 AS tot
+      FROM events GROUP BY 1, 2
+    ),
+    profile AS (
+      SELECT event_type, avg(tot) AS mu, stddev_samp(tot) AS sigma
+      FROM hourly GROUP BY event_type
+    )
+    SELECT h.event_type, h.w_start, h.tot,
+           round((h.tot - p.mu) / nullif(p.sigma, 0) - 1e-9, {_R}) + 0.0
+             AS z_score
+    FROM hourly h JOIN profile p ON h.event_type = p.event_type
+    WHERE abs(round((h.tot - p.mu) / nullif(p.sigma, 0) - 1e-9, {_R}))
+          > 3.0
+    """,
+)
+def stream_hourly_anomaly_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational alerting as a stream: watermarked 1-hour tumbling
+    totals per event type, compared in foreachBatch against a STATIC
+    per-type profile (the batch-computed mean/σ a monitoring job
+    refreshes daily), emitting only the |z| > 3 alert rows — the
+    'page when an hour is wildly off' pattern.  Aggregate-then-join
+    is not expressible inside one streaming plan (stream aggs can't
+    feed a join), which is exactly what foreachBatch is for: each
+    micro-batch of FINALIZED windows joins the broadcast profile and
+    appends alerts to the sink.
+
+    Scale shape: the streaming agg carries |types|×|hours| state
+    under a watermark; the profile is a vocabulary-sized broadcast;
+    alerts are the only rows written.  The oracle recomputes the
+    identical hourly totals + profile + threshold in batch SQL;
+    totals round to 6 dp before profiling and the alert threshold
+    compares the ROUNDED z on both engines."""
+    import shutil
+    import tempfile
+
+    sink = os.path.join(
+        tempfile.gettempdir(),
+        "ondemand_dask_spark_stream",
+        os.path.basename(sf_dir.rstrip("/")),
+        "anomaly_alert_sink",
+    )
+    shutil.rmtree(sink, ignore_errors=True)
+    shutil.rmtree(sink + "_chk", ignore_errors=True)
+
+    from ondemand_dask_spark.io import load_table
+
+    # static profile: the batch-side hourly history (what a daily
+    # profile-refresh job would have materialized)
+    batch_events = load_table(spark, sf_dir, "events")
+    hourly_hist = batch_events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("w_start")
+    ).agg((F.round(F.sum("value") - 1e-9, 6) + 0.0).alias("tot"))
+    profile = hourly_hist.groupBy("event_type").agg(
+        F.avg("tot").alias("mu"), F.stddev_samp("tot").alias("sigma")
+    )
+
+    e = read_events_stream(spark, sf_dir)
+    windowed = (
+        e.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg((F.round(F.sum("value") - 1e-9, 6) + 0.0).alias("tot"))
+        .select(
+            F.col("window.start").alias("w_start"), "event_type", "tot"
+        )
+    )
+
+    def alert_batch(batch_df: DataFrame, batch_id: int) -> None:
+        z = F.round(
+            (F.col("tot") - F.col("mu"))
+            / F.nullif(F.col("sigma"), F.lit(0.0))
+            - 1e-9,
+            _R,
+        )
+        (
+            batch_df.join(F.broadcast(profile), "event_type")
+            .select(
+                "event_type",
+                "w_start",
+                "tot",
+                (z + 0.0).alias("z_score"),
+            )
+            .filter(F.abs(F.col("z_score")) > 3.0)
+            .write.mode("append")
+            .parquet(sink)
+        )
+
+    q = (
+        windowed.writeStream.foreachBatch(alert_batch)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", sink + "_chk")
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.schema(
+        "event_type string, w_start timestamp, tot double, z_score double"
+    ).parquet(sink)
+    return back.select(
+        "event_type",
+        F.col("w_start").cast("timestamp_ntz").alias("w_start"),
+        "tot",
+        "z_score",
+    )
