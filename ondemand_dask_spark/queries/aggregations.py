@@ -4119,3 +4119,86 @@ def dq_hash_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (crit + 0.0).alias("ks_crit_5pct"),
         (ks <= crit).alias("uniform_ok"),
     )
+
+
+@register(
+    "stat_mcnemar",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'purchase'
+                       AND ts <  TIMESTAMP '{_DID_CUTOVER}'
+                      THEN 1 ELSE 0 END) AS pre,
+             max(CASE WHEN event_type = 'purchase'
+                       AND ts >= TIMESTAMP '{_DID_CUTOVER}'
+                      THEN 1 ELSE 0 END) AS post
+      FROM events GROUP BY user_id
+    ),
+    c AS (
+      SELECT CAST(sum(CASE WHEN pre = 1 AND post = 0 THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS b,
+             CAST(sum(CASE WHEN pre = 0 AND post = 1 THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS c,
+             CAST(sum(CASE WHEN pre = 1 AND post = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_both,
+             CAST(sum(CASE WHEN pre = 0 AND post = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_neither
+      FROM per_user
+    )
+    SELECT CAST(b AS BIGINT) AS n_lost,
+           CAST(c AS BIGINT) AS n_gained,
+           n_both, n_neither,
+           round(pow(abs(b - c) - 1, 2) / nullif(b + c, 0)
+                 - 1e-9, {_R}) + 0.0 AS mcnemar_chi2
+    FROM c
+    """,
+)
+def stat_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test on PAIRED binary outcomes: did each user
+    purchase before vs after the cutover — the within-subject
+    companion to stat_proportions_ztest (which treats the halves as
+    independent samples and throws away the pairing).  Only the
+    DISCORDANT users (converted-then-stopped vs newly-converted)
+    carry information; χ² = (|b−c|−1)²/(b+c) with the continuity
+    correction.
+
+    Scale shape: one user-keyed partial agg collapses the scan to
+    per-user (pre, post) bits, then ONE conditional aggregate to the
+    2×2 paired table — nothing downstream grows with data.  All
+    inputs exact integers; a no-discordant-users corpus pins χ² to
+    NULL via NULLIF."""
+    e = load_table(spark, sf_dir, "events")
+    cut = F.lit(_DID_CUTOVER).cast("timestamp_ntz")
+    purchase = F.col("event_type") == "purchase"
+    per_user = e.groupBy("user_id").agg(
+        F.max(
+            F.when(purchase & (F.col("ts") < cut), 1).otherwise(0)
+        ).alias("pre"),
+        F.max(
+            F.when(purchase & (F.col("ts") >= cut), 1).otherwise(0)
+        ).alias("post"),
+    )
+    pre, post = F.col("pre"), F.col("post")
+    c = per_user.agg(
+        F.sum(F.when((pre == 1) & (post == 0), 1).otherwise(0))
+        .cast("double")
+        .alias("b"),
+        F.sum(F.when((pre == 0) & (post == 1), 1).otherwise(0))
+        .cast("double")
+        .alias("c"),
+        F.sum(F.when((pre == 1) & (post == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("n_both"),
+        F.sum(F.when((pre == 0) & (post == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("n_neither"),
+    )
+    b, cc = F.col("b"), F.col("c")
+    chi2 = F.pow(F.abs(b - cc) - 1, 2) / F.nullif(b + cc, F.lit(0.0))
+    return c.select(
+        b.cast("long").alias("n_lost"),
+        cc.cast("long").alias("n_gained"),
+        "n_both",
+        "n_neither",
+        (F.round(chi2 - 1e-9, _R) + 0.0).alias("mcnemar_chi2"),
+    )

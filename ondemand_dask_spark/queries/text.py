@@ -943,3 +943,101 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(fre - 1e-9, _R) + 0.0).alias("flesch_reading_ease"),
         (F.round(fkgl - 1e-9, _R) + 0.0).alias("fk_grade_level"),
     )
+
+
+_JS_SRC_A = "src1"
+_JS_SRC_B = "src2"
+_JS_SMOOTH = 0.5  # additive smoothing pseudo-count
+
+
+@register(
+    "text_js_divergence",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, unnest(string_split(text, ' ')) AS term
+      FROM documents WHERE source IN ('{_JS_SRC_A}', '{_JS_SRC_B}')
+    ),
+    counts AS (
+      SELECT term,
+             CAST(count(CASE WHEN source = '{_JS_SRC_A}' THEN 1 END)
+                  AS DOUBLE) AS ca,
+             CAST(count(CASE WHEN source = '{_JS_SRC_B}' THEN 1 END)
+                  AS DOUBLE) AS cb
+      FROM toks GROUP BY term
+    ),
+    tot AS (
+      SELECT CAST(sum(ca) AS DOUBLE) AS na,
+             CAST(sum(cb) AS DOUBLE) AS nb,
+             CAST(count(*) AS DOUBLE) AS v
+      FROM counts
+    ),
+    probs AS (
+      SELECT (ca + {_JS_SMOOTH}) / (na + {_JS_SMOOTH} * v) AS pa,
+             (cb + {_JS_SMOOTH}) / (nb + {_JS_SMOOTH} * v) AS pb,
+             na, nb, v
+      FROM counts, tot
+    )
+    SELECT CAST(max(v) AS BIGINT) AS vocab_size,
+           CAST(max(na) AS BIGINT) AS n_tokens_a,
+           CAST(max(nb) AS BIGINT) AS n_tokens_b,
+           round(sum(0.5 * pa * ln(pa / ((pa + pb) / 2))
+                     + 0.5 * pb * ln(pb / ((pa + pb) / 2)))
+                 / ln(2) - 1e-9, {_R}) + 0.0 AS js_divergence_bits
+    FROM probs
+    """,
+)
+def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between two sources' unigram
+    distributions (smoothed, in bits) — the symmetric, bounded
+    [0, 1] drift measure for TEXT corpora, answering 'how different
+    is what {_JS_SRC_A} sends vs {_JS_SRC_B}' the way dq_psi_drift
+    answers it for numeric columns.  The quantity mixture designers
+    watch when deciding whether two sources are near-duplicates of
+    each other (JS → 0) or genuinely complementary.
+
+    Scale shape: the token explode collapses to per-term pair counts
+    in ONE partial-agg shuffle; the (na, nb, |V|) normalizer is a
+    1-row aggregate of that vocabulary table attached by broadcast;
+    the divergence is one more vocabulary-sized reduce.  Smoothing
+    makes every term present in both distributions, so no ln(0)
+    exists on either engine; the identical expression tree runs on
+    exact counts."""
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("source").isin(_JS_SRC_A, _JS_SRC_B))
+        .select(
+            "source", F.explode(F.split("text", " ")).alias("term")
+        )
+    )
+    counts = toks.groupBy("term").agg(
+        F.count(F.when(F.col("source") == _JS_SRC_A, 1))
+        .cast("double")
+        .alias("ca"),
+        F.count(F.when(F.col("source") == _JS_SRC_B, 1))
+        .cast("double")
+        .alias("cb"),
+    )
+    tot = counts.agg(
+        F.sum("ca").alias("na"),
+        F.sum("cb").alias("nb"),
+        F.count("*").cast("double").alias("v"),
+    )
+    j = counts.crossJoin(F.broadcast(tot))
+    pa = (F.col("ca") + _JS_SMOOTH) / (
+        F.col("na") + _JS_SMOOTH * F.col("v")
+    )
+    pb = (F.col("cb") + _JS_SMOOTH) / (
+        F.col("nb") + _JS_SMOOTH * F.col("v")
+    )
+    m = (pa + pb) / 2
+    term_js = 0.5 * pa * F.log(pa / m) + 0.5 * pb * F.log(pb / m)
+    import math
+
+    return j.agg(
+        F.max("v").cast("long").alias("vocab_size"),
+        F.max("na").cast("long").alias("n_tokens_a"),
+        F.max("nb").cast("long").alias("n_tokens_b"),
+        (
+            F.round(F.sum(term_js) / math.log(2) - 1e-9, _R) + 0.0
+        ).alias("js_divergence_bits"),
+    )

@@ -73,6 +73,7 @@ BNLJ_OK = {
     "qcut_by_cutpoints", "stat_bootstrap_ci", "stat_freq_items_verified",
     "stat_theta_intersection_banded",
     "text_bigram_perplexity",
+    "text_js_divergence",  # 1-row (na, nb, |V|) normalizer attach
     "text_bm25_topk",  # 1-row (N, avgdl) corpus-stats attach
     "text_pmi_collocations",  # two 1-row corpus-total attaches
     "text_tfidf_cosine_pairs", "text_tfidf_top_term",
