@@ -4202,3 +4202,187 @@ def stat_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_neither",
         (F.round(chi2 - 1e-9, _R) + 0.0).alias("mcnemar_chi2"),
     )
+
+
+_BAYES_Z = 1.959963985  # two-sided 95% normal quantile
+
+
+@register(
+    "stat_bayes_ab_beta",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM events GROUP BY user_id
+    ),
+    cell AS (
+      SELECT variant,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(converted) AS DOUBLE) AS conv
+      FROM per_user GROUP BY variant
+    ),
+    post AS (
+      SELECT variant, n, conv,
+             1 + conv AS alpha, 1 + n - conv AS beta
+      FROM cell
+    )
+    SELECT variant,
+           CAST(n AS BIGINT) AS n_users,
+           CAST(conv AS BIGINT) AS n_converted,
+           round(alpha - 1e-9, {_R}) + 0.0 AS post_alpha,
+           round(beta - 1e-9, {_R}) + 0.0 AS post_beta,
+           round(alpha / (alpha + beta) - 1e-9, {_R}) + 0.0 AS post_mean,
+           round(alpha / (alpha + beta)
+                 - {_BAYES_Z} * sqrt(alpha * beta
+                     / (pow(alpha + beta, 2) * (alpha + beta + 1)))
+                 - 1e-9, {_R}) + 0.0 AS cred_lo,
+           round(alpha / (alpha + beta)
+                 + {_BAYES_Z} * sqrt(alpha * beta
+                     / (pow(alpha + beta, 2) * (alpha + beta + 1)))
+                 - 1e-9, {_R}) + 0.0 AS cred_hi
+    FROM post ORDER BY variant
+    """,
+)
+def stat_bayes_ab_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bayesian A/B conversion summary: per variant (user_id parity,
+    the same assignment stat_proportions_ztest uses), the Beta(1,1)
+    posterior over the conversion rate — alpha/beta, posterior mean,
+    and the normal-approximation 95% credible interval from the
+    closed-form Beta variance αβ/((α+β)²(α+β+1)).  The Bayesian
+    companion the frequentist battery (z-test, TOST, power) lacks:
+    these are the numbers a sequential experimenter reads daily
+    without an alpha-spending correction.
+
+    Scale shape: one user-keyed partial agg to (variant, converted)
+    bits, one 2-row groupBy, then pure per-row closed-form arithmetic
+    — nothing data-sized past the first shuffle.  All inputs exact
+    counts, so the differential check is a pure expression-tree
+    comparison."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    )
+    cell = per_user.groupBy(
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("variant")
+    ).agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("converted").cast("double").alias("conv"),
+    )
+    alpha = 1 + F.col("conv")
+    beta = 1 + F.col("n") - F.col("conv")
+    mean = alpha / (alpha + beta)
+    half = _BAYES_Z * F.sqrt(
+        alpha * beta / (F.pow(alpha + beta, 2) * (alpha + beta + 1))
+    )
+    r4 = lambda c: F.round(c - 1e-9, _R) + 0.0  # noqa: E731
+    return cell.select(
+        "variant",
+        F.col("n").cast("long").alias("n_users"),
+        F.col("conv").cast("long").alias("n_converted"),
+        r4(alpha).alias("post_alpha"),
+        r4(beta).alias("post_beta"),
+        r4(mean).alias("post_mean"),
+        r4(mean - half).alias("cred_lo"),
+        r4(mean + half).alias("cred_hi"),
+    ).orderBy("variant")
+
+
+_JK_BUCKETS = 32
+
+
+@register(
+    "stat_jackknife_variance",
+    oracle=f"""
+    WITH b AS (
+      SELECT CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) % {_JK_BUCKETS} AS bucket,
+             CAST(sum(value) AS DOUBLE) AS s,
+             CAST(count(*) AS DOUBLE) AS n
+      FROM events GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(s) AS DOUBLE) AS st,
+             CAST(sum(n) AS DOUBLE) AS nt,
+             CAST(count(*) AS DOUBLE) AS nb
+      FROM b
+    ),
+    theta AS (
+      SELECT pow((st - s) / (nt - n) - st / nt, 2) AS dev2,
+             st, nt, nb
+      FROM b, tot
+    )
+    SELECT CAST(max(nb) AS BIGINT) AS n_buckets,
+           CAST(max(nt) AS BIGINT) AS n_rows,
+           round(max(st) / max(nt) - 1e-9, {_R}) + 0.0 AS mean_value,
+           round(sqrt((max(nb) - 1) / max(nb) * sum(dev2))
+                 - 1e-9, {_R}) + 0.0 AS jackknife_se
+    FROM theta
+    """,
+)
+def stat_jackknife_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-BUCKET jackknife standard error of the mean — the
+    distributed resampling twin of stat_bootstrap_ci: instead of B
+    multinomial resamples it removes one of {_JK_BUCKETS} disjoint
+    hash buckets at a time, and each leave-one-out mean θ_i =
+    (S−s_i)/(N−n_i) is pure arithmetic on the per-bucket partials,
+    so the whole estimator costs ONE scan + one {_JK_BUCKETS}-row
+    reduce (the bootstrap needs an explode×B).  SE² = (B−1)/B ·
+    Σ(θ_i − θ̄)², the grouped-jackknife form (θ̄ taken as the full-
+    sample mean; buckets are equal-sized in expectation under the
+    portable md5 hash, certified by dq_hash_uniformity).
+
+    Scale shape: partial-agg groupBy onto {_JK_BUCKETS} buckets (the
+    shuffle carries {_JK_BUCKETS} rows per map task), a 1-row total
+    attached by broadcast, one tiny reduce.  Float sums round to
+    {_R} dp only at the output boundary; bucket membership is exact
+    integer hashing shared verbatim with the oracle."""
+    from ondemand_dask_spark.functions.texthash import portable_hash64
+
+    e = load_table(spark, sf_dir, "events")
+    b = e.groupBy(
+        (portable_hash64(F.col("event_id").cast("string")) % _JK_BUCKETS)
+        .alias("bucket")
+    ).agg(
+        F.sum("value").cast("double").alias("s"),
+        F.count("*").cast("double").alias("n"),
+    )
+    tot = b.agg(
+        F.sum("s").cast("double").alias("st"),
+        F.sum("n").cast("double").alias("nt"),
+        F.count("*").cast("double").alias("nb"),
+    )
+    th = b.crossJoin(F.broadcast(tot)).select(
+        ((F.col("st") - F.col("s")) / (F.col("nt") - F.col("n"))).alias("th"),
+        "st", "nt", "nb",
+    )
+    # Deviations against the full-sample mean st/nt are computed
+    # PER-ROW before the final reduce (the broadcast total rides on
+    # every row), matching the oracle's expression tree exactly —
+    # the expanded Σθ²−2mΣθ+Bm² form would catastrophically cancel
+    # (every θ_i is within O(1/B) of m).
+    m = F.col("st") / F.col("nt")
+    parts = th.select(
+        "nb", "nt", "st",
+        F.pow(F.col("th") - m, 2).alias("dev2"),
+    ).agg(
+        F.max("nb").alias("nb"),
+        F.max("nt").alias("nt"),
+        F.max("st").alias("st"),
+        F.sum("dev2").alias("ss"),
+    )
+    return parts.select(
+        F.col("nb").cast("long").alias("n_buckets"),
+        F.col("nt").cast("long").alias("n_rows"),
+        (F.round(m - 1e-9, _R) + 0.0).alias("mean_value"),
+        (
+            F.round(
+                F.sqrt((F.col("nb") - 1) / F.col("nb") * F.col("ss"))
+                - 1e-9,
+                _R,
+            )
+            + 0.0
+        ).alias("jackknife_se"),
+    )

@@ -685,3 +685,72 @@ def join_fuzzy_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.alias("edit_dist"),
         )
     )
+
+
+@register(
+    "join_cardinality_estimate",
+    oracle="""
+    WITH h AS (
+      SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(c * c) AS BIGINT) AS exact_join_rows,
+           round(CAST(sum(c) AS DOUBLE) * sum(c) / count(*)
+                 - 1e-9, 4) + 0.0 AS uniform_est_rows,
+           (SELECT max(k) FROM h
+            WHERE c = (SELECT max(c) FROM h)) AS top_key,
+           CAST(max(c) * max(c) AS BIGINT) AS top_key_pairs,
+           round(CAST(max(c) * max(c) AS DOUBLE)
+                 / (sum(c * c) / count(*)) - 1e-9, 4) + 0.0
+             AS skew_ratio
+    FROM h
+    """,
+)
+def join_cardinality_estimate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Join-size estimation WITHOUT running the join — the planner
+    arithmetic behind every broadcast/salt/skew decision in this
+    engine.  For the self-equi-join `lineitem ⋈ lineitem ON
+    l_partkey` (the shape under market-basket and set-similarity
+    pair generation): exact output cardinality Σ c_k² from the key
+    histogram, the uniform-assumption estimate n²/d a naive
+    optimizer would use, the single heaviest key's pair count, and
+    the skew ratio (top key's pairs vs the mean per-key pairs) —
+    the number that says 'salt this key' before any shuffle is paid.
+
+    Scale shape: ONE partial-agg groupBy collapses the fact table to
+    its key histogram (d rows), then a 1-row aggregate over the
+    histogram — the estimate costs O(|fact|) map-side work and never
+    materializes a pair.  All outputs exact integer arithmetic
+    except the two declared-double ratios; top-key ties break on the
+    (count, key) struct order, so the row is engine-deterministic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    h = li.groupBy(F.col("l_partkey").alias("k")).agg(
+        F.count("*").alias("c")
+    )
+    c, k = F.col("c"), F.col("k")
+    return h.agg(
+        F.sum(c).cast("long").alias("n_rows"),
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum(c * c).cast("long").alias("exact_join_rows"),
+        (
+            F.round(
+                F.sum(c).cast("double") * F.sum(c) / F.count("*") - 1e-9, 4
+            )
+            + 0.0
+        ).alias("uniform_est_rows"),
+        F.max_by(k, F.struct(c, k)).alias("top_key"),
+        (F.max(c) * F.max(c)).cast("long").alias("top_key_pairs"),
+        (
+            F.round(
+                (F.max(c) * F.max(c)).cast("double")
+                / (F.sum(c * c) / F.count("*"))
+                - 1e-9,
+                4,
+            )
+            + 0.0
+        ).alias("skew_ratio"),
+    )

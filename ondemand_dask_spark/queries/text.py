@@ -1041,3 +1041,74 @@ def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(term_js) / math.log(2) - 1e-9, _R) + 0.0
         ).alias("js_divergence_bits"),
     )
+
+
+@register(
+    "text_lexical_diversity",
+    oracle=f"""
+    WITH tc AS (
+      SELECT source, term, CAST(count(*) AS DOUBLE) AS c
+      FROM (
+        SELECT source, unnest(string_split(text, ' ')) AS term
+        FROM documents
+      ) GROUP BY source, term
+    )
+    SELECT source,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hapax,
+           round(count(*) / sum(c) - 1e-9, {_R}) + 0.0
+             AS type_token_ratio,
+           round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) / CAST(count(*)
+                 AS DOUBLE) - 1e-9, {_R}) + 0.0 AS hapax_ratio,
+           round(10000.0 * (sum(c * c) - sum(c)) / (sum(c) * sum(c))
+                 - 1e-9, {_R}) + 0.0 AS yule_k
+    FROM tc GROUP BY source ORDER BY source
+    """,
+)
+def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity profile per source: type-token ratio, hapax
+    (frequency-1) share of the vocabulary, and Yule's K = 10⁴·
+    (Σc²−N)/N² — the repetitiveness characteristic that, unlike TTR,
+    is insensitive to corpus length.  The corpus-level companion to
+    the per-document text_repetition_metrics: mixture designers read
+    these three to spot template-generated or boilerplate-heavy
+    sources before they flood a training mix (low TTR + low hapax +
+    high K = machine-generated suspicion).
+
+    Scale shape: tokenize-explode collapses straight into a
+    (source, term) partial-agg — the only shuffle, carrying the
+    per-source vocabulary, never token instances — then a per-source
+    reduce over type counts.  All moments (N, V, V₁, Σc²) are exact
+    integers; the three ratios round at the output boundary only."""
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select("source", F.explode(F.split("text", " ")).alias("term"))
+    )
+    tc = toks.groupBy("source", "term").agg(
+        F.count("*").cast("double").alias("c")
+    )
+    c = F.col("c")
+    n = F.sum(c)
+    v = F.count("*")
+    hap = F.sum(F.when(c == 1, 1).otherwise(0))
+    return (
+        tc.groupBy("source")
+        .agg(
+            n.cast("long").alias("n_tokens"),
+            v.cast("long").alias("n_types"),
+            hap.cast("long").alias("n_hapax"),
+            (F.round(v / n - 1e-9, _R) + 0.0).alias("type_token_ratio"),
+            (
+                F.round(hap / v.cast("double") - 1e-9, _R) + 0.0
+            ).alias("hapax_ratio"),
+            (
+                F.round(
+                    10000.0 * (F.sum(c * c) - n) / (n * n) - 1e-9, _R
+                )
+                + 0.0
+            ).alias("yule_k"),
+        )
+        .orderBy("source")
+    )
