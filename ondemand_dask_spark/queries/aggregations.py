@@ -4386,3 +4386,96 @@ def stat_jackknife_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.0
         ).alias("jackknife_se"),
     )
+
+
+@register(
+    "stat_brown_forsythe",
+    oracle=f"""
+    WITH med AS (
+      SELECT l_returnflag AS grp, median(l_quantity) AS md
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    z AS (
+      SELECT l.l_returnflag AS grp, abs(l.l_quantity - m.md) AS z
+      FROM lineitem l JOIN med m ON m.grp = l.l_returnflag
+    ),
+    g AS (
+      SELECT grp, count(*) AS n, avg(z) AS m, sum(z) AS s,
+             sum(z * z) AS ss
+      FROM z GROUP BY grp
+    ),
+    tot AS (
+      SELECT sum(n) AS nt, sum(s) / sum(n) AS gm, count(*) AS k FROM g
+    ),
+    parts AS (
+      SELECT sum(n * (m - gm) * (m - gm)) AS ssb,
+             sum(ss - n * m * m) AS ssw,
+             max(nt) AS nt, max(k) AS k
+      FROM g CROSS JOIN tot
+    )
+    SELECT CAST(k AS BIGINT) AS k_groups,
+           CAST(nt AS BIGINT) AS n_total,
+           round(ssb / (k - 1) / (ssw / (nt - k)) - 1e-9, {_R}) + 0.0
+             AS bf_stat
+    FROM parts
+    """,
+)
+def stat_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe test of variance homogeneity across the
+    l_returnflag groups — the robust (median-centered) Levene
+    variant, the standard pre-check before trusting ANOVA's
+    equal-variance assumption: transform each value to its absolute
+    deviation from the GROUP MEDIAN, then run one-way ANOVA on the
+    deviations; a large statistic means spreads differ.
+
+    Scale shape: one exact-median groupBy (k rows, broadcast back
+    onto the fact table), one sufficient-stats groupBy over the
+    deviations, then the same k-row + 1-row scalar reduction as
+    stat_anova_oneway.  Two data passes total, every shuffle keyed
+    and partial-aggregated.  l_quantity is integral, so both
+    engines' interpolated medians land on exact .0/.5 values and
+    the deviation column is bit-identical — the statistic rounds
+    only at the output boundary."""
+    li = load_table(spark, sf_dir, "lineitem")
+    med = li.groupBy(F.col("l_returnflag").alias("grp")).agg(
+        F.median("l_quantity").alias("md")
+    )
+    z = (
+        li.join(F.broadcast(med), li["l_returnflag"] == med["grp"])
+        .select("grp", F.abs(F.col("l_quantity") - F.col("md")).alias("z"))
+    )
+    zc = F.col("z")
+    g = z.groupBy("grp").agg(
+        F.count("*").alias("n"),
+        F.avg(zc).alias("m"),
+        F.sum(zc).alias("s"),
+        F.sum(zc * zc).alias("ss"),
+    )
+    tot = g.agg(
+        F.sum("n").alias("nt"),
+        (F.sum("s") / F.sum("n")).alias("gm"),
+        F.count("*").alias("k"),
+    )
+    parts = g.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.col("n") * (F.col("m") - F.col("gm"))
+            * (F.col("m") - F.col("gm"))
+        ).alias("ssb"),
+        F.sum(F.col("ss") - F.col("n") * F.col("m") * F.col("m"))
+        .alias("ssw"),
+        F.max("nt").alias("nt"),
+        F.max("k").alias("k"),
+    )
+    return parts.select(
+        F.col("k").cast("long").alias("k_groups"),
+        F.col("nt").cast("long").alias("n_total"),
+        (
+            F.round(
+                F.col("ssb") / (F.col("k") - 1)
+                / (F.col("ssw") / (F.col("nt") - F.col("k")))
+                - 1e-9,
+                _R,
+            )
+            + 0.0
+        ).alias("bf_stat"),
+    )

@@ -1787,3 +1787,105 @@ def orders_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("rev") / F.max("total_rev") - 1e-9, 4) + 0.0
         ).alias("revenue_share"),
     )
+
+
+_ATTR_DECAY_TAU_US = 21_600_000_000.0  # 6-hour time-decay constant
+
+
+@register(
+    "events_attribution_multi_touch",
+    oracle=f"""
+    WITH p AS (
+      SELECT event_id AS purchase_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    ),
+    s AS (
+      SELECT user_id, ts, event_type AS channel FROM events
+      WHERE event_type IN ('click', 'view')
+    ),
+    j AS (
+      SELECT p.purchase_id, p.value, s.channel,
+             epoch_us(p.ts) - epoch_us(s.ts) AS gap_us
+      FROM p JOIN s
+        ON s.user_id = p.user_id AND s.ts <= p.ts
+       AND epoch_us(p.ts) - epoch_us(s.ts) <= {_ATTR_TOL_US}
+    ),
+    wgt AS (
+      SELECT purchase_id, value, channel,
+             1.0 / count(*) OVER (PARTITION BY purchase_id) AS w_lin,
+             exp(-(CAST(gap_us AS DOUBLE) / {_ATTR_DECAY_TAU_US}))
+               / sum(exp(-(CAST(gap_us AS DOUBLE)
+                           / {_ATTR_DECAY_TAU_US})))
+                 OVER (PARTITION BY purchase_id) AS w_dec
+      FROM j
+    )
+    SELECT channel,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(sum(w_lin) - 1e-9, {_R}) + 0.0 AS credited_purchases,
+           round(sum(w_lin * value) - 1e-9, {_R}) + 0.0 AS revenue_linear,
+           round(sum(w_dec * value) - 1e-9, {_R}) + 0.0 AS revenue_decay
+    FROM wgt GROUP BY channel ORDER BY channel
+    """,
+)
+def events_attribution_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution — the fractional-credit counterpart
+    of events_attribution_last_touch: every click/view by the same
+    user within the 1-day window shares the purchase's credit, under
+    two standard models at once: LINEAR (1/n per touch) and
+    TIME-DECAY (exp(-gap/6h), normalized per purchase so each
+    purchase distributes exactly one unit of revenue).  Reports per
+    channel: contributing pairs, fractional purchases credited, and
+    revenue under both models — the marketing-mix table.
+
+    Unlike last-touch (a carry-forward window, zero joins),
+    multi-touch genuinely needs the purchase x touch PAIR SET, so
+    this is an equi-join on user_id with the window as a residual
+    range predicate.  Scale shape: the join shuffles both streams
+    once on user_id; per-purchase fan-out is bounded by one user's
+    1-DAY touch volume (a retention/rate-limited constant, not a
+    data-sized dimension), and the per-purchase normalizations are
+    windows partitioned by purchase_id — millions of tiny groups,
+    no global sort.  At 100 TB the same plan holds: user histories
+    shard by (user_id) hash and the day window keeps every pair
+    list short.  Weights divide exp() terms inside one purchase
+    group only; channel sums round at the output boundary."""
+    e = load_table(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        ts_us.alias("p_us"),
+        "value",
+    )
+    s = e.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id", ts_us.alias("s_us"), F.col("event_type").alias("channel")
+    )
+    j = p.join(
+        s,
+        (p["user_id"] == s["user_id"])
+        & (F.col("s_us") <= F.col("p_us"))
+        & (F.col("p_us") - F.col("s_us") <= _ATTR_TOL_US),
+    ).select(
+        "purchase_id", "value", "channel",
+        (F.col("p_us") - F.col("s_us")).alias("gap_us"),
+    )
+    wp = Window.partitionBy("purchase_id")
+    dec = F.exp(-(F.col("gap_us").cast("double") / _ATTR_DECAY_TAU_US))
+    wgt = j.select(
+        "purchase_id", "value", "channel",
+        (F.lit(1.0) / F.count("*").over(wp)).alias("w_lin"),
+        (dec / F.sum(dec).over(wp)).alias("w_dec"),
+    )
+    return (
+        wgt.groupBy("channel")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            (F.round(F.sum("w_lin") - 1e-9, _R) + 0.0)
+            .alias("credited_purchases"),
+            (F.round(F.sum(F.col("w_lin") * F.col("value")) - 1e-9, _R) + 0.0)
+            .alias("revenue_linear"),
+            (F.round(F.sum(F.col("w_dec") * F.col("value")) - 1e-9, _R) + 0.0)
+            .alias("revenue_decay"),
+        )
+        .orderBy("channel")
+    )

@@ -1262,3 +1262,145 @@ def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
         )
     )
+
+
+_PQ_M = 4        # subspaces
+_PQ_SUBDIM = 16  # dims per subspace (4 x 16 = the 64-dim fixture)
+_PQ_K = 4        # codes per subspace (seeds = first K vectors)
+
+
+@register(
+    "embedding_pq_codebook",
+    oracle=f"""
+    WITH ms AS (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS m),
+    subs AS (
+      SELECT e.vec_id, ms.m,
+             list_slice(e.embedding, ms.m * {_PQ_SUBDIM} + 1,
+                        (ms.m + 1) * {_PQ_SUBDIM}) AS sub
+      FROM embeddings e CROSS JOIN ms
+    ),
+    seeds AS (
+      SELECT vec_id AS code, m, sub AS csub FROM subs
+      WHERE vec_id < {_PQ_K}
+    ),
+    d1 AS (
+      SELECT s.vec_id, s.m, s.sub, c.code,
+             {_sqdist_sql("s.sub", "c.csub")} AS dist
+      FROM subs s JOIN seeds c ON s.m = c.m
+    ),
+    a1 AS (
+      SELECT vec_id, m, sub, code FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                   ORDER BY round(dist, 6), code) AS rn
+        FROM d1) WHERE rn = 1
+    ),
+    flat AS (
+      SELECT m, code, generate_subscripts(sub, 1) AS pos,
+             CAST(unnest(sub) AS DOUBLE) AS v
+      FROM a1
+    ),
+    cent AS (
+      SELECT m, code, list(mv ORDER BY pos) AS csub FROM (
+        SELECT m, code, pos, avg(v) AS mv FROM flat GROUP BY m, code, pos
+      ) GROUP BY m, code
+    ),
+    d2 AS (
+      SELECT s.vec_id, s.m, c.code,
+             {_sqdist_sql("s.sub", "c.csub")} AS dist
+      FROM subs s JOIN cent c ON s.m = c.m
+    ),
+    a2 AS (
+      SELECT vec_id, m, code, dist FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                   ORDER BY round(dist, 6), code) AS rn
+        FROM d2) WHERE rn = 1
+    )
+    SELECT m AS subspace, code, count(*) AS n_members,
+           round(avg(dist) - 1e-9, {_R}) + 0.0 AS avg_sqdist
+    FROM a2 GROUP BY m, code ORDER BY subspace, code
+    """,
+)
+def embedding_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codebook training — the PQ half of
+    IVF-PQ, the index structure that makes billion-vector ANN
+    feasible: split every embedding into {_PQ_M} independent
+    {_PQ_SUBDIM}-dim subvectors, train a tiny per-subspace codebook
+    ({_PQ_K} codes, seeds = the first {_PQ_K} vectors' subvectors,
+    one Lloyd refinement exactly like kmeans_lloyd), and re-assign;
+    a vector then compresses to {_PQ_M} single-byte codes
+    (64 floats -> 4 bytes here) and distances evaluate by codebook
+    lookup.  Reports the trained codebook census: members and mean
+    quantization error per (subspace, code).
+
+    Scale shape: the subspace split is a projection (slice), never a
+    per-dimension explode of the corpus; assignment broadcasts the
+    {_PQ_M}x{_PQ_K}-row codebook and joins on the subspace key, so
+    each Lloyd round costs one corpus scan plus a (m, code, pos)
+    partial agg whose cardinality is codebook-sized.  Exactly the
+    kmeans_lloyd contract per subspace — at 100 TB rounds are scans
+    and the codebook stays driver-sized.  Distances fold
+    sequentially in element order on both engines and rank keys
+    round to 6 dp, so assignment ties cannot diverge; code ties
+    break on the lower code id."""
+    e = load_table(spark, sf_dir, "embeddings")
+
+    def subs_of(df: DataFrame) -> DataFrame:
+        pieces = F.array(*[
+            F.struct(
+                F.lit(m).cast("long").alias("m"),
+                F.slice("embedding", m * _PQ_SUBDIM + 1, _PQ_SUBDIM)
+                .alias("sub"),
+            )
+            for m in range(_PQ_M)
+        ])
+        return df.select("vec_id", F.explode(pieces).alias("s")).select(
+            "vec_id", F.col("s.m").alias("m"), F.col("s.sub").alias("sub")
+        )
+
+    subs = subs_of(e)
+    seeds = subs_of(e.filter(F.col("vec_id") < _PQ_K)).select(
+        F.col("vec_id").alias("code"), "m", F.col("sub").alias("csub")
+    )
+    d1 = subs.join(F.broadcast(seeds), "m").select(
+        "vec_id", "m", "sub", "code",
+        _sqdist(F.col("sub"), F.col("csub")).alias("dist"),
+    )
+    w = Window.partitionBy("vec_id", "m").orderBy(
+        F.round(F.col("dist"), 6), "code"
+    )
+    a1 = (
+        d1.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", "sub", "code")
+    )
+    flat = a1.select(
+        "m", "code", F.posexplode("sub").alias("pos", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    cent = (
+        flat.groupBy("m", "code", "pos")
+        .agg(F.avg("v").alias("mv"))
+        .groupBy("m", "code")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "mv"))),
+                lambda s: s.getField("mv"),
+            ).alias("csub")
+        )
+    )
+    d2 = subs.join(F.broadcast(cent), "m").select(
+        "vec_id", "m", "code",
+        _sqdist(F.col("sub"), F.col("csub")).alias("dist"),
+    )
+    a2 = (
+        d2.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", "code", "dist")
+    )
+    return (
+        a2.groupBy(F.col("m").alias("subspace"), F.col("code"))
+        .agg(
+            F.count("*").alias("n_members"),
+            (F.round(F.avg("dist") - 1e-9, _R) + 0.0).alias("avg_sqdist"),
+        )
+        .orderBy("subspace", "code")
+    )

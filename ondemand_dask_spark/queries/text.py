@@ -1112,3 +1112,116 @@ def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_RAKE_TOPK = 15
+_STOP_SQL = "('" + "', '".join(STOPWORDS) + "')"
+
+
+@register(
+    "text_keyphrase_rake",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             generate_subscripts(string_split(text, ' '), 1) AS pos,
+             unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ),
+    marked AS (
+      SELECT doc_id, pos, w,
+             CASE WHEN w IN {_STOP_SQL} THEN 1 ELSE 0 END AS st,
+             sum(CASE WHEN w IN {_STOP_SQL} THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS pid
+      FROM tok
+    ),
+    member AS (
+      SELECT doc_id, pid, pos, w FROM marked WHERE st = 0 AND w <> ''
+    ),
+    ph AS (
+      SELECT doc_id, pid, count(*) AS plen
+      FROM member GROUP BY doc_id, pid
+    ),
+    wstat AS (
+      SELECT m.w, count(*) AS freq, sum(ph.plen) AS deg
+      FROM member m
+      JOIN ph ON ph.doc_id = m.doc_id AND ph.pid = m.pid
+      GROUP BY m.w
+    ),
+    scored AS (
+      SELECT m.doc_id, m.pid,
+             string_agg(m.w, ' ' ORDER BY m.pos) AS phrase,
+             sum(CAST(ws.deg AS DOUBLE) / ws.freq) AS score
+      FROM member m JOIN wstat ws ON ws.w = m.w
+      GROUP BY m.doc_id, m.pid
+    )
+    SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences,
+           round(max(score) - 1e-9, {_R}) + 0.0 AS rake_score
+    FROM scored GROUP BY phrase
+    ORDER BY rake_score DESC, phrase LIMIT {_RAKE_TOPK}
+    """,
+)
+def text_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010): candidate
+    phrases are maximal stopword-free token runs; each word scores
+    deg/freq (deg = summed length of the phrases it appears in,
+    freq = its occurrence count); a phrase scores the sum of its
+    member word scores.  Reports the corpus top-{_RAKE_TOPK}
+    phrases — the unsupervised keyword table a corpus curator reads
+    before naming a source's topical clusters.
+
+    Scale shape: phrase segmentation is a PER-DOCUMENT running
+    count of stopword boundaries (window partitioned by doc —
+    millions of tiny groups, no global sort); word statistics and
+    phrase scores are two keyed groupBys plus a vocabulary-keyed
+    join, all partial-aggregated; the final top-k lowers to
+    TakeOrderedAndProject (per-partition heaps).  Nothing holds a
+    document's tokens in one row after the explode, so arbitrarily
+    long documents shard freely.  Scores order on the ROUNDED value
+    with a lexicographic phrase tiebreak, so the cut line cannot
+    diverge between engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    st = F.col("w").isin(*STOPWORDS).cast("long")
+    wd = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = tok.select(
+        "doc_id", "pos", "w", st.alias("st"), F.sum(st).over(wd).alias("pid")
+    )
+    member = marked.filter((F.col("st") == 0) & (F.col("w") != "")).select(
+        "doc_id", "pid", "pos", "w"
+    )
+    ph = member.groupBy("doc_id", "pid").agg(F.count("*").alias("plen"))
+    wstat = (
+        member.join(ph, ["doc_id", "pid"])
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"), F.sum("plen").alias("deg"))
+    )
+    scored = (
+        member.join(wstat, "w")
+        .groupBy("doc_id", "pid")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s.getField("w"),
+                ),
+                " ",
+            ).alias("phrase"),
+            F.sum(F.col("deg").cast("double") / F.col("freq"))
+            .alias("score"),
+        )
+    )
+    return (
+        scored.groupBy("phrase")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            (F.round(F.max("score") - 1e-9, _R) + 0.0).alias("rake_score"),
+        )
+        .orderBy(F.desc("rake_score"), "phrase")
+        .limit(_RAKE_TOPK)
+    )

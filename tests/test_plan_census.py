@@ -71,6 +71,7 @@ BNLJ_OK = {
     "pipeline_heavy_hitters",
     "pipeline_leakage_free_split",  # 1-row crossing-pairs audit attach
     "qcut_by_cutpoints", "stat_bootstrap_ci", "stat_freq_items_verified",
+    "stat_brown_forsythe",  # k-row group stats x 1-row grand mean
     "stat_jackknife_variance",  # 1-row (S, N, B) total attach
     "stat_theta_intersection_banded",
     "text_bigram_perplexity",
