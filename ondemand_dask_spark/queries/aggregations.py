@@ -16,6 +16,7 @@ floating aggregates round to 4 dp on both engines.
 from __future__ import annotations
 
 import functools
+import math
 import operator
 
 from pyspark.sql import DataFrame, SparkSession
@@ -4478,4 +4479,165 @@ def stat_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             + 0.0
         ).alias("bf_stat"),
+    )
+
+
+_LNFACT_SMALL = tuple(math.lgamma(n + 1) for n in range(11))
+
+
+def _lnfact(n):
+    """ln(n!) for an integer-valued non-negative Column: exact
+    lookup for n <= 10, Stirling with three correction terms above
+    (absolute error < 1e-10 at n = 11, shrinking as n^-7) — the
+    portable stand-in for lgamma, which Spark SQL lacks."""
+    x = n.cast("double")
+    x2 = x * x
+    stirling = (
+        F.lit(0.5 * math.log(2.0 * math.pi))
+        + (x + 0.5) * F.log(x)
+        - x
+        + 1.0 / (12.0 * x)
+        - 1.0 / (360.0 * x2 * x)
+        + 1.0 / (1260.0 * x2 * x2 * x)
+    )
+    expr = stirling
+    for i in range(10, -1, -1):
+        expr = F.when(n == i, F.lit(_LNFACT_SMALL[i])).otherwise(expr)
+    return expr
+
+
+_FISHER_LNC_SQL = "(lgamma({n} + 1) - lgamma({k} + 1) - lgamma({n} - {k} + 1))"
+
+
+def _fisher_lnpmf_sql(k: str) -> str:
+    return (
+        _FISHER_LNC_SQL.format(n="r1", k=k)
+        + " + " + _FISHER_LNC_SQL.format(n="(n - r1)", k=f"(c1 - {k})")
+        + " - " + _FISHER_LNC_SQL.format(n="n", k="c1")
+    )
+
+
+@register(
+    "stat_fisher_exact",
+    oracle=f"""
+    WITH t AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT)
+               AS r1,
+             CAST(sum(CASE WHEN CAST(substr(source, 4) AS INT) <= 10
+                      THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN lang = 'de'
+                       AND CAST(substr(source, 4) AS INT) <= 10
+                      THEN 1 ELSE 0 END) AS BIGINT) AS a
+      FROM documents
+    ),
+    p AS (
+      SELECT *,
+             generate_series(greatest(0, c1 - (n - r1)),
+                             least(r1, c1)) AS ks,
+             exp({_fisher_lnpmf_sql("a")}) AS pa
+      FROM t
+    )
+    SELECT n AS n_total, r1 AS n_treat, c1 AS n_exposed, a AS n_both,
+           round(pa - 1e-9, {_R}) + 0.0 AS p_point,
+           round(list_sum(list_transform(ks,
+                   k -> CASE WHEN k >= a
+                        THEN exp({_fisher_lnpmf_sql("k")})
+                        ELSE 0.0 END)) - 1e-9, {_R}) + 0.0 AS p_one_sided,
+           round(list_sum(list_transform(ks,
+                   k -> CASE WHEN exp({_fisher_lnpmf_sql("k")})
+                             <= pa * (1 + 1e-7)
+                        THEN exp({_fisher_lnpmf_sql("k")})
+                        ELSE 0.0 END)) - 1e-9, {_R}) + 0.0 AS p_two_sided
+    FROM p
+    """,
+)
+def stat_fisher_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher's exact test on the 2x2 (lang = 'de') x (source in
+    src1..src10) contingency table — the small-sample replacement
+    for stat_chi2_independence: the exact hypergeometric point
+    probability, one-sided tail P(X >= a), and the standard
+    two-sided p (sum of all tables no more likely than observed,
+    with the 1e-7 relative guard for the float-equal symmetric
+    tail).
+
+    Scale shape: the data pass is ONE conditional aggregate
+    collapsing the corpus to four counts; the k-summation unrolls
+    over a generated sequence of min(margin) + 1 elements INSIDE
+    the single result row (array transform + fold — no explode, no
+    shuffle, nothing data-sized).  Exact tests are for bounded
+    counts by definition: the loop length is the rarer margin, and
+    above a few thousand the chi-square twin is the right tool —
+    the declared contract.  ln(k!) evaluates via exact lookup
+    (k <= 10) + 3-term Stirling (error < 1e-10) on the Spark side
+    and lgamma on DuckDB; both land identical at the 4 dp output
+    grid."""
+    d = load_table(spark, sf_dir, "documents")
+    is_de = (F.col("lang") == "de").cast("long")
+    is_low = (
+        F.substring("source", 4, 10).cast("int") <= 10
+    ).cast("long")
+    t = d.agg(
+        F.count("*").alias("n"),
+        F.sum(is_de).alias("r1"),
+        F.sum(is_low).alias("c1"),
+        F.sum(is_de * is_low).alias("a"),
+    )
+    n, r1, c1, a = F.col("n"), F.col("r1"), F.col("c1"), F.col("a")
+
+    def lnc(nn, kk):
+        return _lnfact(nn) - _lnfact(kk) - _lnfact(nn - kk)
+
+    def pmf(k):
+        return F.exp(
+            lnc(r1, k) + lnc(n - r1, c1 - k) - lnc(n, c1)
+        )
+
+    p = t.select(
+        "n", "r1", "c1", "a",
+        F.sequence(
+            F.greatest(F.lit(0).cast("long"), c1 - (n - r1)),
+            F.least(r1, c1),
+        ).alias("ks"),
+        pmf(a).alias("pa"),
+    )
+    pa = F.col("pa")
+    return p.select(
+        n.alias("n_total"),
+        r1.alias("n_treat"),
+        c1.alias("n_exposed"),
+        a.alias("n_both"),
+        (F.round(pa - 1e-9, _R) + 0.0).alias("p_point"),
+        (
+            F.round(
+                F.aggregate(
+                    F.transform(
+                        F.col("ks"),
+                        lambda k: F.when(k >= a, pmf(k)).otherwise(0.0),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                - 1e-9,
+                _R,
+            )
+            + 0.0
+        ).alias("p_one_sided"),
+        (
+            F.round(
+                F.aggregate(
+                    F.transform(
+                        F.col("ks"),
+                        lambda k: F.when(
+                            pmf(k) <= pa * (1.0 + 1e-7), pmf(k)
+                        ).otherwise(0.0),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                - 1e-9,
+                _R,
+            )
+            + 0.0
+        ).alias("p_two_sided"),
     )

@@ -1477,3 +1477,108 @@ def pipeline_quality_weighted_mixture(
             .alias("expected_samples"),
         )
     )
+
+
+_KANON_BUCKET = 2000.0  # acctbal generalization width
+_KANON_KS = (2, 5, 10)
+
+
+@register(
+    "privacy_k_anonymity",
+    oracle=f"""
+    WITH g AS (
+      SELECT c_nationkey,
+             CAST(floor(c_acctbal / {_KANON_BUCKET}) AS BIGINT) AS bal_bucket,
+             count(*) AS k,
+             count(DISTINCT c_mktsegment) AS l
+      FROM customer GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT CAST(sum(k) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_groups,
+             CAST(min(k) AS BIGINT) AS min_k,
+             CAST(min(l) AS BIGINT) AS min_l,
+             {", ".join(
+               f"CAST(sum(CASE WHEN k < {t} THEN 1 ELSE 0 END) AS BIGINT)"
+               f" AS g{t}, "
+               f"CAST(sum(CASE WHEN k < {t} THEN k ELSE 0 END) AS BIGINT)"
+               f" AS r{t}" for t in _KANON_KS)}
+      FROM g
+    )
+    {" UNION ALL ".join(
+      f'''SELECT {t} AS k_threshold, g{t} AS groups_below,
+          r{t} AS rows_below,
+          round(CAST(r{t} AS DOUBLE) / n_rows - 1e-9, {_R}) + 0.0
+            AS suppression_cost,
+          n_groups, min_k, min_l AS min_l_diversity FROM tot'''
+      for t in _KANON_KS)}
+    ORDER BY k_threshold
+    """,
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-anonymity / l-diversity audit before a data release — the
+    governance twin of pipeline_pii_redact and pipeline_purge_audit:
+    under the quasi-identifier (nation, generalized account-balance
+    bucket), how identifiable is each row?  For each candidate k
+    reports the groups and rows below the threshold and the
+    suppression cost (share of rows a k-anonymous release must drop
+    or further generalize), plus the global minimum group size and
+    the minimum l-diversity of the sensitive attribute (market
+    segment) — min_l = 1 means some group leaks its members'
+    segment outright.
+
+    Scale shape: ONE partial-agg groupBy builds the QI-group table
+    (count + count-distinct per group); every threshold metric is a
+    conditional aggregate over that table reduced to a single row,
+    unpivoted to one row per threshold — no window, no second scan,
+    no data-sized structure beyond the QI vocabulary."""
+    c = load_table(spark, sf_dir, "customer")
+    g = c.groupBy(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / _KANON_BUCKET).alias("bal_bucket"),
+    ).agg(
+        F.count("*").alias("k"),
+        F.countDistinct("c_mktsegment").alias("l"),
+    )
+    aggs = [
+        F.sum("k").alias("n_rows"),
+        F.count("*").alias("n_groups"),
+        F.min("k").alias("min_k"),
+        F.min("l").alias("min_l"),
+    ]
+    for t in _KANON_KS:
+        below = F.col("k") < t
+        aggs.append(
+            F.sum(F.when(below, 1).otherwise(0)).alias(f"g{t}")
+        )
+        aggs.append(
+            F.sum(F.when(below, F.col("k")).otherwise(0)).alias(f"r{t}")
+        )
+    tot = g.agg(*aggs)
+    stack = ", ".join(
+        f"{t}L, g{t}, r{t}" for t in _KANON_KS
+    )
+    return (
+        tot.selectExpr(
+            "n_rows", "n_groups", "min_k", "min_l",
+            f"stack({len(_KANON_KS)}, {stack})"
+            " AS (k_threshold, groups_below, rows_below)",
+        )
+        .select(
+            "k_threshold",
+            "groups_below",
+            "rows_below",
+            (
+                F.round(
+                    F.col("rows_below").cast("double") / F.col("n_rows")
+                    - 1e-9,
+                    _R,
+                )
+                + 0.0
+            ).alias("suppression_cost"),
+            "n_groups",
+            "min_k",
+            F.col("min_l").alias("min_l_diversity"),
+        )
+        .orderBy("k_threshold")
+    )

@@ -2058,3 +2058,123 @@ def stat_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(_LB_MAX_LAG).alias("df"),
         (F.round(q - 1e-9, _R) + 0.0).alias("q_stat"),
     )
+
+
+_DES_A = 0.4  # Brown double-smoothing alpha
+
+
+@register(
+    "ts_double_exp_smoothing",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day, sum(value) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    c1 AS (
+      SELECT event_type, day, x,
+             list(x) OVER (PARTITION BY event_type ORDER BY day
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS ch
+      FROM daily
+    ),
+    v1 AS (
+      SELECT event_type, day, x,
+             list_dot_product(ch,
+               list_transform(generate_series(len(ch) - 1, 0, -1),
+                              i -> pow({1 - _DES_A}, i)))
+             / ((1 - pow({1 - _DES_A}, len(ch))) / {_DES_A}) AS s1
+      FROM c1
+    ),
+    c2 AS (
+      SELECT event_type, day, x, s1,
+             list(s1) OVER (PARTITION BY event_type ORDER BY day
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS ch
+      FROM v1
+    ),
+    v2 AS (
+      SELECT event_type, day, x, s1,
+             list_dot_product(ch,
+               list_transform(generate_series(len(ch) - 1, 0, -1),
+                              i -> pow({1 - _DES_A}, i)))
+             / ((1 - pow({1 - _DES_A}, len(ch))) / {_DES_A}) AS s2
+      FROM c2
+    )
+    SELECT event_type, day,
+           round(x - 1e-9, {_R}) + 0.0 AS y,
+           round(s1 - 1e-9, {_R}) + 0.0 AS s1,
+           round(s2 - 1e-9, {_R}) + 0.0 AS s2,
+           round(2 * s1 - s2
+                 + ({_DES_A} / {1 - _DES_A}) * (s1 - s2)
+                 - 1e-9, {_R}) + 0.0 AS forecast_next
+    FROM v2 ORDER BY event_type, day
+    """,
+)
+def ts_double_exp_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown's double exponential smoothing (the trend-aware
+    forecaster: level = 2*S1 - S2, trend = a/(1-a)*(S1 - S2),
+    one-step forecast = level + trend) over the per-type daily
+    totals — the next rung above ts_seasonal_naive_eval's baseline
+    and the classic capacity-planning projection.  S1 is the
+    adjusted EWM of the series, S2 the EWM of S1; both are computed
+    CLOSED-FORM as weighted dot products over an ordered expanding
+    frame (weights (1-a)^age), not as a stateful recursion — the
+    same de-recursion trick as window_ewm_bounded, exact here
+    because the daily series is calendar-bounded (len <= 31), so no
+    truncation is needed.
+
+    Scale shape: one partial-agg groupBy collapses the fact table
+    to the (type, day) vocabulary; both smoothing passes are
+    windows PARTITIONED by series over calendar-bounded frames —
+    at 100 TB the expensive table never enters a window.  Both
+    engines fold the dot product in identical element order
+    (oldest first), so the only cross-engine noise is pow() ulps,
+    absorbed by the output rounding."""
+    e = _events(spark, sf_dir)
+    daily = e.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("timestamp_ntz").alias("day"),
+    ).agg(F.sum("value").alias("x"))
+    wo = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+    def ewm_of(col: str) -> Column:
+        ch = F.collect_list(col).over(wo)
+        n = F.size(ch)
+        num = F.aggregate(
+            F.zip_with(
+                ch,
+                F.sequence(n - 1, F.lit(0), F.lit(-1)),
+                lambda v, age: v * F.pow(F.lit(1.0 - _DES_A),
+                                         age.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+        den = (
+            F.lit(1.0) - F.pow(F.lit(1.0 - _DES_A), n.cast("double"))
+        ) / F.lit(_DES_A)
+        return num / den
+
+    v1 = daily.select("event_type", "day", "x", ewm_of("x").alias("s1"))
+    v2 = v1.select("event_type", "day", "x", "s1", ewm_of("s1").alias("s2"))
+    s1, s2 = F.col("s1"), F.col("s2")
+    return v2.select(
+        "event_type",
+        "day",
+        (F.round(F.col("x") - 1e-9, _R) + 0.0).alias("y"),
+        (F.round(s1 - 1e-9, _R) + 0.0).alias("s1"),
+        (F.round(s2 - 1e-9, _R) + 0.0).alias("s2"),
+        (
+            F.round(
+                2 * s1 - s2
+                + (_DES_A / (1.0 - _DES_A)) * (s1 - s2)
+                - 1e-9,
+                _R,
+            )
+            + 0.0
+        ).alias("forecast_next"),
+    ).orderBy("event_type", "day")
