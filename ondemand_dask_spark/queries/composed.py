@@ -1889,3 +1889,70 @@ def events_attribution_multi_touch(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("channel")
     )
+
+
+@register(
+    "orders_backlog_aging",
+    oracle=f"""
+    WITH snap AS (SELECT max(o_orderdate) AS snap_ts FROM orders),
+    aged AS (
+      SELECT o.o_orderpriority AS priority,
+             o.o_totalprice,
+             date_diff('day', o.o_orderdate, s.snap_ts) AS age_d
+      FROM orders o CROSS JOIN snap s
+      WHERE o.o_orderstatus IN ('O', 'P')
+    )
+    SELECT priority,
+           CASE WHEN age_d <= 30 THEN 'a_0_30'
+                WHEN age_d <= 90 THEN 'b_31_90'
+                WHEN age_d <= 365 THEN 'c_91_365'
+                ELSE 'd_over_365' END AS age_bucket,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice) - 1e-9, {_R}) + 0.0 AS open_value
+    FROM aged GROUP BY 1, 2 ORDER BY priority, age_bucket
+    """,
+)
+def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog aging — the classic ops/finance AR-style
+    report: every not-yet-finalized order (status O or P), aged
+    against the ledger's snapshot date (the max order date — the
+    deterministic stand-in for 'today'), bucketed into 0-30 /
+    31-90 / 91-365 / 365+ days and rolled up by priority with
+    order counts and open value.
+
+    Scale shape: the snapshot date is a 1-row aggregate broadcast
+    onto the filtered fact scan (the whitelisted scalar-attach
+    BNLJ shape used throughout the stats family), the bucketing is
+    codegen CASE arithmetic, and the rollup is one partial-agg
+    groupBy over a (priority x 4)-row result.  Day arithmetic uses
+    date-boundary counting on both engines (Spark datediff on DATE
+    casts = DuckDB date_diff('day'))."""
+    o = load_table(spark, sf_dir, "orders")
+    snap = o.agg(F.max("o_orderdate").alias("snap_ts"))
+    aged = (
+        o.filter(F.col("o_orderstatus").isin("O", "P"))
+        .crossJoin(F.broadcast(snap))
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            "o_totalprice",
+            F.datediff(
+                F.col("snap_ts").cast("date"),
+                F.col("o_orderdate").cast("date"),
+            ).alias("age_d"),
+        )
+    )
+    bucket = (
+        F.when(F.col("age_d") <= 30, "a_0_30")
+        .when(F.col("age_d") <= 90, "b_31_90")
+        .when(F.col("age_d") <= 365, "c_91_365")
+        .otherwise("d_over_365")
+    )
+    return (
+        aged.groupBy("priority", bucket.alias("age_bucket"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            (F.round(F.sum("o_totalprice") - 1e-9, _R) + 0.0)
+            .alias("open_value"),
+        )
+        .orderBy("priority", "age_bucket")
+    )

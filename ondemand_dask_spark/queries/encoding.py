@@ -1256,3 +1256,191 @@ def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_train.join(mse, "train_buckets")
         .select("train_buckets", "n_train", "mse")
     )
+
+
+_STUMP_BINS = 10
+
+
+@register(
+    "ml_feature_gain_stump",
+    oracle=f"""
+    WITH ux AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS label,
+             round(CAST(sum(CASE WHEN event_type <> 'purchase'
+                            THEN 1 ELSE 0 END) AS DOUBLE), {_R}) AS f_events,
+             round(sum(CASE WHEN event_type <> 'purchase'
+                       THEN value ELSE 0 END), {_R}) AS f_value,
+             round(CAST(count(DISTINCT CASE WHEN event_type <> 'purchase'
+                                       THEN event_type END) AS DOUBLE),
+                   {_R}) AS f_types
+      FROM events GROUP BY user_id
+    ),
+    long AS (
+      SELECT label, 'f_events' AS feature, f_events AS v FROM ux
+      UNION ALL SELECT label, 'f_value', f_value FROM ux
+      UNION ALL SELECT label, 'f_types', f_types FROM ux
+    ),
+    rng AS (
+      SELECT feature, min(v) AS mn, max(v) AS mx FROM long GROUP BY feature
+    ),
+    binned AS (
+      SELECT l.feature, l.label,
+             CASE WHEN r.mx > r.mn
+                  THEN least({_STUMP_BINS - 1}, CAST(floor(
+                         (l.v - r.mn) / (r.mx - r.mn) * {_STUMP_BINS})
+                       AS BIGINT))
+                  ELSE 0 END AS bin
+      FROM long l JOIN rng r ON r.feature = l.feature
+    ),
+    bins AS (
+      SELECT feature, bin, CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(label) AS DOUBLE) AS pos
+      FROM binned GROUP BY feature, bin
+    ),
+    pre AS (
+      SELECT feature, bin,
+             sum(n) OVER (PARTITION BY feature ORDER BY bin) AS nl,
+             sum(pos) OVER (PARTITION BY feature ORDER BY bin) AS posl,
+             sum(n) OVER (PARTITION BY feature) AS nt,
+             sum(pos) OVER (PARTITION BY feature) AS post
+      FROM bins
+    ),
+    cand AS (
+      SELECT feature, bin, nl, posl, nt, post,
+             2 * (post / nt) * (1 - post / nt)
+             - (nl / nt) * 2 * (posl / nl) * (1 - posl / nl)
+             - ((nt - nl) / nt) * 2 * ((post - posl) / (nt - nl))
+               * (1 - (post - posl) / (nt - nl)) AS gain
+      FROM pre WHERE nl < nt
+    ),
+    ranked AS (
+      SELECT feature, bin, nt, post,
+             round(gain - 1e-9, 6) AS g,
+             row_number() OVER (PARTITION BY feature
+                                ORDER BY round(gain - 1e-9, 6) DESC,
+                                         bin) AS rn
+      FROM cand
+    )
+    SELECT feature,
+           CAST(bin AS BIGINT) AS best_split_bin,
+           round(g - 1e-9, {_R}) + 0.0 AS best_gain,
+           round(2 * (post / nt) * (1 - post / nt) - 1e-9, {_R})
+             + 0.0 AS parent_gini
+    FROM ranked WHERE rn = 1 ORDER BY feature
+    """,
+)
+def ml_feature_gain_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump feature ranking — the single-split heart of
+    tree learning, run as pure aggregation: per-user behavioral
+    features (non-purchase event count, value sum, distinct types)
+    against the converted-user label; each feature is min-max
+    binned into {_STUMP_BINS} buckets and every bucket boundary is
+    scored as a binary split by Gini impurity reduction; the
+    best split per feature ranks the features the way a tree's
+    root node would.
+
+    Scale shape: one per-user partial agg, one 3x unpivot, a
+    3-row min/max broadcast join, then a (feature, bin) partial
+    agg whose output is CODEBOOK-sized ({_STUMP_BINS} rows per
+    feature); prefix sums and the argmax run as windows over those
+    bounded bins, never over users.  This is exactly how
+    distributed GBDT histograms (LightGBM-style) make split
+    finding data-parallel: sufficient statistics per bin, split
+    scan over the histogram.  All bin assignments compute from
+    4dp-rounded values with one shared expression shape, so the
+    cut cannot straddle engines; gains rank on the 6dp-rounded
+    value with the lower bin as tiebreak.  A constant feature
+    (min = max, e.g. f_types when every user touches every type)
+    admits no valid split and drops out of the ranking — the same
+    contract as a tree library refusing the split."""
+    e = load_table(spark, sf_dir, "events")
+    np_ = F.col("event_type") != "purchase"
+    ux = e.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("label"),
+        F.round(F.sum(np_.cast("int")).cast("double"), _R)
+        .alias("f_events"),
+        F.round(
+            F.sum(F.when(np_, F.col("value")).otherwise(0.0)), _R
+        ).alias("f_value"),
+        F.round(
+            F.countDistinct(
+                F.when(np_, F.col("event_type"))
+            ).cast("double"),
+            _R,
+        ).alias("f_types"),
+    )
+    long = ux.selectExpr(
+        "label",
+        "stack(3, 'f_events', f_events, 'f_value', f_value,"
+        " 'f_types', f_types) AS (feature, v)",
+    )
+    rng = long.groupBy("feature").agg(
+        F.min("v").alias("mn"), F.max("v").alias("mx")
+    )
+    binned = long.join(F.broadcast(rng), "feature").select(
+        "feature", "label",
+        F.when(
+            F.col("mx") > F.col("mn"),
+            F.least(
+                F.lit(_STUMP_BINS - 1),
+                F.floor(
+                    (F.col("v") - F.col("mn"))
+                    / (F.col("mx") - F.col("mn"))
+                    * _STUMP_BINS
+                ),
+            ),
+        )
+        .otherwise(0)
+        .alias("bin"),
+    )
+    bins = binned.groupBy("feature", "bin").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("label").cast("double").alias("pos"),
+    )
+    wo = (
+        Window.partitionBy("feature")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wa = Window.partitionBy("feature")
+    pre = bins.select(
+        "feature", "bin",
+        F.sum("n").over(wo).alias("nl"),
+        F.sum("pos").over(wo).alias("posl"),
+        F.sum("n").over(wa).alias("nt"),
+        F.sum("pos").over(wa).alias("post"),
+    )
+    nl, posl = F.col("nl"), F.col("posl")
+    nt, post = F.col("nt"), F.col("post")
+    pp = post / nt
+    pl = posl / nl
+    pr = (post - posl) / (nt - nl)
+    gain = (
+        2 * pp * (1 - pp)
+        - (nl / nt) * 2 * pl * (1 - pl)
+        - ((nt - nl) / nt) * 2 * pr * (1 - pr)
+    )
+    cand = pre.filter(nl < nt).select(
+        "feature", "bin", "nt", "post", gain.alias("gain")
+    )
+    g6 = F.round(F.col("gain") - 1e-9, 6)
+    return (
+        cand.groupBy("feature")
+        .agg(
+            F.max_by(
+                "bin", F.struct(g6.alias("g"), (-F.col("bin")).alias("b"))
+            ).alias("best_split_bin"),
+            (F.round(F.max(g6) - 1e-9, _R) + 0.0).alias("best_gain"),
+            (
+                F.round(
+                    F.max(2 * (post / nt) * (1 - post / nt)) - 1e-9, _R
+                )
+                + 0.0
+            ).alias("parent_gini"),
+        )
+        .orderBy("feature")
+    )

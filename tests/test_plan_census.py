@@ -68,6 +68,7 @@ BNLJ_OK = {
     "graph_pagerank",
     "join_bloom_prefilter",  # 1-row bitmap (<=256-long map) attach
     "join_cross", "join_theta", "kmeans_lloyd", "ml_eval_binary",
+    "orders_backlog_aging",  # 1-row snapshot-date attach
     "pipeline_heavy_hitters",
     "pipeline_leakage_free_split",  # 1-row crossing-pairs audit attach
     "qcut_by_cutpoints", "stat_bootstrap_ci", "stat_freq_items_verified",
