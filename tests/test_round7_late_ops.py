@@ -235,3 +235,32 @@ def test_cardinality_estimate_bounds(spark, sf_dir):
     assert row["top_key_pairs"] <= row["exact_join_rows"]
     assert row["skew_ratio"] >= 1.0 - 1e-9
     assert row["n_keys"] <= row["n_rows"]
+
+
+# --- ml_feature_gain_stump ----------------------------------------------------
+
+
+def test_stump_gain_bounded_by_parent_gini(spark, sf_dir):
+    df = _pdf("ml_feature_gain_stump", spark, sf_dir)
+    assert len(df) >= 2  # f_types may be constant (unsplittable)
+    assert (df["best_gain"] >= -1e-9).all()
+    assert (df["parent_gini"] <= 0.5 + 1e-9).all()
+    # a split can never remove more impurity than the parent holds
+    assert (df["best_gain"] <= df["parent_gini"] + 1e-9).all()
+    assert df["best_split_bin"].between(0, 8).all()
+
+
+# --- orders_backlog_aging ------------------------------------------------------
+
+
+def test_backlog_aging_accounts_for_every_open_order(spark, sf_dir):
+    df = _pdf("orders_backlog_aging", spark, sf_dir)
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus").isin("O", "P")
+    )
+    n, total = o.agg(F.count("*"), F.sum("o_totalprice")).collect()[0]
+    assert df["n_orders"].sum() == n
+    assert abs(df["open_value"].sum() - total) < 1e-2
+    assert set(df["age_bucket"]) <= {
+        "a_0_30", "b_31_90", "c_91_365", "d_over_365"
+    }
