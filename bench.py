@@ -110,6 +110,16 @@ HEADLINE = [
     "events_dau_wau_stickiness",
     "part_skyline_frontier",
     "orders_ship_latency_percentiles",
+    # round-7 closing batch: PQ codebook training (two broadcast-
+    # codebook Lloyd passes + a posexplode centroid agg — the
+    # IVF-PQ cost model), multi-touch attribution (user-keyed
+    # purchase×touch pair join + per-purchase normalizing windows),
+    # and RAKE keyphrases (per-doc boundary windows + two
+    # vocabulary-keyed joins) — the three new shapes whose cost
+    # profiles would drift first.
+    "embedding_pq_codebook",
+    "events_attribution_multi_touch",
+    "text_keyphrase_rake",
 ]
 
 # Best-of-3: this round's probes showed the host's load floor moving
