@@ -1035,3 +1035,103 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("assortativity"),
         )
     )
+
+
+_PPR_K = 2      # personalization seeds (top-degree hubs)
+_PPR_TOP = 20   # reported neighborhood size
+
+
+def _ppr_iter_sql(i: int) -> str:
+    """One unrolled personalized-PageRank iteration as a CTE body:
+    propagate damped mass along edges, re-inject teleport mass at
+    the seeds only, keep the vector sparse (absent node = 0)."""
+    return f"""
+    pit{i} AS (
+      SELECT node, sum(pr) AS pr FROM (
+        SELECT s.v AS node, {_PR_D} * p.pr / d.d AS pr
+        FROM sym s
+        JOIN pit{i - 1} p ON p.node = s.u
+        JOIN deg d ON d.node = s.u
+        UNION ALL
+        SELECT node, {(1 - _PR_D)} / {_PPR_K} FROM seeds
+      ) GROUP BY node
+    )"""
+
+
+@register(
+    "graph_personalized_pagerank",
+    oracle=f"""
+    WITH e AS ({_EDGES_SQL}),
+    sym AS (
+      SELECT src AS u, dst AS v FROM e
+      UNION ALL SELECT dst, src FROM e
+    ),
+    deg AS (SELECT u AS node, count(*) AS d FROM sym GROUP BY u),
+    seeds AS (
+      SELECT node FROM deg ORDER BY d DESC, node LIMIT {_PPR_K}
+    ),
+    pit0 AS (SELECT node, 1.0 / {_PPR_K} AS pr FROM seeds),
+    {",".join(_ppr_iter_sql(i) for i in range(1, _PR_ITERS + 1))}
+    SELECT node AS part_id,
+           round(pr - 1e-9, {_R}) + 0.0 AS ppr
+    FROM pit{_PR_ITERS}
+    ORDER BY ppr DESC, part_id LIMIT {_PPR_TOP}
+    """,
+)
+def graph_personalized_pagerank(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Personalized PageRank from the {_PPR_K} top-degree hubs —
+    random walk with restart, THE graph primitive behind
+    related-item recommendation and trust propagation: teleport
+    mass returns to the SEED set instead of spreading uniformly, so
+    the stationary vector measures proximity to the seeds.  Reports
+    the top-{_PPR_TOP} neighborhood.  Same {_PR_ITERS} unrolled
+    supersteps as graph_pagerank (one edge join + one partial-agg
+    sum each), with two PPR-specific scale properties: the rank
+    vector stays SPARSE (iteration 0 is {_PPR_K} rows; round r
+    holds only nodes within r hops of a seed, so early supersteps
+    join a frontier-sized vector, not |V|), and the teleport
+    re-injection is a {_PPR_K}-row union leg, not a per-node
+    constant — at billions of nodes the walk's cost is the reached
+    neighborhood, not the graph.  Seed selection lowers to
+    TakeOrderedAndProject (per-partition heaps); the top-k output
+    orders on the ROUNDED score with a node-id tiebreak, so the cut
+    is engine-deterministic."""
+    _evict_retained()
+    sym = _retain(_sym(_edges(spark, sf_dir)).cache())
+    deg = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").alias("d")
+    )
+    seeds = deg.orderBy(F.desc("d"), F.asc("node")).limit(_PPR_K).select(
+        "node"
+    )
+    ranks = seeds.select("node", F.lit(1.0 / _PPR_K).alias("pr"))
+    teleport = seeds.select(
+        "node", F.lit((1 - _PR_D) / _PPR_K).alias("pr")
+    )
+    for _ in range(_PR_ITERS):
+        contrib = (
+            sym.join(ranks.withColumnRenamed("node", "u"), "u")
+            .join(
+                F.broadcast(deg).alias("dg"),
+                F.col("dg.node") == F.col("u"),
+            )
+            .select(
+                F.col("v").alias("node"),
+                (F.lit(_PR_D) * F.col("pr") / F.col("dg.d")).alias("pr"),
+            )
+        )
+        ranks = (
+            contrib.unionByName(teleport)
+            .groupBy("node")
+            .agg(F.sum("pr").alias("pr"))
+        )
+    return (
+        ranks.select(
+            F.col("node").alias("part_id"),
+            (F.round(F.col("pr") - 1e-9, _R) + 0.0).alias("ppr"),
+        )
+        .orderBy(F.desc("ppr"), F.asc("part_id"))
+        .limit(_PPR_TOP)
+    )
