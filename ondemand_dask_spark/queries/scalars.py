@@ -1161,3 +1161,38 @@ def array_posexplode_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_element_at("words", F.col("pos") + 2).alias("next_word"),
         F.length("word").cast("int").alias("word_len"),
     )
+
+
+@register(
+    "str_extractall",
+    oracle="""
+    SELECT doc_id,
+           CAST(generate_subscripts(ms, 1) - 1 AS BIGINT) AS match_idx,
+           unnest(ms) AS match
+    FROM (
+      SELECT doc_id, regexp_extract_all(text, '(s[a-z]+)') AS ms
+      FROM documents WHERE doc_id < 100
+    )
+    WHERE len(ms) > 0
+    """,
+)
+def str_extractall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ser.str.extractall(pat) — EVERY regex match per row, exploded
+    to (row, match_index, match) exactly like pandas' MultiIndex
+    result (Dask inherits it verbatim): here all 's…' words per
+    document.  The sibling of str_replace_extract (which keeps only
+    the FIRST match — the silent-data-loss trap when a migrator
+    reaches for extract instead of extractall).  regexp_extract_all
+    + posexplode: narrow codegen op, no shuffle, rows with zero
+    matches drop exactly as pandas drops them from the MultiIndex."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.filter(F.col("doc_id") < 100)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.regexp_extract_all("text", F.lit("(s[a-z]+)"), 1)
+            ).alias("match_idx", "match"),
+        )
+        .select("doc_id", F.col("match_idx").cast("long"), "match")
+    )
