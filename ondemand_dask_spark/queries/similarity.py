@@ -1338,7 +1338,10 @@ def embedding_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     each Lloyd round costs one corpus scan plus a (m, code, pos)
     partial agg whose cardinality is codebook-sized.  Exactly the
     kmeans_lloyd contract per subspace — at 100 TB rounds are scans
-    and the codebook stays driver-sized.  Distances fold
+    and the codebook stays driver-sized (tools/probe_pq.py: 400k
+    vectors train in 14.7 s = 3.3x the 100k cost for 4x the data,
+    scan-bound; one Lloyd pass halves the seed quantization error;
+    256 B -> 4 B per vector).  Distances fold
     sequentially in element order on both engines and rank keys
     round to 6 dp, so assignment ties cannot diverge; code ties
     break on the lower code id."""

@@ -1,0 +1,153 @@
+"""Scale probe: product-quantization codebook training cost.
+
+Synthesizes N CLUSTERED vectors (probe_signbit's deterministic
+integer synthesis — no RNG) and runs the embedding_pq_codebook
+plan shape at sizes the parquet fixtures don't reach: subspace
+slice → broadcast-codebook assignment → (m, code, pos) centroid
+partial-agg → reassignment.  Reports wall time per Lloyd pass, the
+Lloyd improvement (refined total squared error / seed total — must
+be <= 1), and the compression ratio (M bytes/vector vs 4*D).
+
+The scale point: both passes are corpus SCANS against a broadcast
+M×K-row codebook; the only aggregates are codebook-sized (M*K*subdim
+cells), so cost grows linearly in N with no data-sized shuffle —
+the IVF-PQ training economics.  Measured (local[32], warm,
+2026-08-15):
+
+  100k vectors, D=64, M=4, K=16:  train 4.48 s, reassign 2.98 s,
+      lloyd_ratio 0.49
+  400k vectors, D=64, M=4, K=16:  train 14.72 s, reassign 7.41 s,
+      lloyd_ratio 0.49
+  (4x vectors -> 3.3x train time: scan-bound, sublinear from fixed
+   per-stage overheads; one Lloyd pass halves the seed quantization
+   error on clustered data; compression 256 B -> 4 B/vector.)
+
+Numbers cited in embedding_pq_codebook's scale contract.
+
+Usage: python tools/probe_pq.py [n_vectors] [dim] [subspaces] [codes]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+from pyspark.sql.window import Window  # noqa: E402
+
+from ondemand_dask_spark.session import build_session  # noqa: E402
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+D = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+M = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+K = int(sys.argv[4]) if len(sys.argv) > 4 else 16
+SUBDIM = D // M
+C = 50  # synthesis clusters
+
+
+def main() -> None:
+    spark = build_session(
+        app_name="probe_pq",
+        shuffle_partitions=8,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    base = spark.range(N).select(
+        F.col("id").alias("vec_id"), (F.col("id") % C).alias("cl")
+    )
+    emb = F.transform(
+        F.sequence(F.lit(1), F.lit(D)),
+        lambda d: (
+            ((F.col("cl") * 73856093 + d * 19349663) % 2001 - 1000)
+            + ((F.col("vec_id") * 83492791 + d * 2654435761) % 1201 - 600)
+        ).cast("double"),
+    )
+    vecs = base.select("vec_id", emb.alias("embedding")).cache()
+    vecs.count()
+
+    def sqdist(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x - y),
+            F.lit(0.0),
+            lambda acc, d: acc + d * d,
+        )
+
+    def subs_of(df):
+        pieces = F.array(*[
+            F.struct(
+                F.lit(m).cast("long").alias("m"),
+                F.slice("embedding", m * SUBDIM + 1, SUBDIM).alias("sub"),
+            )
+            for m in range(M)
+        ])
+        return df.select("vec_id", F.explode(pieces).alias("s")).select(
+            "vec_id", F.col("s.m").alias("m"), F.col("s.sub").alias("sub")
+        )
+
+    subs = subs_of(vecs).cache()
+    subs.count()
+    seeds = subs_of(vecs.filter(F.col("vec_id") < K)).select(
+        F.col("vec_id").alias("code"), "m", F.col("sub").alias("csub")
+    )
+    w = Window.partitionBy("vec_id", "m").orderBy(
+        F.round(F.col("dist"), 6), "code"
+    )
+
+    # pass 1: seed assignment + centroid recompute
+    t0 = time.perf_counter()
+    d1 = subs.join(F.broadcast(seeds), "m").select(
+        "vec_id", "m", "sub", "code",
+        sqdist(F.col("sub"), F.col("csub")).alias("dist"),
+    )
+    a1 = (
+        d1.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", "sub", "code", "dist")
+        .cache()
+    )
+    seed_err = a1.agg(F.sum("dist")).collect()[0][0]
+    cent = (
+        a1.select("m", "code", F.posexplode("sub").alias("pos", "v"))
+        .groupBy("m", "code", "pos")
+        .agg(F.avg("v").alias("mv"))
+        .groupBy("m", "code")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "mv"))),
+                lambda s: s.getField("mv"),
+            ).alias("csub")
+        )
+    )
+    cent.count()
+    t_train = time.perf_counter() - t0
+
+    # pass 2: reassignment against the trained codebook
+    t0 = time.perf_counter()
+    d2 = subs.join(F.broadcast(cent), "m").select(
+        "vec_id", "m", "code",
+        sqdist(F.col("sub"), F.col("csub")).alias("dist"),
+    )
+    refined_err = (
+        d2.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .agg(F.sum("dist"))
+        .collect()[0][0]
+    )
+    t_assign = time.perf_counter() - t0
+
+    print(json.dumps({
+        "n_vectors": N, "dim": D, "subspaces": M, "codes": K,
+        "train_sec": round(t_train, 2),
+        "reassign_sec": round(t_assign, 2),
+        "lloyd_ratio": round(refined_err / seed_err, 4),
+        "bytes_per_vector": M,
+        "bytes_uncompressed": 4 * D,
+    }))
+
+
+if __name__ == "__main__":
+    main()
