@@ -896,3 +896,51 @@ def stream_hourly_anomaly_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tot",
         "z_score",
     )
+
+
+@register(
+    "stream_union_dual_source",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM (
+      SELECT DISTINCT ON (event_id) event_id, event_type, user_id
+      FROM events WHERE event_id % 3 <> 0 OR event_id % 2 = 0
+    )
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def stream_union_dual_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dual-source ingestion: TWO overlapping streaming feeds (feed A
+    carries event_id % 3 != 0, feed B carries the evens — every even
+    multiple of 3 arrives on BOTH) unioned, then repaired to
+    exactly-once with dropDuplicatesWithinWatermark before a
+    per-type rollup.  This is the standard multi-region /
+    primary-plus-backup landing topology: each feed is its own file
+    source with independent progress tracking, union is free
+    (partition-level, no shuffle), and the dedup state is bounded by
+    the watermark horizon — the at-least-once overlap never reaches
+    the aggregate.  Converges to the batch answer over A ∪ B under
+    the finite availableNow replay."""
+    a = read_events_stream(spark, sf_dir).filter(
+        F.col("event_id") % 3 != 0
+    )
+    b = read_events_stream(spark, sf_dir).filter(
+        F.col("event_id") % 2 == 0
+    )
+    u = (
+        a.unionByName(b)
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "event_type", "user_id")
+    )
+    rows = run_to_table(spark, u, "stream_union_dual_source", "append")
+    return (
+        rows.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )
