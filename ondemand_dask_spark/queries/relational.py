@@ -568,3 +568,62 @@ def sample_weighted_reservoir_group(
         .filter(F.col("rn") <= _AESG_K)
         .drop("rn")
     )
+
+
+@register(
+    "events_between_time",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_business_hours,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    WHERE (extract(hour FROM ts) * 60 + extract(minute FROM ts))
+          BETWEEN 9 * 60 AND 17 * 60 - 1
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_between_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.between_time('09:00', '17:00') — the pandas time-of-day
+    slice (select rows whose CLOCK time falls in a window,
+    regardless of date), rolled up per event type.  Implemented as
+    minute-of-day arithmetic on the timestamp — a codegen predicate
+    the scan evaluates in place (at 100 TB this composes with
+    partition pruning on the date dimension: the date partitions
+    are pruned first, then this predicate slices within each).
+    Window is inclusive-start / exclusive-end, matching pandas'
+    default inclusive='both' minus the 17:00 boundary minute for an
+    unambiguous cross-engine contract."""
+    e = load_table(spark, sf_dir, "events")
+    mod = F.hour("ts") * 60 + F.minute("ts")
+    return (
+        e.filter((mod >= 9 * 60) & (mod <= 17 * 60 - 1))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_business_hours"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "proj_select_dtypes",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+           l_extendedprice, l_discount, l_tax
+    FROM lineitem WHERE l_orderkey < 1000
+    """,
+)
+def proj_select_dtypes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.select_dtypes(include='number') — schema-driven column
+    selection: the projection is computed FROM df.dtypes (numeric
+    fields of lineitem), not hand-listed, exactly as the pandas call
+    resolves it at runtime.  Catalyst turns the projection into scan
+    ReadSchema pruning, so the non-numeric string/date columns are
+    never read off parquet — the column-pruning contract §2.B
+    requires."""
+    li = load_table(spark, sf_dir, "lineitem")
+    num = ("bigint", "int", "smallint", "tinyint", "double",
+           "float", "decimal")
+    cols = [c for c, t in li.dtypes if t.startswith(num)]
+    return li.filter(F.col("l_orderkey") < 1000).select(*cols)

@@ -264,3 +264,30 @@ def test_backlog_aging_accounts_for_every_open_order(spark, sf_dir):
     assert set(df["age_bucket"]) <= {
         "a_0_30", "b_31_90", "c_91_365", "d_over_365"
     }
+
+
+# --- graph_personalized_pagerank ----------------------------------------------
+
+
+def test_ppr_mass_conservation_and_seed_dominance(spark, sf_dir):
+    df = _pdf("graph_personalized_pagerank", spark, sf_dir)
+    assert len(df) <= 20
+    assert (df["ppr"] > 0).all()
+    # the walk distributes exactly one unit of mass (symmetric graph,
+    # no dangling nodes): the reported top-20 can never exceed it
+    assert df["ppr"].sum() <= 1.0 + 1e-6
+    # scores arrive ranked
+    s = df["ppr"].tolist()
+    assert s == sorted(s, reverse=True)
+
+
+# --- str_extractall -------------------------------------------------------------
+
+
+def test_extractall_matches_pattern_and_indexes_dense(spark, sf_dir):
+    df = _pdf("str_extractall", spark, sf_dir)
+    assert (df["match"].str.match(r"s[a-z]+$")).all()
+    # match_idx is dense 0..k-1 per doc
+    for _, grp in df.groupby("doc_id"):
+        idx = sorted(grp["match_idx"])
+        assert idx == list(range(len(idx)))
