@@ -1269,10 +1269,11 @@ _PQ_SUBDIM = 16  # dims per subspace (4 x 16 = the 64-dim fixture)
 _PQ_K = 4        # codes per subspace (seeds = first K vectors)
 
 
-@register(
-    "embedding_pq_codebook",
-    oracle=f"""
-    WITH ms AS (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS m),
+# Shared PQ pipeline CTEs (subspace split -> seed assignment ->
+# centroid recompute -> reassignment); used by the codebook census
+# and the ADC search oracle below.
+_PQ_CTES_SQL = f"""
+    ms AS (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS m),
     subs AS (
       SELECT e.vec_id, ms.m,
              list_slice(e.embedding, ms.m * {_PQ_SUBDIM} + 1,
@@ -1314,7 +1315,13 @@ _PQ_K = 4        # codes per subspace (seeds = first K vectors)
         SELECT *, row_number() OVER (PARTITION BY vec_id, m
                    ORDER BY round(dist, 6), code) AS rn
         FROM d2) WHERE rn = 1
-    )
+    )"""
+
+
+@register(
+    "embedding_pq_codebook",
+    oracle=f"""
+    WITH {_PQ_CTES_SQL}
     SELECT m AS subspace, code, count(*) AS n_members,
            round(avg(dist) - 1e-9, {_R}) + 0.0 AS avg_sqdist
     FROM a2 GROUP BY m, code ORDER BY subspace, code
@@ -1406,4 +1413,145 @@ def embedding_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(F.avg("dist") - 1e-9, _R) + 0.0).alias("avg_sqdist"),
         )
         .orderBy("subspace", "code")
+    )
+
+
+_ADC_Q = 3      # query vectors (vec_id < Q)
+_ADC_TOP = 5    # neighbors reported per query
+
+
+@register(
+    "ann_pq_adc_topk",
+    oracle=f"""
+    WITH {_PQ_CTES_SQL},
+    qs AS (
+      SELECT vec_id AS query_id, m, sub AS qsub FROM subs
+      WHERE vec_id < {_ADC_Q}
+    ),
+    lut AS (
+      SELECT q.query_id, c.m, c.code,
+             {_sqdist_sql("q.qsub", "c.csub")} AS pd
+      FROM qs q JOIN cent c ON c.m = q.m
+    ),
+    sc AS (
+      SELECT l.query_id, a.vec_id AS candidate_id, sum(l.pd) AS adc
+      FROM a2 a JOIN lut l ON l.m = a.m AND l.code = a.code
+      WHERE a.vec_id >= {_ADC_Q}
+      GROUP BY l.query_id, a.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, candidate_id, adc,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY round(adc, 6), candidate_id)
+               AS rnk
+      FROM sc
+    )
+    SELECT query_id, candidate_id,
+           round(adc - 1e-9, {_R}) + 0.0 AS adc_sqdist,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= {_ADC_TOP}
+    ORDER BY query_id, rnk
+    """,
+)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-k search over PQ codes — the QUERY half of IVF-PQ
+    (embedding_pq_codebook trains the index, this searches it):
+    each query precomputes a {_PQ_M}x{_PQ_K} lookup table of
+    subspace distances to the trained centroids, and a candidate's
+    asymmetric distance is just the SUM of {_PQ_M} table lookups on
+    its codes — the float corpus is never touched at query time.
+    Reports the top-{_ADC_TOP} candidates per query (queries
+    excluded from the candidate pool).
+
+    Scale shape: the billion-vector economics of PQ search — the
+    scan side is the CODES table ({_PQ_M} single-byte codes per
+    vector, not {_PQ_M * _PQ_SUBDIM} floats), the per-query state is
+    the broadcast Q x {_PQ_M} x {_PQ_K}-row LUT, scoring is one
+    equi-join on (m, code) + a (query, candidate) partial-agg sum,
+    and the top-k collapses per-query via ranked windows over
+    millions of tiny groups.  ADC error vs exact distance is
+    bounded by the codebook's quantization error (the
+    embedding_pq_codebook census); ranks order on the 6dp-rounded
+    score with candidate-id tiebreak, so the cut is
+    engine-deterministic."""
+    e = load_table(spark, sf_dir, "embeddings")
+
+    def subs_of(df: DataFrame) -> DataFrame:
+        pieces = F.array(*[
+            F.struct(
+                F.lit(m).cast("long").alias("m"),
+                F.slice("embedding", m * _PQ_SUBDIM + 1, _PQ_SUBDIM)
+                .alias("sub"),
+            )
+            for m in range(_PQ_M)
+        ])
+        return df.select("vec_id", F.explode(pieces).alias("s")).select(
+            "vec_id", F.col("s.m").alias("m"), F.col("s.sub").alias("sub")
+        )
+
+    subs = subs_of(e)
+    seeds = subs_of(e.filter(F.col("vec_id") < _PQ_K)).select(
+        F.col("vec_id").alias("code"), "m", F.col("sub").alias("csub")
+    )
+    w = Window.partitionBy("vec_id", "m").orderBy(
+        F.round(F.col("dist"), 6), "code"
+    )
+    d1 = subs.join(F.broadcast(seeds), "m").select(
+        "vec_id", "m", "sub", "code",
+        _sqdist(F.col("sub"), F.col("csub")).alias("dist"),
+    )
+    a1 = (
+        d1.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", "sub", "code")
+    )
+    cent = (
+        a1.select("m", "code", F.posexplode("sub").alias("pos", "v"))
+        .withColumn("v", F.col("v").cast("double"))
+        .groupBy("m", "code", "pos")
+        .agg(F.avg("v").alias("mv"))
+        .groupBy("m", "code")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "mv"))),
+                lambda s: s.getField("mv"),
+            ).alias("csub")
+        )
+    )
+    codes = (
+        subs.join(F.broadcast(cent), "m")
+        .select(
+            "vec_id", "m", "code",
+            _sqdist(F.col("sub"), F.col("csub")).alias("dist"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", "code")
+    )
+    qs = subs.filter(F.col("vec_id") < _ADC_Q).select(
+        F.col("vec_id").alias("query_id"), "m",
+        F.col("sub").alias("qsub"),
+    )
+    lut = qs.join(F.broadcast(cent), "m").select(
+        "query_id", "m", "code",
+        _sqdist(F.col("qsub"), F.col("csub")).alias("pd"),
+    )
+    sc = (
+        codes.filter(F.col("vec_id") >= _ADC_Q)
+        .join(F.broadcast(lut), ["m", "code"])
+        .groupBy("query_id", F.col("vec_id").alias("candidate_id"))
+        .agg(F.sum("pd").alias("adc"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("adc"), 6), "candidate_id"
+    )
+    return (
+        sc.withColumn("rnk", F.row_number().over(wq))
+        .filter(F.col("rnk") <= _ADC_TOP)
+        .select(
+            "query_id", "candidate_id",
+            (F.round(F.col("adc") - 1e-9, _R) + 0.0).alias("adc_sqdist"),
+            F.col("rnk").cast("long"),
+        )
+        .orderBy("query_id", "rnk")
     )
