@@ -291,3 +291,17 @@ def test_extractall_matches_pattern_and_indexes_dense(spark, sf_dir):
     for _, grp in df.groupby("doc_id"):
         idx = sorted(grp["match_idx"])
         assert idx == list(range(len(idx)))
+
+
+# --- ann_pq_adc_topk -------------------------------------------------------------
+
+
+def test_adc_topk_shape_and_exclusions(spark, sf_dir):
+    df = _pdf("ann_pq_adc_topk", spark, sf_dir)
+    assert set(df["query_id"]) == {0, 1, 2}
+    assert (df["candidate_id"] >= 3).all()  # queries never candidates
+    assert (df["adc_sqdist"] >= 0).all()
+    for _, grp in df.groupby("query_id"):
+        assert sorted(grp["rnk"]) == [1, 2, 3, 4, 5]
+        by_rank = grp.sort_values("rnk")["adc_sqdist"].tolist()
+        assert by_rank == sorted(by_rank)
