@@ -1956,3 +1956,83 @@ def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority", "age_bucket")
     )
+
+
+_PERFECT_DAYS = 60  # ship-latency bound for a 'perfect' order
+
+
+@register(
+    "orders_perfect_order_rate",
+    oracle=f"""
+    WITH per_order AS (
+      SELECT o.o_orderkey, o.o_orderpriority AS priority,
+             CASE WHEN o.o_orderstatus = 'F'
+                   AND max(date_diff('day', o.o_orderdate, l.l_shipdate))
+                       <= {_PERFECT_DAYS}
+                  THEN 1 ELSE 0 END AS perfect
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderstatus
+    )
+    SELECT priority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(perfect) AS BIGINT) AS n_perfect,
+           round(avg(CAST(perfect AS DOUBLE)) - 1e-9, {_R}) + 0.0
+             AS perfect_rate
+    FROM per_order GROUP BY priority ORDER BY priority
+    """,
+)
+def orders_perfect_order_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perfect-order rate — the composite supply-chain KPI: an order
+    is 'perfect' when it is fully finalized (status F) AND every
+    line shipped within {_PERFECT_DAYS} days of the order date
+    (the slowest line gates the whole order — a per-order MAX, not
+    an average).  Reported per priority tier, the table an SLA
+    review reads.
+
+    Scale shape: ONE fact-fact equi-join on the order key (the same
+    co-partitioned shape as orders_ship_latency_percentiles — both
+    sides shuffle once on l_orderkey/o_orderkey and at 100 TB
+    bucketing both tables on the key makes it exchange-free), a
+    per-order partial-agg max, then a priority rollup over the
+    5-row result.  Day arithmetic counts date boundaries
+    identically on both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    per_order = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey", "o_orderpriority", "o_orderstatus")
+        .agg(
+            F.max(
+                F.datediff(
+                    F.col("l_shipdate").cast("date"),
+                    F.col("o_orderdate").cast("date"),
+                )
+            ).alias("worst_latency")
+        )
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.when(
+                (F.col("o_orderstatus") == "F")
+                & (F.col("worst_latency") <= _PERFECT_DAYS),
+                1,
+            )
+            .otherwise(0)
+            .alias("perfect"),
+        )
+    )
+    return (
+        per_order.groupBy("priority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("perfect").alias("n_perfect"),
+            (
+                F.round(
+                    F.avg(F.col("perfect").cast("double")) - 1e-9, _R
+                )
+                + 0.0
+            ).alias("perfect_rate"),
+        )
+        .orderBy("priority")
+    )
