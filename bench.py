@@ -20,6 +20,8 @@ import re
 import sys
 import time
 
+from pyspark.sql import functions as F
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from ondemand_dask_spark.operators.checkpoint import (  # noqa: E402
@@ -155,10 +157,13 @@ R3_COMPARABLE = [n for n in HEADLINE if not n.startswith("graph_")]
 # The graph family is reported as its own subtotal: each graph query
 # deliberately rebuilds + re-caches the co-purchase edge set at entry
 # (the cache-lifecycle discipline evicts the previous query's blocks),
-# so the family's bench cost includes two full edge builds.  That is a
-# DECISION, not an accident: benching a shared pre-built edge frame
-# would time a different (easier) contract than the registered
-# queries the driver correctness-checks.
+# so the family's bench cost includes the edge build per query.  That
+# is a DECISION, not an accident: the per-query numbers time the same
+# self-contained contract the driver correctness-checks.  Since r8 the
+# family is ADDITIONALLY timed under one shared pre-materialized edge
+# cache (graph_family_shared_subtotal in the emitted JSON) — the
+# production-session cost where the edge frame is built once — so
+# both contracts are recorded without conflating them.
 
 
 def _sf_from_dir(sf_dir: str) -> float:
@@ -251,8 +256,28 @@ def main() -> None:
         ).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
+    # Second calibration: a MEMORY-BANDWIDTH/shuffle-bound job (global
+    # sort of a cached 30M-row frame — shuffle write + fetch + sort,
+    # no scan, negligible codegen arithmetic).  The pure-CPU calib is
+    # documented above to under-correct bandwidth contention by
+    # 10-20% on this host — exactly the sort/shuffle-heavy class the
+    # r7 guard flagged — so the guard below normalizes by the WORSE
+    # (larger) of the two drift ratios.
+    bw_frame = spark.range(30_000_000).select(
+        F.xxhash64("id").alias("k")
+    ).persist()
+    bw_frame.count()  # materialize outside the timed region
+
+    def calibrate_bw() -> float:
+        t0 = time.perf_counter()
+        bw_frame.orderBy("k").write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
     calibrate()  # warm
     calib = round(min(calibrate() for _ in range(RUNS)), 4)
+    calibrate_bw()  # warm
+    calib_bw = round(min(calibrate_bw() for _ in range(RUNS)), 4)
+    bw_frame.unpersist()  # release before any query is timed
 
     # Warm-up pass: JIT, code cache, file-system cache.
     for n in names:
@@ -261,6 +286,43 @@ def main() -> None:
     timings: dict[str, float] = {}
     for n in names:
         timings[n] = round(min(run_once(n) for _ in range(RUNS)), 4)
+
+    # Graph shared-edge-cache A/B (r7 verdict item 5): the primary
+    # numbers above keep the self-contained contract (each graph query
+    # rebuilds + re-caches the co-purchase edges — what the driver's
+    # isolated correctness runs execute).  A production session would
+    # materialize the edge frame once for the whole family, so the
+    # family is ALSO timed under one shared cache and reported as a
+    # separate subtotal — without touching the per-query numbers.
+    graph_names = [n for n in names if n.startswith("graph_")]
+    shared_timings: dict[str, float] = {}
+    if graph_names:
+        from ondemand_dask_spark.queries.graph import release_shared_edges
+
+        evict_all_retained()
+        spark.catalog.clearCache()
+        os.environ["SPARK_GRAFT_SHARED_EDGES"] = "1"
+        try:
+
+            def run_shared(name: str) -> float:
+                # evict per-query derived caches, but NOT the shared
+                # edge frame (unregistered by design) — so no
+                # clearCache() here
+                evict_all_retained()
+                t0 = time.perf_counter()
+                df = queries[name].fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                return time.perf_counter() - t0
+
+            for n in graph_names:  # warm-up (first call builds the cache)
+                run_shared(n)
+            for n in graph_names:
+                shared_timings[n] = round(
+                    min(run_shared(n) for _ in range(RUNS)), 4
+                )
+        finally:
+            os.environ.pop("SPARK_GRAFT_SHARED_EDGES", None)
+            release_shared_edges()
 
     total = round(sum(timings.values()), 4)
     r2_subtotal = round(
@@ -298,12 +360,19 @@ def main() -> None:
                 # when the prior artifact carries one: host drift
                 # moves every query together, and the guard should
                 # flag only drift-adjusted regressions.
+                # Worse (larger) of the CPU and bandwidth drift
+                # ratios: host slowdowns hit the shuffle/sort-heavy
+                # query class harder than the codegen calib admits
+                # (r7's two false flags were both that class).
                 drift = 1.0
                 if prev.get("calib_sec"):
                     drift = calib / prev["calib_sec"]
+                if prev.get("calib_bw_sec"):
+                    drift = max(drift, calib_bw / prev["calib_bw_sec"])
+                if drift != 1.0:
                     print(
                         f"calibration drift vs {prev_files[-1]}: "
-                        f"x{drift:.2f} (host speed)",
+                        f"x{drift:.2f} (worse of cpu/bandwidth)",
                         file=sys.stderr,
                     )
                 flagged = []
@@ -346,9 +415,21 @@ def main() -> None:
                 # best-of-RUNS): divide cross-round query deltas by
                 # the calib ratio to remove host-speed drift.
                 "calib_sec": calib,
+                # shuffle/sort of a cached 30M-row frame (best-of-
+                # RUNS): the bandwidth-bound companion; the guard
+                # normalizes by the worse of the two ratios.
+                "calib_bw_sec": calib_bw,
                 "r2_comparable_subtotal": r2_subtotal,
                 "r3_comparable_subtotal": r3_subtotal,
                 "graph_family_subtotal": graph_subtotal,
+                # same family timed under ONE pre-materialized edge
+                # cache (edge build excluded from every timing) — the
+                # production-session cost; per-query map included so
+                # the A/B is committed in the artifact each round.
+                "graph_family_shared_subtotal": round(
+                    sum(shared_timings.values()), 4
+                ),
+                "graph_shared_queries": shared_timings,
             }
         )
     )

@@ -114,10 +114,15 @@ def global_prefix_sums(
     w_off = Window.orderBy("__pid").rowsBetween(
         Window.unboundedPreceding, -1
     )
+    # zero-offset typed as SUM(value_col)'s own result type (LONG for
+    # integral, DECIMAL for decimal, DOUBLE for floating) — a literal
+    # 0.0 here silently widened integer/decimal running sums to DOUBLE
+    # and would lose exactness past 2^53 on an exact-integer cumsum
+    zero_off = F.lit(0).cast(counts.schema["__sum"].dataType)
     offsets = counts.select(
         "__pid",
         F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__coff"),
-        F.coalesce(F.sum("__sum").over(w_off), F.lit(0.0)).alias("__soff"),
+        F.coalesce(F.sum("__sum").over(w_off), zero_off).alias("__soff"),
     )
     return (
         local.join(F.broadcast(offsets), "__pid")

@@ -115,7 +115,14 @@ def global_window_count(df: DataFrame) -> int:
         elif (
             len(groups) == 2
             and (" ASC" in groups[1] or " DESC" in groups[1])
-            and "__pid#" not in groups[1]
+            # exclusion matches EXACTLY the order spec the rank
+            # machinery emits (Window.orderBy("__pid") over the
+            # #partitions-row counts table) — a substring test would
+            # also silently exempt a data-sized global window ordered
+            # by a user column that merely ends in "__pid"
+            and not re.fullmatch(
+                r"__pid#\d+L? ASC NULLS FIRST", groups[1].strip()
+            )
         ):
             n += 1  # ordered, unpartitioned (and not the rank offsets)
     return n

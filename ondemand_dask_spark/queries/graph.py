@@ -105,6 +105,48 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Bench-only shared edge cache (SPARK_GRAFT_SHARED_EDGES=1): the
+# graph family's five headline queries each rebuild + re-cache the
+# same co-purchase edge list (43% of the r7 headline total was graph,
+# and every query pays the ~1.4 s warm build).  Rebuilding is CORRECT
+# for isolated per-query timing — the driver's correctness runs and
+# the primary bench numbers keep it — but a production session would
+# materialize the edge frame once, so the bench also reports the
+# family under one shared cache (bench.py's graph shared-cache A/B).
+_SHARED_EDGES: dict[str, DataFrame] = {}
+
+
+def _family_edges(
+    spark: SparkSession, sf_dir: str, *, cached_default: bool = True
+) -> DataFrame:
+    """The co-purchase edge frame a graph query starts from.
+
+    Default: freshly built per query; cached + registered with
+    `_retain` when `cached_default` (evicted at the next graph-query
+    entry — the self-contained-timing discipline).  In shared mode
+    the cached frame is memoized per sf_dir, reused across the
+    family, and deliberately NOT registered so per-query eviction
+    leaves it warm; `release_shared_edges()` frees it."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_SHARED_EDGES") == "1":
+        df = _SHARED_EDGES.get(sf_dir)
+        if df is None:
+            df = _edges(spark, sf_dir).cache()
+            df.count()  # materialize once for the whole family
+            _SHARED_EDGES[sf_dir] = df
+        return df
+    e = _edges(spark, sf_dir)
+    return _retain(e.cache()) if cached_default else e
+
+
+def release_shared_edges() -> None:
+    """Free the bench-mode shared edge cache (all sf_dirs)."""
+    for df in _SHARED_EDGES.values():
+        df.unpersist()
+    _SHARED_EDGES.clear()
+
+
 def _sym(edges: DataFrame) -> DataFrame:
     """Symmetrize canonical edges into both directions (u, v)."""
     return edges.select(
@@ -180,7 +222,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ondemand_dask_spark.operators.rank import global_row_numbers
 
     _evict_retained()
-    edges = _retain(_edges(spark, sf_dir).cache())
+    edges = _family_edges(spark, sf_dir)
     sym = _sym(edges)
     deg = sym.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("d"))
     rnk = global_row_numbers(
@@ -320,7 +362,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     numerically in a range where the repo's standard rounding makes
     the cross-engine check exact."""
     _evict_retained()
-    sym = _retain(_sym(_edges(spark, sf_dir)).cache())
+    sym = _retain(_sym(_family_edges(spark, sf_dir, cached_default=False)).cache())
     deg = sym.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("d"))
     # |V| as a 1-row broadcast frame — joins into the plan instead of
     # a driver-side .first() so the query stays a single lazy plan.
@@ -546,7 +588,7 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges leave via an anti join; degrees ride broadcast joins; the
     deterministic top-k lowers to TakeOrderedAndProject."""
     _evict_retained()
-    edges = _retain(_edges(spark, sf_dir).cache())
+    edges = _family_edges(spark, sf_dir)
     sym = _sym(edges)
     deg = sym.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("d"))
     hubs = sym.join(
@@ -743,7 +785,7 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     attach.  Per-community arithmetic is scalar (no float-sum
     reordering), so the differential check is exact at 4 dp."""
     _evict_retained()
-    edges = _retain(_edges(spark, sf_dir).cache())
+    edges = _family_edges(spark, sf_dir)
     lab = load_table(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("node"), F.col("p_brand").alias("com")
     )
@@ -856,7 +898,7 @@ def graph_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     BFS — and deeper horizons switch to the checkpointed-iteration
     pattern used by dedup_connected_components."""
     _evict_retained()
-    edges = _retain(_edges(spark, sf_dir).cache())
+    edges = _family_edges(spark, sf_dir)
     edges.count()  # eager: sym fans the cache into two union legs
     sym = _sym(edges)
     deg = sym.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("d"))
@@ -944,7 +986,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     A/B'd and adds nothing: the broadcast already materializes each
     round exactly once)."""
     _evict_retained()
-    edges = _retain(_edges(spark, sf_dir).cache())
+    edges = _family_edges(spark, sf_dir)
     edges.count()  # eager: sym fans the cache into two union legs
     sym = _sym(edges)
     labels = (
@@ -1010,7 +1052,7 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join, no data-sized shuffle at all beyond the edge build
     shared by the whole graph family."""
     _evict_retained()
-    edges = _retain(_edges(spark, sf_dir).cache())
+    edges = _family_edges(spark, sf_dir)
     edges.count()  # eager: sym fans the cache into two union legs
     sym = _sym(edges)
     deg = sym.groupBy(F.col("u").alias("node")).agg(
@@ -1099,7 +1141,7 @@ def graph_personalized_pagerank(
     orders on the ROUNDED score with a node-id tiebreak, so the cut
     is engine-deterministic."""
     _evict_retained()
-    sym = _retain(_sym(_edges(spark, sf_dir)).cache())
+    sym = _retain(_sym(_family_edges(spark, sf_dir, cached_default=False)).cache())
     deg = sym.groupBy(F.col("u").alias("node")).agg(
         F.count("*").alias("d")
     )

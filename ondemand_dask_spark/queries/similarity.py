@@ -1318,6 +1318,77 @@ _PQ_CTES_SQL = f"""
     )"""
 
 
+def _pq_subspaces(df: DataFrame) -> DataFrame:
+    """Split each embedding into the _PQ_M x _PQ_SUBDIM subvectors —
+    a projection (array slices packed then exploded M ways), never a
+    per-dimension explode of the corpus."""
+    pieces = F.array(*[
+        F.struct(
+            F.lit(m).cast("long").alias("m"),
+            F.slice("embedding", m * _PQ_SUBDIM + 1, _PQ_SUBDIM)
+            .alias("sub"),
+        )
+        for m in range(_PQ_M)
+    ])
+    return df.select("vec_id", F.explode(pieces).alias("s")).select(
+        "vec_id", F.col("s.m").alias("m"), F.col("s.sub").alias("sub")
+    )
+
+
+def _pq_train(e: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The PQ training pipeline shared by the index-build census
+    (embedding_pq_codebook) and the ADC search (ann_pq_adc_topk), so
+    the trained index cannot drift between the two queries (the
+    oracle side already shares _PQ_CTES_SQL).
+
+    Returns (subs, cent, assign): the subspace split of the corpus,
+    the trained per-subspace centroids after one Lloyd refinement
+    from the first-_PQ_K-vector seeds, and the final assignment
+    (vec_id, m, code, dist).  Every join broadcasts the
+    codebook-sized side; each Lloyd round costs one corpus scan plus
+    a (m, code, pos) partial agg of codebook cardinality."""
+    subs = _pq_subspaces(e)
+    seeds = _pq_subspaces(e.filter(F.col("vec_id") < _PQ_K)).select(
+        F.col("vec_id").alias("code"), "m", F.col("sub").alias("csub")
+    )
+    w = Window.partitionBy("vec_id", "m").orderBy(
+        F.round(F.col("dist"), 6), "code"
+    )
+    d1 = subs.join(F.broadcast(seeds), "m").select(
+        "vec_id", "m", "sub", "code",
+        _sqdist(F.col("sub"), F.col("csub")).alias("dist"),
+    )
+    a1 = (
+        d1.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", "sub", "code")
+    )
+    cent = (
+        a1.select("m", "code", F.posexplode("sub").alias("pos", "v"))
+        .withColumn("v", F.col("v").cast("double"))
+        .groupBy("m", "code", "pos")
+        .agg(F.avg("v").alias("mv"))
+        .groupBy("m", "code")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "mv"))),
+                lambda s: s.getField("mv"),
+            ).alias("csub")
+        )
+    )
+    assign = (
+        subs.join(F.broadcast(cent), "m")
+        .select(
+            "vec_id", "m", "code",
+            _sqdist(F.col("sub"), F.col("csub")).alias("dist"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", "code", "dist")
+    )
+    return subs, cent, assign
+
+
 @register(
     "embedding_pq_codebook",
     oracle=f"""
@@ -1353,61 +1424,9 @@ def embedding_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     round to 6 dp, so assignment ties cannot diverge; code ties
     break on the lower code id."""
     e = load_table(spark, sf_dir, "embeddings")
-
-    def subs_of(df: DataFrame) -> DataFrame:
-        pieces = F.array(*[
-            F.struct(
-                F.lit(m).cast("long").alias("m"),
-                F.slice("embedding", m * _PQ_SUBDIM + 1, _PQ_SUBDIM)
-                .alias("sub"),
-            )
-            for m in range(_PQ_M)
-        ])
-        return df.select("vec_id", F.explode(pieces).alias("s")).select(
-            "vec_id", F.col("s.m").alias("m"), F.col("s.sub").alias("sub")
-        )
-
-    subs = subs_of(e)
-    seeds = subs_of(e.filter(F.col("vec_id") < _PQ_K)).select(
-        F.col("vec_id").alias("code"), "m", F.col("sub").alias("csub")
-    )
-    d1 = subs.join(F.broadcast(seeds), "m").select(
-        "vec_id", "m", "sub", "code",
-        _sqdist(F.col("sub"), F.col("csub")).alias("dist"),
-    )
-    w = Window.partitionBy("vec_id", "m").orderBy(
-        F.round(F.col("dist"), 6), "code"
-    )
-    a1 = (
-        d1.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "m", "sub", "code")
-    )
-    flat = a1.select(
-        "m", "code", F.posexplode("sub").alias("pos", "v")
-    ).withColumn("v", F.col("v").cast("double"))
-    cent = (
-        flat.groupBy("m", "code", "pos")
-        .agg(F.avg("v").alias("mv"))
-        .groupBy("m", "code")
-        .agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("pos", "mv"))),
-                lambda s: s.getField("mv"),
-            ).alias("csub")
-        )
-    )
-    d2 = subs.join(F.broadcast(cent), "m").select(
-        "vec_id", "m", "code",
-        _sqdist(F.col("sub"), F.col("csub")).alias("dist"),
-    )
-    a2 = (
-        d2.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "m", "code", "dist")
-    )
+    _subs, _cent, assign = _pq_train(e)
     return (
-        a2.groupBy(F.col("m").alias("subspace"), F.col("code"))
+        assign.groupBy(F.col("m").alias("subspace"), F.col("code"))
         .agg(
             F.count("*").alias("n_members"),
             (F.round(F.avg("dist") - 1e-9, _R) + 0.0).alias("avg_sqdist"),
@@ -1475,59 +1494,8 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     score with candidate-id tiebreak, so the cut is
     engine-deterministic."""
     e = load_table(spark, sf_dir, "embeddings")
-
-    def subs_of(df: DataFrame) -> DataFrame:
-        pieces = F.array(*[
-            F.struct(
-                F.lit(m).cast("long").alias("m"),
-                F.slice("embedding", m * _PQ_SUBDIM + 1, _PQ_SUBDIM)
-                .alias("sub"),
-            )
-            for m in range(_PQ_M)
-        ])
-        return df.select("vec_id", F.explode(pieces).alias("s")).select(
-            "vec_id", F.col("s.m").alias("m"), F.col("s.sub").alias("sub")
-        )
-
-    subs = subs_of(e)
-    seeds = subs_of(e.filter(F.col("vec_id") < _PQ_K)).select(
-        F.col("vec_id").alias("code"), "m", F.col("sub").alias("csub")
-    )
-    w = Window.partitionBy("vec_id", "m").orderBy(
-        F.round(F.col("dist"), 6), "code"
-    )
-    d1 = subs.join(F.broadcast(seeds), "m").select(
-        "vec_id", "m", "sub", "code",
-        _sqdist(F.col("sub"), F.col("csub")).alias("dist"),
-    )
-    a1 = (
-        d1.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "m", "sub", "code")
-    )
-    cent = (
-        a1.select("m", "code", F.posexplode("sub").alias("pos", "v"))
-        .withColumn("v", F.col("v").cast("double"))
-        .groupBy("m", "code", "pos")
-        .agg(F.avg("v").alias("mv"))
-        .groupBy("m", "code")
-        .agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("pos", "mv"))),
-                lambda s: s.getField("mv"),
-            ).alias("csub")
-        )
-    )
-    codes = (
-        subs.join(F.broadcast(cent), "m")
-        .select(
-            "vec_id", "m", "code",
-            _sqdist(F.col("sub"), F.col("csub")).alias("dist"),
-        )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "m", "code")
-    )
+    subs, cent, assign = _pq_train(e)
+    codes = assign.select("vec_id", "m", "code")
     qs = subs.filter(F.col("vec_id") < _ADC_Q).select(
         F.col("vec_id").alias("query_id"), "m",
         F.col("sub").alias("qsub"),

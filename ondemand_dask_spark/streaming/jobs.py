@@ -791,7 +791,8 @@ def stream_chained_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream_hourly_anomaly_alert",
     oracle=f"""
-    WITH hourly AS (
+    WITH mx AS (SELECT max(ts) AS m FROM events),
+    hourly AS (
       SELECT event_type, date_trunc('hour', ts) AS w_start,
              round(sum(value) - 1e-9, 6) + 0.0 AS tot
       FROM events GROUP BY 1, 2
@@ -804,8 +805,10 @@ def stream_chained_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
            round((h.tot - p.mu) / nullif(p.sigma, 0) - 1e-9, {_R}) + 0.0
              AS z_score
     FROM hourly h JOIN profile p ON h.event_type = p.event_type
+    CROSS JOIN mx
     WHERE abs(round((h.tot - p.mu) / nullif(p.sigma, 0) - 1e-9, {_R}))
           > 3.0
+      AND h.w_start + INTERVAL 1 HOUR <= m - INTERVAL 10 MINUTE
     """,
 )
 def stream_hourly_anomaly_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -824,7 +827,14 @@ def stream_hourly_anomaly_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
     alerts are the only rows written.  The oracle recomputes the
     identical hourly totals + profile + threshold in batch SQL;
     totals round to 6 dp before profiling and the alert threshold
-    compares the ROUNDED z on both engines."""
+    compares the ROUNDED z on both engines.
+
+    Append-mode finalization is part of the contract (same clause as
+    stream_chained_windowed_agg): a window emits only once the
+    watermark (max event time − 10 minutes) passes its end, so the
+    oracle requires w_start + 1h <= max(ts) − 10min.  The PROFILE
+    deliberately has no cutoff — it is the batch-side history and
+    includes the partial trailing hour on both engines."""
     import shutil
     import tempfile
 

@@ -109,3 +109,25 @@ def test_prefix_sums_tiny_and_skewed(spark):
     _check_prefix(
         spark, [(rng.choice([7, 7, 7, 9]), i) for i in range(500)]
     )
+
+
+def test_prefix_sums_integer_input_stays_exact_long(spark):
+    """The cross-partition offset must be typed as SUM(value)'s own
+    result type: a DOUBLE zero literal used to widen an exact-integer
+    running sum to DOUBLE, which loses exactness past 2^53.  Values
+    around 2^53 are distinguishable in LONG but collapse in DOUBLE."""
+    from pyspark.sql.types import LongType
+
+    from ondemand_dask_spark.operators.rank import global_prefix_sums
+
+    big = 2**53  # 2^53 and 2^53+1 are the classic double-collapse pair
+    rows = [(i, big + i) for i in range(8)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    out = global_prefix_sums(df, "v", "k")
+    assert isinstance(out.schema["cum"].dataType, LongType)
+    got = {r.k: r.cum for r in out.collect()}
+    want, run = {}, 0
+    for k, v in rows:
+        run += v
+        want[k] = run
+    assert got == want

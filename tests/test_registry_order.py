@@ -21,11 +21,17 @@ def test_showcase_is_exactly_the_first_50():
 def test_showcase_spans_every_query_family():
     qs = all_queries()
     mods = {qs[n].fn.__module__.rsplit(".", 1)[-1] for n in _SHOWCASE}
+    # "skew" left the required set in round 8: its entire registered
+    # surface is driver-green (agg_salted_skew, r7), and the family-
+    # span invariant only forces modules that still carry never-
+    # driver-checked queries — a slot spent re-greening a fully
+    # checked module would cost one query of external coverage
+    # (tools/rotation.py REQUIRED_MODULES carries the same carve-out).
     expected = {
         "tpch", "sources", "relational", "joins", "aggregations",
         "windows", "sets", "scalars", "composed", "udfs", "dedup",
         "similarity", "text", "pipeline", "multimodal", "jobs",
-        "incremental", "encoding", "skew",
+        "incremental", "encoding",
     }
     assert expected <= mods
 
@@ -33,12 +39,15 @@ def test_showcase_spans_every_query_family():
 def test_showcase_mostly_full_oracle():
     qs = all_queries()
     no_oracle = [n for n in _SHOWCASE if qs[n].oracle is None]
-    # stat_freq_items is approximate-by-contract (rows-only), and
-    # dedup_minhash_ml is the declared rows-only ml-library variant
-    # (engine-internal hash seeds; its oracle-checked anchor twin
-    # dedup_minhash_lsh sits in the same window); nothing
-    # else in the showcase should lack a DuckDB oracle.
-    assert set(no_oracle) <= {"stat_freq_items", "dedup_minhash_ml"}, no_oracle
+    # The four rows-only-by-design queries (approximate-by-contract
+    # sketch, ml-library engine-internal seeds, seed-dependent
+    # samplers) are deliberately re-presented in the r8 window now
+    # that each carries a tolerance-twin test
+    # (tests/test_rows_only_twins.py); nothing else in the showcase
+    # should lack a DuckDB oracle.
+    assert set(no_oracle) <= {
+        "stat_freq_items", "dedup_minhash_ml", "sample_seeded", "udf_ewm",
+    }, no_oracle
 
 
 def test_registry_complete_after_showcase_reorder():

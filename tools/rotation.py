@@ -30,28 +30,42 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from ondemand_dask_spark.registry import all_queries  # noqa: E402
 
-ANCHORS = (
-    "tpch_q1", "tpch_q3",
-    "join_inner", "agg_groupby_basic", "agg_groupby_quantile",
-    "window_cumsum", "dedup_minhash_lsh", "pipeline_end_to_end",
+# Round 8 slims the anchor set to the flagship: with 190 of 443
+# queries never driver-checked, every repeat slot costs one query of
+# external coverage, and the former anchors (4 consecutive perfect
+# rounds) are pinned by the identical DuckDB differential in the
+# local suite plus the per-round bench.  entry() runs tpch_q1 every
+# round regardless; keeping it in the window keeps the CORRECTNESS
+# row alongside the smoke check.
+ANCHORS = ("tpch_q1",)
+
+# Rows-only-by-design queries re-presented now that each carries a
+# tolerance-twin test (r7 verdict item 7): a driver rows-only row +
+# the twin is the strongest evidence available for them.
+# stat_freq_items / dedup_minhash_ml are repeats; sample_seeded /
+# udf_ewm have never been driver-checked.
+REPRESENT = (
+    "stat_freq_items", "dedup_minhash_ml", "sample_seeded", "udf_ewm",
 )
 
 # Never-checked queries the verdict explicitly called out — taken
-# first, before the round-robin fill.  Refresh each round from
-# VERDICT.md's "next round" item.
+# first, before the backlog fill.  Refresh each round from
+# VERDICT.md's "next round" item.  r8: close the whole-family gaps —
+# the IVF-PQ pair, sign-bit ANN, label propagation + personalized
+# PageRank + assortativity (all of graph), and all three geo queries.
 PRIORITY = (
-    "ml_eval_regression", "ml_eval_multiclass", "ml_calibration_bins",
-    "ml_eval_logloss", "feature_woe_iv", "layout_zorder_key",
-    "layout_file_skipping_stats", "join_bloom_prefilter",
-    "join_fuzzy_entity_resolution", "graph_bfs_khop",
-    "ts_seasonal_decompose", "ts_seasonal_naive_eval",
-    "ts_changepoint_binary", "stat_cuped_adjustment",
-    "stat_ols_by_group", "stat_fdr_bh", "pipeline_leakage_free_split",
-    "sql_recursive_hierarchy_rollup", "agg_count_min_estimate",
-    "multimodal_image_ahash", "sample_weighted_reservoir",
+    "embedding_pq_codebook", "ann_pq_adc_topk",
+    "embedding_signbit_hamming",
+    "graph_label_propagation", "graph_personalized_pagerank",
+    "graph_assortativity",
+    "geo_cell_knn_join", "geo_density_grid", "geo_pairs_within_radius",
 )
 
-# every module the family-span invariant requires in the window
+# every module the family-span invariant requires in the window —
+# honored only while the module still has never-checked queries
+# (a module whose entire registered surface is already driver-green,
+# e.g. skew after r7, would otherwise burn a coverage slot on a
+# repeat; tests/test_registry_order.py carries the same carve-out)
 REQUIRED_MODULES = {
     "tpch", "sources", "relational", "joins", "aggregations",
     "windows", "sets", "scalars", "composed", "udfs", "dedup",
@@ -93,36 +107,39 @@ def build_window() -> tuple[list[str], set[str], dict[str, str]]:
             picks.append(name)
             chosen_mods.add(mod[name])
 
-    # 1. verdict-named priorities first (only those still unchecked).
+    # 1. rows-only re-presents (unconditional), then verdict-named
+    #    priorities (only those still unchecked).
+    for n in REPRESENT:
+        if n in qs:
+            take(n)
     for n in PRIORITY:
         if n in qs and n not in checked:
             take(n)
 
     # 2. cover required modules missing from the window so far,
-    #    preferring never-checked oracle-carrying queries; fall back
-    #    to any registered query from the module (re-green) if none.
+    #    preferring never-checked oracle-carrying queries.  A module
+    #    with NO never-checked queries left is skipped — re-greening
+    #    an already-driver-checked query would cost a coverage slot.
     for m in sorted(REQUIRED_MODULES - chosen_mods):
         cands = [n for n in never if mod[n] == m and qs[n].oracle]
         cands = cands or [n for n in never if mod[n] == m]
-        cands = cands or [n for n in qs if mod[n] == m and n not in ANCHORS]
         if cands:
             take(cands[0])
 
-    # 3. fill remaining slots round-robin across modules from the
-    #    never-checked pool (oracle-carrying first within each module).
+    # 3. fill remaining slots from the never-checked pool, always
+    #    drawing from the module with the LARGEST remaining backlog
+    #    (oracle-carrying first within each module) — the r7 verdict
+    #    names the big modules (stats/aggregations, windows, scalars)
+    #    as the coverage debt; round-robin gave them 1-2 slots each.
     by_mod: dict[str, list[str]] = {}
     for n in never:
         if n not in picks:
             by_mod.setdefault(mod[n], []).append(n)
     for m in by_mod:
         by_mod[m].sort(key=lambda n: (qs[n].oracle is None, n))
-    order = sorted(by_mod)
-    i = 0
     while len(picks) < WINDOW - len(ANCHORS) and any(by_mod.values()):
-        m = order[i % len(order)]
-        if by_mod[m]:
-            take(by_mod[m].pop(0))
-        i += 1
+        m = max(by_mod, key=lambda k: (len(by_mod[k]), k))
+        take(by_mod[m].pop(0))
 
     window = list(ANCHORS) + picks
     assert len(window) == WINDOW, len(window)
