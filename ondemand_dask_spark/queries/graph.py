@@ -357,7 +357,11 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     converts the |V|-row side to a runtime broadcast, so the
     explicit-broadcast rewrite that won for LPA is a wash here
     (r7 A/B, warm best-of-3 at sf0.1: 6.34 s declarative vs 6.77 s
-    explicit).  Emitted
+    explicit), and LPA's r8 zero-exchange-round rewrite (pre-
+    partitioned cached sym) LOSES here — 4.88 s registered vs
+    5.84 s partitioned (tools/ab_lpa_partitioned.py): one saved
+    exchange per iteration does not repay caching 2|E| pre-
+    partitioned rows up front.  Emitted
     ranks are scaled by |V| (mean exactly 1) — scale-free and
     numerically in a range where the repo's standard rounding makes
     the cross-engine check exact."""
@@ -980,33 +984,55 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     struct(count, -label) — a second hash aggregate, NOT a window,
     so no per-node sort exists anywhere in the round (r7 A/B, one
     warm session best-of-3 at sf0.1: row_number window 11.3 s vs
-    max_by 8.2 s, −28%) — every exchange partitioned on node.  Deeper horizons switch to the
-    checkpointed-iteration pattern used by
+    max_by 8.2 s, −28%).
+
+    ZERO-EXCHANGE ROUNDS (r8): the symmetric edge list is hash-
+    partitioned on u once, cached, and the u→node alias is projected
+    BEFORE each groupBy — HashPartitioning(u) then satisfies the
+    ClusteredDistribution of BOTH per-round aggregates (grouping
+    keys ⊇ partition key), and the broadcast join preserves the
+    streamed side's partitioning, so no round moves data at all.
+    The alias must be a separate Project: an alias INSIDE
+    groupBy(col("u").alias("node")) defeats
+    AliasAwareOutputPartitioning and silently reinstates 2 data-
+    sized exchanges per round.  r8 A/B (tools/ab_lpa_partitioned.py,
+    one warm session, interleaved best-of-3 at sf0.1):
+    10.17 s registered vs 5.28 s partitioned, −48%.  The same
+    rewrite LOSES on graph_pagerank (4.88 → 5.84 s): its rank join
+    is AQE-broadcast against the lazily-derived sym, and one saved
+    exchange per iteration does not repay the upfront
+    repartition+cache of 2|E| rows — LPA repays it 6×.  Deeper
+    horizons switch to the checkpointed-iteration pattern used by
     dedup_connected_components (a per-round localCheckpoint was
     A/B'd and adds nothing: the broadcast already materializes each
     round exactly once)."""
     _evict_retained()
-    edges = _family_edges(spark, sf_dir)
-    edges.count()  # eager: sym fans the cache into two union legs
-    sym = _sym(edges)
+    par = spark.sparkContext.defaultParallelism
+    sym = _retain(
+        _sym(_family_edges(spark, sf_dir, cached_default=False))
+        .repartition(par, "u")
+        .cache()
+    )
+    sym.count()  # materialize once; every round reads the warm cache
     labels = (
         sym.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("lbl", F.col("node"))
     )
     for _ in range(_LPA_ROUNDS):
+        joined = sym.join(
+            F.broadcast(labels.withColumnRenamed("node", "v")), "v"
+        )
         cnt = (
-            sym.join(
-                F.broadcast(labels.withColumnRenamed("node", "v")), "v"
-            )
-            .groupBy(F.col("u").alias("node"), "lbl")
+            joined.select(F.col("u").alias("node"), "lbl")
+            .groupBy("node", "lbl")
             .agg(F.count("*").alias("c"))
         )
         # argmax by (count desc, label asc) as a hash aggregate:
         # max_by over struct(c, -lbl) is deterministic here because
         # (c, lbl) is unique within a node group — no window, no
-        # per-node sort, and the partial agg runs map-side on the
-        # (node, lbl)-partitioned count output.
+        # per-node sort; both aggregates run exchange-free on the
+        # u-partitioned cache.
         labels = cnt.groupBy("node").agg(
             F.max_by("lbl", F.struct(F.col("c"), -F.col("lbl"))).alias(
                 "lbl"
