@@ -1,0 +1,50 @@
+"""Pins for bench.py's drift-normalized regression guard — the
+piece that decides whether a round-over-round slowdown is flagged.
+Two rounds of false flags (r7: 2, r8 preview: 6, every one bisected
+to host drift via tools/ab_isolated.py) bought these rules:
+
+- normalize by the MOST-LENIENT ratio across {cpu, bandwidth} ×
+  {start-of-run, end-of-run} calibration samples (the host swings
+  ±50% intra-hour, so one start sample mis-states later queries);
+- degrade gracefully against artifacts predating each field.
+"""
+
+from __future__ import annotations
+
+import bench
+
+
+def test_no_calibration_in_prior_artifact_means_unit_drift():
+    assert bench.drift_ratio({}, 0.3, 3.0, 0.3, 3.0) == 1.0
+
+
+def test_cpu_only_prior_uses_both_current_cpu_samples():
+    # prior recorded 0.30; current start 0.27 (faster), end 0.39
+    # (slower) -> lenient ratio is 0.39/0.30
+    prev = {"calib_sec": 0.30}
+    got = bench.drift_ratio(prev, 0.27, 3.0, 0.39, 3.0)
+    assert abs(got - 0.39 / 0.30) < 1e-12
+
+
+def test_bandwidth_ratio_wins_when_worse():
+    # cpu flat, bandwidth degraded 3.0 -> 4.5: the sort/shuffle class
+    # r7 falsely flagged is exactly what this axis corrects
+    prev = {"calib_sec": 0.30, "calib_bw_sec": 3.0}
+    got = bench.drift_ratio(prev, 0.30, 4.5, 0.30, 4.2)
+    assert abs(got - 4.5 / 3.0) < 1e-12
+
+
+def test_prior_end_samples_widen_the_denominator():
+    # prior round recorded both a fast (0.30) and a slow (0.40)
+    # window; the lenient ratio divides by the FAST one (max ratio)
+    prev = {"calib_sec": 0.30, "calib_sec_end": 0.40}
+    got = bench.drift_ratio(prev, 0.36, 3.0, 0.36, 3.0)
+    assert abs(got - 0.36 / 0.30) < 1e-12
+
+
+def test_guard_threshold_shape():
+    # the flag condition in main(): t > prev_t * drift * 1.25 —
+    # a +44% raw move under drift 1.30 must NOT flag, under 1.0 must
+    prev_t, t = 1.99, 2.87
+    assert not t > prev_t * 1.30 * 1.25
+    assert t > prev_t * 1.0 * 1.25
