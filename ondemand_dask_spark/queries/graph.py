@@ -900,7 +900,17 @@ def graph_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     2^hops lineage tree.  At 100 TB each superstep is a
     key-partitioned shuffle of the frontier — the canonical Pregel
     BFS — and deeper horizons switch to the checkpointed-iteration
-    pattern used by dedup_connected_components."""
+    pattern used by dedup_connected_components.
+
+    The LPA zero-exchange rewrite was A/B'd here and is a WASH
+    (tools/ab_bfs_partitioned.py, one warm session, interleaved
+    best-of-4 at sf0.1: 5.70 s registered vs 5.48 s with sym
+    repartition(v).cache() + broadcast frontier + broadcast
+    anti-join): unlike LPA's two data-sized aggregates per round,
+    BFS's per-superstep cost is the cached 2|E| scan and the
+    distinct's partial aggregation, and the exchanges the rewrite
+    removes carry only the already-reduced reached set — so the
+    simpler registered form stays."""
     _evict_retained()
     edges = _family_edges(spark, sf_dir)
     edges.count()  # eager: sym fans the cache into two union legs
