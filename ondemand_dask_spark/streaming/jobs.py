@@ -262,7 +262,15 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dedup: `dropDuplicatesWithinWatermark` on event_id —
     state for an id is kept only within the watermark horizon (the
-    scalable at-least-once → exactly-once repair)."""
+    scalable at-least-once → exactly-once repair).
+
+    The global-DISTINCT oracle matches the append stream only while
+    every recurring event_id stays inside the 10-minute horizon —
+    pinned as a fixture contract in
+    tests/test_stream_fixture_assumptions.py (today the fixtures
+    carry zero duplicates; the dedup semantics are exercised with
+    injected duplicates in tests/test_streaming_incremental.py and
+    by stream_union_dual_source's constructed feed overlap)."""
     e = read_events_stream(spark, sf_dir)
     deduped = (
         e.withWatermark("ts", "10 minutes")
@@ -323,7 +331,11 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     of holding both streams forever (the unbounded-state trap).
     Inner-join matches emit as soon as both rows arrive; with the
     finite availableNow replay the result converges to the batch
-    (DuckDB) answer."""
+    (DuckDB) answer.  Exactness rides on the single-file fixture
+    replaying as ONE micro-batch (no mid-replay watermark eviction)
+    — pinned in tests/test_stream_fixture_assumptions.py; multi-
+    batch state handling is exercised separately via chunked dirs in
+    tests/test_streaming_incremental.py."""
     joined = view_purchase_pairs(read_events_stream(spark, sf_dir))
     return run_to_table(spark, joined, "stream_stream_join", "append")
 
