@@ -13,13 +13,19 @@ same candidate-cut discipline as the minhash/simhash families.
 Semantics note: the ring probe bounds the search radius at one cell
 (~1100 km at the 10° grid used here); points whose true nearest
 neighbor lies farther away report no match — the bounded-radius
-nearest-neighbor contract, stated identically on both engines.  No
-longitude wraparound at ±180° (both engines agree, so the
-differential stays exact); a production variant would union a
-shifted copy of the ±170°..180° band.
+nearest-neighbor contract, stated identically on both engines.
+Longitude cells WRAP at ±180° (pmod by the 36-cell circumference on
+both engines), so the ring is geographically contiguous across the
+antimeridian; the distance-predicate join additionally widens its
+lon ring adaptively by latitude (tools/probe_geo_blocking.py caught
+the original fixed 3×3 ring missing qualifying pairs at |lat| ≳ 60°,
+where 10° of longitude is shorter than the 500 km radius — e.g.
+lat 79°, Δlon 23° is 485 km but 2 cells apart).
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -31,6 +37,10 @@ from ondemand_dask_spark.registry import register
 _R = 4
 _CELL_DEG = 10  # grid cell size in degrees
 _EARTH_KM = 6371.0
+_LON_CELLS = 360 // _CELL_DEG  # lon cell circumference (wrap modulus)
+# synthetic coordinates are bounded |lat| < 80 (see _lat_sql); the
+# adaptive ring width clamps its worst-case partner latitude here
+_LAT_MAX = 80.0
 
 # DuckDB twin of portable_hash64 (same md5 top-15-hex construction).
 _HASH_SQL = "CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
@@ -73,6 +83,120 @@ def _haversine_km(
     return 2 * _EARTH_KM * F.asin(F.sqrt(a))
 
 
+def _ring_w_col(cx: Column, radius_km: float) -> Column:
+    """Lon-ring half-width (in cells) for points in lat cell `cx`,
+    sufficient for any partner within `radius_km`: from the haversine
+    bound sin²(Δλ/2)·cosφa·cosφb ≤ sin²(r/2R), with φb bounded by the
+    cell's worse edge and φa by that plus the radius' lat slack (both
+    clamped at the |lat| < {_LAT_MAX} coordinate bound).  Input is the
+    INTEGER lat-cell index, so only 2·{_LAT_MAX}/{_CELL_DEG} distinct
+    values exist and both engines compute identical widths
+    (exhaustively pinned in tests/test_geo_completeness.py)."""
+    slack = math.degrees(radius_km / _EARTH_KM)
+    sin_half = math.sin(radius_km / (2 * _EARTH_KM))
+    lat0 = cx.cast("double") * float(_CELL_DEG)
+    worst_own = F.least(
+        F.greatest(F.abs(lat0), F.abs(lat0 + F.lit(float(_CELL_DEG)))),
+        F.lit(_LAT_MAX),
+    )
+    worst_partner = F.least(worst_own + F.lit(slack), F.lit(_LAT_MAX))
+    ratio = F.least(
+        F.lit(1.0),
+        F.lit(sin_half)
+        / F.sqrt(F.cos(F.radians(worst_own)) * F.cos(F.radians(worst_partner))),
+    )
+    wdeg = F.degrees(2 * F.asin(ratio))
+    return (F.floor(wdeg / _CELL_DEG) + 1).cast("int")
+
+
+def _ring_w_sql(radius_km: float) -> tuple[str, str]:
+    """DuckDB twin of `_ring_w_col` as two CTE column expressions:
+    (worst-own-lat from cx0, width from wlat)."""
+    slack = math.degrees(radius_km / _EARTH_KM)
+    sin_half = math.sin(radius_km / (2 * _EARTH_KM))
+    wlat = (
+        f"least(greatest(abs(cx0 * 10.0), abs(cx0 * 10.0 + 10.0)),"
+        f" {_LAT_MAX!r})"
+    )
+    w = (
+        f"CAST(floor(degrees(2 * asin(least(1.0, {sin_half!r} / "
+        f"sqrt(cos(radians(wlat)) * cos(radians(least(wlat + {slack!r},"
+        f" {_LAT_MAX!r})))))))"
+        f" / {_CELL_DEG}) + 1 AS INT)"
+    )
+    return wlat, w
+
+
+def ring_pair_candidates(
+    pts: DataFrame, radius_km: float, *, broadcast_ring: bool = True
+) -> DataFrame:
+    """Candidate pairs (a_key, b_key, d) from cell+ring blocking over
+    `pts` (key, lat, lon) — COMPLETE for haversine(a, b) ≤ radius_km
+    given |lat| ≤ {_LAT_MAX}: lon cells wrap modulo {_LON_CELLS}
+    (antimeridian-contiguous) and each point replicates into a lon
+    ring whose width follows its lat band (`_ring_w_col`).  `d` is
+    the UNROUNDED haversine; callers round/filter to their contract.
+    Used by geo_pairs_within_radius with a broadcast ring
+    (dimension-sized input) and by tools/probe_geo_blocking.py as a
+    keyed join (the billion-point path — each side shuffles on its
+    cell key, candidates stay ring-density-bounded, never all-pairs).
+    """
+    cx_home = F.floor(F.col("lat") / _CELL_DEG).cast("long")
+    cym_home = F.pmod(
+        F.floor(F.col("lon") / _CELL_DEG).cast("long"), F.lit(_LON_CELLS)
+    )
+    home = pts.select(
+        F.col("key").alias("a_key"),
+        F.col("lat").alias("alat"),
+        F.col("lon").alias("alon"),
+        cx_home.alias("cx"),
+        cym_home.alias("cym"),
+    )
+    ring = (
+        pts.select(
+            F.col("key").alias("b_key"),
+            F.col("lat").alias("blat"),
+            F.col("lon").alias("blon"),
+            cx_home.alias("cx0"),
+            F.floor(F.col("lon") / _CELL_DEG).cast("long").alias("cy0"),
+        )
+        .withColumn("w", _ring_w_col(F.col("cx0"), radius_km))
+        .select(
+            "*", F.explode(F.sequence(F.lit(-1), F.lit(1))).alias("dx")
+        )
+        .select(
+            "b_key",
+            "blat",
+            "blon",
+            (F.col("cx0") + F.col("dx")).alias("cx"),
+            F.explode(
+                F.sequence(-F.col("w").cast("long"), F.col("w").cast("long"))
+            ).alias("dy"),
+            "cy0",
+        )
+        .select(
+            "b_key",
+            "blat",
+            "blon",
+            "cx",
+            F.pmod(F.col("cy0") + F.col("dy"), F.lit(_LON_CELLS)).alias(
+                "cym"
+            ),
+        )
+    )
+    if broadcast_ring:
+        ring = F.broadcast(ring)
+    d = _haversine_km(
+        F.col("alat"), F.col("alon"), F.col("blat"), F.col("blon")
+    )
+    return (
+        home.join(ring, ["cx", "cym"])
+        .filter(F.col("a_key") < F.col("b_key"))
+        .select("a_key", "b_key", d.alias("d"))
+        .distinct()
+    )
+
+
 @register(
     "geo_cell_knn_join",
     oracle=f"""
@@ -88,7 +212,8 @@ def _haversine_km(
     ),
     supp_cells AS (
       SELECT s.*, CAST(floor(s.lat / {_CELL_DEG}) + dx AS BIGINT) AS cx,
-             CAST(floor(s.lon / {_CELL_DEG}) + dy AS BIGINT) AS cy
+             (((CAST(floor(s.lon / {_CELL_DEG}) AS BIGINT) + dy)
+               % {_LON_CELLS}) + {_LON_CELLS}) % {_LON_CELLS} AS cym
       FROM supp s, unnest(generate_series(-1, 1)) t1(dx),
                    unnest(generate_series(-1, 1)) t2(dy)
     ),
@@ -100,7 +225,8 @@ def _haversine_km(
       FROM cust c
       JOIN supp_cells sc
         ON sc.cx = CAST(floor(c.lat / {_CELL_DEG}) AS BIGINT)
-       AND sc.cy = CAST(floor(c.lon / {_CELL_DEG}) AS BIGINT)
+       AND sc.cym = ((CAST(floor(c.lon / {_CELL_DEG}) AS BIGINT)
+                      % {_LON_CELLS}) + {_LON_CELLS}) % {_LON_CELLS}
     ),
     ranked AS (
       SELECT c_custkey, s_suppkey, d,
@@ -116,11 +242,12 @@ def _haversine_km(
 )
 def geo_cell_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-radius nearest-neighbor spatial join: each customer's
-    closest supplier within the 3×3 ring of {_CELL_DEG}° grid cells,
-    with exact haversine refinement — the 'nearest warehouse /
-    branch / driver' query, and the spatial member of this engine's
-    blocking-join family (LSH bands : embeddings :: grid cells :
-    coordinates).
+    closest supplier within the 3×3 ring of {_CELL_DEG}° grid cells
+    (lon cells wrap at ±180°, so the ring is geographically
+    contiguous across the antimeridian), with exact haversine
+    refinement — the 'nearest warehouse / branch / driver' query,
+    and the spatial member of this engine's blocking-join family
+    (LSH bands : embeddings :: grid cells : coordinates).
 
     Scale shape: the dimension side (suppliers) explodes into its 9
     neighbor cells and BROADCASTS (9 × |supp| rows); the probe side
@@ -157,14 +284,18 @@ def geo_cell_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.col("slat") / _CELL_DEG) + F.col("o.dx"))
         .cast("long")
         .alias("cx"),
-        (F.floor(F.col("slon") / _CELL_DEG) + F.col("o.dy"))
-        .cast("long")
-        .alias("cy"),
+        F.pmod(
+            F.floor(F.col("slon") / _CELL_DEG).cast("long") + F.col("o.dy"),
+            F.lit(_LON_CELLS),
+        ).alias("cym"),
     )
     probe = cust.select(
         "*",
         F.floor(F.col("lat") / _CELL_DEG).cast("long").alias("cx"),
-        F.floor(F.col("lon") / _CELL_DEG).cast("long").alias("cy"),
+        F.pmod(
+            F.floor(F.col("lon") / _CELL_DEG).cast("long"),
+            F.lit(_LON_CELLS),
+        ).alias("cym"),
     )
     d = (
         F.round(
@@ -176,7 +307,7 @@ def geo_cell_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         + 0.0
     )
-    cand = probe.join(F.broadcast(supp_cells), ["cx", "cy"]).select(
+    cand = probe.join(F.broadcast(supp_cells), ["cx", "cym"]).select(
         "c_custkey", "s_suppkey", d.alias("d")
     )
     return cand.groupBy("c_custkey").agg(
@@ -193,6 +324,9 @@ def geo_cell_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PAIR_RADIUS_KM = 500.0
 
 
+_WLAT_SQL, _W_SQL = _ring_w_sql(_PAIR_RADIUS_KM)
+
+
 @register(
     "geo_pairs_within_radius",
     oracle=f"""
@@ -201,15 +335,26 @@ _PAIR_RADIUS_KM = 500.0
              {_lon_sql('s_suppkey')} AS lon
       FROM supplier
     ),
+    wl AS (
+      SELECT s.*, CAST(floor(s.lat / {_CELL_DEG}) AS BIGINT) AS cx0,
+             CAST(floor(s.lon / {_CELL_DEG}) AS BIGINT) AS cy0
+      FROM supp s
+    ),
+    wband AS (
+      SELECT *, {_W_SQL} AS w
+      FROM (SELECT wl.*, {_WLAT_SQL} AS wlat FROM wl)
+    ),
     cells AS (
-      SELECT s.*, CAST(floor(s.lat / {_CELL_DEG}) + dx AS BIGINT) AS cx,
-             CAST(floor(s.lon / {_CELL_DEG}) + dy AS BIGINT) AS cy
-      FROM supp s, unnest(generate_series(-1, 1)) t1(dx),
-                   unnest(generate_series(-1, 1)) t2(dy)
+      SELECT b.s_suppkey, b.lat, b.lon, b.cx0 + dx AS cx,
+             (((b.cy0 + dy) % {_LON_CELLS}) + {_LON_CELLS})
+               % {_LON_CELLS} AS cym
+      FROM wband b, unnest(generate_series(-1, 1)) t1(dx),
+                    unnest(generate_series(-b.w, b.w)) t2(dy)
     ),
     home AS (
       SELECT s.*, CAST(floor(s.lat / {_CELL_DEG}) AS BIGINT) AS cx,
-             CAST(floor(s.lon / {_CELL_DEG}) AS BIGINT) AS cy
+             ((CAST(floor(s.lon / {_CELL_DEG}) AS BIGINT)
+               % {_LON_CELLS}) + {_LON_CELLS}) % {_LON_CELLS} AS cym
       FROM supp s
     ),
     pairs AS (
@@ -218,7 +363,7 @@ _PAIR_RADIUS_KM = 500.0
                  lat1='h.lat', lon1='h.lon',
                  lat2='c.lat', lon2='c.lon')} - 1e-9, {_R}) + 0.0 AS d
       FROM home h
-      JOIN cells c ON c.cx = h.cx AND c.cy = h.cy
+      JOIN cells c ON c.cx = h.cx AND c.cym = h.cym
                   AND h.s_suppkey < c.s_suppkey
     )
     SELECT a, b, d AS distance_km
@@ -228,68 +373,38 @@ _PAIR_RADIUS_KM = 500.0
 def geo_pairs_within_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All supplier pairs within {_PAIR_RADIUS_KM} km — the spatial
     self-join behind consolidation ('which warehouses could merge'),
-    coverage-overlap, and co-location audits.  Same cell+ring
-    blocking as geo_cell_knn_join turned on itself: each point joins
-    only candidates in its 3×3 ring (cell {_CELL_DEG}° ≫ the radius,
-    so no qualifying pair can escape the ring), the canonical a < b
-    ordering dedups the symmetric pair, and exact haversine refines.
+    coverage-overlap, and co-location audits.  Cell+ring blocking
+    via `ring_pair_candidates`: lon cells wrap at ±180° and the lon
+    ring widens with the lat band, so NO qualifying pair can escape
+    the ring anywhere on the sphere (the original fixed 3×3 ring
+    missed high-latitude pairs — e.g. lat 79°, Δlon 23° is 485 km
+    but 2 cells apart — caught by tools/probe_geo_blocking.py's
+    brute-force completeness pin and now exhaustively tested in
+    tests/test_geo_completeness.py).  The canonical a < b ordering
+    dedups the symmetric pair; exact haversine refines.
 
     Scale shape: candidates are ring-density-bounded (the all-pairs
-    join this replaces is O(n²)); the DISTINCT collapses the ≤ 9
-    duplicate cell-coincidences of each pair before the radius
-    filter.  Distances compare rounded, same as the knn twin."""
+    join this replaces is O(n²)); the DISTINCT collapses each pair's
+    duplicate cell-coincidences before the radius filter; ring
+    replication is 3×(2w+1) per point (9 rows below 56° lat, 21 at
+    the 80° coordinate bound).  The registered form broadcasts the
+    dimension-sized ring; the probe runs the same helper as a keyed
+    join — the billion-point path.  Distances compare rounded, same
+    as the knn twin."""
     supp = load_table(spark, sf_dir, "supplier").select(
-        "s_suppkey",
+        F.col("s_suppkey").alias("key"),
         _lat_col(F.col("s_suppkey")).alias("lat"),
         _lon_col(F.col("s_suppkey")).alias("lon"),
     )
-    offsets = F.explode(
-        F.expr(
-            "flatten(transform(sequence(-1, 1), dx ->"
-            " transform(sequence(-1, 1), dy -> struct(dx, dy))))"
+    cand = ring_pair_candidates(supp, _PAIR_RADIUS_KM)
+    d = F.round(F.col("d") - 1e-9, _R) + 0.0
+    return (
+        cand.select(
+            F.col("a_key").alias("a"),
+            F.col("b_key").alias("b"),
+            d.alias("distance_km"),
         )
-    ).alias("o")
-    cells = supp.select("*", offsets).select(
-        F.col("s_suppkey").alias("b_key"),
-        F.col("lat").alias("blat"),
-        F.col("lon").alias("blon"),
-        (F.floor(F.col("lat") / _CELL_DEG) + F.col("o.dx"))
-        .cast("long")
-        .alias("cx"),
-        (F.floor(F.col("lon") / _CELL_DEG) + F.col("o.dy"))
-        .cast("long")
-        .alias("cy"),
-    )
-    home = supp.select(
-        F.col("s_suppkey").alias("a_key"),
-        F.col("lat").alias("alat"),
-        F.col("lon").alias("alon"),
-        F.floor(F.col("lat") / _CELL_DEG).cast("long").alias("cx"),
-        F.floor(F.col("lon") / _CELL_DEG).cast("long").alias("cy"),
-    )
-    d = (
-        F.round(
-            _haversine_km(
-                F.col("alat"), F.col("alon"), F.col("blat"), F.col("blon")
-            )
-            - 1e-9,
-            _R,
-        )
-        + 0.0
-    )
-    pairs = (
-        home.join(
-            F.broadcast(cells),
-            ["cx", "cy"],
-        )
-        .filter(F.col("a_key") < F.col("b_key"))
-        .select(
-            F.col("a_key").alias("a"), F.col("b_key").alias("b"), d.alias("d")
-        )
-        .distinct()
-    )
-    return pairs.filter(F.col("d") <= _PAIR_RADIUS_KM).select(
-        "a", "b", F.col("d").alias("distance_km")
+        .filter(F.col("distance_km") <= _PAIR_RADIUS_KM)
     )
 
 
