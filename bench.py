@@ -122,6 +122,11 @@ HEADLINE = [
     "embedding_pq_codebook",
     "events_attribution_multi_touch",
     "text_keyphrase_rake",
+    # round-8 widening: the geo blocking pair (ring replication grew
+    # an adaptive width + modular wrap this round — the two shapes
+    # whose cost profile changed; both pure-JVM codegen).
+    "geo_pairs_within_radius",
+    "geo_cell_knn_join",
 ]
 
 # Best-of-3: this round's probes showed the host's load floor moving
