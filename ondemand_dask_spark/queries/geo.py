@@ -428,17 +428,24 @@ def geo_pairs_within_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT cx, cy, n_points, centroid_lat, centroid_lon,
            round(n_points / total - 1e-9, {_R}) + 0.0 AS share
     FROM cells, t
-    WHERE n_points >= 30
+    WHERE n_points >= greatest(3.0, total * 0.002)
     """,
 )
 def geo_density_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spatial density heatmap: customer count, centroid, and share
-    per {_CELL_DEG}° grid cell, reporting the dense cells (≥ 30
-    points) — the aggregation behind coverage maps, demand
-    heatmaps, and the cell-occupancy statistics that SIZE the
-    blocking grid the knn/radius joins use (a cell at 100× the mean
-    density is where their candidate bound degrades — this is the
-    advisor that would trigger a finer grid).
+    per {_CELL_DEG}° grid cell, reporting the dense cells — the
+    aggregation behind coverage maps, demand heatmaps, and the
+    cell-occupancy statistics that SIZE the blocking grid the
+    knn/radius joins use (a cell at 100× the mean density is where
+    their candidate bound degrades — this is the advisor that would
+    trigger a finer grid).
+
+    The dense-cell threshold is SCALE-RELATIVE — max(3, 0.2% of all
+    points) — so the report is non-degenerate at every fixture scale
+    (the original fixed ≥ 30 produced an EMPTY frame below sf0.1,
+    which made the driver's hash check at sf0.01 a comparison of two
+    empty results — green but evidentially vacuous; at sf0.1 the
+    0.2% rule reproduces the old ≥ 30 exactly).
 
     Scale shape: ONE partial-agg shuffle to |occupied cells| rows
     (≤ 648 at this grid), then a 1-row total attached by broadcast.
@@ -458,7 +465,10 @@ def geo_density_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = cells.agg(F.sum("n_points").cast("double").alias("total"))
     return (
         cells.crossJoin(F.broadcast(t))
-        .filter(F.col("n_points") >= 30)
+        .filter(
+            F.col("n_points")
+            >= F.greatest(F.lit(3.0), F.col("total") * 0.002)
+        )
         .select(
             "cx",
             "cy",
