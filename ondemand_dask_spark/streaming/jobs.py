@@ -417,7 +417,7 @@ def stream_running_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT event_type, count(*) AS n,
            round(sum(value) - 1e-9, {_R}) + 0.0 AS total_value
-    FROM events WHERE value > 500 GROUP BY event_type
+    FROM events WHERE value > 100 GROUP BY event_type
     """,
 )
 def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -425,7 +425,11 @@ def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet sink dir with exactly-once-per-batch semantics (batch_id
     available for idempotent writes).  The query then reads the sink
     back and aggregates — oracle-matching proves the sink round-trip,
-    not just that the stream ran."""
+    not just that the stream ran.  The value > 100 filter passes
+    136 / 1.3k / 13k rows at sf0.001/0.01/0.1 (the original > 500
+    matched ZERO events below sf0.1, so the r7 driver green was an
+    empty-vs-empty hash — the sink round-trip never moved a row at
+    the driver's correctness scale)."""
     import shutil
     import tempfile
 
@@ -440,7 +444,7 @@ def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(sink, ignore_errors=True)
     shutil.rmtree(sink + "_chk", ignore_errors=True)
 
-    e = read_events_stream(spark, sf_dir).filter(F.col("value") > 500)
+    e = read_events_stream(spark, sf_dir).filter(F.col("value") > 100)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         (
