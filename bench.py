@@ -157,7 +157,19 @@ R2_COMPARABLE = [
 # the final noop write, r4+ times from plan construction, so r3-era
 # numbers for ITERATIVE queries (dedup_connected_components,
 # stream_tumbling_agg) are not comparable even within this pin.
-R3_COMPARABLE = [n for n in HEADLINE if not n.startswith("graph_")]
+# r8 re-pin: this used to be derived as "HEADLINE minus graph_*",
+# which silently absorbed every later round's non-graph additions —
+# the exact set-and-total-move-together failure the pin exists to
+# prevent (r4–r7 artifacts carry the inflated value; recompute any
+# cross-round subset from the per-query timings those artifacts
+# include).  Now explicit: R2 set + the 10 round-3 additions.
+R3_COMPARABLE = R2_COMPARABLE + [
+    "pipeline_end_to_end", "pipeline_pack_sequences",
+    "dedup_ngram_jaccard", "dedup_connected_components",
+    "dedup_simhash", "stream_tumbling_agg",
+    "embedding_centroid_distance", "kmeans_lloyd",
+    "text_quality_score", "agg_rollup",
+]
 
 # The graph family is reported as its own subtotal: each graph query
 # deliberately rebuilds + re-caches the co-purchase edge set at entry
@@ -202,6 +214,15 @@ def drift_ratio(
             *(c / p for c in (calib_bw, calib_bw_end) for p in prev_bw),
         )
     return drift
+
+
+def is_regression(prev_sec: float, now_sec: float, drift: float) -> bool:
+    """The guard's flag condition: >25% slower than the prior round
+    AFTER drift normalization; sub-0.5 s queries are exempt (noise
+    floor — session-to-session jitter on this host exceeds 25% at
+    that magnitude).  Extracted so tests exercise the REAL condition
+    (tests/test_bench_guard.py), not a re-derivation of it."""
+    return prev_sec > 0.5 and now_sec > prev_sec * drift * 1.25
 
 
 def _sf_from_dir(sf_dir: str) -> float:
@@ -456,12 +477,13 @@ def main() -> None:
                 if drift != 1.0:
                     print(
                         f"calibration drift vs {prev_files[-1]}: "
-                        f"x{drift:.2f} (worse of cpu/bandwidth)",
+                        f"x{drift:.2f} (most lenient of cpu/bandwidth"
+                        f" x start/end samples)",
                         file=sys.stderr,
                     )
                 flagged = []
                 for n, t in timings.items():
-                    if n in pq and pq[n] > 0.5 and t > pq[n] * drift * 1.25:
+                    if n in pq and is_regression(pq[n], t, drift):
                         flagged.append((n, pq[n], t))
                 for n, was, now in sorted(
                     flagged, key=lambda x: x[2] - x[1], reverse=True

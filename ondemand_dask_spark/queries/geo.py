@@ -115,7 +115,8 @@ def _ring_w_sql(radius_km: float) -> tuple[str, str]:
     slack = math.degrees(radius_km / _EARTH_KM)
     sin_half = math.sin(radius_km / (2 * _EARTH_KM))
     wlat = (
-        f"least(greatest(abs(cx0 * 10.0), abs(cx0 * 10.0 + 10.0)),"
+        f"least(greatest(abs(cx0 * {float(_CELL_DEG)!r}),"
+        f" abs(cx0 * {float(_CELL_DEG)!r} + {float(_CELL_DEG)!r})),"
         f" {_LAT_MAX!r})"
     )
     w = (
@@ -140,7 +141,17 @@ def ring_pair_candidates(
     (dimension-sized input) and by tools/probe_geo_blocking.py as a
     keyed join (the billion-point path — each side shuffles on its
     cell key, candidates stay ring-density-bounded, never all-pairs).
-    """
+
+    Precondition: the LAT ring is fixed at ±1 cell, so the radius
+    must fit inside one lat cell — asserted, since a larger radius
+    would silently drop pairs more than one lat cell apart (the lon
+    ring widens adaptively; the lat ring does not need to while this
+    holds)."""
+    assert radius_km <= _EARTH_KM * math.radians(_CELL_DEG), (
+        f"radius {radius_km} km exceeds one {_CELL_DEG}-degree lat "
+        f"cell ({_EARTH_KM * math.radians(_CELL_DEG):.0f} km) — the "
+        f"fixed +/-1 lat ring would miss qualifying pairs"
+    )
     cx_home = F.floor(F.col("lat") / _CELL_DEG).cast("long")
     cym_home = F.pmod(
         F.floor(F.col("lon") / _CELL_DEG).cast("long"), F.lit(_LON_CELLS)

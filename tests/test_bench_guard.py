@@ -42,9 +42,10 @@ def test_prior_end_samples_widen_the_denominator():
     assert abs(got - 0.36 / 0.30) < 1e-12
 
 
-def test_guard_threshold_shape():
-    # the flag condition in main(): t > prev_t * drift * 1.25 —
-    # a +44% raw move under drift 1.30 must NOT flag, under 1.0 must
-    prev_t, t = 1.99, 2.87
-    assert not t > prev_t * 1.30 * 1.25
-    assert t > prev_t * 1.0 * 1.25
+def test_flag_condition():
+    # the REAL condition (bench.is_regression): a +44% raw move under
+    # drift 1.30 must NOT flag, under drift 1.0 it must; sub-0.5 s
+    # prior values are exempt regardless
+    assert not bench.is_regression(1.99, 2.87, 1.30)
+    assert bench.is_regression(1.99, 2.87, 1.0)
+    assert not bench.is_regression(0.4, 2.0, 1.0)

@@ -32,7 +32,12 @@ def test_query(name, spark, duck, sf_dir):
     sdf = q.fn(spark, sf_dir)
     spark_pdf = sdf.toPandas()
     assert len(spark_pdf.columns) > 0
-    if name not in EMPTY_OK_AT_SF0001:
+    # the sparsity whitelist argues sf0.001 specifically — at larger
+    # SFs those queries are non-empty too, so exempt nothing there
+    exempt = name in EMPTY_OK_AT_SF0001 and sf_dir.rstrip("/").endswith(
+        "sf0.001"
+    )
+    if not exempt:
         assert spark_pdf.shape[0] > 0, (
             f"{name} returned an empty frame — the differential is "
             f"vacuously green; widen the query's selectivity at small "

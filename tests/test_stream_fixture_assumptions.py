@@ -18,15 +18,21 @@ import os
 import duckdb
 import pytest
 
-SF_DIRS = [
+from tests.conftest import SF_DIR
+
+# every standard fixture dir PLUS whatever the suite actually runs
+# against (SPARK_GRAFT_TEST_SF_DIR can point elsewhere — the guards
+# must cover that dir or they pin nothing for the live differential)
+SF_DIRS = sorted(
     d
-    for d in (
+    for d in {
         "/root/testdata/sf0.001",
         "/root/testdata/sf0.01",
         "/root/testdata/sf0.1",
-    )
+        SF_DIR,
+    }
     if os.path.exists(os.path.join(d, "events.parquet"))
-]
+)
 
 
 @pytest.mark.parametrize("sf_dir", SF_DIRS)

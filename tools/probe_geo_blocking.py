@@ -7,7 +7,9 @@ The registered query broadcasts the ring table because its input
 each point shuffles to its home cell, ring replicas to their cells,
 hash-partitioned, never all-pairs.  This probe synthesizes N
 deterministic points (md5-style hash-derived lat/lon, CLUSTERED 80/20
-into 8 dense "cities" so cell skew is realistic) and reports:
+into 256 dense "cities" on a 16×16 world grid so cell skew is
+realistic while the intrinsic within-city pair count stays bounded
+— see _points) and reports:
 
   - total possible pairs (n²/2 — what a naive spatial self-join scans)
   - ring candidate pairs (the blocking's actual join volume)
