@@ -96,7 +96,7 @@ def connected_components_star(
     prev = _checksum(cur_edges)
     rounds = 0
     converged = False
-    for _ in range(max_rounds):
+    while rounds < max_rounds:
         # `contractions_per_checkpoint` rounds per checkpoint+
         # checksum: each round is cheap declarative work (2 aggs +
         # 2 joins) but every checkpoint materialization and checksum
@@ -111,14 +111,20 @@ def connected_components_star(
         # default stays 1 (finest convergence granularity).  The knob
         # remains for deep-chain topologies where checkpoint count
         # scales with diameter (see tools/probe_star_cc.py).
+        # never run past the max_rounds CONTRACTION budget: the knob
+        # batches checkpoints, it must not multiply the bound
+        batch = min(contractions_per_checkpoint, max_rounds - rounds)
         new_edges = cur_edges
-        for _ in range(contractions_per_checkpoint):
+        for _ in range(batch):
             new_edges = _small_star(_large_star(new_edges))
         new_edges = new_edges.localCheckpoint()
         cur = _checksum(new_edges)
         release_local_checkpoint(cur_edges)
         cur_edges = new_edges
-        rounds += contractions_per_checkpoint
+        # rounds counts EXECUTED contractions; with batch > 1 up to
+        # batch-1 of the last batch may be past-fixpoint no-ops (we
+        # only checksum at batch ends — the documented trade)
+        rounds += batch
         if cur == prev:
             converged = True
             break
@@ -127,8 +133,9 @@ def connected_components_star(
         stats["rounds"] = rounds
     if not converged:
         raise RuntimeError(
-            f"star contraction did not converge in {max_rounds} rounds "
-            "(rounds needed grow ~log2(n); raise max_rounds)"
+            f"star contraction did not converge within {max_rounds} "
+            "contractions (rounds needed grow ~log2(n); raise "
+            "max_rounds)"
         )
     labels = cur_edges.select(
         F.col("a").alias("node"), F.col("b").alias("cluster_id")

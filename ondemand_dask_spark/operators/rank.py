@@ -53,24 +53,24 @@ def global_row_numbers(
     linger until GC, which measurably taxes the NEXT query in a
     bench session."""
     ranged = df.repartitionByRange(*keys).sortWithinPartitions(*keys)
-    with_pid = ranged.withColumn("__pid", F.spark_partition_id())
-    w_local = Window.partitionBy("__pid").orderBy(*keys)
+    with_pid = ranged.withColumn("__ods_pid", F.spark_partition_id())
+    w_local = Window.partitionBy("__ods_pid").orderBy(*keys)
     local = with_pid.withColumn("__rn", F.row_number().over(w_local))
     local = local.localCheckpoint(eager=False)
     if retain is not None:
         retain(local)
-    counts = local.groupBy("__pid").agg(F.count("*").alias("__cnt"))
-    w_off = Window.orderBy("__pid").rowsBetween(
+    counts = local.groupBy("__ods_pid").agg(F.count("*").alias("__cnt"))
+    w_off = Window.orderBy("__ods_pid").rowsBetween(
         Window.unboundedPreceding, -1
     )
     offsets = counts.select(
-        "__pid",
+        "__ods_pid",
         F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
     )
     return (
-        local.join(F.broadcast(offsets), "__pid")
+        local.join(F.broadcast(offsets), "__ods_pid")
         .withColumn(col_name, F.col("__off") + F.col("__rn"))
-        .drop("__pid", "__rn", "__off")
+        .drop("__ods_pid", "__rn", "__off")
     )
 
 
@@ -97,8 +97,8 @@ def global_prefix_sums(
     performs; callers needing cross-engine float determinism should
     round the addends first, as with any distributed sum."""
     ranged = df.repartitionByRange(*keys).sortWithinPartitions(*keys)
-    with_pid = ranged.withColumn("__pid", F.spark_partition_id())
-    w_local = Window.partitionBy("__pid").orderBy(*keys)
+    with_pid = ranged.withColumn("__ods_pid", F.spark_partition_id())
+    w_local = Window.partitionBy("__ods_pid").orderBy(*keys)
     w_run = w_local.rowsBetween(Window.unboundedPreceding, 0)
     local = with_pid.withColumn(
         "__rn", F.row_number().over(w_local)
@@ -108,10 +108,10 @@ def global_prefix_sums(
     local = local.localCheckpoint(eager=False)
     if retain is not None:
         retain(local)
-    counts = local.groupBy("__pid").agg(
+    counts = local.groupBy("__ods_pid").agg(
         F.count("*").alias("__cnt"), F.sum(value_col).alias("__sum")
     )
-    w_off = Window.orderBy("__pid").rowsBetween(
+    w_off = Window.orderBy("__ods_pid").rowsBetween(
         Window.unboundedPreceding, -1
     )
     # zero-offset typed as SUM(value_col)'s own result type (LONG for
@@ -120,15 +120,15 @@ def global_prefix_sums(
     # and would lose exactness past 2^53 on an exact-integer cumsum
     zero_off = F.lit(0).cast(counts.schema["__sum"].dataType)
     offsets = counts.select(
-        "__pid",
+        "__ods_pid",
         F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__coff"),
         F.coalesce(F.sum("__sum").over(w_off), zero_off).alias("__soff"),
     )
     return (
-        local.join(F.broadcast(offsets), "__pid")
+        local.join(F.broadcast(offsets), "__ods_pid")
         .withColumn(pos_col, F.col("__coff") + F.col("__rn"))
         .withColumn(cum_col, F.col("__soff") + F.col("__cs"))
-        .drop("__pid", "__rn", "__cs", "__coff", "__soff")
+        .drop("__ods_pid", "__rn", "__cs", "__coff", "__soff")
     )
 
 
@@ -185,9 +185,9 @@ def global_prefix_min(
     ~tens of millions of rows locally — 46.3 s vs 61.5 s at 50M —
     and the single-task form cannot run at all at cluster scale)."""
     ranged = df.repartitionByRange(*keys).sortWithinPartitions(*keys)
-    with_pid = ranged.withColumn("__pid", F.spark_partition_id())
+    with_pid = ranged.withColumn("__ods_pid", F.spark_partition_id())
     w_strict = (
-        Window.partitionBy("__pid")
+        Window.partitionBy("__ods_pid")
         .orderBy(*keys)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
@@ -199,15 +199,15 @@ def global_prefix_min(
     local = local.localCheckpoint(eager=False)
     if retain is not None:
         retain(local)
-    mins = local.groupBy("__pid").agg(F.min(value_col).alias("__pm"))
-    w_off = Window.orderBy("__pid").rowsBetween(
+    mins = local.groupBy("__ods_pid").agg(F.min(value_col).alias("__pm"))
+    w_off = Window.orderBy("__ods_pid").rowsBetween(
         Window.unboundedPreceding, -1
     )
     offsets = mins.select(
-        "__pid", F.min("__pm").over(w_off).alias("__off")
+        "__ods_pid", F.min("__pm").over(w_off).alias("__off")
     )
     return (
-        local.join(F.broadcast(offsets), "__pid")
+        local.join(F.broadcast(offsets), "__ods_pid")
         .withColumn(col_name, F.least("__lm", "__off"))
-        .drop("__pid", "__lm", "__off")
+        .drop("__ods_pid", "__lm", "__off")
     )

@@ -93,10 +93,14 @@ def global_window_count(df: DataFrame) -> int:
     Window node's Arguments line has three top-level groups
     `[funcs], [partitionSpec], [orderSpec]` when partitioned and two
     when not.  The two-phase rank machinery's offsets window
-    (`operators/rank.py`: ORDER BY the synthetic __pid — exactly
+    (`operators/rank.py`: ORDER BY the synthetic __ods_pid — exactly
     #partitions rows by construction) is excluded: it is the
     bounded-by-construction core of the SCALE-SAFE alternative, not
-    a collapse.
+    a collapse.  The synthetic column is NAMESPACED (engine prefix)
+    precisely so no user column can collide with the exemption — a
+    query ordering a data-sized global window by its own column
+    named __ods_pid would be exempted, so the name is reserved to
+    the rank operators by convention (review finding, r8).
 
     Discriminating the two-group case: a formatted Arguments line has
     `[funcs], [partitionSpec], [orderSpec]` when both are present,
@@ -116,12 +120,12 @@ def global_window_count(df: DataFrame) -> int:
             len(groups) == 2
             and (" ASC" in groups[1] or " DESC" in groups[1])
             # exclusion matches EXACTLY the order spec the rank
-            # machinery emits (Window.orderBy("__pid") over the
+            # machinery emits (Window.orderBy("__ods_pid") over the
             # #partitions-row counts table) — a substring test would
             # also silently exempt a data-sized global window ordered
-            # by a user column that merely ends in "__pid"
+            # by a user column that merely ends in the same suffix
             and not re.fullmatch(
-                r"__pid#\d+L? ASC NULLS FIRST", groups[1].strip()
+                r"__ods_pid#\d+L? ASC NULLS FIRST", groups[1].strip()
             )
         ):
             n += 1  # ordered, unpartitioned (and not the rank offsets)

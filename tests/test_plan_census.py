@@ -85,7 +85,7 @@ BNLJ_OK = {
 
 # Unpartitioned ordered windows over provably BOUNDED inputs.  The
 # detector (plans.global_window_count) already excludes the rank
-# machinery's #partitions-row __pid offsets window; everything else
+# machinery's #partitions-row __ods_pid offsets window; everything else
 # must be named here with its boundedness argument.
 GWIN_OK = {
     "agg_mode",  # per-value counts table (value vocabulary)

@@ -9,10 +9,13 @@ Usage: python tools/ab_minhash.py [sf_dir] [rounds]
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 from ondemand_dask_spark.queries import dedup  # noqa: E402
 from ondemand_dask_spark.session import build_session  # noqa: E402

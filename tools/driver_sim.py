@@ -9,10 +9,13 @@ Usage: python tools/driver_sim.py [sf_dir] [--names q1,q2,...]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 import duckdb  # noqa: E402
 from pyspark.sql import SparkSession  # noqa: E402

@@ -14,9 +14,12 @@ Usage: python tools/schema_sweep.py [sf_dir]
 
 from __future__ import annotations
 
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 from pyspark.sql import SparkSession, types as T  # noqa: E402
 
