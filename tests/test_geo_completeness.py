@@ -122,3 +122,68 @@ def test_scattered_cloud_matches_brute_force(spark):
     }
     assert blocked == brute
     assert len(brute) > 0  # the check is vacuous on an empty answer
+
+
+# ---- pure-math property: the ring bound itself ----------------------
+
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_R_EARTH = 6371.0
+_CELL = 10
+_LON_CELLS = 36
+_LAT_MAX = 80.0
+_RADIUS = 500.0
+
+
+def _hav(lat1, lon1, lat2, lon2):
+    dphi = math.radians(lat2 - lat1) / 2
+    dlmb = math.radians(lon2 - lon1) / 2
+    a = math.sin(dphi) ** 2 + math.cos(math.radians(lat1)) * math.cos(
+        math.radians(lat2)
+    ) * math.sin(dlmb) ** 2
+    return 2 * _R_EARTH * math.asin(math.sqrt(min(1.0, a)))
+
+
+def _w(cx):
+    """Python twin of _ring_w_col's formula (same operations)."""
+    slack = math.degrees(_RADIUS / _R_EARTH)
+    sin_half = math.sin(_RADIUS / (2 * _R_EARTH))
+    lat0 = cx * float(_CELL)
+    worst_own = min(max(abs(lat0), abs(lat0 + _CELL)), _LAT_MAX)
+    worst_partner = min(worst_own + slack, _LAT_MAX)
+    ratio = min(
+        1.0,
+        sin_half
+        / math.sqrt(
+            math.cos(math.radians(worst_own))
+            * math.cos(math.radians(worst_partner))
+        ),
+    )
+    return int(math.floor(math.degrees(2 * math.asin(ratio)) / _CELL) + 1)
+
+
+@settings(max_examples=2000, deadline=None)
+@given(
+    lat_a=st.floats(-79.999, 79.999),
+    lat_b=st.floats(-79.999, 79.999),
+    lon_a=st.floats(-180.0, 179.999),
+    lon_b=st.floats(-180.0, 179.999),
+)
+def test_ring_bound_property(lat_a, lat_b, lon_a, lon_b):
+    """For ANY pair within the radius (hypothesis explores the whole
+    coordinate domain, including the antimeridian and the |lat| → 80
+    regime that broke the original ring): the lat cells differ by at
+    most 1, and the MODULAR lon-cell distance is within the replica
+    width computed from b's lat cell — i.e. a's home cell is one of
+    b's ring replicas, so the join finds the pair."""
+    if _hav(lat_a, lon_a, lat_b, lon_b) > _RADIUS:
+        return
+    cxa, cxb = math.floor(lat_a / _CELL), math.floor(lat_b / _CELL)
+    assert abs(cxa - cxb) <= 1
+    cya = math.floor(lon_a / _CELL) % _LON_CELLS
+    cyb = math.floor(lon_b / _CELL) % _LON_CELLS
+    dy = min((cya - cyb) % _LON_CELLS, (cyb - cya) % _LON_CELLS)
+    assert dy <= _w(cxb), (lat_a, lon_a, lat_b, lon_b, dy, _w(cxb))
