@@ -1,0 +1,102 @@
+"""Known-answer tests for shared-formula statistics.
+
+The DuckDB differential is BLIND to a formula that is wrong the same
+way on both engines (the r8 geo ring bug was exactly that class for
+blocking).  These tests run the registered queries on tiny
+CONSTRUCTED fixtures whose answers are computed by an independent
+algorithm — exact integer combinatorics via math.comb, not the
+engines' lgamma/Stirling ln-factorial path — so a transcription or
+derivation error in the shared formula fails here even though the
+differential stays green.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import pandas as pd
+
+from ondemand_dask_spark.registry import all_queries
+
+
+def _mini_documents(tmp_path, rows):
+    """Write a minimal documents.parquet carrying only the columns the
+    stats queries read (lang, source)."""
+    sf_dir = os.path.join(str(tmp_path), "mini")
+    os.makedirs(sf_dir, exist_ok=True)
+    pdf = pd.DataFrame(rows, columns=["doc_id", "lang", "source"])
+    pdf.to_parquet(os.path.join(sf_dir, "documents.parquet"))
+    return sf_dir
+
+
+def _hypergeom_pmf(n, r1, c1, k):
+    """P(X = k) for the 2x2 margin (exact integer combinatorics)."""
+    return math.comb(r1, k) * math.comb(n - r1, c1 - k) / math.comb(n, c1)
+
+
+def test_fisher_exact_matches_exact_combinatorics(spark, tmp_path):
+    """The classic lady-tasting-tea table (n=8, both margins 4,
+    observed a=3), built so the query's (lang='de') x (src<=10)
+    derivation produces it exactly:
+
+        p_point     = C(4,3)*C(4,1)/C(8,4) = 16/70
+        p_one_sided = (16 + 1)/70          = 17/70
+        p_two_sided = 2*(16 + 1)/70        = 34/70 (symmetric margins)
+
+    computed here from math.comb — integer-exact, no lgamma anywhere.
+    """
+    # margins: r1 = 4 'de' docs, c1 = 4 low-source docs, a = 3 overlap
+    rows = [
+        (1, "de", "src1"),   # de & low
+        (2, "de", "src2"),   # de & low
+        (3, "de", "src3"),   # de & low
+        (4, "de", "src11"),  # de & high
+        (5, "en", "src4"),   # en & low
+        (6, "en", "src12"),  # en & high
+        (7, "en", "src13"),  # en & high
+        (8, "en", "src14"),  # en & high
+    ]
+    sf_dir = _mini_documents(tmp_path, rows)
+    got = (
+        all_queries()["stat_fisher_exact"].fn(spark, sf_dir).toPandas().iloc[0]
+    )
+    assert (got["n_total"], got["n_treat"], got["n_exposed"], got["n_both"]) \
+        == (8, 4, 4, 3)
+    pmf = [_hypergeom_pmf(8, 4, 4, k) for k in range(0, 5)]
+    assert abs(sum(pmf) - 1.0) < 1e-12  # sanity on the independent side
+    want_point = pmf[3]
+    want_one = pmf[3] + pmf[4]
+    want_two = sum(p for p in pmf if p <= pmf[3] * (1 + 1e-7))
+    assert abs(got["p_point"] - round(want_point - 1e-9, 4)) < 1e-9
+    assert abs(got["p_one_sided"] - round(want_one - 1e-9, 4)) < 1e-9
+    assert abs(got["p_two_sided"] - round(want_two - 1e-9, 4)) < 1e-9
+
+
+def test_fisher_exact_extreme_table(spark, tmp_path):
+    """Perfect association (a = min margin): one-sided p equals the
+    point probability — the tail is a single table — and both equal
+    C(n-r1, c1-r1)... computed independently below.  Catches
+    off-by-one in the k-summation bounds that symmetric tables hide.
+    """
+    # n=10, r1=3 de (all low), c1=5 low
+    rows = [(i, "de", f"src{i}") for i in range(1, 4)] + [
+        (4, "en", "src4"),
+        (5, "en", "src5"),
+        (6, "en", "src11"),
+        (7, "en", "src12"),
+        (8, "en", "src13"),
+        (9, "en", "src14"),
+        (10, "en", "src15"),
+    ]
+    sf_dir = _mini_documents(tmp_path, rows)
+    got = (
+        all_queries()["stat_fisher_exact"].fn(spark, sf_dir).toPandas().iloc[0]
+    )
+    assert (got["n_total"], got["n_treat"], got["n_exposed"], got["n_both"]) \
+        == (10, 3, 5, 3)
+    pmf = {k: _hypergeom_pmf(10, 3, 5, k) for k in range(0, 4)}
+    assert abs(got["p_point"] - round(pmf[3] - 1e-9, 4)) < 1e-9
+    assert abs(got["p_one_sided"] - round(pmf[3] - 1e-9, 4)) < 1e-9
+    want_two = sum(p for p in pmf.values() if p <= pmf[3] * (1 + 1e-7))
+    assert abs(got["p_two_sided"] - round(want_two - 1e-9, 4)) < 1e-9
