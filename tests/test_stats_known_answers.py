@@ -100,3 +100,43 @@ def test_fisher_exact_extreme_table(spark, tmp_path):
     assert abs(got["p_one_sided"] - round(pmf[3] - 1e-9, 4)) < 1e-9
     want_two = sum(p for p in pmf.values() if p <= pmf[3] * (1 + 1e-7))
     assert abs(got["p_two_sided"] - round(want_two - 1e-9, 4)) < 1e-9
+
+
+def test_auc_matches_exact_pair_counting(spark, tmp_path):
+    """ml_eval_binary computes AUC count-side via the Mann-Whitney U
+    identity (no global rank).  Independent check: AUC IS the
+    concordance probability, so count (pos, neg) pairs directly —
+    wins + half-ties over nP*nN — on a constructed score set with
+    deliberate cross-class ties and a tie ON the threshold.
+    """
+    import datetime
+
+    pos = [90.0, 80.0, 50.0, 35.0]   # 35.0 ties the threshold (<= t)
+    neg = [70.0, 50.0, 20.0]         # 50.0 ties a positive
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    for i, v in enumerate(pos):
+        rows.append((i, t0, 1, v, "purchase"))
+    for i, v in enumerate(neg):
+        rows.append((100 + i, t0, 2, v, "view"))
+    sf_dir = os.path.join(str(tmp_path), "mini")
+    os.makedirs(sf_dir, exist_ok=True)
+    pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "value", "event_type"]
+    ).to_parquet(os.path.join(sf_dir, "events.parquet"))
+
+    got = all_queries()["ml_eval_binary"].fn(spark, sf_dir).toPandas().iloc[0]
+
+    wins = sum(1 for p in pos for n in neg if p > n)
+    ties = sum(1 for p in pos for n in neg if p == n)
+    want_auc = (wins + 0.5 * ties) / (len(pos) * len(neg))
+    assert abs(got["auc"] - round(want_auc - 1e-9, 4)) < 1e-9
+    # confusion at t=35: score must be STRICTLY above to predict 1
+    tp = sum(1 for p in pos if p > 35.0)       # 3 (the 35.0 is a FN)
+    fp = sum(1 for n in neg if n > 35.0)       # 2
+    fn = len(pos) - tp                         # 1
+    assert abs(got["precision_at_t"] - round(tp / (tp + fp) - 1e-9, 4)) < 1e-9
+    assert abs(got["recall_at_t"] - round(tp / (tp + fn) - 1e-9, 4)) < 1e-9
+    assert abs(
+        got["f1_at_t"] - round(2 * tp / (2 * tp + fp + fn) - 1e-9, 4)
+    ) < 1e-9
