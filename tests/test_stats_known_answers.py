@@ -16,6 +16,7 @@ import math
 import os
 
 import pandas as pd
+from pyspark.sql import functions as F
 
 from ondemand_dask_spark.registry import all_queries
 
@@ -140,3 +141,34 @@ def test_auc_matches_exact_pair_counting(spark, tmp_path):
     assert abs(
         got["f1_at_t"] - round(2 * tp / (2 * tp + fp + fn) - 1e-9, 4)
     ) < 1e-9
+
+
+def test_ks_statistic_matches_literal_ecdf(spark, sf_dir):
+    """stat_ks_two_sample folds the KS statistic into count-side
+    windows over the distinct-value table; this recomputes it the
+    textbook way — two explicit ECDFs evaluated at every pooled
+    sample point — in pure Python on the same fixture (the
+    stat_mann_whitney literal-recompute pattern)."""
+    from ondemand_dask_spark.io import load_table
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "view"))
+        .select("event_type", F.round("value", 3).alias("v"))
+        .collect()
+    )
+    a = sorted(r["v"] for r in e if r["event_type"] == "purchase")
+    b = sorted(r["v"] for r in e if r["event_type"] == "view")
+
+    import bisect
+
+    def ecdf(sorted_vals, x):
+        return bisect.bisect_right(sorted_vals, x) / len(sorted_vals)
+
+    want = max(
+        abs(ecdf(a, x) - ecdf(b, x)) for x in set(a) | set(b)
+    )
+    got = (
+        all_queries()["stat_ks_two_sample"].fn(spark, sf_dir).first()["ks_stat"]
+    )
+    assert abs(got - round(want - 1e-9, 4)) < 1e-9
