@@ -172,3 +172,47 @@ def test_ks_statistic_matches_literal_ecdf(spark, sf_dir):
         all_queries()["stat_ks_two_sample"].fn(spark, sf_dir).first()["ks_stat"]
     )
     assert abs(got - round(want - 1e-9, 4)) < 1e-9
+
+
+def test_kruskal_wallis_matches_literal_midranks(spark, sf_dir):
+    """stat_kruskal_wallis folds H from per-distinct-value counts;
+    this recomputes it the textbook way — pooled sort, per-element
+    midranks, per-group rank sums, H = 12/(N(N+1))·Σ R²/n − 3(N+1)
+    with the Σ(t³−t) tie correction — in pure Python on the same
+    fixture."""
+    from collections import Counter, defaultdict
+
+    from ondemand_dask_spark.io import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", F.round("value", 3).alias("v"))
+        .collect()
+    )
+    by_group = defaultdict(list)
+    for r in rows:
+        by_group[r["event_type"]].append(r["v"])
+    pooled = sorted(v for vs in by_group.values() for v in vs)
+    # midrank of each distinct value = average of its 1-based ranks
+    midrank = {}
+    i = 0
+    while i < len(pooled):
+        j = i
+        while j < len(pooled) and pooled[j] == pooled[i]:
+            j += 1
+        midrank[pooled[i]] = (i + 1 + j) / 2.0
+        i = j
+    n = float(len(pooled))
+    s = sum(
+        (sum(midrank[v] for v in vs)) ** 2 / len(vs)
+        for vs in by_group.values()
+    )
+    h = 12.0 / (n * (n + 1)) * s - 3.0 * (n + 1)
+    tie = sum(t**3 - t for t in Counter(pooled).values())
+    h_corr = h / (1.0 - tie / (n**3 - n))
+
+    got = all_queries()["stat_kruskal_wallis"].fn(spark, sf_dir).first()
+    assert got["n_groups"] == len(by_group)
+    assert got["n"] == int(n)
+    assert abs(got["h_stat"] - round(h - 1e-9, 4)) < 2e-4
+    assert abs(got["h_tie_corrected"] - round(h_corr - 1e-9, 4)) < 2e-4
