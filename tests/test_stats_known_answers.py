@@ -216,3 +216,37 @@ def test_kruskal_wallis_matches_literal_midranks(spark, sf_dir):
     assert got["n"] == int(n)
     assert abs(got["h_stat"] - round(h - 1e-9, 4)) < 2e-4
     assert abs(got["h_tie_corrected"] - round(h_corr - 1e-9, 4)) < 2e-4
+
+
+def test_spearman_matches_literal_min_ranks(spark, sf_dir):
+    """stat_spearman_corr ranks via the distributed two-pass
+    global_min_ranks; this recomputes Spearman the textbook way —
+    min-rank (rank() semantics: 1 + #strictly smaller) per variable,
+    then Pearson on the rank pairs — in pure Python."""
+    from bisect import bisect_left
+
+    from ondemand_dask_spark.io import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_totalprice", "o_orderdate")
+        .collect()
+    )
+    xs = [float(r["o_totalprice"]) for r in rows]
+    ys = [r["o_orderdate"] for r in rows]
+
+    def min_ranks(vals):
+        srt = sorted(vals)
+        return [bisect_left(srt, v) + 1 for v in vals]
+
+    rx, ry = min_ranks(xs), min_ranks(ys)
+    n = len(rx)
+    mx, my = sum(rx) / n, sum(ry) / n
+    cov = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+    vx = sum((a - mx) ** 2 for a in rx)
+    vy = sum((b - my) ** 2 for b in ry)
+    want = cov / (vx**0.5 * vy**0.5)
+
+    got = all_queries()["stat_spearman_corr"].fn(spark, sf_dir).first()
+    assert got["n"] == n
+    assert abs(got["spearman"] - round(want - 1e-9, 4)) < 2e-4
