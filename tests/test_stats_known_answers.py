@@ -250,3 +250,51 @@ def test_spearman_matches_literal_min_ranks(spark, sf_dir):
     got = all_queries()["stat_spearman_corr"].fn(spark, sf_dir).first()
     assert got["n"] == n
     assert abs(got["spearman"] - round(want - 1e-9, 4)) < 2e-4
+
+
+def test_weighted_median_matches_literal_accumulation(spark, sf_dir):
+    """agg_weighted_median finds the lower weighted median via
+    window-accumulated weights; this recomputes it literally —
+    sort each group by (value, orderkey, linenumber), walk the
+    running weight to half the total — in pure Python."""
+    from collections import defaultdict
+
+    from ondemand_dask_spark.io import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_returnflag", "l_extendedprice", "l_quantity",
+            "l_orderkey", "l_linenumber",
+        )
+        .collect()
+    )
+    groups = defaultdict(list)
+    for r in rows:
+        groups[r["l_returnflag"]].append(
+            (
+                float(r["l_extendedprice"]),
+                int(r["l_orderkey"]),
+                int(r["l_linenumber"]),
+                float(r["l_quantity"]),
+            )
+        )
+    want = {}
+    for g, items in groups.items():
+        items.sort()
+        tw = sum(w for *_, w in items)
+        cw = 0.0
+        for v, _ok, _ln, w in items:
+            cw += w
+            if cw >= tw / 2.0:
+                want[g] = (round(v - 1e-9, 4), round(tw - 1e-9, 4))
+                break
+
+    got = {
+        r["l_returnflag"]: (r["weighted_median"], r["total_weight"])
+        for r in all_queries()["agg_weighted_median"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for g in want:
+        assert abs(got[g][0] - want[g][0]) < 1e-6, g
+        assert abs(got[g][1] - want[g][1]) < 1e-6, g
