@@ -187,3 +187,22 @@ def test_ring_bound_property(lat_a, lat_b, lon_a, lon_b):
     cyb = math.floor(lon_b / _CELL) % _LON_CELLS
     dy = min((cya - cyb) % _LON_CELLS, (cyb - cya) % _LON_CELLS)
     assert dy <= _w(cxb), (lat_a, lon_a, lat_b, lon_b, dy, _w(cxb))
+
+
+def test_sparsity_whitelisted_query_is_nonempty_at_driver_sf(spark):
+    """geo_pairs_within_radius is whitelisted as legitimately empty
+    at sf0.001 (tests/test_oracle.py EMPTY_OK_AT_SF0001) on the
+    argument that it IS non-empty at the driver's correctness scale —
+    check that argument instead of asserting it."""
+    import os
+
+    sf_dir = "/root/testdata/sf0.01"
+    if not os.path.exists(os.path.join(sf_dir, "supplier.parquet")):
+        pytest.skip("driver-scale fixture not present")
+    from ondemand_dask_spark.registry import all_queries
+
+    n = all_queries()["geo_pairs_within_radius"].fn(spark, sf_dir).count()
+    assert n > 0, (
+        "the sparsity whitelist's justification no longer holds — the "
+        "driver's sf0.01 check would be an empty-vs-empty hash"
+    )
