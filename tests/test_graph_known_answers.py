@@ -78,3 +78,42 @@ def test_pagerank_uniform_on_regular_components(spark, tmp_path):
     assert set(got) == {1, 2, 3, 4, 21, 22, 23, 31, 32}
     for node, rank in got.items():
         assert abs(rank - 1.0) < 1e-9, (node, rank)
+
+
+def test_kcore_keeps_exactly_the_clique(spark, tmp_path):
+    """k-core at k=3 on K4 ∪ K3 ∪ path: K3's nodes have degree 2 and
+    peel away, the path peels, and ONLY K4 survives — each surviving
+    node with core degree 3."""
+    sf_dir = _mini_lineitem(
+        tmp_path,
+        [[1, 2, 3, 4], [21, 22], [22, 23], [21, 23], [31, 32], [32, 33]],
+    )
+    got = {
+        int(r["part_id"]): int(r["core_degree"])
+        for r in all_queries()["graph_kcore"].fn(spark, sf_dir).collect()
+    }
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_label_propagation_hand_simulated(spark, tmp_path):
+    """3 synchronous LPA rounds hand-simulated on K4, K3, and a
+    2-node component.  K4/K3 settle on the component min by round 2;
+    the K2 OSCILLATES under synchronous updates (the classic
+    bipartite flip), landing swapped after the odd round count —
+    pinning that the engine runs true synchronous rounds rather than
+    converging early or updating in-place."""
+    sf_dir = _mini_lineitem(
+        tmp_path,
+        [[1, 2, 3, 4], [21, 22], [22, 23], [21, 23], [31, 32]],
+    )
+    got = {
+        int(r["part_id"]): int(r["label"])
+        for r in all_queries()["graph_label_propagation"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        21: 21, 22: 21, 23: 21,
+        31: 32, 32: 31,  # swapped after 3 (odd) synchronous rounds
+    }
