@@ -117,3 +117,20 @@ def test_label_propagation_hand_simulated(spark, tmp_path):
         21: 21, 22: 21, 23: 21,
         31: 32, 32: 31,  # swapped after 3 (odd) synchronous rounds
     }
+
+
+def test_bfs_reach_histogram_hand_computed(spark, tmp_path):
+    """K5 (parts 1-5) with a chain 5-6-7-8-9: the top-5 hubs by
+    (degree desc, node asc) are exactly the clique (node 5 has
+    degree 5, nodes 1-4 degree 4, chain nodes ≤ 2), so the 3-hop
+    multi-source BFS reaches 6/7/8 at hops 1/2/3 and never reaches
+    9 — histogram {0:5, 1:1, 2:1, 3:1}."""
+    sf_dir = _mini_lineitem(
+        tmp_path,
+        [[1, 2, 3, 4, 5], [5, 6], [6, 7], [7, 8], [8, 9]],
+    )
+    got = {
+        int(r["dist"]): int(r["n_nodes"])
+        for r in all_queries()["graph_bfs_khop"].fn(spark, sf_dir).collect()
+    }
+    assert got == {0: 5, 1: 1, 2: 1, 3: 1}
