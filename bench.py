@@ -220,9 +220,15 @@ def is_regression(prev_sec: float, now_sec: float, drift: float) -> bool:
     """The guard's flag condition: >25% slower than the prior round
     AFTER drift normalization; sub-0.5 s queries are exempt (noise
     floor — session-to-session jitter on this host exceeds 25% at
-    that magnitude).  Extracted so tests exercise the REAL condition
-    (tests/test_bench_guard.py), not a re-derivation of it."""
-    return prev_sec > 0.5 and now_sec > prev_sec * drift * 1.25
+    that magnitude).  The drift ratio only ever LOOSENS the
+    threshold (clamped at 1.0): when both calibration samples land
+    in a fast window (drift ≈ 0.7 measured late-r8), an unclamped
+    ratio drops the threshold below the prior time itself and flags
+    queries that got FASTER raw — on a host oscillating ±50%
+    intra-hour, a query that did not slow down in absolute terms is
+    never a regression worth bisecting.  Extracted so tests exercise
+    the REAL condition (tests/test_bench_guard.py)."""
+    return prev_sec > 0.5 and now_sec > prev_sec * max(drift, 1.0) * 1.25
 
 
 def _sf_from_dir(sf_dir: str) -> float:

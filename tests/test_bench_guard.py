@@ -49,3 +49,12 @@ def test_flag_condition():
     assert not bench.is_regression(1.99, 2.87, 1.30)
     assert bench.is_regression(1.99, 2.87, 1.0)
     assert not bench.is_regression(0.4, 2.0, 1.0)
+
+
+def test_fast_host_window_never_flags_raw_improvements():
+    # late-r8 incident: both calib samples landed in a fast window
+    # (drift 0.7), the unclamped threshold fell below the prior time,
+    # and queries 2-3% FASTER raw were flagged. Drift only loosens.
+    assert not bench.is_regression(4.49, 4.34, 0.7)   # faster raw
+    assert not bench.is_regression(4.49, 5.0, 0.7)    # +11% raw
+    assert bench.is_regression(4.49, 6.0, 0.7)        # +34% raw: real
