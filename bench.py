@@ -348,6 +348,15 @@ def main() -> None:
     # ratios.  False-flag history: r7 flagged 2, r8 preview flagged
     # 6; every isolated re-measure attributed to host drift, zero
     # code regressions found.
+    #
+    # The full same-day envelope (three exclusive sf0.1 runs,
+    # late r8): headline totals 50.5 / 54.3 / 58.8 s (±8%) with
+    # per-query swings to ±60% — e.g. kmeans_lloyd timed 0.92 then
+    # 1.09 in-bench while its isolated best-of-5 the same day was
+    # 0.859 on a calib-0.395 (35%-slow) host ≈ drift-adjusted r7
+    # parity; window_ewm_bounded 0.86/0.96/1.27 with its clean
+    # isolated number pinned back in r7.  Read any single-run flag
+    # on this host against that envelope before bisecting.
     def calibrate() -> float:
         t0 = time.perf_counter()
         spark.range(1_000_000_000).selectExpr(
