@@ -930,7 +930,15 @@ def orders_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_HIER_DOUBLING_ROUNDS = 4  # resolves ancestor chains up to 2^4 = 16 deep
+# Resolves ancestor chains up to 2^5 = 32 deep.  The synthetic tree's
+# depth is log4(partkey), and log4(int64 max) ≈ 31.5 < 32, so NO
+# representable key can out-run the unroll — at 4 rounds (depth 16,
+# keys ≤ 4^16 ≈ 4.3e9) a 100 TB-scale catalog's deeper nodes would
+# silently roll up to a NON-ROOT "top" ancestor; the fifth round
+# (one more |V|-row self-join) removes that cliff for any int64 key.
+# Pinned by a constructed depth-17 chain in
+# tests/test_graph_known_answers.py.
+_HIER_DOUBLING_ROUNDS = 5
 
 
 @register(
@@ -959,9 +967,10 @@ def sql_recursive_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFram
     pointer doubling squares the jump distance each round
     (anc ← anc's anc, roots self-looped so the fixpoint is stable),
     resolving depth-d chains in ceil(log2 d) self-joins —
-    {_HIER_DOUBLING_ROUNDS} unrolled rounds cover depth 16, and each
-    added round doubles reach, so 100 TB catalog depths cost one or
-    two more joins, not thousands of supersteps.  Every round is one
+    {_HIER_DOUBLING_ROUNDS} unrolled rounds cover depth 32, which
+    exceeds log4(int64 max) ≈ 31.5, so no representable partkey can
+    out-run the unroll (a depth-17 constructed chain is pinned in
+    tests/test_graph_known_answers.py; at 4 rounds it mis-rooted).  Every round is one
     equi-join of the |V|-row pointer table with itself
     (key-partitioned shuffle); the final rollup is a 3-row groupBy.
     The oracle climbs the same tree one level per recursive step —

@@ -134,3 +134,35 @@ def test_bfs_reach_histogram_hand_computed(spark, tmp_path):
         for r in all_queries()["graph_bfs_khop"].fn(spark, sf_dir).collect()
     }
     assert got == {0: 5, 1: 1, 2: 1, 3: 1}
+
+
+def test_hierarchy_rollup_resolves_beyond_depth_16(spark, tmp_path):
+    """sql_recursive_hierarchy_rollup's synthetic tree has depth
+    log4(partkey); the unroll must cover ANY int64 key.  A
+    constructed part at 4^17 sits 17 levels below root 1 — at the
+    old 4 doubling rounds (depth 16) it silently rolled up to a
+    NON-root ancestor; 5 rounds (depth 32 > log4(int64 max)) resolve
+    it.  Also checks an sf-style shallow key and a root."""
+    import pandas as pd
+
+    # the full ancestor chain 4^1..4^17 must exist as parts (the
+    # doubling join climbs through existing nodes — dense keys in
+    # the real fixture guarantee that; construct it here), plus a
+    # root and one shallow key
+    keys = [1, 7] + [4**i for i in range(1, 18)]
+    sf_dir = os.path.join(str(tmp_path), "mini")
+    os.makedirs(sf_dir, exist_ok=True)
+    pd.DataFrame(
+        {"p_partkey": keys, "p_retailprice": [1.0] * len(keys)}
+    ).to_parquet(os.path.join(sf_dir, "part.parquet"))
+
+    got = {
+        int(r["top_ancestor"]): (int(r["n_parts"]), float(r["total_retail"]))
+        for r in all_queries()["sql_recursive_hierarchy_rollup"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    # everything climbs to root 1 (7 // 4 = 1; 4^i chains down to 4^1
+    # whose parent is 1); 4^17 is 17 levels deep — beyond the old
+    # 4-round (depth-16) unroll, which mis-rooted it at 4^1
+    assert got == {1: (len(keys), float(len(keys)))}
