@@ -930,15 +930,29 @@ def orders_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Resolves ancestor chains up to 2^5 = 32 deep.  The synthetic tree's
-# depth is log4(partkey), and log4(int64 max) ≈ 31.5 < 32, so NO
-# representable key can out-run the unroll — at 4 rounds (depth 16,
-# keys ≤ 4^16 ≈ 4.3e9) a 100 TB-scale catalog's deeper nodes would
-# silently roll up to a NON-ROOT "top" ancestor; the fifth round
-# (one more |V|-row self-join) removes that cliff for any int64 key.
-# Pinned by a constructed depth-17 chain in
-# tests/test_graph_known_answers.py.
-_HIER_DOUBLING_ROUNDS = 5
+def _hier_doubling_rounds(max_key: int) -> int:
+    """Pointer-doubling rounds needed to resolve every ancestor chain
+    in the synthetic tree (parent = key // 4, roots 1-3) up to
+    `max_key`.  Depth of key k is the number of //4 steps to reach a
+    root; R rounds cover chains of length 2^R (roots self-loop, so
+    over-covering is harmless but each extra round is one more
+    |V|-row self-join).  The r8 fix hard-coded 5 rounds (depth 32 >
+    log4(int64 max) ≈ 31.5) to kill a depth cliff — correct for any
+    int64 key but provably wasteful at every benched SF (max partkey
+    at sf0.1 ⇒ depth 7 ⇒ 3 rounds; 2 of the 5 joins were no-ops and
+    cost +52% in BENCH_r08).  Deriving R from one upfront
+    max(p_partkey) scalar (parquet footer stats — no data scan)
+    reclaims that cost WITHOUT reopening the cliff: the depth-17
+    constructed chain in tests/test_graph_known_answers.py now
+    exercises this path and still needs (and gets) 5 rounds."""
+    depth, k = 0, max(int(max_key), 1)
+    while k > 3:
+        k //= 4
+        depth += 1
+    rounds = 0
+    while (1 << rounds) < max(depth, 1):
+        rounds += 1
+    return rounds
 
 
 @register(
@@ -966,17 +980,22 @@ def sql_recursive_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFram
     recursive CTE.  A naive climb joins parent pointers depth times;
     pointer doubling squares the jump distance each round
     (anc ← anc's anc, roots self-looped so the fixpoint is stable),
-    resolving depth-d chains in ceil(log2 d) self-joins —
-    {_HIER_DOUBLING_ROUNDS} unrolled rounds cover depth 32, which
-    exceeds log4(int64 max) ≈ 31.5, so no representable partkey can
-    out-run the unroll (a depth-17 constructed chain is pinned in
-    tests/test_graph_known_answers.py; at 4 rounds it mis-rooted).  Every round is one
+    resolving depth-d chains in ceil(log2 d) self-joins.  The round
+    count is METADATA-DRIVEN: one upfront max(p_partkey) scalar
+    (answered from parquet footer stats, no data scan) ⇒
+    ceil(log2(depth(max_key))) rounds — 3 at every benched SF, 5 for
+    any int64 key, so the depth cliff the r8 fix closed stays closed
+    (a depth-17 constructed chain is pinned in
+    tests/test_graph_known_answers.py; at 4 rounds it mis-rooted)
+    while the 2 provably-no-op self-joins the fixed unroll paid at
+    benched SFs (+52% in BENCH_r08) are gone.  Every round is one
     equi-join of the |V|-row pointer table with itself
     (key-partitioned shuffle); the final rollup is a 3-row groupBy.
     The oracle climbs the same tree one level per recursive step —
     identical fixpoint, opposite physical strategy (the point of the
     differential check)."""
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    max_key = p.agg(F.max("p_partkey")).first()[0] or 1
     ptr = p.select(
         F.col("p_partkey").alias("node"),
         F.when(
@@ -986,7 +1005,7 @@ def sql_recursive_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFram
         .cast("long")
         .alias("anc"),
     )
-    for _ in range(_HIER_DOUBLING_ROUNDS):
+    for _ in range(_hier_doubling_rounds(max_key)):
         a, b = ptr.alias("a"), ptr.alias("b")
         ptr = a.join(b, F.col("a.anc") == F.col("b.node")).select(
             F.col("a.node").alias("node"), F.col("b.anc").alias("anc")

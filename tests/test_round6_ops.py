@@ -6,23 +6,48 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 
-def test_pointer_doubling_resolves_depth_16_chain(spark):
-    """sql_recursive_hierarchy_rollup unrolls 4 doubling rounds =
-    ancestor chains up to 2^4 = 16 deep.  Drive the SAME doubling
-    logic over a synthetic parent chain of depth exactly 16 and
-    assert every node resolves to the root — the bound is the
-    contract, and this fails loudly if someone lowers the round
-    count without widening the docstring."""
-    from ondemand_dask_spark.queries.composed import _HIER_DOUBLING_ROUNDS
+def test_hier_doubling_rounds_boundaries():
+    """The metadata-driven round count must cover the tree depth of
+    any key it is asked about: R rounds resolve chains ≤ 2^R, and
+    depth(k) is the number of //4 steps to a root ≤ 3.  Pin the exact
+    boundaries (4^16 is the last key 4 rounds cover; 4^17 was the r8
+    cliff; int64 max needs exactly 5) and the derivation itself
+    against a brute-force climb."""
+    from ondemand_dask_spark.queries.composed import _hier_doubling_rounds
 
-    depth = 2 ** _HIER_DOUBLING_ROUNDS
+    def brute_depth(k: int) -> int:
+        d = 0
+        while k > 3:
+            k //= 4
+            d += 1
+        return d
+
+    for k in [1, 3, 4, 7, 16, 20_000, 4**16, 4**16 + 1, 4**17,
+              2**63 - 1]:
+        r = _hier_doubling_rounds(k)
+        assert 2**r >= max(brute_depth(k), 1), (k, r)
+        # and never over-pays by a full doubling round
+        assert r == 0 or 2 ** (r - 1) < max(brute_depth(k), 1), (k, r)
+    assert _hier_doubling_rounds(4**16) == 4
+    assert _hier_doubling_rounds(4**17) == 5
+    assert _hier_doubling_rounds(2**63 - 1) == 5
+    assert _hier_doubling_rounds(20_000) == 3  # sf0.1's max partkey
+
+
+def test_pointer_doubling_resolves_depth_16_chain(spark):
+    """Drive the SAME doubling logic the rollup uses over a synthetic
+    parent chain of depth exactly 2^4 with 4 rounds and assert every
+    node resolves to the root — R rounds covering depth 2^R is the
+    contract the metadata-driven derivation relies on."""
+    rounds = 4
+    depth = 2**rounds
     # chain: node i's parent is i-1; node 0 is the root (self-loop)
     nodes = spark.range(0, depth + 1).select(
         F.col("id").alias("node"),
         F.greatest(F.col("id") - 1, F.lit(0)).alias("anc"),
     )
     ptr = nodes
-    for _ in range(_HIER_DOUBLING_ROUNDS):
+    for _ in range(rounds):
         a, b = ptr.alias("a"), ptr.alias("b")
         ptr = a.join(b, F.col("a.anc") == F.col("b.node")).select(
             F.col("a.node").alias("node"), F.col("b.anc").alias("anc")
