@@ -83,49 +83,64 @@ def _haversine_km(
     return 2 * _EARTH_KM * F.asin(F.sqrt(a))
 
 
-def _ring_w_col(cx: Column, radius_km: float) -> Column:
-    """Lon-ring half-width (in cells) for points in lat cell `cx`,
+def _ring_widths(radius_km: float) -> dict[int, int]:
+    """Lon-ring half-width (in cells) per INTEGER lat-cell index,
     sufficient for any partner within `radius_km`: from the haversine
     bound sin²(Δλ/2)·cosφa·cosφb ≤ sin²(r/2R), with φb bounded by the
     cell's worse edge and φa by that plus the radius' lat slack (both
-    clamped at the |lat| < {_LAT_MAX} coordinate bound).  Input is the
-    INTEGER lat-cell index, so only 2·{_LAT_MAX}/{_CELL_DEG} distinct
-    values exist and both engines compute identical widths
-    (exhaustively pinned in tests/test_geo_completeness.py)."""
+    clamped at the |lat| < {_LAT_MAX} coordinate bound).  Only
+    2·{_LAT_MAX}/{_CELL_DEG} distinct cells exist, so the widths are
+    computed ONCE here in Python and injected as LITERALS into both
+    engines — cross-engine equality is definitional rather than
+    relying on JVM and DuckDB libm producing bit-identical
+    cos/asin/degrees at a floor boundary (either way over-covers by
+    one cell, but identical candidate sets keep the differential
+    exact; parity + physics pinned in tests/test_geo_completeness.py,
+    completeness by the 2000-example ring-bound property there)."""
     slack = math.degrees(radius_km / _EARTH_KM)
     sin_half = math.sin(radius_km / (2 * _EARTH_KM))
-    lat0 = cx.cast("double") * float(_CELL_DEG)
-    worst_own = F.least(
-        F.greatest(F.abs(lat0), F.abs(lat0 + F.lit(float(_CELL_DEG)))),
-        F.lit(_LAT_MAX),
-    )
-    worst_partner = F.least(worst_own + F.lit(slack), F.lit(_LAT_MAX))
-    ratio = F.least(
-        F.lit(1.0),
-        F.lit(sin_half)
-        / F.sqrt(F.cos(F.radians(worst_own)) * F.cos(F.radians(worst_partner))),
-    )
-    wdeg = F.degrees(2 * F.asin(ratio))
-    return (F.floor(wdeg / _CELL_DEG) + 1).cast("int")
+    lo = math.floor(-_LAT_MAX / _CELL_DEG)
+    hi = math.floor((_LAT_MAX - 1e-9) / _CELL_DEG)
+    widths: dict[int, int] = {}
+    for cx in range(lo, hi + 1):
+        lat0 = cx * float(_CELL_DEG)
+        worst_own = min(max(abs(lat0), abs(lat0 + _CELL_DEG)), _LAT_MAX)
+        worst_partner = min(worst_own + slack, _LAT_MAX)
+        ratio = min(
+            1.0,
+            sin_half
+            / math.sqrt(
+                math.cos(math.radians(worst_own))
+                * math.cos(math.radians(worst_partner))
+            ),
+        )
+        wdeg = math.degrees(2 * math.asin(ratio))
+        widths[cx] = int(math.floor(wdeg / _CELL_DEG) + 1)
+    return widths
 
 
-def _ring_w_sql(radius_km: float) -> tuple[str, str]:
-    """DuckDB twin of `_ring_w_col` as two CTE column expressions:
-    (worst-own-lat from cx0, width from wlat)."""
-    slack = math.degrees(radius_km / _EARTH_KM)
-    sin_half = math.sin(radius_km / (2 * _EARTH_KM))
-    wlat = (
-        f"least(greatest(abs(cx0 * {float(_CELL_DEG)!r}),"
-        f" abs(cx0 * {float(_CELL_DEG)!r} + {float(_CELL_DEG)!r})),"
-        f" {_LAT_MAX!r})"
+def _ring_w_col(cx: Column, radius_km: float) -> Column:
+    """`_ring_widths` as a literal lookup on the lat-cell column; an
+    out-of-range cell (impossible under the |lat| < {_LAT_MAX}
+    coordinate bound) falls back to the MAX width — over-covering,
+    never missing."""
+    widths = _ring_widths(radius_km)
+    m = F.create_map(
+        *[F.lit(x) for kv in sorted(widths.items()) for x in kv]
     )
-    w = (
-        f"CAST(floor(degrees(2 * asin(least(1.0, {sin_half!r} / "
-        f"sqrt(cos(radians(wlat)) * cos(radians(least(wlat + {slack!r},"
-        f" {_LAT_MAX!r})))))))"
-        f" / {_CELL_DEG}) + 1 AS INT)"
+    return F.coalesce(
+        F.element_at(m, cx.cast("int")), F.lit(max(widths.values()))
+    ).cast("int")
+
+
+def _ring_w_sql(radius_km: float) -> str:
+    """DuckDB twin of `_ring_w_col`: the same literal widths as a
+    CASE over cx0."""
+    widths = _ring_widths(radius_km)
+    cases = " ".join(
+        f"WHEN {k} THEN {v}" for k, v in sorted(widths.items())
     )
-    return wlat, w
+    return f"(CASE cx0 {cases} ELSE {max(widths.values())} END)"
 
 
 def ring_pair_candidates(
@@ -147,11 +162,14 @@ def ring_pair_candidates(
     would silently drop pairs more than one lat cell apart (the lon
     ring widens adaptively; the lat ring does not need to while this
     holds)."""
-    assert radius_km <= _EARTH_KM * math.radians(_CELL_DEG), (
-        f"radius {radius_km} km exceeds one {_CELL_DEG}-degree lat "
-        f"cell ({_EARTH_KM * math.radians(_CELL_DEG):.0f} km) — the "
-        f"fixed +/-1 lat ring would miss qualifying pairs"
-    )
+    if radius_km > _EARTH_KM * math.radians(_CELL_DEG):
+        # ValueError, not assert: the public helper's completeness
+        # precondition must survive `python -O`
+        raise ValueError(
+            f"radius {radius_km} km exceeds one {_CELL_DEG}-degree lat "
+            f"cell ({_EARTH_KM * math.radians(_CELL_DEG):.0f} km) — the "
+            f"fixed +/-1 lat ring would miss qualifying pairs"
+        )
     cx_home = F.floor(F.col("lat") / _CELL_DEG).cast("long")
     cym_home = F.pmod(
         F.floor(F.col("lon") / _CELL_DEG).cast("long"), F.lit(_LON_CELLS)
@@ -335,7 +353,7 @@ def geo_cell_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PAIR_RADIUS_KM = 500.0
 
 
-_WLAT_SQL, _W_SQL = _ring_w_sql(_PAIR_RADIUS_KM)
+_W_SQL = _ring_w_sql(_PAIR_RADIUS_KM)
 
 
 @register(
@@ -352,8 +370,7 @@ _WLAT_SQL, _W_SQL = _ring_w_sql(_PAIR_RADIUS_KM)
       FROM supp s
     ),
     wband AS (
-      SELECT *, {_W_SQL} AS w
-      FROM (SELECT wl.*, {_WLAT_SQL} AS wlat FROM wl)
+      SELECT *, {_W_SQL} AS w FROM wl
     ),
     cells AS (
       SELECT b.s_suppkey, b.lat, b.lon, b.cx0 + dx AS cx,

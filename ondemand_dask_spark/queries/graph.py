@@ -131,6 +131,11 @@ def _family_edges(
 
     if os.environ.get("SPARK_GRAFT_SHARED_EDGES") == "1":
         df = _SHARED_EDGES.get(sf_dir)
+        # a memoized frame bound to a stopped session fails opaquely
+        # downstream — validate ownership before reuse and rebuild on
+        # the live session instead (bench-only path, cheap to harden)
+        if df is not None and df.sparkSession is not spark:
+            df = None
         if df is None:
             df = _edges(spark, sf_dir).cache()
             df.count()  # materialize once for the whole family

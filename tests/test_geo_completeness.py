@@ -38,17 +38,20 @@ def test_ring_width_identical_on_both_engines_for_every_lat_cell(spark):
         .select("cx0", _ring_w_col(F.col("cx0"), _PAIR_RADIUS_KM).alias("w"))
         .collect()
     }
-    wlat_sql, w_sql = _ring_w_sql(_PAIR_RADIUS_KM)
+    w_sql = _ring_w_sql(_PAIR_RADIUS_KM)
     got_duck = dict(
         duckdb.connect()
         .execute(
             f"SELECT cx0, {w_sql} AS w FROM ("
-            f"  SELECT cx0, {wlat_sql} AS wlat FROM ("
-            f"    SELECT unnest(generate_series(-8, 7)) AS cx0))"
+            f"    SELECT unnest(generate_series(-8, 7)) AS cx0)"
         )
         .fetchall()
     )
     assert got_spark == got_duck
+    # both are injections of the SAME Python-computed literal table
+    from ondemand_dask_spark.queries.geo import _ring_widths
+
+    assert got_spark == _ring_widths(_PAIR_RADIUS_KM)
     # physics sanity: 1 cell suffices below ~56° lat, widens toward
     # the 80° bound, and stays bounded
     assert got_spark[0] == 1 and got_spark[-1] == 1

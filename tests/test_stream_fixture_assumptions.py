@@ -87,3 +87,35 @@ def test_events_fixture_is_a_single_file_single_microbatch(sf_dir):
         f"{path} is not a single file — append-mode stream oracles "
         f"(stream_stream_join et al.) assume a one-micro-batch replay"
     )
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_no_window_end_sits_exactly_on_the_watermark_boundary(sf_dir):
+    """The append-mode finalization cutoff in the hourly/daily oracles
+    (w_start + width <= max(ts) − 10min) assumes an INCLUSIVE
+    boundary; Spark's state eviction compares window.end against the
+    watermark with its own strict-vs-inclusive choice, so the two can
+    disagree by exactly one window only when some window END lands
+    EXACTLY on max(ts) − 10min.  Pin that degenerate alignment out of
+    the fixture (r9 advisor ask): max(ts) − 10min must not be a whole
+    hour or whole day boundary, so the inclusive-vs-strict question
+    never arises on a regenerated fixture either."""
+    path = os.path.join(sf_dir, "events.parquet")
+    (on_hour, on_day) = (
+        duckdb.connect()
+        .execute(
+            f"""
+            SELECT
+              (m - INTERVAL 10 MINUTE) = date_trunc('hour', m - INTERVAL 10 MINUTE),
+              (m - INTERVAL 10 MINUTE) = date_trunc('day',  m - INTERVAL 10 MINUTE)
+            FROM (SELECT max(ts) AS m FROM read_parquet('{path}'))
+            """
+        )
+        .fetchone()
+    )
+    assert not on_hour and not on_day, (
+        f"{path}: max(ts) − 10min lands exactly on a window boundary "
+        f"(hour={on_hour}, day={on_day}) — the append-mode oracles' "
+        f"inclusive finalization cutoff may disagree with Spark's "
+        f"eviction predicate by one window"
+    )
