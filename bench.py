@@ -22,7 +22,8 @@ import time
 
 from pyspark.sql import functions as F
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+SCRIPT_DIR = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, SCRIPT_DIR)
 
 from ondemand_dask_spark.operators.checkpoint import (  # noqa: E402
     evict_all_retained,
@@ -169,6 +170,19 @@ R3_COMPARABLE = R2_COMPARABLE + [
     "dedup_simhash", "stream_tumbling_agg",
     "embedding_centroid_distance", "kmeans_lloyd",
     "text_quality_score", "agg_rollup",
+]
+
+# The isolated protocol (tools/ab_isolated.py: fresh session, both
+# calibrations, 1 warm-up + 5 timed runs, full eviction between runs)
+# is applied EVERY round to the most expensive headline queries and
+# committed in the artifact's `isolated` block (r8 verdict item 3):
+# the in-bench guard's drift normalization is deliberately lenient
+# (most-lenient of four ratios, 1.25× threshold), which can hide a
+# real 30-40% regression in a shuffle-heavy query for a round — these
+# five get the real instrument proactively instead of reactively.
+ISOLATED = [
+    "graph_triangle_count", "graph_bfs_khop", "graph_pagerank",
+    "dedup_connected_components", "graph_label_propagation",
 ]
 
 # The graph family is reported as its own subtotal: each graph query
@@ -446,6 +460,29 @@ def main() -> None:
             os.environ.pop("SPARK_GRAFT_SHARED_EDGES", None)
             release_shared_edges()
 
+    # Per-round isolated protocol on the top-5 expensive queries: a
+    # FRESH session (the main one is stopped first so none of its
+    # cached state or JVM churn leaks in), own calibrations, 1
+    # warm-up + 5 timed runs each — the exact instrument every past
+    # guard-flag bisect used, now committed proactively each round.
+    spark.stop()
+    isolated: dict = {}
+    iso_names = [n for n in ISOLATED if n in queries]
+    if iso_names:
+        sys.path.insert(0, os.path.join(SCRIPT_DIR, "tools"))
+        from ab_isolated import measure as isolated_measure
+
+        iso_spark = build_session(
+            app_name="bench_isolated",
+            master=f"local[{cpus}]",
+            shuffle_partitions=int(
+                os.environ.get("SPARK_SHUFFLE_PARTITIONS", "8")
+            ),
+        )
+        iso_spark.sparkContext.setLogLevel("ERROR")
+        isolated = isolated_measure(iso_spark, iso_names, sf_dir, runs=5)
+        iso_spark.stop()
+
     total = round(sum(timings.values()), 4)
     r2_subtotal = round(
         sum(timings[n] for n in R2_COMPARABLE if n in timings), 4
@@ -463,15 +500,14 @@ def main() -> None:
     # territory) is flagged loudly — the r5 dedup_simhash surprise
     # (+38%, later measured to be load noise) motivated making the
     # comparison visible BEFORE the driver records it.
-    script_dir = os.path.dirname(os.path.abspath(__file__))
     prev_files = sorted(
         f
-        for f in os.listdir(script_dir)
+        for f in os.listdir(SCRIPT_DIR)
         if re.fullmatch(r"BENCH_r\d+\.json", f)
     )
     if prev_files:
         try:
-            with open(os.path.join(script_dir, prev_files[-1])) as fh:
+            with open(os.path.join(SCRIPT_DIR, prev_files[-1])) as fh:
                 prev = json.load(fh)
             # the round driver wraps bench stdout under "parsed"
             if isinstance(prev.get("parsed"), dict):
@@ -516,6 +552,31 @@ def main() -> None:
                         f"{prev_files[-1]}",
                         file=sys.stderr,
                     )
+                # isolated-vs-isolated: both sides are fresh-session
+                # best-of-5 with their OWN calibrations, so this
+                # comparison needs only the isolated blocks' single
+                # cpu/bw ratio pair — the cleanest cross-round signal
+                # in the artifact.
+                prev_iso = prev.get("isolated") or {}
+                if isolated and prev_iso.get("queries"):
+                    iso_drift = max(
+                        1.0,
+                        isolated["calib_sec"] / prev_iso["calib_sec"],
+                        isolated["calib_bw_sec"]
+                        / prev_iso["calib_bw_sec"],
+                    )
+                    for n, rec in isolated["queries"].items():
+                        was = prev_iso["queries"].get(n, {}).get("best")
+                        if was and is_regression(
+                            was, rec["best"], iso_drift
+                        ):
+                            print(
+                                f"ISOLATED REGRESSION vs "
+                                f"{prev_files[-1]}: {n} {was:.2f}s -> "
+                                f"{rec['best']:.2f}s (isolated "
+                                f"best-of-5, drift x{iso_drift:.2f})",
+                                file=sys.stderr,
+                            )
         except (OSError, ValueError):
             pass  # a malformed prior artifact must not break the bench
 
@@ -557,6 +618,12 @@ def main() -> None:
                     sum(shared_timings.values()), 4
                 ),
                 "graph_shared_queries": shared_timings,
+                # top-5 expensive queries under the isolated protocol
+                # (fresh session, own calibrations, 1 warm-up + 5
+                # timed): {"calib_sec", "calib_bw_sec", "queries":
+                # {name: {"best", "all"}}} — the real regression
+                # instrument, committed proactively each round.
+                "isolated": isolated,
             }
         )
     )

@@ -244,16 +244,36 @@ def topn_head(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sample_seeded",
-    oracle=None,  # nondeterministic across engines — rows-only
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE CAST('0x' || substr(md5('42|' || CAST(o_orderkey AS VARCHAR)), 1, 15)
+               AS BIGINT) % 10000 < 1000
+    """,
 )
 def sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """df.sample(frac, random_state) — Bernoulli sample; seeded so the
-    Spark side is reproducible, but engines differ → rows-only check."""
-    return (
-        load_table(spark, sf_dir, "orders")
-        .sample(fraction=0.1, seed=42)
-        .select("o_orderkey", "o_totalprice")
-    )
+    """df.sample(frac, random_state) — seeded Bernoulli sample, as a
+    DETERMINISTIC salted-hash draw: row kept iff
+    hash(seed|key) % 10000 < frac·10000.  `df.sample(seed=)`'s own
+    draw is reproducible only per partitioning (the RNG streams by
+    partition index), so it is neither stable across repartitions
+    nor expressible to another engine — rows-only forever.  Salting
+    the seed into a key hash keeps the seeded-sampling contract
+    (same seed → same sample; different seed → a fresh, independent
+    sample) while making membership a pure function of (seed, key):
+    reproducible across engines, runs, partitionings, and appends,
+    and hence FULLY oracle-checkable (was the r8 verdict's rows-only
+    floor ask).  Narrow op, no shuffle, prunes at the scan; the
+    binomial-bound twin test (tests/test_rows_only_twins.py) still
+    pins that the hash draw behaves statistically like the Bernoulli
+    it replaces."""
+    from ondemand_dask_spark.functions.texthash import portable_hash64
+
+    o = load_table(spark, sf_dir, "orders")
+    bucket = portable_hash64(
+        F.concat(F.lit("42|"), F.col("o_orderkey").cast("string"))
+    ) % 10000
+    return o.filter(bucket < 1000).select("o_orderkey", "o_totalprice")
 
 
 @register(

@@ -58,3 +58,28 @@ def test_fast_host_window_never_flags_raw_improvements():
     assert not bench.is_regression(4.49, 4.34, 0.7)   # faster raw
     assert not bench.is_regression(4.49, 5.0, 0.7)    # +11% raw
     assert bench.is_regression(4.49, 6.0, 0.7)        # +34% raw: real
+
+
+def test_isolated_protocol_names_are_registered_headline_queries():
+    """bench.py commits an `isolated` block (fresh-session best-of-5
+    with own calibrations) for the top-5 expensive queries each round
+    — the names must stay registered and benched, and the shared
+    measure() instrument must be the one tools/ab_isolated.py ships."""
+    import os
+    import sys
+
+    import bench
+    from ondemand_dask_spark.registry import all_queries
+
+    qs = all_queries()
+    assert len(bench.ISOLATED) == 5
+    for n in bench.ISOLATED:
+        assert n in qs, n
+        assert n in bench.HEADLINE, n
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(bench.__file__), "tools")
+    )
+    from ab_isolated import measure
+
+    assert callable(measure)

@@ -21,15 +21,16 @@ def test_showcase_is_exactly_the_first_50():
 def test_showcase_spans_every_query_family():
     qs = all_queries()
     mods = {qs[n].fn.__module__.rsplit(".", 1)[-1] for n in _SHOWCASE}
-    # "skew" left the required set in round 8: its entire registered
-    # surface is driver-green (agg_salted_skew, r7), and the family-
-    # span invariant only forces modules that still carry never-
-    # driver-checked queries — a slot spent re-greening a fully
+    # The family-span invariant only forces modules that still carry
+    # never-driver-checked queries — a slot spent re-greening a fully
     # checked module would cost one query of external coverage
-    # (tools/rotation.py REQUIRED_MODULES carries the same carve-out).
+    # (tools/rotation.py REQUIRED_MODULES carries the same
+    # carve-out).  "skew" left in r8 (fully green since r7); "sets"
+    # and "udfs" left in r9 (set_intersect_all and udf_ewm were the
+    # last never-checked in each, both driver-checked in r8).
     expected = {
         "tpch", "sources", "relational", "joins", "aggregations",
-        "windows", "sets", "scalars", "composed", "udfs", "dedup",
+        "windows", "scalars", "composed", "dedup",
         "similarity", "text", "pipeline", "multimodal", "jobs",
         "incremental", "encoding",
     }
@@ -39,14 +40,14 @@ def test_showcase_spans_every_query_family():
 def test_showcase_mostly_full_oracle():
     qs = all_queries()
     no_oracle = [n for n in _SHOWCASE if qs[n].oracle is None]
-    # The four rows-only-by-design queries (approximate-by-contract
-    # sketch, ml-library engine-internal seeds, seed-dependent
-    # samplers) are deliberately re-presented in the r8 window now
-    # that each carries a tolerance-twin test
-    # (tests/test_rows_only_twins.py); nothing else in the showcase
-    # should lack a DuckDB oracle.
+    # The rows-only-by-design queries (approximate-by-contract
+    # sketch, ml-library engine-internal seeds, exact-ewm float
+    # recursion) each carry a tolerance-twin test
+    # (tests/test_rows_only_twins.py) and may appear in a window;
+    # nothing else in the showcase should lack a DuckDB oracle.
+    # sample_seeded left the set in r9 (seeded-hash full oracle).
     assert set(no_oracle) <= {
-        "stat_freq_items", "dedup_minhash_ml", "sample_seeded", "udf_ewm",
+        "stat_freq_items", "dedup_minhash_ml", "udf_ewm",
     }, no_oracle
 
 

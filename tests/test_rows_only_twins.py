@@ -1,4 +1,6 @@
-"""Value-level checks for the 4 declared rows-only queries.
+"""Value-level checks for the 3 declared rows-only queries (plus the
+statistical pin for sample_seeded, which gained a full seeded-hash
+oracle in r9 but should still BEHAVE like the Bernoulli it models).
 
 Each rows-only query (no DuckDB oracle by design) has an
 oracle-checked twin; "ran, rows >= 0" is not evidence of correct
@@ -7,8 +9,10 @@ VALUES, so these tests bind each one to its twin:
 - `udf_ewm` (exact pandas recursion) vs `window_ewm_bounded`
   (L=32-truncated closed form, full oracle): per-row values must
   agree within the truncation + 4-dp-rounding budget;
-- `sample_seeded` (engine-seeded Bernoulli): row count inside 5-sigma
-  binomial bounds, keys a duplicate-free subset of the source;
+- `sample_seeded` (seeded-hash Bernoulli, full oracle since r9):
+  row count inside 5-sigma binomial bounds, keys a duplicate-free
+  subset of the source — the hash draw must be statistically
+  indistinguishable from the RNG draw it replaces;
 - `dedup_minhash_ml` (pyspark.ml MinHashLSH, engine-internal seeds)
   vs `dedup_minhash_lsh` (hand-rolled, full oracle): pair-set recall;
 - `stat_freq_items` (KSP sketch, false positives allowed) vs

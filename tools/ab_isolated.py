@@ -31,12 +31,12 @@ from ondemand_dask_spark.registry import all_queries  # noqa: E402
 from ondemand_dask_spark.session import build_session  # noqa: E402
 
 
-def main() -> int:
-    names = sys.argv[1].split(",")
-    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
-    runs = int(sys.argv[3]) if len(sys.argv) > 3 else 5
-    spark = build_session(app_name="ab_isolated", shuffle_partitions=8)
-    spark.sparkContext.setLogLevel("ERROR")
+def measure(spark, names: list[str], sf_dir: str, runs: int = 5) -> dict:
+    """The isolated protocol body on the GIVEN (fresh) session: both
+    calibration jobs, then 1 warm-up + `runs` timed runs per query
+    with full cache eviction between runs.  Shared with bench.py's
+    per-round `isolated` block (r8 verdict item 3) so the committed
+    numbers and this ad-hoc tool stay the same instrument."""
     qs = all_queries()
 
     def calib_cpu() -> float:
@@ -76,9 +76,16 @@ def main() -> int:
         out[name] = {"best": min(ts), "all": ts}
         print(f"{name}: best {min(ts):.2f}s of {ts}", file=sys.stderr)
 
-    print(json.dumps(
-        {"calib_sec": cpu, "calib_bw_sec": bwv, "queries": out}
-    ))
+    return {"calib_sec": cpu, "calib_bw_sec": bwv, "queries": out}
+
+
+def main() -> int:
+    names = sys.argv[1].split(",")
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    runs = int(sys.argv[3]) if len(sys.argv) > 3 else 5
+    spark = build_session(app_name="ab_isolated", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    print(json.dumps(measure(spark, names, sf_dir, runs)))
     spark.stop()
     return 0
 

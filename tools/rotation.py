@@ -30,35 +30,33 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from ondemand_dask_spark.registry import all_queries  # noqa: E402
 
-# Round 8 slims the anchor set to the flagship: with 190 of 443
-# queries never driver-checked, every repeat slot costs one query of
-# external coverage, and the former anchors (4 consecutive perfect
-# rounds) are pinned by the identical DuckDB differential in the
-# local suite plus the per-round bench.  entry() runs tpch_q1 every
-# round regardless; keeping it in the window keeps the CORRECTNESS
-# row alongside the smoke check.
+# One anchor (the flagship): with 143 of 443 queries never
+# driver-checked after r8, every repeat slot costs one query of
+# external coverage.  entry() runs tpch_q1 every round regardless;
+# keeping it in the window keeps the CORRECTNESS row alongside the
+# smoke check.
 ANCHORS = ("tpch_q1",)
 
-# Rows-only-by-design queries re-presented now that each carries a
-# tolerance-twin test (r7 verdict item 7): a driver rows-only row +
-# the twin is the strongest evidence available for them.
-# stat_freq_items / dedup_minhash_ml are repeats; sample_seeded /
-# udf_ewm have never been driver-checked.
-REPRESENT = (
-    "stat_freq_items", "dedup_minhash_ml", "sample_seeded", "udf_ewm",
-)
+# Re-presents.  r9: `sample_seeded` only — it traded its rows-only
+# status for a full seeded-hash oracle this round (r8 verdict item
+# 6), and one repeat slot converts its prior rows-only driver row
+# into a hash-green one.  The 3 remaining rows-only-by-design
+# queries (freq_items sketch, ml-internal seeds, exact-ewm float
+# recursion) all earned their driver rows-row + tolerance twin in
+# r8; re-presenting them again would buy nothing.
+REPRESENT = ("sample_seeded",)
 
 # Never-checked queries the verdict explicitly called out — taken
 # first, before the backlog fill.  Refresh each round from
-# VERDICT.md's "next round" item.  r8: close the whole-family gaps —
-# the IVF-PQ pair, sign-bit ANN, label propagation + personalized
-# PageRank + assortativity (all of graph), and all three geo queries.
+# VERDICT.md's "next round" item.  r9: the 3 never-checked streaming
+# jobs (stream_hourly_anomaly_alert's oracle gained the watermark
+# finalization cutoff in r8 and deserves external confirmation), the
+# multimodal image pair, and the dedup tail.
 PRIORITY = (
-    "embedding_pq_codebook", "ann_pq_adc_topk",
-    "embedding_signbit_hamming",
-    "graph_label_propagation", "graph_personalized_pagerank",
-    "graph_assortativity",
-    "geo_cell_knn_join", "geo_density_grid", "geo_pairs_within_radius",
+    "stream_chained_windowed_agg", "stream_hourly_anomaly_alert",
+    "stream_union_dual_source",
+    "multimodal_image_near_dup", "multimodal_resize",
+    "dedup_report", "dedup_minhash_estimate_certificate",
 )
 
 # every module the family-span invariant requires in the window —
