@@ -276,7 +276,16 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # plan no longer depends on exchange reuse for its asymptotics.
     # Phase profile pins the remaining cost where it belongs: the
     # two adjacency-attach joins + array_intersect are ~6 s of the
-    # query alone — the intrinsic compute, not a plan artifact.)
+    # query alone — the intrinsic compute, not a plan artifact.
+    # r9 A/B of that intrinsic cost (tools/ab_triangle.py, exclusive
+    # sf0.1, interleaved best-of-3, identical 20k-row census pinned
+    # first): the challenger — explode adj(lo) into (lo, hi, w)
+    # wedge rows and sort-merge them against the oriented edge set
+    # on (hi, w) — measured 8.97 s vs this form's 6.49 s (+38%):
+    # the wedge rows pay a shuffle of sum-over-edges outdeg(lo)
+    # rows for the same membership tests the in-row intersection
+    # does inside one fused stage.  REJECTED; same discipline as
+    # the LPA-rewrite-on-pagerank rejection below.)
     inter = F.array_intersect("na", "nb")
     cnt = F.size(inter)
     contribs = (
