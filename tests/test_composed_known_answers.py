@@ -1,0 +1,135 @@
+"""Hand-computed known answers for composed/encoding queries in the
+r9 driver window — same independent-third-algorithm discipline as
+tests/test_windows_known_answers.py (the differential alone cannot
+catch a formula misread both engines share)."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import pandas as pd
+import pytest
+
+from ondemand_dask_spark.registry import all_queries
+
+QUERIES = all_queries()
+
+
+def _mini_events(tmp_path, rows):
+    """rows: (event_id, ts_iso, user_id, event_type, value)."""
+    sf_dir = os.path.join(str(tmp_path), "mini")
+    os.makedirs(sf_dir, exist_ok=True)
+    pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": pd.to_datetime([r[1] for r in rows]),
+            "user_id": [r[2] for r in rows],
+            "event_type": [r[3] for r in rows],
+            "value": [r[4] for r in rows],
+            "props": ["{}"] * len(rows),
+        }
+    ).to_parquet(os.path.join(sf_dir, "events.parquet"))
+    return sf_dir
+
+
+def test_burstiness_index_hand_values(spark, tmp_path):
+    """User 1 is a metronome (gaps 10 s, 10 s, 10 s → σ=0, μ>0 →
+    B = −1 exactly); user 2 has gaps 0, 0, 6 s → μ=2 s,
+    σ=sqrt((4+4+16)/2)=2√3 s → B=(√3−1)/(√3+1) ≈ +0.2679 (bursty);
+    user 3 has a single gap → excluded (sample σ undefined).  The
+    summary is over exactly the two B values."""
+    sf_dir = _mini_events(
+        tmp_path,
+        [
+            (1, "2024-01-01 00:00:00", 1, "v", 1.0),
+            (2, "2024-01-01 00:00:10", 1, "v", 1.0),
+            (3, "2024-01-01 00:00:20", 1, "v", 1.0),
+            (4, "2024-01-01 00:00:30", 1, "v", 1.0),
+            (5, "2024-01-01 00:00:00", 2, "v", 1.0),
+            (6, "2024-01-01 00:00:00", 2, "v", 1.0),
+            (7, "2024-01-01 00:00:00", 2, "v", 1.0),
+            (8, "2024-01-01 00:00:06", 2, "v", 1.0),
+            (9, "2024-01-01 00:00:00", 3, "v", 1.0),
+            (10, "2024-01-01 00:00:09", 3, "v", 1.0),
+        ],
+    )
+    (row,) = QUERIES["events_burstiness_index"].fn(spark, sf_dir).collect()
+    b2 = (math.sqrt(3) - 1) / (math.sqrt(3) + 1)  # ≈ 0.26794919
+    assert row["n_users"] == 2
+    assert row["n_bursty"] == 1
+    assert float(row["min_burstiness"]) == -1.0
+    assert float(row["max_burstiness"]) == pytest.approx(b2, abs=2e-4)
+    assert float(row["mean_burstiness"]) == pytest.approx(
+        (-1.0 + b2) / 2, abs=2e-4
+    )
+    assert float(row["sd_burstiness"]) == pytest.approx(
+        (b2 - (-1.0)) / math.sqrt(2), abs=2e-4
+    )
+
+
+def test_alarm_debounce_hand_islands(spark, tmp_path):
+    """User 1's type sequence err,err,err,click,err has maximal runs
+    err×3 (kept — the only run ≥ 3), click×1, err×1 (both glitches).
+    The err×3 island must NOT absorb the post-click err (the classic
+    gaps-and-islands off-by-one)."""
+    sf_dir = _mini_events(
+        tmp_path,
+        [
+            (1, "2024-01-01 00:00:01", 1, "err", 1.0),
+            (2, "2024-01-01 00:00:02", 1, "err", 1.0),
+            (3, "2024-01-01 00:00:03", 1, "err", 1.0),
+            (4, "2024-01-01 00:00:04", 1, "click", 1.0),
+            (5, "2024-01-01 00:00:05", 1, "err", 1.0),
+        ],
+    )
+    rows = QUERIES["events_alarm_debounce"].fn(spark, sf_dir).collect()
+    assert len(rows) == 1
+    (r,) = rows
+    assert r["event_type"] == "err" and int(r["run_len"]) == 3
+    assert str(r["run_start"]).startswith("2024-01-01 00:00:01")
+    assert str(r["run_end"]).startswith("2024-01-01 00:00:03")
+
+
+def test_encode_standardize_hand_zscores(spark, tmp_path):
+    """Orders with totalprice 1, 2, 3: μ=2, sample σ=1 → z-scores
+    exactly −1, 0, 1."""
+    sf_dir = os.path.join(str(tmp_path), "mini")
+    os.makedirs(sf_dir, exist_ok=True)
+    pd.DataFrame(
+        {"o_orderkey": [1, 2, 3], "o_totalprice": [1.0, 2.0, 3.0]}
+    ).to_parquet(os.path.join(sf_dir, "orders.parquet"))
+    got = {
+        int(r["o_orderkey"]): float(r["price_z"])
+        for r in QUERIES["encode_standardize"].fn(spark, sf_dir).collect()
+    }
+    assert got == {1: -1.0, 2: 0.0, 3: 1.0}
+
+
+def test_cohort_revenue_curve_hand_ltv(spark, tmp_path):
+    """User 1 first seen (a non-purchase view) on Jan 1: purchases
+    5 on Jan 1 (offset 0), 7 on Jan 3 (offset 2), 100 on Jan 10
+    (offset 9 → beyond the 7-day horizon, excluded).  User 2 first
+    seen Jan 2, purchase 3 the same day.  Cumulative per cohort by
+    hand: Jan-1 cohort 5 → 12; Jan-2 cohort 3."""
+    sf_dir = _mini_events(
+        tmp_path,
+        [
+            (1, "2024-01-01 08:00:00", 1, "view", None),
+            (2, "2024-01-01 09:00:00", 1, "purchase", 5.0),
+            (3, "2024-01-03 09:00:00", 1, "purchase", 7.0),
+            (4, "2024-01-10 09:00:00", 1, "purchase", 100.0),
+            (5, "2024-01-02 09:00:00", 2, "purchase", 3.0),
+        ],
+    )
+    got = {
+        (r["cohort_day"], int(r["offset_days"])): (
+            float(r["revenue"]), float(r["cum_revenue"])
+        )
+        for r in QUERIES["cohort_revenue_curve"].fn(spark, sf_dir).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): (5.0, 5.0),
+        ("2024-01-01", 2): (7.0, 12.0),
+        ("2024-01-02", 0): (3.0, 3.0),
+    }
