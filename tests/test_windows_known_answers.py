@@ -205,3 +205,91 @@ def test_cusum_drift_hand_recurrence(spark, tmp_path):
         for r in QUERIES["window_cusum_drift"].fn(spark, sf_dir2).collect()
     }
     assert got2 == {1: (50.0, False), 2: (100.0, False), 3: (150.0, True)}
+
+
+def test_nth_first_last_hand_picks(spark, tmp_path):
+    """User 1 values 7, 3, 9, 5 in ts order → every row broadcasts
+    first=7, third=9, last=5 over the FULL-partition frame (the
+    growing-frame default would have made last_v the current row —
+    the exact trap the query pins).  User 2 has only 2 rows →
+    third_v NULL."""
+    sf_dir = _mini_events(
+        tmp_path,
+        [
+            (1, "2024-01-01 00:00:01", 1, "v", 7.0),
+            (2, "2024-01-01 00:00:02", 1, "v", 3.0),
+            (3, "2024-01-01 00:00:03", 1, "v", 9.0),
+            (4, "2024-01-01 00:00:04", 1, "v", 5.0),
+            (6, "2024-01-01 00:00:01", 2, "v", 2.0),
+            (7, "2024-01-01 00:00:02", 2, "v", 8.0),
+        ],
+    )
+    got = {
+        int(r["event_id"]): (
+            float(r["first_v"]),
+            None if r["third_v"] is None else float(r["third_v"]),
+            float(r["last_v"]),
+        )
+        for r in QUERIES["window_nth_first_last"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert got == {
+        1: (7.0, 9.0, 5.0), 2: (7.0, 9.0, 5.0),
+        3: (7.0, 9.0, 5.0), 4: (7.0, 9.0, 5.0),
+        6: (2.0, None, 8.0), 7: (2.0, None, 8.0),
+    }
+
+
+def test_fill_forward_backward_hand_carries(spark, tmp_path):
+    """The query nulls event_id % 5 == 0.  User 1 (ids 1, 2, 5, 6):
+    id 5 carries 20 forward and 60 backward.  User 2 starts with the
+    nulled id 10: ffill has nothing to carry (NULL), bfill carries 7
+    back."""
+    sf_dir = _mini_events(
+        tmp_path,
+        [
+            (1, "2024-01-01 00:00:01", 1, "v", 10.0),
+            (2, "2024-01-01 00:00:02", 1, "v", 20.0),
+            (5, "2024-01-01 00:00:03", 1, "v", 999.0),  # nulled
+            (6, "2024-01-01 00:00:04", 1, "v", 60.0),
+            (10, "2024-01-01 00:00:01", 2, "v", 888.0),  # nulled, leading
+            (11, "2024-01-01 00:00:02", 2, "v", 7.0),
+        ],
+    )
+    got = {
+        int(r["event_id"]): (
+            None if r["ffilled"] is None else float(r["ffilled"]),
+            None if r["bfilled"] is None else float(r["bfilled"]),
+        )
+        for r in QUERIES["window_fill_forward"].fn(spark, sf_dir).collect()
+    }
+    assert got == {
+        1: (10.0, 10.0), 2: (20.0, 20.0), 5: (20.0, 60.0), 6: (60.0, 60.0),
+        10: (None, 7.0), 11: (7.0, 7.0),
+    }
+
+
+def test_rolling_corr_hand_extremes(spark, tmp_path):
+    """The companion series is m = event_id % 97.  User 1's values
+    10, 20, 30 at ids 1, 2, 3 are perfectly linear in m → corr +1
+    from the second row on (first row: zero-variance frame → NULL).
+    User 2's values 10, 5 at ids 4, 5 are perfectly anti-linear →
+    corr −1 at the second row."""
+    sf_dir = _mini_events(
+        tmp_path,
+        [
+            (1, "2024-01-01 00:00:01", 1, "v", 10.0),
+            (2, "2024-01-01 00:00:02", 1, "v", 20.0),
+            (3, "2024-01-01 00:00:03", 1, "v", 30.0),
+            (4, "2024-01-01 00:00:01", 2, "v", 10.0),
+            (5, "2024-01-01 00:00:02", 2, "v", 5.0),
+        ],
+    )
+    got = {
+        int(r["event_id"]): (
+            None if r["roll_corr"] is None else float(r["roll_corr"])
+        )
+        for r in QUERIES["window_rolling_corr"].fn(spark, sf_dir).collect()
+    }
+    assert got == {1: None, 2: 1.0, 3: 1.0, 4: None, 5: -1.0}
