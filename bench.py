@@ -253,6 +253,38 @@ def _sf_from_dir(sf_dir: str) -> float:
         return -1.0
 
 
+def load_prev_bench(script_dir: str, sf: float):
+    """Newest USABLE prior bench artifact (name, dict-with-queries),
+    or None.  The round driver wraps bench stdout as {"tail": <last
+    2000 chars>, "parsed": <json-or-null>} — and BENCH_r08.json has
+    parsed=null because r8's output line outgrew the tail window
+    (the reason the r9 stdout line is slimmed and the full detail
+    moved to bench_full.json).  A null artifact is unrecoverable
+    (the tail cut the HEAD of the JSON line), so the guard walks
+    BACK to the newest parseable same-sf artifact instead of
+    silently comparing against nothing."""
+    prev_files = sorted(
+        f
+        for f in os.listdir(script_dir)
+        if re.fullmatch(r"BENCH_r\d+\.json", f)
+    )
+    for fname in reversed(prev_files):
+        try:
+            with open(os.path.join(script_dir, fname)) as fh:
+                prev = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if isinstance(prev.get("parsed"), dict):
+            prev = prev["parsed"]
+        if isinstance(prev.get("queries"), dict) and prev.get("sf") == sf:
+            return fname, prev
+        print(
+            f"skipping {fname}: no parseable same-sf queries map",
+            file=sys.stderr,
+        )
+    return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -500,133 +532,154 @@ def main() -> None:
     # territory) is flagged loudly — the r5 dedup_simhash surprise
     # (+38%, later measured to be load noise) motivated making the
     # comparison visible BEFORE the driver records it.
-    prev_files = sorted(
-        f
-        for f in os.listdir(SCRIPT_DIR)
-        if re.fullmatch(r"BENCH_r\d+\.json", f)
-    )
-    if prev_files:
-        try:
-            with open(os.path.join(SCRIPT_DIR, prev_files[-1])) as fh:
-                prev = json.load(fh)
-            # the round driver wraps bench stdout under "parsed"
-            if isinstance(prev.get("parsed"), dict):
-                prev = prev["parsed"]
-            if prev.get("sf") == _sf_from_dir(sf_dir):
-                pq = prev.get("queries", {})
-                # Normalize the comparison by the calibration ratio
-                # when the prior artifact carries one: host drift
-                # moves every query together, and the guard should
-                # flag only drift-adjusted regressions.
-                # Worse (larger) of the CPU and bandwidth drift
-                # ratios: host slowdowns hit the shuffle/sort-heavy
-                # query class harder than the codegen calib admits
-                # (r7's two false flags were both that class).
-                drift = drift_ratio(
-                    prev, calib, calib_bw, calib_end, calib_bw_end
-                )
-                if drift != 1.0:
-                    print(
-                        f"calibration drift vs {prev_files[-1]}: "
-                        f"x{drift:.2f} (most lenient of cpu/bandwidth"
-                        f" x start/end samples)",
-                        file=sys.stderr,
-                    )
-                flagged = []
-                for n, t in timings.items():
-                    if n in pq and is_regression(pq[n], t, drift):
-                        flagged.append((n, pq[n], t))
-                for n, was, now in sorted(
-                    flagged, key=lambda x: x[2] - x[1], reverse=True
-                ):
-                    print(
-                        f"REGRESSION vs {prev_files[-1]}: {n} "
-                        f"{was:.2f}s -> {now:.2f}s "
-                        f"(+{(now / was - 1) * 100:.0f}% raw, "
-                        f"drift-adjusted threshold applied)",
-                        file=sys.stderr,
-                    )
-                if not flagged:
-                    print(
-                        f"no >25% drift-adjusted regressions vs "
-                        f"{prev_files[-1]}",
-                        file=sys.stderr,
-                    )
-                # isolated-vs-isolated: both sides are fresh-session
-                # best-of-5 with their OWN calibrations, so this
-                # comparison needs only the isolated blocks' single
-                # cpu/bw ratio pair — the cleanest cross-round signal
-                # in the artifact.
-                prev_iso = prev.get("isolated") or {}
-                if isolated and prev_iso.get("queries"):
-                    iso_drift = max(
-                        1.0,
-                        isolated["calib_sec"] / prev_iso["calib_sec"],
-                        isolated["calib_bw_sec"]
-                        / prev_iso["calib_bw_sec"],
-                    )
-                    for n, rec in isolated["queries"].items():
-                        was = prev_iso["queries"].get(n, {}).get("best")
-                        if was and is_regression(
-                            was, rec["best"], iso_drift
-                        ):
-                            print(
-                                f"ISOLATED REGRESSION vs "
-                                f"{prev_files[-1]}: {n} {was:.2f}s -> "
-                                f"{rec['best']:.2f}s (isolated "
-                                f"best-of-5, drift x{iso_drift:.2f})",
-                                file=sys.stderr,
-                            )
-        except (OSError, ValueError):
-            pass  # a malformed prior artifact must not break the bench
-
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": _sf_from_dir(sf_dir),
-                # methodology tag: the clock starts BEFORE plan
-                # construction (r1-r3 timed only the noop write, which
-                # under-reported iterative queries) — cross-round
-                # series must compare like-tagged artifacts.
-                "timing": "from_plan_construction",
-                # fixed CPU-bound JVM job (range(1e9) sum of squares,
-                # best-of-RUNS): divide cross-round query deltas by
-                # the calib ratio to remove host-speed drift.
-                "calib_sec": calib,
-                # shuffle/sort of a cached 30M-row frame (best-of-
-                # RUNS): the bandwidth-bound companion; the guard
-                # normalizes by the worse of the two ratios.
-                "calib_bw_sec": calib_bw,
-                # the same two jobs re-sampled AFTER the query loop —
-                # the host drifts ±50% intra-hour (r8 measurement),
-                # so both ends of the run are recorded and the guard
-                # takes the most-lenient ratio.
-                "calib_sec_end": calib_end,
-                "calib_bw_sec_end": calib_bw_end,
-                "r2_comparable_subtotal": r2_subtotal,
-                "r3_comparable_subtotal": r3_subtotal,
-                "graph_family_subtotal": graph_subtotal,
-                # same family timed under ONE pre-materialized edge
-                # cache (edge build excluded from every timing) — the
-                # production-session cost; per-query map included so
-                # the A/B is committed in the artifact each round.
-                "graph_family_shared_subtotal": round(
-                    sum(shared_timings.values()), 4
-                ),
-                "graph_shared_queries": shared_timings,
-                # top-5 expensive queries under the isolated protocol
-                # (fresh session, own calibrations, 1 warm-up + 5
-                # timed): {"calib_sec", "calib_bw_sec", "queries":
-                # {name: {"best", "all"}}} — the real regression
-                # instrument, committed proactively each round.
-                "isolated": isolated,
-            }
+    loaded = load_prev_bench(SCRIPT_DIR, _sf_from_dir(sf_dir))
+    if loaded:
+        prev_name, prev = loaded
+        pq = prev["queries"]
+        # Normalize the comparison by the calibration ratio when the
+        # prior artifact carries one: host drift moves every query
+        # together, and the guard should flag only drift-adjusted
+        # regressions.  Worse (larger) of the CPU and bandwidth
+        # drift ratios: host slowdowns hit the shuffle/sort-heavy
+        # query class harder than the codegen calib admits (r7's two
+        # false flags were both that class).
+        drift = drift_ratio(prev, calib, calib_bw, calib_end, calib_bw_end)
+        if drift != 1.0:
+            print(
+                f"calibration drift vs {prev_name}: "
+                f"x{drift:.2f} (most lenient of cpu/bandwidth"
+                f" x start/end samples)",
+                file=sys.stderr,
+            )
+        flagged = []
+        for n, t in timings.items():
+            if n in pq and is_regression(pq[n], t, drift):
+                flagged.append((n, pq[n], t))
+        for n, was, now in sorted(
+            flagged, key=lambda x: x[2] - x[1], reverse=True
+        ):
+            print(
+                f"REGRESSION vs {prev_name}: {n} "
+                f"{was:.2f}s -> {now:.2f}s "
+                f"(+{(now / was - 1) * 100:.0f}% raw, "
+                f"drift-adjusted threshold applied)",
+                file=sys.stderr,
+            )
+        if not flagged:
+            print(
+                f"no >25% drift-adjusted regressions vs {prev_name}",
+                file=sys.stderr,
+            )
+        # isolated-vs-isolated: both sides are fresh-session
+        # best-of-5 with their OWN calibrations, so this comparison
+        # needs only the isolated blocks' single cpu/bw ratio pair —
+        # the cleanest cross-round signal in the artifact.  Prior
+        # artifacts carry either the slim stdout form (iso_calib_sec
+        # + {name: best}) or the full form (nested records).
+        prev_iso = prev.get("isolated") or {}
+        prev_iso_calib = prev.get("iso_calib_sec") or (
+            prev_iso.get("calib_sec") if isinstance(prev_iso, dict) else None
         )
-    )
+        prev_iso_bw = prev.get("iso_calib_bw_sec") or (
+            prev_iso.get("calib_bw_sec")
+            if isinstance(prev_iso, dict)
+            else None
+        )
+        prev_iso_q = (
+            prev_iso.get("queries", prev_iso)
+            if isinstance(prev_iso, dict)
+            else {}
+        )
+        if isolated and prev_iso_calib and prev_iso_bw and prev_iso_q:
+            iso_drift = max(
+                1.0,
+                isolated["calib_sec"] / prev_iso_calib,
+                isolated["calib_bw_sec"] / prev_iso_bw,
+            )
+            for n, rec in isolated["queries"].items():
+                was = prev_iso_q.get(n)
+                if isinstance(was, dict):
+                    was = was.get("best")
+                if was and is_regression(was, rec["best"], iso_drift):
+                    print(
+                        f"ISOLATED REGRESSION vs {prev_name}: "
+                        f"{n} {was:.2f}s -> "
+                        f"{rec['best']:.2f}s (isolated "
+                        f"best-of-5, drift x{iso_drift:.2f})",
+                        file=sys.stderr,
+                    )
+
+    # Two artifacts.  STDOUT gets ONE compact JSON line — the driver
+    # contract — kept under ~1900 chars because the round driver
+    # records only the LAST 2000 chars of stdout and parses the JSON
+    # out of that window: BENCH_r08.json has parsed=null precisely
+    # because r8's line (2.3k chars, grown by the shared-graph map)
+    # overflowed it and the head of the line was cut.  Everything
+    # bulky — per-run isolated timings, the shared-graph per-query
+    # map, subtotals (recomputable sums of the queries map),
+    # methodology notes — goes to bench_full.json next to this
+    # script instead.
+    full = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(sf_dir),
+        # methodology tag: the clock starts BEFORE plan construction
+        # (r1-r3 timed only the noop write, which under-reported
+        # iterative queries) — cross-round series must compare
+        # like-tagged artifacts.
+        "timing": "from_plan_construction",
+        # fixed CPU-bound JVM job (range(1e9) sum of squares) and the
+        # bandwidth-bound companion (sort of a cached 30M-row frame),
+        # each best-of-RUNS, re-sampled AFTER the query loop too (the
+        # host drifts ±50% intra-hour; the guard takes the most-
+        # lenient of the four ratios).
+        "calib_sec": calib,
+        "calib_bw_sec": calib_bw,
+        "calib_sec_end": calib_end,
+        "calib_bw_sec_end": calib_bw_end,
+        "r2_comparable_subtotal": r2_subtotal,
+        "r3_comparable_subtotal": r3_subtotal,
+        "graph_family_subtotal": graph_subtotal,
+        # same family timed under ONE pre-materialized edge cache
+        # (edge build excluded from every timing) — the production-
+        # session cost, with the per-query map.
+        "graph_family_shared_subtotal": round(
+            sum(shared_timings.values()), 4
+        ),
+        "graph_shared_queries": shared_timings,
+        # top-5 expensive queries under the isolated protocol (fresh
+        # session, own calibrations, 1 warm-up + 5 timed runs each).
+        "isolated": isolated,
+    }
+    with open(os.path.join(SCRIPT_DIR, "bench_full.json"), "w") as fh:
+        json.dump(full, fh, indent=1)
+    slim = {
+        "metric": full["metric"],
+        "value": total,
+        "unit": "sec",
+        "queries": {n: round(t, 3) for n, t in timings.items()},
+        "sf": full["sf"],
+        "calib_sec": calib,
+        "calib_bw_sec": calib_bw,
+        "calib_sec_end": calib_end,
+        "calib_bw_sec_end": calib_bw_end,
+        "iso_calib_sec": isolated.get("calib_sec"),
+        "iso_calib_bw_sec": isolated.get("calib_bw_sec"),
+        "isolated": {
+            n: r["best"] for n, r in isolated.get("queries", {}).items()
+        },
+        "detail": "bench_full.json",
+    }
+    line = json.dumps(slim, separators=(",", ":"))
+    if len(line) > 1900:  # fail loudly BEFORE the driver truncates it
+        print(
+            f"WARNING: stdout JSON line {len(line)} chars — nearing "
+            f"the driver's 2000-char tail window; slim it",
+            file=sys.stderr,
+        )
+    print(line)
     spark.stop()
 
 

@@ -83,3 +83,57 @@ def test_isolated_protocol_names_are_registered_headline_queries():
     from ab_isolated import measure
 
     assert callable(measure)
+
+
+def test_load_prev_bench_skips_unparseable_artifacts(tmp_path):
+    """BENCH_r08.json has parsed=null (its stdout line outgrew the
+    driver's 2000-char tail window and the head of the JSON was cut)
+    — the guard must fall back to the newest PARSEABLE same-sf
+    artifact instead of silently comparing against nothing."""
+    import json
+
+    import bench
+
+    good = {"parsed": {"sf": 0.1, "queries": {"q": 1.0},
+                       "calib_sec": 0.25}}
+    bad = {"parsed": None, "tail": "ries_total... (truncated head)",
+           "sf": 0.1}
+    (tmp_path / "BENCH_r07.json").write_text(json.dumps(good))
+    (tmp_path / "BENCH_r08.json").write_text(json.dumps(bad))
+    name, prev = bench.load_prev_bench(str(tmp_path), 0.1)
+    assert name == "BENCH_r07.json"
+    assert prev["queries"] == {"q": 1.0}
+    # wrong sf: nothing usable
+    assert bench.load_prev_bench(str(tmp_path), 0.001) is None
+
+
+def test_stdout_json_line_fits_the_driver_tail_window():
+    """Worst-case-width reconstruction of the slim stdout line from
+    the CURRENT headline set must stay under the driver's 2000-char
+    tail window with margin (r8's 2.3k-char line is how BENCH_r08
+    lost its parsed block)."""
+    import json
+
+    import bench
+
+    slim = {
+        "metric": "headline_queries_total",
+        "value": 999.999,
+        "unit": "sec",
+        "queries": {n: 99.999 for n in bench.HEADLINE},
+        "sf": 0.1,
+        "calib_sec": 99.9999,
+        "calib_bw_sec": 99.9999,
+        "calib_sec_end": 99.9999,
+        "calib_bw_sec_end": 99.9999,
+        "iso_calib_sec": 99.9999,
+        "iso_calib_bw_sec": 99.9999,
+        "isolated": {n: 99.9999 for n in bench.ISOLATED},
+        "detail": "bench_full.json",
+    }
+    line = json.dumps(slim, separators=(",", ":"))
+    assert len(line) < 1900, (
+        f"{len(line)} chars — the stdout contract line is about to "
+        f"overflow the driver's tail window; move detail to "
+        f"bench_full.json or slim keys"
+    )
