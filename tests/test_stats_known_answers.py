@@ -298,3 +298,50 @@ def test_weighted_median_matches_literal_accumulation(spark, sf_dir):
     for g in want:
         assert abs(got[g][0] - want[g][0]) < 1e-6, g
         assert abs(got[g][1] - want[g][1]) < 1e-6, g
+
+
+def test_chi2_independence_hand_table(spark, tmp_path):
+    """Constructed 2×2 lang×source table with counts 10/20/30/40:
+    χ² = N(ad−bc)²/(r₁r₂c₁c₂) = 100·(400−600)²/(30·70·40·60)
+    = 4,000,000/5,040,000 = 0.793650… — the shortcut formula, a
+    genuinely different derivation from the Σ(O−E)²/E both engines
+    compute.  dof = 1, levels 2×2."""
+    rows = []
+    i = 0
+    for lang, source, n in [
+        ("aa", "x", 10), ("aa", "y", 20), ("bb", "x", 30), ("bb", "y", 40)
+    ]:
+        for _ in range(n):
+            rows.append((i, lang, source))
+            i += 1
+    sf_dir = _mini_documents(tmp_path, rows)
+    (r,) = all_queries()["stat_chi2_independence"].fn(spark, sf_dir).collect()
+    assert int(r["n_rows_levels"]) == 2 and int(r["n_col_levels"]) == 2
+    assert int(r["dof"]) == 1
+    shortcut = 100 * (10 * 40 - 20 * 30) ** 2 / (30 * 70 * 40 * 60)
+    assert float(r["chi2"]) == round(shortcut - 1e-9, 4)
+
+
+def test_g_test_hand_table(spark, tmp_path):
+    """Same 10/20/30/40 table: G = 2·Σ O·ln(O/E) with expecteds from
+    the margins (12, 18, 28, 42), recomputed here with exact integer
+    ratios through math.log — pins the count/marginal plumbing and
+    that absent zero cells contribute nothing."""
+    rows = []
+    i = 0
+    for lang, source, n in [
+        ("aa", "x", 10), ("aa", "y", 20), ("bb", "x", 30), ("bb", "y", 40)
+    ]:
+        for _ in range(n):
+            rows.append((i, lang, source))
+            i += 1
+    sf_dir = _mini_documents(tmp_path, rows)
+    (r,) = all_queries()["stat_g_test"].fn(spark, sf_dir).collect()
+    assert int(r["dof"]) == 1
+    g = 2 * (
+        10 * math.log(10 / 12)
+        + 20 * math.log(20 / 18)
+        + 30 * math.log(30 / 28)
+        + 40 * math.log(40 / 42)
+    )
+    assert float(r["g_stat"]) == round(g - 1e-9, 4)
