@@ -3089,7 +3089,7 @@ def stat_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1
     ),
     t AS (
-      SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+      SELECT event_type, CAST(sum(tc) AS DOUBLE) AS n,
              CAST(sum(tc * (tc - 1) * (2 * tc + 5)) AS DOUBLE) AS tie_term
       FROM (
         SELECT event_type, x, count(*) AS tc
@@ -3156,7 +3156,13 @@ def stat_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("tc"))
         .groupBy("event_type")
         .agg(
-            F.count("*").cast("double").alias("n"),
+            # n = number of OBSERVATIONS (sum of tie-group sizes).
+            # count(*) here would be the number of DISTINCT values —
+            # the r9 hand-computed pin caught exactly that slip (a
+            # tied pair deflated var_s to 0 and misreported n_days),
+            # and the oracle shared it, so the differential was blind
+            # (tests/test_stats_known_answers.py pins the tie case).
+            F.sum("tc").cast("double").alias("n"),
             F.sum(
                 F.col("tc") * (F.col("tc") - 1) * (2 * F.col("tc") + 5)
             )

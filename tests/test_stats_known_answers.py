@@ -345,3 +345,83 @@ def test_g_test_hand_table(spark, tmp_path):
         + 40 * math.log(40 / 42)
     )
     assert float(r["g_stat"]) == round(g - 1e-9, 4)
+
+
+def _mini_events_daily(tmp_path, series):
+    """series: {event_type: [daily totals]} — one event per day,
+    days consecutive from 2024-01-01."""
+    import datetime
+
+    rows = []
+    i = 0
+    for etype, vals in series.items():
+        for d, v in enumerate(vals):
+            rows.append(
+                (
+                    i,
+                    datetime.datetime(2024, 1, 1 + d, 12, 0, 0),
+                    1,
+                    etype,
+                    float(v),
+                )
+            )
+            i += 1
+    sf_dir = os.path.join(str(tmp_path), "mini")
+    os.makedirs(sf_dir, exist_ok=True)
+    pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+    ).to_parquet(os.path.join(sf_dir, "events.parquet"))
+    return sf_dir
+
+
+def test_mann_kendall_hand_series(spark, tmp_path):
+    """Three constructed daily series: strictly increasing (all 10
+    pairs concordant → S=10, var=5·4·15/18, z=(10−1)/√var), strictly
+    decreasing (S=−10, z mirrored), and one with a tie (values
+    1,1,2 → S=2, tie term 2·1·9=18, var=(66−18)/18).  All arithmetic
+    by hand — independent of the pairwise-join formulation both
+    engines share."""
+    sf_dir = _mini_events_daily(
+        tmp_path,
+        {"up": [1, 2, 3, 4, 5], "down": [5, 4, 3, 2, 1], "tie": [1, 1, 2]},
+    )
+    got = {
+        r["event_type"]: (
+            int(r["n_days"]), int(r["s_stat"]),
+            float(r["var_s"]), float(r["z_score"]),
+        )
+        for r in all_queries()["stat_mann_kendall"].fn(spark, sf_dir).collect()
+    }
+    var5 = 5 * 4 * 15 / 18  # 16.6667
+    z5 = 9 / math.sqrt(var5)
+    var_tie = (3 * 2 * 11 - 18) / 18  # 2.6667
+    z_tie = 1 / math.sqrt(var_tie)
+    assert got["up"] == (5, 10, round(var5 - 1e-9, 4), round(z5 - 1e-9, 4))
+    assert got["down"] == (
+        5, -10, round(var5 - 1e-9, 4), round(-z5 - 1e-9, 4)
+    )
+    assert got["tie"] == (
+        3, 2, round(var_tie - 1e-9, 4), round(z_tie - 1e-9, 4)
+    )
+
+
+def test_runs_test_hand_series(spark, tmp_path):
+    """Perfectly alternating above/below-median days (1,10,…) give
+    the MAXIMUM run count 6; perfectly clumped (1,1,1,10,10,10) give
+    the minimum 2.  With n1=n2=3: E[R]=2·9/6+1=4,
+    Var=2·3·3·(18−6)/(36·5)=1.2, so z=±2/√1.2 — the whole derivation
+    by hand."""
+    sf_dir = _mini_events_daily(
+        tmp_path,
+        {"alt": [1, 10, 1, 10, 1, 10], "clump": [1, 1, 1, 10, 10, 10]},
+    )
+    got = {
+        r["event_type"]: (
+            int(r["n_above"]), int(r["n_below"]),
+            int(r["n_runs"]), float(r["z_score"]),
+        )
+        for r in all_queries()["stat_runs_test"].fn(spark, sf_dir).collect()
+    }
+    z = 2 / math.sqrt(1.2)
+    assert got["alt"] == (3, 3, 6, round(z - 1e-9, 4))
+    assert got["clump"] == (3, 3, 2, round(-z - 1e-9, 4))
