@@ -425,3 +425,107 @@ def test_runs_test_hand_series(spark, tmp_path):
     z = 2 / math.sqrt(1.2)
     assert got["alt"] == (3, 3, 6, round(z - 1e-9, 4))
     assert got["clump"] == (3, 3, 2, round(-z - 1e-9, 4))
+
+
+def _mini_events_typed(tmp_path, rows):
+    """rows: (event_id, ts_iso, user_id, event_type, value)."""
+    import datetime as _dt
+
+    sf_dir = os.path.join(str(tmp_path), "mini")
+    os.makedirs(sf_dir, exist_ok=True)
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    pdf.to_parquet(os.path.join(sf_dir, "events.parquet"))
+    return sf_dir
+
+
+def test_mcnemar_hand_table(spark, tmp_path):
+    """Paired pre/post purchase bits around the 2024-01-16 cutover:
+    1 user lost, 3 gained, 1 both, 1 neither →
+    χ² = (|1−3|−1)²/(1+3) = 1/4 by hand."""
+    pre, post = "2024-01-10 00:00:00", "2024-01-20 00:00:00"
+    rows = [
+        (1, pre, 1, "purchase", 1.0), (2, post, 1, "view", 1.0),   # lost
+        (3, pre, 2, "view", 1.0), (4, post, 2, "purchase", 1.0),   # gained
+        (5, pre, 3, "view", 1.0), (6, post, 3, "purchase", 1.0),   # gained
+        (7, pre, 4, "view", 1.0), (8, post, 4, "purchase", 1.0),   # gained
+        (9, pre, 5, "purchase", 1.0), (10, post, 5, "purchase", 1.0),  # both
+        (11, pre, 6, "view", 1.0), (12, post, 6, "view", 1.0),     # neither
+    ]
+    sf_dir = _mini_events_typed(tmp_path, rows)
+    (r,) = all_queries()["stat_mcnemar"].fn(spark, sf_dir).collect()
+    assert (
+        int(r["n_lost"]), int(r["n_gained"]),
+        int(r["n_both"]), int(r["n_neither"]),
+    ) == (1, 3, 1, 1)
+    assert float(r["mcnemar_chi2"]) == 0.25
+
+
+def test_wilson_ci_boundary_invariants(spark, tmp_path):
+    """The Wilson interval's defining edge behavior, independent of
+    z: at k=0 the lower bound is EXACTLY 0 (center z²/2n equals the
+    half-width) and at k=n the upper bound is EXACTLY 1 — where the
+    Wald interval collapses.  One all-view day, one all-purchase
+    day."""
+    d0, d1 = "2024-01-01 12:00:00", "2024-01-02 12:00:00"
+    rows = [
+        (1, d0, 1, "view", 1.0), (2, d0, 1, "view", 1.0),
+        (3, d0, 1, "view", 1.0),
+        (4, d1, 1, "purchase", 1.0), (5, d1, 1, "purchase", 1.0),
+        (6, d1, 1, "purchase", 1.0),
+    ]
+    sf_dir = _mini_events_typed(tmp_path, rows)
+    got = {
+        str(r["d"])[:10]: (
+            int(r["n"]), int(r["k"]), float(r["p"]),
+            float(r["wilson_lo"]), float(r["wilson_hi"]),
+        )
+        for r in all_queries()["stat_wilson_ci"].fn(spark, sf_dir).collect()
+    }
+    n0, k0, p0, lo0, hi0 = got["2024-01-01"]
+    assert (n0, k0, p0) == (3, 0, 0.0)
+    assert lo0 == 0.0 and 0.0 < hi0 < 1.0
+    n1, k1, p1, lo1, hi1 = got["2024-01-02"]
+    assert (n1, k1, p1) == (3, 3, 1.0)
+    assert hi1 == 1.0 and 0.0 < lo1 < 1.0
+
+
+def test_welch_ttest_hand_moments(spark, tmp_path):
+    """purchase values 1,2,3 (m=2, v=1) vs view values 4,6 (m=5,
+    v=2): mean_diff = −3, t = −3/√(1/3+1) = −3√3/2 ≈ −2.5981,
+    Welch–Satterthwaite df = (4/3)²/((1/3)²/2 + 1) = 32/19 ≈ 1.6842
+    — every step by hand."""
+    t0 = "2024-01-01 00:00:00"
+    rows = [
+        (1, t0, 1, "purchase", 1.0), (2, t0, 1, "purchase", 2.0),
+        (3, t0, 1, "purchase", 3.0),
+        (4, t0, 2, "view", 4.0), (5, t0, 2, "view", 6.0),
+    ]
+    sf_dir = _mini_events_typed(tmp_path, rows)
+    (r,) = all_queries()["stat_welch_ttest"].fn(spark, sf_dir).collect()
+    assert (int(r["n1"]), int(r["n2"])) == (3, 2)
+    assert float(r["mean_diff"]) == -3.0
+    assert float(r["t_stat"]) == round(-3 * math.sqrt(3) / 2 - 1e-9, 4)
+    assert float(r["welch_df"]) == round(32 / 19 - 1e-9, 4)
+
+
+def test_proportions_ztest_hand_counts(spark, tmp_path):
+    """Even users: 4 events / 1 purchase (p=0.25); odd users: 4 / 2
+    (p=0.5); pooled 3/8.  z = −0.25/√(0.375·0.625·0.5) ≈ −0.7303 by
+    hand."""
+    t0 = "2024-01-01 00:00:00"
+    rows = (
+        [(i, t0, 2, "purchase" if i == 1 else "view", 1.0)
+         for i in range(1, 5)]
+        + [(10 + i, t0, 3, "purchase" if i <= 2 else "view", 1.0)
+           for i in range(1, 5)]
+    )
+    sf_dir = _mini_events_typed(tmp_path, rows)
+    (r,) = all_queries()["stat_proportions_ztest"].fn(spark, sf_dir).collect()
+    assert (int(r["n_a"]), int(r["n_b"])) == (4, 4)
+    assert (float(r["p_a"]), float(r["p_b"])) == (0.25, 0.5)
+    assert float(r["p_pooled"]) == 0.375
+    want_z = -0.25 / math.sqrt(0.375 * 0.625 * 0.5)
+    assert float(r["z_score"]) == round(want_z - 1e-9, 4)
