@@ -529,3 +529,43 @@ def test_proportions_ztest_hand_counts(spark, tmp_path):
     assert float(r["p_pooled"]) == 0.375
     want_z = -0.25 / math.sqrt(0.375 * 0.625 * 0.5)
     assert float(r["z_score"]) == round(want_z - 1e-9, 4)
+
+
+def test_effect_sizes_hand_moments(spark, tmp_path):
+    """Same 1,2,3 vs 4,6 fixture as the Welch pin: pooled SD =
+    √(((3−1)·1 + (2−1)·2)/3) = 2/√3, Cohen's d = −3√3/2, Hedges' g =
+    d·(1 − 3/11), population-SD variant d·√(3/5) — each closed form
+    recomputed by hand."""
+    t0 = "2024-01-01 00:00:00"
+    rows = [
+        (1, t0, 1, "purchase", 1.0), (2, t0, 1, "purchase", 2.0),
+        (3, t0, 1, "purchase", 3.0),
+        (4, t0, 2, "view", 4.0), (5, t0, 2, "view", 6.0),
+    ]
+    sf_dir = _mini_events_typed(tmp_path, rows)
+    (r,) = all_queries()["stat_effect_sizes"].fn(spark, sf_dir).collect()
+    d = -3 * math.sqrt(3) / 2
+    assert float(r["mean_diff"]) == -3.0
+    assert float(r["pooled_sd"]) == round(2 / math.sqrt(3) - 1e-9, 4)
+    assert float(r["cohens_d"]) == round(d - 1e-9, 4)
+    assert float(r["hedges_g"]) == round(d * (1 - 3 / 11) - 1e-9, 4)
+    assert float(r["glass_like_d"]) == round(
+        d * math.sqrt(3 / 5) - 1e-9, 4
+    )
+
+
+def test_jackknife_constant_series_has_zero_se(spark, tmp_path):
+    """Every leave-one-bucket-out mean of a CONSTANT series equals
+    the constant, so the jackknife SE is exactly 0 and the mean is
+    the constant — an invariant that holds regardless of how the
+    opaque hash assigns buckets."""
+    t0 = "2024-01-01 00:00:00"
+    rows = [(i, t0, 1, "view", 7.0) for i in range(100)]
+    sf_dir = _mini_events_typed(tmp_path, rows)
+    (r,) = (
+        all_queries()["stat_jackknife_variance"].fn(spark, sf_dir).collect()
+    )
+    assert int(r["n_rows"]) == 100
+    assert 1 <= int(r["n_buckets"]) <= 32
+    assert float(r["mean_value"]) == 7.0
+    assert float(r["jackknife_se"]) == 0.0
