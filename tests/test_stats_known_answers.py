@@ -569,3 +569,63 @@ def test_jackknife_constant_series_has_zero_se(spark, tmp_path):
     assert 1 <= int(r["n_buckets"]) <= 32
     assert float(r["mean_value"]) == 7.0
     assert float(r["jackknife_se"]) == 0.0
+
+
+def test_tost_hand_moments(spark, tmp_path):
+    """Same fixture as the Welch pin (diff = −3, se = 2/√3): with
+    margin 0.5, t_lower = −2.5/se, t_upper = −3.5/se; both one-sided
+    tests clearly fail (the means differ by 6× the margin), so
+    equivalent = False — the asymmetric-bounds arithmetic by hand."""
+    t0 = "2024-01-01 00:00:00"
+    rows = [
+        (1, t0, 1, "purchase", 1.0), (2, t0, 1, "purchase", 2.0),
+        (3, t0, 1, "purchase", 3.0),
+        (4, t0, 2, "view", 4.0), (5, t0, 2, "view", 6.0),
+    ]
+    sf_dir = _mini_events_typed(tmp_path, rows)
+    (r,) = all_queries()["stat_tost_equivalence"].fn(spark, sf_dir).collect()
+    se = 2 / math.sqrt(3)
+    assert float(r["mean_diff"]) == -3.0
+    assert float(r["se"]) == round(se - 1e-9, 4)
+    assert float(r["t_lower"]) == round(-2.5 / se - 1e-9, 4)
+    assert float(r["t_upper"]) == round(-3.5 / se - 1e-9, 4)
+    assert bool(r["equivalent"]) is False
+    # and an equivalent pair: identical-mean tight groups, se small
+    rows2 = [
+        (1, t0, 1, "purchase", 10.0), (2, t0, 1, "purchase", 10.1),
+        (3, t0, 1, "purchase", 9.9),
+        (4, t0, 2, "view", 10.0), (5, t0, 2, "view", 10.1),
+        (6, t0, 2, "view", 9.9),
+    ]
+    sf2 = _mini_events_typed(tmp_path.joinpath("eq"), rows2)
+    (r2,) = all_queries()["stat_tost_equivalence"].fn(spark, sf2).collect()
+    # diff = 0, se = sqrt(0.01/3 + 0.01/3) = sqrt(1/150)
+    se2 = math.sqrt(0.01 / 3 + 0.01 / 3)
+    assert float(r2["mean_diff"]) == 0.0
+    assert float(r2["t_lower"]) == round(0.5 / se2 - 1e-9, 4)
+    assert bool(r2["equivalent"]) is True
+
+
+def test_power_sample_size_hand_variance(spark, tmp_path):
+    """Pooled values 1,2,3,4,6: mean 3.2, sample variance 14.8/4 =
+    3.7.  n_per_arm = ceil(2·3.7·(1.96+0.8416)²/0.25) and the MDE at
+    a half split uses floor(5/2) = 2 — the closed forms recomputed
+    by hand with the module's fixed constants."""
+    t0 = "2024-01-01 00:00:00"
+    rows = [
+        (1, t0, 1, "purchase", 1.0), (2, t0, 1, "purchase", 2.0),
+        (3, t0, 1, "purchase", 3.0),
+        (4, t0, 2, "view", 4.0), (5, t0, 2, "view", 6.0),
+        (6, t0, 3, "click", 999.0),  # excluded event type
+    ]
+    sf_dir = _mini_events_typed(tmp_path, rows)
+    (r,) = (
+        all_queries()["stat_power_sample_size"].fn(spark, sf_dir).collect()
+    )
+    zsum = 1.96 + 0.8416
+    assert float(r["variance"]) == 3.7
+    assert int(r["n_observed"]) == 5
+    assert int(r["n_per_arm"]) == math.ceil(2 * 3.7 * zsum**2 / 0.25)
+    assert float(r["mde_at_half_split"]) == round(
+        zsum * math.sqrt(2 * 3.7 / 2) - 1e-9, 4
+    )
