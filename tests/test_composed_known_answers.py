@@ -133,3 +133,71 @@ def test_cohort_revenue_curve_hand_ltv(spark, tmp_path):
         ("2024-01-01", 2): (7.0, 12.0),
         ("2024-01-02", 0): (3.0, 3.0),
     }
+
+
+def _mini_documents(tmp_path, rows):
+    """rows: (doc_id, text, lang, source)."""
+    sf_dir = os.path.join(str(tmp_path), "mini")
+    os.makedirs(sf_dir, exist_ok=True)
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source"]
+    ).to_parquet(os.path.join(sf_dir, "documents.parquet"))
+    return sf_dir
+
+
+def test_lexical_diversity_hand_counts(spark, tmp_path):
+    """Source s1 tokens: 'a a b c' + 'a d' → N=6, V=4, hapax=3,
+    TTR=2/3, hapax ratio 3/4, Yule's K = 10⁴·(12−6)/36 = 1666.6667 —
+    all exact integer arithmetic by hand."""
+    sf_dir = _mini_documents(
+        tmp_path,
+        [(1, "a a b c", "en", "s1"), (2, "a d", "en", "s1")],
+    )
+    (r,) = (
+        QUERIES["text_lexical_diversity"].fn(spark, sf_dir).collect()
+    )
+    assert (int(r["n_tokens"]), int(r["n_types"]), int(r["n_hapax"])) == (
+        6, 4, 3,
+    )
+    assert float(r["type_token_ratio"]) == round(4 / 6 - 1e-9, 4)
+    assert float(r["hapax_ratio"]) == 0.75
+    assert float(r["yule_k"]) == round(10000 * 6 / 36 - 1e-9, 4)
+
+
+def test_fingerprint_invariants(spark, tmp_path):
+    """Hash values are opaque, but the min-over-windows structure
+    has hand-checkable invariants: identical texts → identical
+    fingerprints; < 4 tokens → excluded; and a doc whose window SET
+    is a superset of another's can only have an equal-or-SMALLER
+    fingerprint (min over a superset)."""
+    sf_dir = _mini_documents(
+        tmp_path,
+        [
+            (1, "w x y z", "en", "s"),
+            (2, "w x y z", "en", "s"),          # identical to 1
+            (3, "too few here", "en", "s"),     # 3 tokens — excluded
+            (4, "p q w x y z", "en", "s"),      # windows ⊇ doc 1's
+        ],
+    )
+    got = {
+        int(r["doc_id"]): int(r["fingerprint"])
+        for r in QUERIES["text_fingerprint"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == {1, 2, 4}
+    assert got[1] == got[2]
+    assert got[4] <= got[1]
+
+
+def test_encode_minmax_hand_scaling(spark, tmp_path):
+    """Orders with totalprice 1, 2, 3 → min-max scaled exactly to
+    0, 0.5, 1."""
+    sf_dir = os.path.join(str(tmp_path), "mini")
+    os.makedirs(sf_dir, exist_ok=True)
+    pd.DataFrame(
+        {"o_orderkey": [1, 2, 3], "o_totalprice": [1.0, 2.0, 3.0]}
+    ).to_parquet(os.path.join(sf_dir, "orders.parquet"))
+    got = {
+        int(r["o_orderkey"]): float(r["price_01"])
+        for r in QUERIES["encode_minmax"].fn(spark, sf_dir).collect()
+    }
+    assert got == {1: 0.0, 2: 0.5, 3: 1.0}
