@@ -201,3 +201,30 @@ def test_encode_minmax_hand_scaling(spark, tmp_path):
         for r in QUERIES["encode_minmax"].fn(spark, sf_dir).collect()
     }
     assert got == {1: 0.0, 2: 0.5, 3: 1.0}
+
+
+def test_ndcg_hand_ranking(spark, tmp_path):
+    """User 1's model scores rank the items exactly BACKWARDS
+    (gains 0, 1, 3 by descending score): DCG = 0/log2(2) + 1/log2(3)
+    + 3/log2(4), IDCG = 3/log2(2) + 1/log2(3) — both by hand.  User
+    2 has no positive gain anywhere → IDCG = 0 → abstains."""
+    import math
+
+    rows = [
+        (1, "2024-01-01 00:00:01", 1, "purchase", 1.0),  # best item, worst score
+        (2, "2024-01-01 00:00:02", 1, "view", 3.0),      # worst item, best score
+        (3, "2024-01-01 00:00:03", 1, "click", 2.0),
+        (4, "2024-01-01 00:00:04", 2, "view", 9.0),
+        (5, "2024-01-01 00:00:05", 2, "view", 8.0),
+    ]
+    sf_dir = _mini_events(
+        tmp_path, [(r[0], r[1], r[2], r[3], r[4]) for r in rows]
+    )
+    got = {
+        int(r["user_id"]): float(r["ndcg_at_k"])
+        for r in QUERIES["ml_eval_ndcg"].fn(spark, sf_dir).collect()
+    }
+    dcg = 0 / 1 + 1 / math.log2(3) + 3 / math.log2(4)
+    idcg = 3 / 1 + 1 / math.log2(3)
+    assert set(got) == {1}
+    assert got[1] == round(dcg / idcg - 1e-9, 4)
