@@ -228,3 +228,19 @@ def test_ndcg_hand_ranking(spark, tmp_path):
     idcg = 3 / 1 + 1 / math.log2(3)
     assert set(got) == {1}
     assert got[1] == round(dcg / idcg - 1e-9, 4)
+
+
+def test_heavy_hitters_strict_threshold_boundary(spark, tmp_path):
+    """K = 50 → report terms with count·50 > N, STRICTLY.  A 100-token
+    corpus with 'a'×3 (150 > 100 ✓), 'b'×2 (100 > 100 ✗ — exactly on
+    the boundary, must be excluded), and 95 distinct fillers (50 <
+    100 ✗).  Pins the strict inequality and the share arithmetic by
+    hand."""
+    filler = " ".join(f"f{i}" for i in range(95))
+    text = "a a a b b " + filler  # 3 + 2 + 95 = 100 tokens
+    sf_dir = _mini_documents(tmp_path, [(1, text, "en", "s")])
+    got = {
+        r["term"]: (int(r["cnt"]), float(r["share"]))
+        for r in QUERIES["pipeline_heavy_hitters"].fn(spark, sf_dir).collect()
+    }
+    assert got == {"a": (3, 0.03)}
