@@ -244,3 +244,37 @@ def test_heavy_hitters_strict_threshold_boundary(spark, tmp_path):
         for r in QUERIES["pipeline_heavy_hitters"].fn(spark, sf_dir).collect()
     }
     assert got == {"a": (3, 0.03)}
+
+
+def test_scd2_apply_hand_legs(spark, tmp_path):
+    """Customers 1..8 with balances 10·key; the synthetic batch
+    changes key 7 (+100).  Expected table state by hand: 7 untouched
+    current rows, ONE closed row for key 7 (old balance, valid_to =
+    effective ts, not current) and ONE inserted current row (new
+    balance, valid_from = effective ts) — pins the anti/semi/insert
+    leg routing and the interval stamps."""
+    sf_dir = os.path.join(str(tmp_path), "mini")
+    os.makedirs(sf_dir, exist_ok=True)
+    pd.DataFrame(
+        {
+            "c_custkey": list(range(1, 9)),
+            "c_acctbal": [10.0 * k for k in range(1, 9)],
+        }
+    ).to_parquet(os.path.join(sf_dir, "customer.parquet"))
+    rows = QUERIES["scd2_apply_changes"].fn(spark, sf_dir).collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(int(r["c_custkey"]), []).append(
+            (
+                float(r["bal"]),
+                r["valid_to"] is None,
+                bool(r["is_current"]),
+            )
+        )
+    assert len(rows) == 9  # 7 untouched + closed + inserted
+    for k in (1, 2, 3, 4, 5, 6, 8):
+        assert by_key[k] == [(10.0 * k, True, True)], k
+    assert sorted(by_key[7]) == [
+        (70.0, False, False),   # closed: old balance, bounded interval
+        (170.0, True, True),    # inserted: new balance, open interval
+    ]

@@ -293,3 +293,37 @@ def test_rolling_corr_hand_extremes(spark, tmp_path):
         for r in QUERIES["window_rolling_corr"].fn(spark, sf_dir).collect()
     }
     assert got == {1: None, 2: 1.0, 3: 1.0, 4: None, 5: -1.0}
+
+
+def test_seasonal_zscore_hand_weekday_groups(spark, tmp_path):
+    """Three Mondays totalling 10, 10, 22 → same-dow profile μ=14,
+    σ=√48, z = ±{8,4}/√48 by hand; two identical Tuesdays (σ=0) pin
+    the zero-variance weekday to z NULL with the anomaly flag
+    coalesced to False."""
+    import math
+
+    sf_dir = _mini_events(
+        tmp_path,
+        [
+            (1, "2024-01-01 12:00:00", 1, "view", 10.0),  # Monday
+            (2, "2024-01-08 12:00:00", 1, "view", 10.0),  # Monday
+            (3, "2024-01-15 12:00:00", 1, "view", 22.0),  # Monday
+            (4, "2024-01-02 12:00:00", 1, "view", 5.0),   # Tuesday
+            (5, "2024-01-09 12:00:00", 1, "view", 5.0),   # Tuesday
+        ],
+    )
+    got = {
+        str(r["d"])[:10]: (
+            float(r["x"]),
+            int(r["n_same_dow"]),
+            None if r["seasonal_z"] is None else float(r["seasonal_z"]),
+            bool(r["anomaly"]),
+        )
+        for r in QUERIES["ts_seasonal_zscore"].fn(spark, sf_dir).collect()
+    }
+    s = math.sqrt(48)
+    assert got["2024-01-01"] == (10.0, 3, round(-4 / s - 1e-9, 4), False)
+    assert got["2024-01-08"] == (10.0, 3, round(-4 / s - 1e-9, 4), False)
+    assert got["2024-01-15"] == (22.0, 3, round(8 / s - 1e-9, 4), False)
+    assert got["2024-01-02"] == (5.0, 2, None, False)
+    assert got["2024-01-09"] == (5.0, 2, None, False)
