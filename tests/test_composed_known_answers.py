@@ -278,3 +278,26 @@ def test_scd2_apply_hand_legs(spark, tmp_path):
         (70.0, False, False),   # closed: old balance, bounded interval
         (170.0, True, True),    # inserted: new balance, open interval
     ]
+
+
+def test_decontaminate_hand_overlaps(spark, tmp_path):
+    """Benchmark doc 97 (doc_id % 97 == 0) carries 4-grams
+    'a b c d' / 'b c d e'.  Train doc 1 embeds exactly one of them
+    (1 hit), doc 3 embeds both (2 hits), doc 2 shares nothing
+    (absent), and doc 4 is 3 tokens long (below the shingle width —
+    excluded before hashing).  Counted by hand."""
+    sf_dir = _mini_documents(
+        tmp_path,
+        [
+            (97, "a b c d e", "en", "bench"),
+            (1, "x a b c d y", "en", "s"),
+            (2, "p q r s t u", "en", "s"),
+            (3, "a b c d e z", "en", "s"),
+            (4, "a b c", "en", "s"),
+        ],
+    )
+    got = {
+        int(r["doc_id"]): int(r["n_hits"])
+        for r in QUERIES["pipeline_decontaminate"].fn(spark, sf_dir).collect()
+    }
+    assert got == {1: 1, 3: 2}
