@@ -301,3 +301,30 @@ def test_decontaminate_hand_overlaps(spark, tmp_path):
         for r in QUERIES["pipeline_decontaminate"].fn(spark, sf_dir).collect()
     }
     assert got == {1: 1, 3: 2}
+
+
+def test_filter_cascade_hand_funnel(spark, tmp_path):
+    """Five docs placed exactly on the funnel boundaries: n_chars 80
+    and 1000 are inside the band (79/1001 outside), 12 tokens is the
+    inclusive minimum, language allowlist en/de/fr.  Counts by hand:
+    total 5, lang 4, +len 2, +tok 1; the final hash-sample stage is
+    opaque but can only keep a subset of the previous stage."""
+    t12 = " ".join(f"w{i}" for i in range(12))
+    t11 = " ".join(f"w{i}" for i in range(11))
+    sf_dir = os.path.join(str(tmp_path), "mini")
+    os.makedirs(sf_dir, exist_ok=True)
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [t12, t12, t12, t11, t12],
+            "lang": ["en", "en", "zz", "fr", "de"],
+            "source": ["s"] * 5,
+            "n_chars": [80, 79, 500, 1000, 1001],
+        }
+    ).to_parquet(os.path.join(sf_dir, "documents.parquet"))
+    (r,) = QUERIES["pipeline_filter_cascade"].fn(spark, sf_dir).collect()
+    assert (
+        int(r["n_total"]), int(r["n_lang"]),
+        int(r["n_len"]), int(r["n_tok"]),
+    ) == (5, 4, 2, 1)
+    assert 0 <= int(r["n_kept"]) <= 1
