@@ -30,33 +30,37 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from ondemand_dask_spark.registry import all_queries  # noqa: E402
 
-# One anchor (the flagship): with 143 of 443 queries never
-# driver-checked after r8, every repeat slot costs one query of
+# One anchor (the flagship): with 95 of 443 queries never
+# driver-checked after r9, every repeat slot costs one query of
 # external coverage.  entry() runs tpch_q1 every round regardless;
 # keeping it in the window keeps the CORRECTNESS row alongside the
 # smoke check.
 ANCHORS = ("tpch_q1",)
 
-# Re-presents.  r9: `sample_seeded` only — it traded its rows-only
-# status for a full seeded-hash oracle this round (r8 verdict item
-# 6), and one repeat slot converts its prior rows-only driver row
-# into a hash-green one.  The 3 remaining rows-only-by-design
-# queries (freq_items sketch, ml-internal seeds, exact-ewm float
-# recursion) all earned their driver rows-row + tolerance twin in
-# r8; re-presenting them again would buy nothing.
-REPRESENT = ("sample_seeded",)
+# Re-presents.  r10 (r9 verdict item 6): present each remaining
+# rows-only-by-design query ADJACENT to its oracle-checked twin so
+# the driver record itself shows the rows-only row bracketed by a
+# full-hash green on the same code path: `stat_freq_items` (sketch)
+# next to `stat_freq_items_verified` (exact threshold oracle), and
+# `dedup_minhash_ml` (engine-internal seeds) next to
+# `dedup_minhash_lsh` (deterministic-seed full oracle).  udf_ewm's
+# twin pairing (window_ewm_bounded) was already adjacent in its r8
+# window.
+REPRESENT = (
+    "stat_freq_items", "stat_freq_items_verified",
+    "dedup_minhash_ml", "dedup_minhash_lsh",
+)
 
 # Never-checked queries the verdict explicitly called out — taken
 # first, before the backlog fill.  Refresh each round from
-# VERDICT.md's "next round" item.  r9: the 3 never-checked streaming
-# jobs (stream_hourly_anomaly_alert's oracle gained the watermark
-# finalization cutoff in r8 and deserves external confirmation), the
-# multimodal image pair, and the dedup tail.
+# VERDICT.md's "next round" item.  r10: the four most structurally
+# distinct never-checked paths (all four passed the judge's own
+# driver_sim batch in r9, but still have no driver CORRECTNESS row):
+# multiprobe LSH, transformWithStateInPandas, live-Derby JDBC, and
+# the audio-band Arrow decoder.
 PRIORITY = (
-    "stream_chained_windowed_agg", "stream_hourly_anomaly_alert",
-    "stream_union_dual_source",
-    "multimodal_image_near_dup", "multimodal_resize",
-    "dedup_report", "dedup_minhash_estimate_certificate",
+    "ann_lsh_multiprobe", "stream_stateful_counter",
+    "source_jdbc_roundtrip", "multimodal_audio_band_energy",
 )
 
 # every module the family-span invariant requires in the window —
