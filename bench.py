@@ -278,10 +278,19 @@ def load_prev_bench(script_dir: str, sf: float):
             prev = prev["parsed"]
         if isinstance(prev.get("queries"), dict) and prev.get("sf") == sf:
             return fname, prev
-        print(
-            f"skipping {fname}: no parseable same-sf queries map",
-            file=sys.stderr,
-        )
+        # a healthy artifact from another SF is expected, not corrupt —
+        # say which case this is (r9 advisor note)
+        if isinstance(prev.get("queries"), dict):
+            print(
+                f"skipping {fname}: sf={prev.get('sf')} != {sf} "
+                f"(different-SF run, artifact is fine)",
+                file=sys.stderr,
+            )
+        else:
+            print(
+                f"skipping {fname}: no parseable queries map",
+                file=sys.stderr,
+            )
     return None
 
 
@@ -680,7 +689,8 @@ def main() -> None:
             file=sys.stderr,
         )
     print(line)
-    spark.stop()
+    # no spark.stop() here: the main session was already stopped
+    # before the isolated-protocol block (r9 advisor note)
 
 
 if __name__ == "__main__":

@@ -128,8 +128,11 @@ def _ring_w_col(cx: Column, radius_km: float) -> Column:
     m = F.create_map(
         *[F.lit(x) for kv in sorted(widths.items()) for x in kv]
     )
+    # try_element_at, not element_at: under PySpark 4's ANSI-on
+    # default a missing map key THROWS (MAP_KEY_DOES_NOT_EXIST), so
+    # the coalesce fallback below would never fire with element_at.
     return F.coalesce(
-        F.element_at(m, cx.cast("int")), F.lit(max(widths.values()))
+        F.try_element_at(m, cx.cast("int")), F.lit(max(widths.values()))
     ).cast("int")
 
 

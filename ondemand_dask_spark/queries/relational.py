@@ -252,12 +252,15 @@ def topn_head(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """df.sample(frac, random_state) — seeded Bernoulli sample, as a
-    DETERMINISTIC salted-hash draw: row kept iff
-    hash(seed|key) % 10000 < frac·10000.  `df.sample(seed=)`'s own
-    draw is reproducible only per partitioning (the RNG streams by
-    partition index), so it is neither stable across repartitions
-    nor expressible to another engine — rows-only forever.  Salting
+    """Seeded sampling contract (the engine surface behind
+    `df.sample(frac, random_state)`), fulfilled by a DETERMINISTIC
+    salted-hash draw rather than Spark's native Bernoulli sampler:
+    row kept iff hash(seed|key) % 10000 < frac·10000.
+    `df.sample(seed=)`'s own draw is reproducible only per
+    partitioning (the RNG streams by partition index), so it is
+    neither stable across repartitions nor expressible to another
+    engine — rows-only forever; the native sampler path itself stays
+    exercised by tests/test_native_sampler.py.  Salting
     the seed into a key hash keeps the seeded-sampling contract
     (same seed → same sample; different seed → a fresh, independent
     sample) while making membership a pure function of (seed, key):
