@@ -662,7 +662,14 @@ def main() -> None:
         # session, own calibrations, 1 warm-up + 5 timed runs each).
         "isolated": isolated,
     }
-    with open(os.path.join(SCRIPT_DIR, "bench_full.json"), "w") as fh:
+    # the driver-round record is the sf0.1 run; a scale drive at
+    # another SF gets its own artifact so it can't clobber it
+    full_name = (
+        "bench_full.json"
+        if full["sf"] == 0.1
+        else f"bench_full_sf{full['sf']:g}.json"
+    )
+    with open(os.path.join(SCRIPT_DIR, full_name), "w") as fh:
         json.dump(full, fh, indent=1)
     slim = {
         "metric": full["metric"],
@@ -679,7 +686,7 @@ def main() -> None:
         "isolated": {
             n: r["best"] for n, r in isolated.get("queries", {}).items()
         },
-        "detail": "bench_full.json",
+        "detail": full_name,
     }
     line = json.dumps(slim, separators=(",", ":"))
     if len(line) > 1900:  # fail loudly BEFORE the driver truncates it

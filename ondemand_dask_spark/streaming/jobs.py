@@ -63,9 +63,22 @@ def _stream_dir(sf_dir: str) -> str:
     sf = os.path.basename(sf_dir.rstrip("/"))
     d = os.path.join(tempfile.gettempdir(), "ondemand_dask_spark_stream", sf, "events")
     os.makedirs(d, exist_ok=True)
-    link = os.path.join(d, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    src = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(src):
+        # Spark directory-parquet (tools/gen_scale_data.py output): the
+        # file-stream source does not recurse into a symlinked
+        # subdirectory, so link each data file into the landing dir —
+        # a silent zero-file stream here made every streaming job
+        # "succeed" on nothing at the r10 sf1 drive.
+        for f in os.listdir(src):
+            if f.endswith(".parquet"):
+                link = os.path.join(d, f)
+                if not os.path.exists(link):
+                    os.symlink(os.path.join(src, f), link)
+    else:
+        link = os.path.join(d, "events.parquet")
+        if not os.path.exists(link):
+            os.symlink(src, link)
     return d
 
 
