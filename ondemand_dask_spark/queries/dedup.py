@@ -559,49 +559,49 @@ _STOP_DF_CAP = 1000
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pairwise n-gram Jaccard via an EXPLICIT inverted index with a
-    stop-shingle cut.  One groupBy(h) over the hashed shingle set
-    builds each shingle's posting list AND its document frequency in
-    the same shuffle; posting lists with df > max(5, 1% of corpus)
-    are dropped (a shingle in d docs fans out into d·(d-1)/2 pairs —
-    one boilerplate line shared by 1% of a 10B-doc corpus alone
-    would generate 5e15, so the DF ceiling is what bounds the
+    """Pairwise n-gram Jaccard via a LANG-BLOCKED inverted index with
+    a stop-shingle cut.  The index groupBy(h) computes each shingle's
+    global document frequency; lists with df > min(1000, max(5, 1% of
+    corpus)) are dropped (a shingle in d docs fans out into d·(d-1)/2
+    pairs — one boilerplate line shared by 1% of a 10B-doc corpus
+    alone would generate 5e15, so the DF ceiling is what bounds the
     operator at scale, and ubiquitous shingles carry no near-dup
-    signal anyway); surviving lists explode into candidate pairs via
-    a higher-order-function combination expansion (pure codegen, at
-    most C(ceiling, 2) pairs per shingle).  Per-doc denominators
-    count the SAME kept shingles, the lang block applies as a final
-    equality filter on the (tiny) scored pair set, and the corpus
-    total rides along as a broadcast 1-row crossJoin — no driver
-    action anywhere.  vs the self-join formulation: the cut costs no
-    extra shuffle (A/B, one warm session, sf0.1, best-of-3: posting
-    2.65s vs self-join+anti-cut 3.56s vs uncut self-join 2.27s), and
-    every wide op moves (long, long) rows, never shingle strings.
-    The index builds in ONE shuffle: raw shingle instances groupBy
-    directly on the hash with collect_set doing the per-doc dedup
-    inside the aggregation (set semantics ≡ the DISTINCT the oracle
-    spells out), so the separate distinct exchange the two-step
-    formulation pays never exists."""
-    inter, counts, docs = _ngram_posting_pairs(spark, sf_dir)
-    d = docs.select("doc_id", "lang")
-    jac = F.col("i").cast("double") / (F.col("na.n") + F.col("nb.n") - F.col("i"))
+    signal anyway).  Surviving postings regroup per (lang, h) — the
+    query's own language block, applied BEFORE the quadratic step
+    instead of on the scored pairs: Σ over langs of the squared lang
+    share < 1 cuts the pair fan-out ~4× on the en-heavy fixture mix.
+    Each (lang, h) list carries (doc_id, kept_count) structs, so the
+    combination expansion (pure codegen, at most C(ceiling, 2) pairs
+    per shingle) emits pair rows whose single groupBy yields the
+    intersection size i NEXT TO both set sizes — the Jaccard test
+    i/(na+nb-i) >= t closes right on the aggregate, with no
+    counts/lang re-join behind the quadratic stage at all.  sf1 A/B
+    (50k docs, 3.4M instances, Σ C(df,2)=193M, one warm session):
+    this shape 18.7s vs 61.3s for the score-then-join form, hash-
+    identical output; a PPJoin prefix+positional candidate pass
+    (tools/probe_prefix_filter.py machinery) measured 46.5s un-blocked
+    and 17.1s lang-blocked but only with a corpus-sized broadcast in
+    its verify join, so the count-filter form wins at scale; pushing
+    a broadcast scalar overlap floor under the groupBy measured 106s
+    (BNLJ behind the wide agg) — rejected."""
+    pairs, _ = _ngram_pair_scores(spark, sf_dir)
+    jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
     return (
-        inter.join(counts.alias("na"), F.col("na.doc_id") == F.col("doc_a"))
-        .join(counts.alias("nb"), F.col("nb.doc_id") == F.col("doc_b"))
-        .join(d.alias("la"), F.col("la.doc_id") == F.col("doc_a"))
-        .join(d.alias("lb"), F.col("lb.doc_id") == F.col("doc_b"))
-        .filter(F.col("la.lang") == F.col("lb.lang"))
-        .filter(jac >= 0.4)
+        pairs.filter(jac >= 0.4)
         .select("doc_a", "doc_b", F.round(jac - 1e-9, _R).alias("jaccard"))
     )
 
 
-def _ngram_posting_pairs(spark: SparkSession, sf_dir: str):
-    """Stop-cut inverted index → (pair intersections, per-doc kept-
-    shingle counts, docs).  Shared by the Jaccard and containment
-    queries — see dedup_ngram_jaccard's docstring for the full scale
-    rationale (DF ceiling, one-shuffle index, codegen combination
-    expansion, cached filtered index)."""
+def _ngram_pair_scores(spark: SparkSession, sf_dir: str):
+    """Stop-cut, lang-blocked inverted index → (same-lang co-occurring
+    pairs scored as (doc_a, doc_b, na, nb, i), docs).  Shared by the
+    Jaccard and containment queries — see dedup_ngram_jaccard's
+    docstring for the full scale rationale (DF ceiling, lang-first
+    blocking, struct-carrying combination expansion).  Every wide op
+    moves fixed-width rows, never shingle strings; the corpus total
+    rides a broadcast 1-row crossJoin; no driver action anywhere.
+    Complete for any consumer threshold: the groupBy emits EVERY
+    same-lang pair sharing >= 1 kept shingle with its exact i."""
     docs = load_table(spark, sf_dir, "documents")
     h30 = _h(F.col("shingle")) % F.lit(1_073_741_824)
     inst = docs.select(
@@ -614,41 +614,55 @@ def _ngram_posting_pairs(spark: SparkSession, sf_dir: str):
             F.lit(float(_STOP_DF_MIN)), F.lit(_STOP_DF_FRAC) * F.col("n_docs")
         ),
     )
-    index = (
+    # ONE shuffle builds posting list + df together: collect_set does
+    # the per-doc instance dedup inside the aggregation (set semantics
+    # ≡ the DISTINCT the oracle spells out).  The kept INSTANCES are
+    # what both downstream branches (per-doc counts, lang regroup)
+    # consume, so that is what the cache pins — bounded rows, the
+    # collect_set arrays are exploded away before caching.
+    _evict_retained()
+    kept_inst = _retain(
         inst.groupBy("h")
-        .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
+        .agg(F.collect_set("doc_id").alias("ds"))
         .withColumn("df", F.size("ds").cast("long"))
         .crossJoin(F.broadcast(total))
+        .filter(F.col("df") <= thresh)
+        .select("h", F.explode("ds").alias("doc_id"))
+        .cache()
     )
-    # The surviving posting lists feed BOTH the per-doc counts and
-    # the pair expansion; caching them stops the collect_set
-    # aggregation re-running per consumer (A/B, one warm session,
-    # sf0.1, 3 reps: 3.6-4.3s uncached vs 2.7-3.3s cached).  The
-    # cache is the stop-shingle-FILTERED index — bounded rows, every
-    # array ≤ the DF ceiling.
-    _evict_retained()
-    kept = _retain(index.filter(F.col("df") <= thresh).cache())
-    counts = (
-        kept.select(F.explode("ds").alias("doc_id"))
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n"))
+    counts = kept_inst.groupBy("doc_id").agg(F.count("*").alias("n"))
+    dmeta = counts.join(docs.select("doc_id", "lang"), "doc_id")
+    lists = (
+        kept_inst.join(dmeta, "doc_id")
+        .groupBy("lang", "h")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n"))).alias("ds"))
+        .filter(F.size("ds") >= 2)
     )
     combos = F.flatten(
         F.transform(
             F.col("ds"),
             lambda x, i: F.transform(
                 F.slice(F.col("ds"), i + F.lit(2), F.size(F.col("ds"))),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
+                lambda y: F.struct(
+                    x["doc_id"].alias("a"),
+                    x["n"].alias("na"),
+                    y["doc_id"].alias("b"),
+                    y["n"].alias("nb"),
+                ),
             ),
         )
     )
-    inter = (
-        kept.filter(F.col("df") >= 2)
-        .select(F.explode(combos).alias("p"))
-        .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+    pairs = (
+        lists.select(F.explode(combos).alias("p"))
+        .groupBy(
+            F.col("p.a").alias("doc_a"),
+            F.col("p.na").alias("na"),
+            F.col("p.b").alias("doc_b"),
+            F.col("p.nb").alias("nb"),
+        )
         .agg(F.count("*").alias("i"))
     )
-    return inter, counts, docs
+    return pairs, docs
 
 
 @register(
@@ -1179,37 +1193,13 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     misses when a short document is wholly quoted inside a longer one
     (quote-expansion, boilerplate-plus-content), where the union in
     the denominator dilutes the score below any symmetric threshold.
-    Reuses the stop-cut posting-list machinery (_ngram_posting_pairs)
-    verbatim — same one-shuffle index, same DF ceiling, same codegen
-    pair expansion — and scores each unordered pair in BOTH
-    directions, emitting directed (inner_doc, outer_doc) rows at
-    containment >= 0.8, same-lang block as the Jaccard twin."""
-    inter, counts, docs = _ngram_posting_pairs(spark, sf_dir)
-    d = docs.select("doc_id", "lang")
-    scored = (
-        inter.join(
-            counts.select(
-                F.col("doc_id").alias("doc_a"), F.col("n").alias("na")
-            ),
-            "doc_a",
-        )
-        .join(
-            counts.select(
-                F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")
-            ),
-            "doc_b",
-        )
-        .join(
-            d.select(F.col("doc_id").alias("doc_a"), F.col("lang").alias("la")),
-            "doc_a",
-        )
-        .join(
-            d.select(F.col("doc_id").alias("doc_b"), F.col("lang").alias("lb")),
-            "doc_b",
-        )
-        .filter(F.col("la") == F.col("lb"))
-        .select("doc_a", "doc_b", "i", "na", "nb")
-    )
+    Reuses the stop-cut, lang-blocked scoring machinery
+    (_ngram_pair_scores) verbatim — same index shuffle, same DF
+    ceiling, same struct-carrying codegen pair expansion, language
+    block already applied BEFORE the quadratic step — and scores each
+    unordered pair in BOTH directions, emitting directed
+    (inner_doc, outer_doc) rows at containment >= 0.8."""
+    scored, _ = _ngram_pair_scores(spark, sf_dir)
     fwd = scored.select(
         F.col("doc_a").alias("inner_doc"),
         F.col("doc_b").alias("outer_doc"),
