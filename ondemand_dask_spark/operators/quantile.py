@@ -39,6 +39,13 @@ longer fits one task, NOT here — the sort path stays the default,
 and the r3 'make agg_groupby_quantile ~1.2 s' directive is closed
 as machine noise: the same A/B shows the count-window vs count-join
 shapes within 10% (1.47 vs 1.43 s), i.e. no re-scan to remove.
+r10 re-ran the A/B at sf1 (6M rows, still 3 groups ⇒ 2M-row
+single-task sorts, tools/ab_quantile.py best-of-3): sort 13.0 s vs
+select 10.9 s — the selection path overtakes exactly where the
+theory says (group size ≫ rows/core), confirming the knee is real
+and sits near the 4M-row estimate; the registered query keeps
+path='sort' because every committed bench SF is below it, and
+callers without that prior pay the probe and flip automatically.
 
 Exactness of both is differentially proven by the
 `agg_groupby_quantile` oracle query and property-tested against

@@ -15,11 +15,23 @@ them, so a flagged query here is a per-core work blowup, which is
 exactly the thing more executors cannot fix when it is candidate-set
 quadratic growth.
 
+bench.py's ISOLATED graph family is excluded from the live table by
+default: those queries carry an eager-cache recompute race that is
+stable under the bench's dedicated fresh-session protocol but
+bimodal deep into a 51-query session (measured here: triangle
+23.8/68.3/50.2 s across three SF blocks whose wedge counts scale
+cleanly 1:3:10) — their exponents come from the committed bench
+artifacts instead via --bench-table.
+
 Usage:
   python tools/scale_curve.py sf_dir:sf [sf_dir:sf ...] \
-      [--runs 2] [--names q1,q2,...] [--out SCALING.md]
-Defaults to bench.py's HEADLINE set.  Emits the markdown table to
---out (default: print) plus one machine-readable JSON line on stdout.
+      [--runs 2] [--names q1,q2,...] [--out SCALING.md] \
+      [--bench-table bench_a.json:sfA,bench_b.json:sfB]
+  python tools/scale_curve.py --bench-table ... --append-out SCALING.md
+Defaults to bench.py's HEADLINE set minus ISOLATED.  Emits the
+markdown table to --out (default: print) plus one machine-readable
+JSON line on stdout.  --append-out skips the live measurement and
+only appends the bench-artifact table (no Spark session).
 """
 
 from __future__ import annotations
@@ -71,9 +83,48 @@ def fit_alpha(points: list[tuple[float, float]]) -> float:
     return sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / den
 
 
+def bench_table(pairs: str) -> str:
+    """Markdown section for the ISOLATED graph family, exponents fit
+    over committed bench artifacts (file.json:sf pairs) — the
+    dedicated-session protocol those queries need."""
+    from bench import ISOLATED
+
+    arts = []
+    for p in pairs.split(","):
+        f, _, sf = p.rpartition(":")
+        with open(f) as fh:
+            arts.append((float(sf), json.load(fh)["queries"]))
+    arts.sort()
+    lines = [
+        "\n## Bench-protocol exponents (ISOLATED graph family)\n\n",
+        "From the committed bench artifacts (%s): these queries are "
+        "excluded from the live table above — their eager-cache "
+        "pinning is stable under the bench's dedicated fresh-session "
+        "protocol but bimodal deep into a long measurement session "
+        "(see tool docstring).  Context: co-purchase |E| and wedge "
+        "count both scale 1.00x-per-sf on this data (probed via "
+        "DuckDB at sf0.1/sf1), so α ≈ 1 here IS the linear-work "
+        "bound for a wedge-check algorithm.\n\n"
+        % ", ".join(f"sf{sf:g}" for sf, _ in arts),
+        "| query | "
+        + " | ".join(f"t(sf{sf:g})" for sf, _ in arts)
+        + " | α |\n",
+        "| --- |" + " --- |" * (len(arts) + 1) + "\n",
+    ]
+    for n in ISOLATED:
+        pts = [(sf, q[n]) for sf, q in arts if n in q]
+        if len(pts) < 2:
+            continue
+        alpha = fit_alpha(pts)
+        cells = " | ".join(f"{t:.3f}" for _, t in pts)
+        lines.append(f"| `{n}` | {cells} | {alpha:.2f} |\n")
+    return "".join(lines)
+
+
 def main(argv: list[str]) -> int:
     points: list[tuple[str, float]] = []
     runs, names, out = 2, None, None
+    bench_pairs, append_out = None, None
     it = iter(argv)
     for a in it:
         if a == "--runs":
@@ -82,17 +133,31 @@ def main(argv: list[str]) -> int:
             names = next(it).split(",")
         elif a == "--out":
             out = next(it)
+        elif a == "--bench-table":
+            bench_pairs = next(it)
+        elif a == "--append-out":
+            append_out = next(it)
         else:
             d, _, sf = a.rpartition(":")
             points.append((d, float(sf)))
+    if append_out:
+        if not bench_pairs:
+            print("--append-out needs --bench-table", file=sys.stderr)
+            return 2
+        with open(append_out, "a") as f:
+            f.write(bench_table(bench_pairs))
+        print(json.dumps({"appended": append_out}))
+        return 0
     if len(points) < 2:
         print("need >= 2 sf_dir:sf points", file=sys.stderr)
         return 2
     if names is None:
-        from bench import HEADLINE
+        from bench import HEADLINE, ISOLATED
 
         qs = all_queries()
-        names = [n for n in HEADLINE if n in qs]
+        names = [
+            n for n in HEADLINE if n in qs and n not in ISOLATED
+        ]
 
     per_sf: dict[float, dict] = {}
     for d, sf in points:
@@ -138,6 +203,8 @@ def main(argv: list[str]) -> int:
         cells = " | ".join(f"{t:.3f}" for _, t in pts)
         flag = "**SUPERLINEAR**" if alpha > SUPERLINEAR_FLAG else ""
         lines.append(f"| `{n}` | {cells} | {alpha:.2f} | {flag} |\n")
+    if bench_pairs:
+        lines.append(bench_table(bench_pairs))
     md = "".join(lines)
     if out:
         with open(out, "w") as f:
