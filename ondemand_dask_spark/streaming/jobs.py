@@ -57,11 +57,27 @@ def _stream_dir(sf_dir: str) -> str:
     """The file-stream source wants a DIRECTORY it can watch; the test
     data is a single parquet file.  Stage a scratch dir holding a
     symlink — in production this is the landing directory new files
-    arrive into."""
+    arrive into.
+
+    The landing dir is keyed by a digest of the ABSOLUTE source path,
+    not just the sf label: two datasets that share a basename (the
+    driver's /root/testdata/sf0.1 and a generated scratch sf0.1)
+    otherwise stage into ONE dir, and the stream silently reads the
+    union — every windowed aggregate doubled, caught by the r10
+    sf0.1 contract drive after a scale run had staged its twin."""
+    import hashlib
     import tempfile
 
     sf = os.path.basename(sf_dir.rstrip("/"))
-    d = os.path.join(tempfile.gettempdir(), "ondemand_dask_spark_stream", sf, "events")
+    src_key = hashlib.md5(
+        os.path.abspath(sf_dir).encode()
+    ).hexdigest()[:8]
+    d = os.path.join(
+        tempfile.gettempdir(),
+        "ondemand_dask_spark_stream",
+        f"{sf}-{src_key}",
+        "events",
+    )
     os.makedirs(d, exist_ok=True)
     src = os.path.join(sf_dir, "events.parquet")
     if os.path.isdir(src):
