@@ -583,7 +583,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     and 17.1s lang-blocked but only with a corpus-sized broadcast in
     its verify join, so the count-filter form wins at scale; pushing
     a broadcast scalar overlap floor under the groupBy measured 106s
-    (BNLJ behind the wide agg) — rejected."""
+    (BNLJ behind the wide agg) — rejected.  The ceiling's guarantee
+    is UNCONDITIONAL, not distribution-dependent: Σ C(df,2) ≤
+    (cap/2)·kept_instances ≈ 30k pair rows per document worst-case —
+    tools/probe_ngram_pairs.py verifies the bound numerically to
+    400k docs on both a fixed-vocabulary (adversarially dense,
+    saturates toward the bound) and a growing-vocabulary (realistic,
+    ~3% of bound) corpus."""
     pairs, _ = _ngram_pair_scores(spark, sf_dir)
     jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
     return (
