@@ -12,11 +12,10 @@ df: apple/banana/cherry = 2, durian = 1, the = 4; idf = ln(N/df).
 Docs 1 and 2 each hold an exact two-way tf·idf tie (ln 2) broken by
 term ascending — banana and apple respectively.
 
-TWA fixture (each observation holds until the next; the LAST
-observation per user is excluded from numerator and denominator):
-  user 1: (0s, 10), (10s, 40), (40s, 100) →
-          (10·1e7 + 40·3e7) / 4e7 = 32.5, span 4e7 µs
-  user 2: a single event → no holding interval → NO output row
+TWA fixture — EXTENDS test_windows_known_answers.py's
+test_time_weighted_avg_hand_integral (which pins the basic integral,
+last-observation exclusion, and the single-event user) with the two
+ordering edges it does not reach:
   user 3: two events at the SAME ts ordered by event_id (the first
           gets Δt = 0 and weight zero), then one 2 s later →
           (5·0 + 7·2e6) / 2e6 = 7.0, span 2e6 µs
@@ -99,10 +98,6 @@ _T0 = datetime(2024, 1, 1)
 _EVENTS = [
     # (event_id, ts_offset_s, user_id, value) — user 4 deliberately
     # written out of time order
-    (1, 0, 1, 10.0),
-    (2, 10, 1, 40.0),
-    (3, 40, 1, 100.0),
-    (4, 0, 2, 55.0),
     (5, 0, 3, 5.0),
     (6, 0, 3, 7.0),
     (7, 2, 3, 9.0),
@@ -142,7 +137,6 @@ def test_time_weighted_avg_hand_fixture(tmp_path, spark):
         for r in q.fn(spark, sf_dir).collect()
     }
     assert got == {
-        1: (32.5, 40_000_000),
         3: (7.0, 2_000_000),
         4: (20.0, 5_000_000),
     }
