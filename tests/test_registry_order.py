@@ -26,13 +26,14 @@ def test_showcase_spans_every_query_family():
     # checked module would cost one query of external coverage
     # (tools/rotation.py REQUIRED_MODULES carries the same
     # carve-out).  "skew" left in r8 (fully green since r7); "sets"
-    # and "udfs" left in r9 (set_intersect_all and udf_ewm were the
-    # last never-checked in each, both driver-checked in r8).
+    # and "udfs" left in r9; "tpch", "dedup", "multimodal", "jobs",
+    # and "incremental" left in r11 (their last never-checked
+    # queries were all driver-certified by r10 — the r11 window is
+    # exactly the 50-query backlog, which spans these 12 modules).
     expected = {
-        "tpch", "sources", "relational", "joins", "aggregations",
-        "windows", "scalars", "composed", "dedup",
-        "similarity", "text", "pipeline", "multimodal", "jobs",
-        "incremental", "encoding",
+        "sources", "relational", "joins", "aggregations",
+        "windows", "scalars", "composed", "similarity", "text",
+        "pipeline", "encoding", "layout",
     }
     assert expected <= mods
 

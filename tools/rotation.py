@@ -30,38 +30,29 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from ondemand_dask_spark.registry import all_queries  # noqa: E402
 
-# One anchor (the flagship): with 95 of 443 queries never
-# driver-checked after r9, every repeat slot costs one query of
-# external coverage.  entry() runs tpch_q1 every round regardless;
-# keeping it in the window keeps the CORRECTNESS row alongside the
-# smoke check.
-ANCHORS = ("tpch_q1",)
+# r11: the never-checked backlog is EXACTLY 50 = one full window
+# (r10 retired 45; 393/443 driver-certified).  Every repeat slot —
+# anchor, rows-only re-present, or priority — would leave one query
+# permanently uncertified, so all three curated tiers are empty this
+# round and the window IS the backlog (r10 verdict item 1: "Done =
+# 50 green rows in CORRECTNESS_r11.json, backlog 0").  entry() still
+# smoke-runs tpch_q1 every round; every rows-only query already sits
+# adjacent to its oracle twin in the r10 record.
+ANCHORS: tuple[str, ...] = ()
 
-# Re-presents.  r10 (r9 verdict item 6): present each remaining
-# rows-only-by-design query ADJACENT to its oracle-checked twin so
-# the driver record itself shows the rows-only row bracketed by a
-# full-hash green on the same code path: `stat_freq_items` (sketch)
-# next to `stat_freq_items_verified` (exact threshold oracle), and
-# `dedup_minhash_ml` (engine-internal seeds) next to
-# `dedup_minhash_lsh` (deterministic-seed full oracle).  udf_ewm's
-# twin pairing (window_ewm_bounded) was already adjacent in its r8
-# window.
-REPRESENT = (
-    "stat_freq_items", "stat_freq_items_verified",
-    "dedup_minhash_ml", "dedup_minhash_lsh",
-)
+# Rows-only re-presents: none needed after r10 — each of the three
+# rows-only-by-design queries has a driver row ADJACENT to its
+# oracle-checked twin (stat_freq_items/stat_freq_items_verified and
+# dedup_minhash_ml/dedup_minhash_lsh in r10; udf_ewm/
+# window_ewm_bounded in r8), which was the r9 verdict's ask.
+REPRESENT: tuple[str, ...] = ()
 
 # Never-checked queries the verdict explicitly called out — taken
 # first, before the backlog fill.  Refresh each round from
-# VERDICT.md's "next round" item.  r10: the four most structurally
-# distinct never-checked paths (all four passed the judge's own
-# driver_sim batch in r9, but still have no driver CORRECTNESS row):
-# multiprobe LSH, transformWithStateInPandas, live-Derby JDBC, and
-# the audio-band Arrow decoder.
-PRIORITY = (
-    "ann_lsh_multiprobe", "stream_stateful_counter",
-    "source_jdbc_roundtrip", "multimodal_audio_band_energy",
-)
+# VERDICT.md's "next round" item.  r11: the verdict names the whole
+# remaining 50-query tail, so no individual priorities; the backlog
+# fill takes everything.
+PRIORITY: tuple[str, ...] = ()
 
 # every module the family-span invariant requires in the window —
 # honored only while the module still has never-checked queries
