@@ -511,13 +511,19 @@ _STOP_DF_MIN = 5  # stop-shingle floor: never cut below this doc-frequency
 _STOP_DF_FRAC = 0.01  # ...or 1% of the corpus, whichever is larger
 # ...but never above this ABSOLUTE ceiling: the fractional rule alone
 # would let a ceiling-DF posting list grow with the corpus (1% of
-# 10B docs = a 100M-element collect_list in one row = executor OOM,
+# 10B docs = a 100M-element posting list in one row = executor OOM,
 # and C(df,2) pair fan-out in the quadrillions).  A shingle shared
 # by >1000 documents is boilerplate at ANY corpus size; capping here
-# bounds the worst posting list at ~8 KB and the worst per-shingle
-# pair fan-out at C(1000,2) ≈ 500k rows.  At the test SFs the
-# fractional rule binds first (60 docs at sf0.1), so results are
-# unchanged there — both engines apply the identical least/greatest.
+# bounds the worst SURVIVING posting list at ~8 KB and the worst
+# per-shingle pair fan-out at C(1000,2) ≈ 500k rows.  The cap only
+# bounds what survives the cut, NOT the pre-cut aggregation — so the
+# index build below never materializes a per-shingle doc set at all:
+# df is computed as a plain count over two-stage-distinct instances
+# and the hot shingle's 100M instances are dropped by a semi-join,
+# never merged into one buffer (see _ngram_pair_scores).  At the
+# test SFs the fractional rule binds first (60 docs at sf0.1), so
+# results are unchanged there — both engines apply the identical
+# least/greatest.
 _STOP_DF_CAP = 1000
 
 
@@ -620,24 +626,55 @@ def _ngram_pair_scores(spark: SparkSession, sf_dir: str):
             F.lit(float(_STOP_DF_MIN)), F.lit(_STOP_DF_FRAC) * F.col("n_docs")
         ),
     )
-    # ONE shuffle builds posting list + df together: collect_set does
-    # the per-doc instance dedup inside the aggregation (set semantics
-    # ≡ the DISTINCT the oracle spells out).  The kept INSTANCES are
-    # what both downstream branches (per-doc counts, lang regroup)
-    # consume, so that is what the cache pins — bounded rows, the
-    # collect_set arrays are exploded away before caching.
-    _evict_retained()
-    kept_inst = _retain(
-        inst.groupBy("h")
-        .agg(F.collect_set("doc_id").alias("ds"))
-        .withColumn("df", F.size("ds").cast("long"))
+    # Hot-key-bounded index build.  An earlier shape ran
+    # groupBy(h).agg(collect_set(doc_id)) BEFORE the df cut, so the
+    # cap bounded the OUTPUT posting list but not the intermediate
+    # aggregation buffer — one boilerplate shingle shared by 1% of a
+    # 10B-doc corpus would merge a ~100M-element set on a single
+    # reducer before the filter dropped the row.  Now no aggregation
+    # state anywhere scales with a single shingle's df: (1) the
+    # per-doc instance dedup (≡ the oracle's DISTINCT) is a
+    # dropDuplicates on the PAIR (h, doc_id), so a hot h spreads
+    # across reducers by doc_id and partial HashAggregate dedups
+    # map-side; (2) df is a plain count — constant per-key state with
+    # map-side combine; (3) the cut closes on counts alone and the
+    # surviving-h set semi-joins back against the deduped instances,
+    # streaming the hot shingle's rows to /dev/null instead of ever
+    # buffering them: the semi SMJ's only per-task state is a
+    # memory-manager-TRACKED, SPILLABLE sorter (the collect_set
+    # buffer was untracked JVM heap — it could only OOM), and a
+    # skewed probe partition is AQE-skew-splittable.  The
+    # dropDuplicates exchange feeds both the count branch and the
+    # semi probe, so AQE reuses its shuffle output (the probe's
+    # ladder shows the SKIPPED stage).  tools/probe_ngram_hotkey.py
+    # measures the per-reducer ladder: the OLD shape's aggregation
+    # stage max-task shuffle-read grows linearly with the hot
+    # shingle's df (every instance converges on one reducer's buffer
+    # BEFORE the cut); this shape's aggregation stages stay flat.
+    # The kept INSTANCES are what both downstream branches (per-doc
+    # counts, lang regroup) consume, so that is what the cache pins
+    # — bounded rows.
+    uniq = inst.dropDuplicates(["h", "doc_id"])
+    keep_h = (
+        uniq.groupBy("h")
+        .agg(F.count("*").alias("df"))
         .crossJoin(F.broadcast(total))
         .filter(F.col("df") <= thresh)
-        .select("h", F.explode("ds").alias("doc_id"))
-        .cache()
+        .select("h")
     )
+    _evict_retained()
+    kept_inst = _retain(uniq.join(keep_h, "h", "left_semi").cache())
     counts = kept_inst.groupBy("doc_id").agg(F.count("*").alias("n"))
-    dmeta = counts.join(docs.select("doc_id", "lang"), "doc_id")
+    # lang is a BLOCKING key downstream: the oracle's x.lang = y.lang
+    # equality join never pairs NULL-lang docs, but groupBy would
+    # bucket all NULLs into one group and emit those pairs — drop
+    # them here (the committed generators never emit NULL lang, so
+    # this is latent-parity hardening, not a behavior change at any
+    # tested SF; tests/test_ngram_known_answers.py pins it).
+    dmeta = counts.join(
+        docs.select("doc_id", "lang").filter(F.col("lang").isNotNull()),
+        "doc_id",
+    )
     lists = (
         kept_inst.join(dmeta, "doc_id")
         .groupBy("lang", "h")
