@@ -176,10 +176,11 @@ R3_COMPARABLE = R2_COMPARABLE + [
 # calibrations, 1 warm-up + 5 timed runs, full eviction between runs)
 # is applied EVERY round to the most expensive headline queries and
 # committed in the artifact's `isolated` block (r8 verdict item 3):
-# the in-bench guard's drift normalization is deliberately lenient
-# (most-lenient of four ratios, 1.25× threshold), which can hide a
-# real 30-40% regression in a shuffle-heavy query for a round — these
-# five get the real instrument proactively instead of reactively.
+# the in-bench guard's drift normalization is still lenient
+# (largest phase-matched calibration ratio, 1.25× threshold), which
+# can hide a real 30-40% regression in a shuffle-heavy query for a
+# round — these five get the real instrument proactively instead of
+# reactively.
 ISOLATED = [
     "graph_triangle_count", "graph_bfs_khop", "graph_pagerank",
     "dedup_connected_components", "graph_label_propagation",
@@ -205,29 +206,31 @@ def drift_ratio(
     calib_bw_end: float,
 ) -> float:
     """Host-speed drift vs a prior artifact, for normalizing the
-    regression guard's threshold: the MOST-LENIENT (largest) ratio
-    across {cpu, bandwidth} × {start-of-run, end-of-run} calibration
-    samples.  Lenient by design — the host drifts ±50% intra-hour
-    (measured r8), and two rounds of guard flags were all attributed
-    to drift with zero code regressions found, so the guard's job is
-    to catch LARGE genuine regressions, not to re-litigate noise.
-    Prior artifacts from before the end-sample existed carry only the
-    start fields; missing fields degrade gracefully."""
-    drift = 1.0
+    regression guard's threshold: the largest PHASE-MATCHED ratio —
+    start-of-run vs the prior round's start sample, end-of-run vs its
+    end sample — across {cpu, bandwidth}.  Still lenient (the host
+    drifts ±50% intra-hour, measured r8, and two rounds of guard
+    flags all bisected to drift), but an INTRA-session calibration
+    swing no longer multiplies the cross-session allowance: the
+    earlier most-lenient-of-four form crossed the r10 START cpu
+    sample (0.3428) against the r9 END sample (0.1224) and printed
+    drift ×2.80 — a window wide enough to absorb a genuine ≤2.8×
+    regression (r10 verdict item 3; the r10-swing pin lives in
+    tests/test_bench_guard.py).  All four raw samples stay in the
+    emitted artifact, so any cross-round comparison can still apply
+    its own normalization.  Prior artifacts from before the
+    end-sample existed carry only the start fields; missing fields
+    degrade gracefully to the pairs that exist."""
+    ratios = []
     if prev.get("calib_sec"):
-        prev_cpu = [prev["calib_sec"]]
+        ratios.append(calib / prev["calib_sec"])
         if prev.get("calib_sec_end"):
-            prev_cpu.append(prev["calib_sec_end"])
-        drift = max(c / p for c in (calib, calib_end) for p in prev_cpu)
+            ratios.append(calib_end / prev["calib_sec_end"])
     if prev.get("calib_bw_sec"):
-        prev_bw = [prev["calib_bw_sec"]]
+        ratios.append(calib_bw / prev["calib_bw_sec"])
         if prev.get("calib_bw_sec_end"):
-            prev_bw.append(prev["calib_bw_sec_end"])
-        drift = max(
-            drift,
-            *(c / p for c in (calib_bw, calib_bw_end) for p in prev_bw),
-        )
-    return drift
+            ratios.append(calib_bw_end / prev["calib_bw_sec_end"])
+    return max(ratios, default=1.0)
 
 
 def is_regression(prev_sec: float, now_sec: float, drift: float) -> bool:

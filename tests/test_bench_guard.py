@@ -1,11 +1,15 @@
 """Pins for bench.py's drift-normalized regression guard — the
 piece that decides whether a round-over-round slowdown is flagged.
 Two rounds of false flags (r7: 2, r8 preview: 6, every one bisected
-to host drift via tools/ab_isolated.py) bought these rules:
+to host drift via tools/ab_isolated.py) bought leniency; the r10
+review then showed the most-lenient-of-four form OVER-promising
+(r10-start cpu ÷ r9-END cpu printed drift ×2.80, wide enough to
+absorb a genuine ≤2.8× regression).  The settled rules:
 
-- normalize by the MOST-LENIENT ratio across {cpu, bandwidth} ×
-  {start-of-run, end-of-run} calibration samples (the host swings
-  ±50% intra-hour, so one start sample mis-states later queries);
+- normalize by the largest PHASE-MATCHED ratio — current start vs
+  prior start, current end vs prior end — across {cpu, bandwidth};
+  an intra-session calibration swing must NOT multiply the
+  cross-session allowance;
 - degrade gracefully against artifacts predating each field.
 """
 
@@ -18,12 +22,13 @@ def test_no_calibration_in_prior_artifact_means_unit_drift():
     assert bench.drift_ratio({}, 0.3, 3.0, 0.3, 3.0) == 1.0
 
 
-def test_cpu_only_prior_uses_both_current_cpu_samples():
-    # prior recorded 0.30; current start 0.27 (faster), end 0.39
-    # (slower) -> lenient ratio is 0.39/0.30
+def test_cpu_only_prior_matches_start_sample_only():
+    # prior recorded only a start sample (0.30); the current END
+    # sample (0.39, slower window) has no phase-matched partner and
+    # must not widen the ratio -> 0.27/0.30
     prev = {"calib_sec": 0.30}
     got = bench.drift_ratio(prev, 0.27, 3.0, 0.39, 3.0)
-    assert abs(got - 0.39 / 0.30) < 1e-12
+    assert abs(got - 0.27 / 0.30) < 1e-12
 
 
 def test_bandwidth_ratio_wins_when_worse():
@@ -34,12 +39,27 @@ def test_bandwidth_ratio_wins_when_worse():
     assert abs(got - 4.5 / 3.0) < 1e-12
 
 
-def test_prior_end_samples_widen_the_denominator():
-    # prior round recorded both a fast (0.30) and a slow (0.40)
-    # window; the lenient ratio divides by the FAST one (max ratio)
+def test_phase_matched_pairs_only():
+    # prior round: fast start (0.30), slow end (0.40); current flat
+    # 0.36 -> max(0.36/0.30, 0.36/0.40) = 1.2, never 0.36/0.30 vs
+    # the cross pair 0.36/0.40's minimum
     prev = {"calib_sec": 0.30, "calib_sec_end": 0.40}
     got = bench.drift_ratio(prev, 0.36, 3.0, 0.36, 3.0)
     assert abs(got - 0.36 / 0.30) < 1e-12
+
+
+def test_r10_intra_session_swing_does_not_absorb_a_2x_regression():
+    # the r10 incident shape: both rounds swing 0.343 (start) ->
+    # 0.161 (end) intra-session.  Phase-matched drift is 1.0, so a
+    # clean 2x slowdown MUST flag; the old cross-pair form took
+    # 0.343/0.161 = 2.13 and its 2.66x threshold absorbed it.
+    prev = {
+        "calib_sec": 0.343, "calib_sec_end": 0.161,
+        "calib_bw_sec": 3.0, "calib_bw_sec_end": 3.0,
+    }
+    drift = bench.drift_ratio(prev, 0.343, 3.0, 0.161, 3.0)
+    assert abs(drift - 1.0) < 1e-12
+    assert bench.is_regression(2.0, 4.0, drift)
 
 
 def test_flag_condition():
