@@ -86,15 +86,33 @@ def _stream_dir(sf_dir: str) -> str:
         # subdirectory, so link each data file into the landing dir —
         # a silent zero-file stream here made every streaming job
         # "succeed" on nothing at the r10 sf1 drive.
-        for f in os.listdir(src):
-            if f.endswith(".parquet"):
-                link = os.path.join(d, f)
-                if not os.path.exists(link):
-                    os.symlink(os.path.join(src, f), link)
+        targets = {
+            f: os.path.join(src, f)
+            for f in os.listdir(src)
+            if f.endswith(".parquet")
+        }
     else:
-        link = os.path.join(d, "events.parquet")
-        if not os.path.exists(link):
-            os.symlink(src, link)
+        targets = {"events.parquet": src}
+    # Path-digest keying reuses this dir when the SAME absolute path
+    # is regenerated in place — prune links that are broken (their
+    # part file was deleted: os.path.exists is False THROUGH a dead
+    # symlink) or that no longer correspond to a current source file,
+    # or the stream unions old+new rows (ADVICE r10).
+    for f in os.listdir(d):
+        link = os.path.join(d, f)
+        tgt = targets.get(f)
+        if tgt is None or not os.path.exists(link) or (
+            os.path.realpath(link) != os.path.realpath(tgt)
+        ):
+            os.remove(link)
+    for f, tgt in targets.items():
+        link = os.path.join(d, f)
+        # lexists, not exists: a broken symlink must count as present
+        # so the re-link doesn't raise FileExistsError — though the
+        # prune above already removed any, this guards the racey
+        # two-sessions-staging case cheaply
+        if not os.path.lexists(link):
+            os.symlink(tgt, link)
     return d
 
 
