@@ -517,13 +517,13 @@ _STOP_DF_FRAC = 0.01  # ...or 1% of the corpus, whichever is larger
 # bounds the worst SURVIVING posting list at ~8 KB and the worst
 # per-shingle pair fan-out at C(1000,2) ≈ 500k rows.  The cap only
 # bounds what survives the cut, NOT the pre-cut aggregation — so the
-# index build below never materializes a per-shingle doc set at all:
-# df is computed as a plain count over two-stage-distinct instances
-# and the hot shingle's 100M instances are dropped by a semi-join,
-# never merged into one buffer (see _ngram_pair_scores).  At the
-# test SFs the fractional rule binds first (60 docs at sf0.1), so
-# results are unchanged there — both engines apply the identical
-# least/greatest.
+# index build only materializes a per-shingle doc set where a raw
+# count pre-pass PROVES it bounded (raw instances ≤ thresh ⇒ df ≤
+# thresh); hot candidates route through a pair-keyed dedup + plain
+# count + semi-join that never merges a hot shingle into one buffer
+# (see _ngram_pair_scores).  At the test SFs the fractional rule
+# binds first (60 docs at sf0.1), so results are unchanged there —
+# both engines apply the identical least/greatest.
 _STOP_DF_CAP = 1000
 
 
@@ -595,7 +595,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     tools/probe_ngram_pairs.py verifies the bound numerically to
     400k docs on both a fixed-vocabulary (adversarially dense,
     saturates toward the bound) and a growing-vocabulary (realistic,
-    ~3% of bound) corpus."""
+    ~3% of bound) corpus.  r11 reshape: the index build's pre-cut
+    collect_set buffer is now hot-key-bounded via a raw-count-routed
+    hybrid (A/B in _ngram_pair_scores; full-query best-of-3, one
+    warm session: sf1 11.3 s vs 10.8 s pre-fix — noise — and sf0.1
+    2.25→3.24 s, the bound's small-SF constant; the always-dedup
+    shape the r10 review sketched measured 15.6 s at sf1 and was
+    rejected).  r10 bench-step attribution (r10 verdict item 5):
+    of the r10 ×1.41 (1.85→2.62 s), the host moved ×1.2-1.3 that
+    round (phase-matched calib) and the lang-regroup's extra
+    shuffle accounts for the remainder — consistent with the
+    isolated ~+0.4 s the regroup costs at sf0.1."""
     pairs, _ = _ngram_pair_scores(spark, sf_dir)
     jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
     return (
@@ -630,40 +640,73 @@ def _ngram_pair_scores(spark: SparkSession, sf_dir: str):
     # groupBy(h).agg(collect_set(doc_id)) BEFORE the df cut, so the
     # cap bounded the OUTPUT posting list but not the intermediate
     # aggregation buffer — one boilerplate shingle shared by 1% of a
-    # 10B-doc corpus would merge a ~100M-element set on a single
-    # reducer before the filter dropped the row.  Now no aggregation
-    # state anywhere scales with a single shingle's df: (1) the
-    # per-doc instance dedup (≡ the oracle's DISTINCT) is a
-    # dropDuplicates on the PAIR (h, doc_id), so a hot h spreads
-    # across reducers by doc_id and partial HashAggregate dedups
-    # map-side; (2) df is a plain count — constant per-key state with
-    # map-side combine; (3) the cut closes on counts alone and the
-    # surviving-h set semi-joins back against the deduped instances,
-    # streaming the hot shingle's rows to /dev/null instead of ever
-    # buffering them: the semi SMJ's only per-task state is a
-    # memory-manager-TRACKED, SPILLABLE sorter (the collect_set
-    # buffer was untracked JVM heap — it could only OOM), and a
-    # skewed probe partition is AQE-skew-splittable.  The
-    # dropDuplicates exchange feeds both the count branch and the
-    # semi probe, so AQE reuses its shuffle output (the probe's
-    # ladder shows the SKIPPED stage).  tools/probe_ngram_hotkey.py
-    # measures the per-reducer ladder: the OLD shape's aggregation
-    # stage max-task shuffle-read grows linearly with the hot
-    # shingle's df (every instance converges on one reducer's buffer
-    # BEFORE the cut); this shape's aggregation stages stay flat.
-    # The kept INSTANCES are what both downstream branches (per-doc
-    # counts, lang regroup) consume, so that is what the cache pins
-    # — bounded rows.
-    uniq = inst.dropDuplicates(["h", "doc_id"])
-    keep_h = (
-        uniq.groupBy("h")
+    # 10B-doc corpus would merge a ~100M-element set of UNTRACKED JVM
+    # heap (collect_set state never registers with the memory
+    # manager: it cannot spill, only OOM) on a single reducer before
+    # the filter dropped the row.  A cheap RAW-count pre-pass
+    # (constant per-key state, map-side combine — the partial-count
+    # exchange is one row per (h, mapper)) now splits shingles:
+    #
+    # - SAFE (raw instance count ≤ thresh): since df ≤ raw count,
+    #   the one-pass collect_set build is provably bounded at
+    #   `thresh ≤ cap` elements per group — unconditionally, for any
+    #   distribution — so the fast single-aggregation shape stays.
+    # - SUSPECT (raw count > thresh — boilerplate candidates; zero
+    #   at every committed SF, a vanishing head on any Zipf corpus,
+    #   worst-case everything): per-doc dedup via dropDuplicates on
+    #   the (h, doc_id) PAIR (a hot h spreads across reducers by
+    #   doc_id), df as a plain count, the cut on counts alone, then
+    #   a semi-join back — no state anywhere scales with a single
+    #   shingle's df, and the skewed probe is streamed/spillable/
+    #   AQE-skew-splittable rather than buffered.
+    #
+    # The suspect routing joins are unhinted: AQE broadcasts the
+    # suspect set in the common case (tiny) and falls back to
+    # shuffle joins on an adversarial corpus where it is large.
+    # A/B (one warm session, best-of-3, noop sink, build phase only):
+    # always-dedup-then-count-then-semi (the shape the r10 review
+    # prescribed) costs 1.76 s sf0.1 / 8.30 s sf1 — the pair-keyed
+    # dedup's reduce (one hash entry per instance) runs once per
+    # consumer and is intrinsically heavier than the 30k-set object
+    # agg it replaces; this hybrid measures 1.66 s / 2.04 s vs the
+    # unbounded original's 0.72 s / 1.47 s, i.e. the unconditional
+    # bound costs ~0.6-0.9 s constant instead of 5.7× at sf1.
+    # tools/probe_ngram_hotkey.py measures the per-reducer ladder:
+    # the unbounded shape's merge-stage max-task shuffle-read grows
+    # linearly with a hot shingle's df; this build's aggregation
+    # stages stay flat.  The kept INSTANCES are what both downstream
+    # branches (per-doc counts, lang regroup) consume, so that is
+    # what the cache pins — bounded rows.
+    raw = inst.groupBy("h").agg(F.count("*").alias("rc"))
+    suspect = (
+        raw.crossJoin(F.broadcast(total))
+        .filter(F.col("rc") > thresh)
+        .select("h")
+    )
+    safe_kept = (
+        inst.join(suspect, "h", "left_anti")
+        .groupBy("h")
+        .agg(F.collect_set("doc_id").alias("ds"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.size("ds") <= thresh)  # df ≤ rc ≤ thresh: invariant
+        .select("h", F.explode("ds").alias("doc_id"))
+    )
+    sus_uniq = inst.join(suspect, "h", "left_semi").dropDuplicates(
+        ["h", "doc_id"]
+    )
+    sus_keep = (
+        sus_uniq.groupBy("h")
         .agg(F.count("*").alias("df"))
         .crossJoin(F.broadcast(total))
         .filter(F.col("df") <= thresh)
         .select("h")
     )
     _evict_retained()
-    kept_inst = _retain(uniq.join(keep_h, "h", "left_semi").cache())
+    kept_inst = _retain(
+        safe_kept.unionByName(
+            sus_uniq.join(sus_keep, "h", "left_semi")
+        ).cache()
+    )
     counts = kept_inst.groupBy("doc_id").agg(F.count("*").alias("n"))
     # lang is a BLOCKING key downstream: the oracle's x.lang = y.lang
     # equality join never pairs NULL-lang docs, but groupBy would

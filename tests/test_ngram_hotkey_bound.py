@@ -1,21 +1,26 @@
 """Pins for the hot-key-bounded ngram index build (r10 verdict item 2).
 
 The index build in `_ngram_pair_scores` must never hold aggregation
-state that scales with a single shingle's document frequency:
+state that scales with a single shingle's document frequency.  The
+shipped shape is a HYBRID (A/B numbers in the build's comment):
 
-1. plan shape — NO collect_set anywhere in dedup_ngram_jaccard's
-   physical plan (the old build merged a per-h doc set BEFORE the df
-   cut, so one boilerplate shingle in 1% of a 10B-doc corpus meant a
-   ~100M-element untracked JVM buffer on one reducer); the per-doc
-   instance dedup must be a keys-only aggregate on the (h, doc_id)
-   PAIR so a hot h spreads across reducers by doc_id.  The only
-   list-building aggregate left is the posting regroup AFTER the
-   cut, where every group is ≤ the stop-DF cap by construction.
-   (The runtime ladder lives in tools/probe_ngram_hotkey.py: old
-   shape's merge-stage max-task shuffle read grows ~linearly with
-   hot df, the new build's aggregation stages stay flat.)
+1. plan shape — the one collect_set left is the SAFE branch, whose
+   input is anti-joined against the suspect set first (raw instance
+   count ≤ thresh ⇒ df ≤ thresh, so its buffer is provably ≤ the
+   stop-DF cap for ANY distribution); the suspect branch carries the
+   pair-keyed keys-only dedup aggregate ((h, doc_id) — a hot h
+   spreads across reducers by doc_id) and a plain-count df.  The
+   raw-count pre-pass that routes between them has constant per-key
+   state.  (The runtime ladder lives in tools/probe_ngram_hotkey.py:
+   the unbounded shape's merge-stage max-task shuffle read grows
+   ~linearly with hot df, this build's aggregation stages stay flat.)
 
-2. NULL-lang parity — lang is a BLOCKING key downstream, and the
+2. hot-shingle behavior — an adversarial corpus where one shingle's
+   raw count crosses the stop threshold must route it through the
+   suspect branch and CUT it (boilerplate carries no near-dup
+   signal), while below-thresh shingles still pair exactly.
+
+3. NULL-lang parity — lang is a BLOCKING key downstream, and the
    oracle's `x.lang = y.lang` join never pairs NULL-lang docs; the
    Spark groupBy would bucket all NULLs into one block and emit
    those pairs, so the build drops NULL-lang docs explicitly.  The
@@ -34,27 +39,65 @@ from ondemand_dask_spark.queries.dedup import dedup_ngram_jaccard
 SF_DIR = "/root/testdata/sf0.001"
 
 
-def test_index_build_has_no_unbounded_set_aggregate(spark):
+def _write_docs(spark, tmp_path, name, rows):
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf_dir = str(tmp_path / name)
+    os.makedirs(sf_dir, exist_ok=True)
+    docs.coalesce(1).write.mode("overwrite").parquet(
+        f"{sf_dir}/documents.parquet"
+    )
+    return sf_dir
+
+
+def test_index_build_plan_shape(spark):
     plan = (
         dedup_ngram_jaccard(spark, SF_DIR)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
-    assert "collect_set" not in plan, (
-        "per-h doc-set aggregation is back — the buffer scales with "
-        "a hot shingle's df before the stop cut"
-    )
-    # the pair-keyed, keys-only dedup aggregate (functions=[]) exists
+    # every collect_set in the index build is the guarded safe
+    # branch: the cached kept_inst subtree prints once per consumer,
+    # so the pin is that set aggregations and suspect anti-joins
+    # appear in LOCKSTEP — an unguarded set aggregation (the
+    # unbounded pre-cut buffer) adds a partial_collect_set with no
+    # matching LeftAnti
+    n_set = plan.count("partial_collect_set")
+    n_anti = plan.count("LeftAnti")
+    assert n_set >= 1 and n_anti >= n_set, (n_set, n_anti)
+    # the suspect branch's pair-keyed, keys-only dedup aggregate
     assert re.search(
         r"HashAggregate\(keys=\[h#\d+L, doc_id#\d+L\], functions=\[\]",
         plan,
-    ), "instance dedup is not a keys-only (h, doc_id) aggregate"
-    # the df cut is a plain count
+    ), "suspect-branch dedup is not a keys-only (h, doc_id) aggregate"
+    # the raw-count routing pass and the suspect df are plain counts
     assert re.search(
         r"HashAggregate\(keys=\[h#\d+L\], functions=\[(partial_)?count",
         plan,
-    ), "df is not computed as a plain count"
+    ), "raw/suspect df is not computed as a plain count"
+
+
+def test_hot_shingle_routes_suspect_and_is_cut(spark, tmp_path):
+    # 12 docs all sharing one boilerplate line (raw count 12 > the
+    # df floor max(5, 1%·n)=5, so it lands SUSPECT and is cut as a
+    # stop shingle) — plus two docs sharing a distinct below-thresh
+    # line that must still pair exactly
+    boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit"
+    rare = "quick brown fox jumps over the lazy sleeping dog"
+    rows = [
+        (i, boiler, "en", "web", len(boiler)) for i in range(1, 13)
+    ] + [
+        (21, rare, "en", "web", len(rare)),
+        (22, rare, "en", "web", len(rare)),
+    ]
+    sf_dir = _write_docs(spark, tmp_path, "sf_hot", rows)
+    out = dedup_ngram_jaccard(spark, sf_dir)
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in out.collect()}
+    assert set(pairs) == {(21, 22)}, set(pairs)
+    assert pairs[(21, 22)] == 1.0
 
 
 def test_null_lang_docs_never_pair(spark, tmp_path):
@@ -67,14 +110,7 @@ def test_null_lang_docs_never_pair(spark, tmp_path):
         (3, text, "en", "web", len(text)),
         (4, text, "en", "web", len(text)),
     ]
-    docs = spark.createDataFrame(
-        rows, "doc_id long, text string, lang string, source string, n_chars long"
-    )
-    sf_dir = str(tmp_path / "sf_nulllang")
-    os.makedirs(sf_dir, exist_ok=True)
-    docs.coalesce(1).write.mode("overwrite").parquet(
-        f"{sf_dir}/documents.parquet"
-    )
+    sf_dir = _write_docs(spark, tmp_path, "sf_nulllang", rows)
     out = dedup_ngram_jaccard(spark, sf_dir)
     pairs = {(r.doc_a, r.doc_b) for r in out.collect()}
     assert pairs == {(3, 4)}, pairs

@@ -8,11 +8,13 @@ boilerplate shingle shared by ``hot_df`` documents merges a
 ``hot_df``-element set on a single reducer BEFORE the filter drops
 the row, in UNTRACKED JVM heap (collect_set state never registers
 with the memory manager, so it cannot spill — it can only OOM).
-_ngram_pair_scores now builds the index hot-key-bounded:
-``dropDuplicates([h, doc_id])`` (the shuffle key is the PAIR, so a
-hot h spreads across reducers by doc_id) → ``groupBy(h).count()``
-(constant per-key state, map-side combine) → cut → LEFT SEMI join of
-the deduped instances against surviving h.
+_ngram_pair_scores now builds the index as a HYBRID: a raw-count
+routing pass (constant per-key state) splits shingles into SAFE
+(raw instances ≤ cap ⇒ the one-pass collect_set buffer is provably
+≤ cap for any distribution) and SUSPECT (hot candidates →
+``dropDuplicates([h, doc_id])`` — the shuffle key is the PAIR, so a
+hot h spreads across reducers by doc_id — then ``groupBy(h).count()``
+→ cut → LEFT SEMI join back).
 
 This probe measures both shapes on a constructed corpus where ONE
 shingle's df walks a ladder across the cap (everything else is
@@ -24,15 +26,19 @@ API's per-task metrics:
   collect_set merge — every hot instance converges on one reducer's
   buffer, so the series grows LINEARLY with hot_df (the probe's
   headline).
-- NEW `dedup` job (the only per-h-unbounded aggregation left): the
-  pair key spreads the hot shingle, so max-task read stays FLAT.
-- NEW `count` job: partial counts — one row per (mapper, h); flat
+- `hyb_raw` job: partial counts — one row per (mapper, h); flat
   and tiny.
-- NEW `semi` job: the hot shingle's rows do still converge on one
-  SMJ task before being dropped (reported read grows), but the only
-  per-task state is a memory-manager-TRACKED, SPILLABLE sorter —
-  peakExecutionMemory is reported to show the plateau, and a skewed
-  probe partition is AQE-skew-splittable on a real cluster.
+- `hyb_safe` job: the anti-join excludes the hot shingle BEFORE the
+  collect_set, so the set-merge stage's max-task read stays FLAT.
+- `hyb_dedup` job (the suspect branch's only per-h-unbounded-input
+  aggregation): the pair key spreads the hot shingle, so max-task
+  read stays FLAT.
+- `hyb_full` job: the semi probe does still converge the hot
+  shingle's rows on one task before dropping them (reported read
+  grows), but the only per-task state is a memory-manager-TRACKED,
+  SPILLABLE sorter/hash relation — peakExecutionMemory is reported
+  to show the plateau, and a skewed probe partition is
+  AQE-skew-splittable on a real cluster.
 
 Verdict line asserts: old agg read grows ≥5× over the ladder's
 1000× hot-df swing while new dedup/count reads stay within 2×.
@@ -107,17 +113,31 @@ def old_shape(inst):
 
 
 def new_steps(inst):
-    """The engine's shape (mirrors _ngram_pair_scores), split into
-    separately-runnable steps for per-job metric attribution."""
-    uniq = inst.dropDuplicates(["h", "doc_id"])
-    keep_h = (
-        uniq.groupBy("h")
+    """The engine's HYBRID shape (mirrors _ngram_pair_scores), split
+    into separately-runnable steps for per-job metric attribution:
+    raw-count routing pass, safe branch (anti-join guard +
+    provably-bounded collect_set), suspect branch (pair-keyed dedup
+    + plain-count df + semi-join)."""
+    raw = inst.groupBy("h").agg(F.count("*").alias("rc"))
+    suspect = raw.filter(F.col("rc") > CAP).select("h")
+    safe_kept = (
+        inst.join(suspect, "h", "left_anti")
+        .groupBy("h")
+        .agg(F.collect_set("doc_id").alias("ds"))
+        .filter(F.size("ds") <= CAP)
+        .select("h", F.explode("ds").alias("doc_id"))
+    )
+    sus_uniq = inst.join(suspect, "h", "left_semi").dropDuplicates(
+        ["h", "doc_id"]
+    )
+    sus_keep = (
+        sus_uniq.groupBy("h")
         .agg(F.count("*").alias("df"))
         .filter(F.col("df") <= CAP)
         .select("h")
     )
-    kept = uniq.join(keep_h, "h", "left_semi")
-    return uniq, keep_h, kept
+    kept = safe_kept.unionByName(sus_uniq.join(sus_keep, "h", "left_semi"))
+    return raw, safe_kept, sus_uniq, kept
 
 
 class StageMeter:
@@ -187,29 +207,32 @@ def main() -> None:
         },
     )
     meter = StageMeter(spark)
-    series: dict[str, list[int]] = {"old_agg": [], "new_dedup": [], "new_count": []}
+    series: dict[str, list[int]] = {
+        "old_agg": [], "hyb_raw": [], "hyb_safe": [], "hyb_dedup": [],
+    }
     for hot_df in ladder:
         inst = instances(spark, hot_df)
         rows = {"hot_df": hot_df, "jobs": []}
         r = meter.run("old_agg", lambda: noop_write(old_shape(inst)))
         rows["jobs"].append(r)
         series["old_agg"].append(r["max_task_shuffle_read"])
-        uniq, keep_h, kept = new_steps(inst)
-        r = meter.run("new_dedup", lambda: noop_write(uniq))
+        raw, safe_kept, sus_uniq, kept = new_steps(inst)
+        r = meter.run("hyb_raw", lambda: noop_write(raw))
         rows["jobs"].append(r)
-        series["new_dedup"].append(r["max_task_shuffle_read"])
-        r = meter.run(
-            "new_count", lambda: keep_h.agg(F.count("*")).collect()
-        )
+        series["hyb_raw"].append(r["max_task_shuffle_read"])
+        r = meter.run("hyb_safe", lambda: noop_write(safe_kept))
         rows["jobs"].append(r)
-        series["new_count"].append(r["max_task_shuffle_read"])
-        rows["jobs"].append(meter.run("new_semi", lambda: noop_write(kept)))
+        series["hyb_safe"].append(r["max_task_shuffle_read"])
+        r = meter.run("hyb_dedup", lambda: noop_write(sus_uniq))
+        rows["jobs"].append(r)
+        series["hyb_dedup"].append(r["max_task_shuffle_read"])
+        rows["jobs"].append(meter.run("hyb_full", lambda: noop_write(kept)))
         print(json.dumps(rows))
     swing = ladder[-1] / ladder[0]
     old_growth = series["old_agg"][-1] / max(series["old_agg"][0], 1)
     flat = all(
         max(v) / max(min(v), 1) < 2.0
-        for v in (series["new_dedup"], series["new_count"])
+        for v in (series["hyb_raw"], series["hyb_safe"], series["hyb_dedup"])
     )
     print(
         json.dumps(
