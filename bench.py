@@ -559,8 +559,8 @@ def main() -> None:
         if drift != 1.0:
             print(
                 f"calibration drift vs {prev_name}: "
-                f"x{drift:.2f} (most lenient of cpu/bandwidth"
-                f" x start/end samples)",
+                f"x{drift:.2f} (max phase-matched ratio, "
+                f"cpu/bandwidth x start-start/end-end)",
                 file=sys.stderr,
             )
         flagged = []
