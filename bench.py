@@ -415,6 +415,16 @@ def main() -> None:
     # parity; window_ewm_bounded 0.86/0.96/1.27 with its clean
     # isolated number pinned back in r7.  Read any single-run flag
     # on this host against that envelope before bisecting.
+    #
+    # r11 EXPECTED flag: dedup_ngram_jaccard 2.62 → ~4.0 s is the
+    # documented price of hot-key-bounding the ngram index build
+    # (raw-count-routed hybrid, see _ngram_pair_scores in
+    # queries/dedup.py): warm best-of-3 moved 2.25 → 3.24 s at
+    # sf0.1 while sf1 stayed inside drift (22.9 → 24.7 in-bench,
+    # 11.3 vs 10.8 warm) and the unbounded OOM shape is gone.  The
+    # first flag raised by the phase-matched guard, and a true
+    # positive — the guard working as intended on a deliberate
+    # trade.
     def calibrate() -> float:
         t0 = time.perf_counter()
         spark.range(1_000_000_000).selectExpr(

@@ -599,8 +599,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     collect_set buffer is now hot-key-bounded via a raw-count-routed
     hybrid (A/B in _ngram_pair_scores; full-query best-of-3, one
     warm session: sf1 11.3 s vs 10.8 s pre-fix — noise — and sf0.1
-    2.25→3.24 s, the bound's small-SF constant; the always-dedup
-    shape the r10 review sketched measured 15.6 s at sf1 and was
+    2.25→3.24 s, the bound's small-SF constant; in bench position
+    it measures ~3.9-4.1 s, so the r11 guard's +56%-vs-r10 flag is
+    this documented trade, not an accident; the always-dedup shape
+    the r10 review sketched measured 15.6 s at sf1 and was
     rejected).  r10 bench-step attribution (r10 verdict item 5):
     of the r10 ×1.41 (1.85→2.62 s), the host moved ×1.2-1.3 that
     round (phase-matched calib) and the lang-regroup's extra
