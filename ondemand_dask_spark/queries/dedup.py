@@ -715,7 +715,8 @@ def _ngram_pair_scores(spark: SparkSession, sf_dir: str):
     # bucket all NULLs into one group and emit those pairs — drop
     # them here (the committed generators never emit NULL lang, so
     # this is latent-parity hardening, not a behavior change at any
-    # tested SF; tests/test_ngram_known_answers.py pins it).
+    # tested SF; pinned by tests/test_ngram_hotkey_bound.py::
+    # test_null_lang_docs_never_pair).
     dmeta = counts.join(
         docs.select("doc_id", "lang").filter(F.col("lang").isNotNull()),
         "doc_id",

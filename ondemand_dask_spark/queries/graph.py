@@ -262,30 +262,43 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # degree/rank side), then oriented on top of the warm edge cache.
     edges.count()
     oriented.count()
+    return _intersection_census(oriented)
+
+
+def _intersection_census(
+    oriented: DataFrame,
+    value_col: str = "n_triangles",
+    scale: float | None = None,
+) -> DataFrame:
+    """Per-node triangle census over degree-oriented edges — the ONE
+    implementation of the compact-forward intersect, shared by the
+    exact query and the sampled estimator (`scale` divides every
+    count, the estimator's 1/p³ unbiasing).
+
+    Per-edge (lo, hi) with intersection W, the |W| triangles
+    (lo, hi, w) contribute |W| to lo, |W| to hi, and 1 to each w.
+    Emitting those contributions as ONE struct array + ONE explode
+    makes the census a single declared pass over the expensive
+    intersect.  (The previous 3-way union of tri.select(u/v/w) was
+    mostly rescued by ReuseExchange, so the measured win is modest
+    — 6.00 s → 5.49 s at sf0.1, one warm session, best-of-3 — but
+    the explode now moves ~8M narrow rows instead of 17M and the
+    plan no longer depends on exchange reuse for its asymptotics.
+    Phase profile pins the remaining cost where it belongs: the
+    two adjacency-attach joins + array_intersect are ~6 s of the
+    query alone — the intrinsic compute, not a plan artifact.
+    r9 A/B of that intrinsic cost (tools/ab_triangle.py, exclusive
+    sf0.1, interleaved best-of-3, identical 20k-row census pinned
+    first): the challenger — explode adj(lo) into (lo, hi, w)
+    wedge rows and sort-merge them against the oriented edge set
+    on (hi, w) — measured 8.97 s vs this form's 6.49 s (+38%):
+    the wedge rows pay a shuffle of sum-over-edges outdeg(lo)
+    rows for the same membership tests the in-row intersection
+    does inside one fused stage.  REJECTED; same discipline as
+    the LPA-rewrite-on-pagerank rejection below.)"""
     adj = oriented.groupBy(F.col("lo").alias("node")).agg(
         F.collect_list("hi").alias("nbrs")
     )
-    # Per-edge (lo, hi) with intersection W, the |W| triangles
-    # (lo, hi, w) contribute |W| to lo, |W| to hi, and 1 to each w.
-    # Emitting those contributions as ONE struct array + ONE explode
-    # makes the census a single declared pass over the expensive
-    # intersect.  (The previous 3-way union of tri.select(u/v/w) was
-    # mostly rescued by ReuseExchange, so the measured win is modest
-    # — 6.00 s → 5.49 s at sf0.1, one warm session, best-of-3 — but
-    # the explode now moves ~8M narrow rows instead of 17M and the
-    # plan no longer depends on exchange reuse for its asymptotics.
-    # Phase profile pins the remaining cost where it belongs: the
-    # two adjacency-attach joins + array_intersect are ~6 s of the
-    # query alone — the intrinsic compute, not a plan artifact.
-    # r9 A/B of that intrinsic cost (tools/ab_triangle.py, exclusive
-    # sf0.1, interleaved best-of-3, identical 20k-row census pinned
-    # first): the challenger — explode adj(lo) into (lo, hi, w)
-    # wedge rows and sort-merge them against the oriented edge set
-    # on (hi, w) — measured 8.97 s vs this form's 6.49 s (+38%):
-    # the wedge rows pay a shuffle of sum-over-edges outdeg(lo)
-    # rows for the same membership tests the in-row intersection
-    # does inside one fused stage.  REJECTED; same discipline as
-    # the LPA-rewrite-on-pagerank rejection below.)
     inter = F.array_intersect("na", "nb")
     cnt = F.size(inter)
     contribs = (
@@ -315,10 +328,13 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("t")
         )
     )
+    total = F.sum("t.c")
+    if scale is not None:
+        total = total / F.lit(scale)
     return (
         contribs.groupBy(F.col("t.node").alias("node"))
-        .agg(F.sum("t.c").alias("n_triangles"))
-        .select(F.col("node").alias("part_id"), "n_triangles")
+        .agg(total.alias(value_col))
+        .select(F.col("node").alias("part_id"), value_col)
     )
 
 
@@ -366,17 +382,22 @@ def triangle_count_estimate(
     exactly the 50-query certification backlog — adding a 444th
     registry row would reopen it) and is certified by its tolerance
     test instead."""
+    if not 0.0 < p <= 1.0:
+        # p=3 ("percent"?) would keep every edge but divide by 27 —
+        # a silently 27×-low answer; fail loudly instead
+        raise ValueError(f"sampling rate p must be in (0, 1], got {p}")
+    from ondemand_dask_spark.operators.rank import global_row_numbers
+
+    _evict_retained()
     edges = _edges(spark, sf_dir).filter(
         F.pmod(F.xxhash64("src", "dst", F.lit(seed)), F.lit(1_000_000))
         < F.lit(int(p * 1_000_000))
     )
     sym = _sym(edges)
     deg = sym.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("d"))
-    from ondemand_dask_spark.operators.rank import global_row_numbers
-
-    rnk = global_row_numbers(deg, "d", "node", col_name="r").select(
-        "node", "r"
-    )
+    rnk = global_row_numbers(
+        deg, "d", "node", col_name="r", retain=_retain
+    ).select("node", "r")
     ru = F.broadcast(rnk).alias("ru")
     rv = F.broadcast(rnk).alias("rv")
     oriented = (
@@ -392,42 +413,16 @@ def triangle_count_estimate(
             .alias("hi"),
         )
     )
-    adj = oriented.groupBy(F.col("lo").alias("node")).agg(
-        F.collect_list("hi").alias("nbrs")
-    )
-    inter = F.array_intersect("na", "nb")
-    cnt = F.size(inter)
-    contribs = (
-        oriented.join(
-            adj.select(F.col("node").alias("lo"), F.col("nbrs").alias("na")),
-            "lo",
-        )
-        .join(
-            adj.select(F.col("node").alias("hi"), F.col("nbrs").alias("nb")),
-            "hi",
-        )
-        .filter(cnt > 0)
-        .select(
-            F.explode(
-                F.concat(
-                    F.array(
-                        F.struct(F.col("lo").alias("node"), cnt.alias("c")),
-                        F.struct(F.col("hi").alias("node"), cnt.alias("c")),
-                    ),
-                    F.transform(
-                        inter,
-                        lambda w: F.struct(
-                            w.alias("node"), F.lit(1).alias("c")
-                        ),
-                    ),
-                )
-            ).alias("t")
-        )
-    )
-    return (
-        contribs.groupBy(F.col("t.node").alias("node"))
-        .agg((F.sum("t.c") / F.lit(p**3)).alias("n_triangles_est"))
-        .select(F.col("node").alias("part_id"), "n_triangles_est")
+    # Deliberately NOT cache-pinned like the exact census: at
+    # sampling rates worth using, recomputing the p-filtered edge
+    # set is cheaper than materializing caches — A/B at sf0.1
+    # p=0.3, one warm session, best-of-3: uncached 4.7 s vs
+    # eager-cached (edges+oriented, exact-census choreography)
+    # 6.6 s.  The rank's localCheckpoint IS retained (above) so
+    # _evict_retained() at the next query entry releases its
+    # storage blocks instead of leaking them until GC.
+    return _intersection_census(
+        oriented, value_col="n_triangles_est", scale=p**3
     )
 
 

@@ -104,15 +104,22 @@ def _stream_dir(sf_dir: str) -> str:
         if tgt is None or not os.path.exists(link) or (
             os.path.realpath(link) != os.path.realpath(tgt)
         ):
-            os.remove(link)
+            try:
+                os.remove(link)
+            except FileNotFoundError:
+                pass  # a concurrent stager pruned it first
     for f, tgt in targets.items():
         link = os.path.join(d, f)
         # lexists, not exists: a broken symlink must count as present
-        # so the re-link doesn't raise FileExistsError — though the
-        # prune above already removed any, this guards the racey
-        # two-sessions-staging case cheaply
+        # so the re-link doesn't raise — and the create itself
+        # tolerates a concurrent stager winning the lexists→symlink
+        # race (both sessions link the SAME target, so either winner
+        # leaves the correct landing state)
         if not os.path.lexists(link):
-            os.symlink(tgt, link)
+            try:
+                os.symlink(tgt, link)
+            except FileExistsError:
+                pass
     return d
 
 

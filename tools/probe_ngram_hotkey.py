@@ -144,10 +144,12 @@ class StageMeter:
     """Diff REST-API stage/task metrics around each job."""
 
     def __init__(self, spark):
-        self.ui = f"http://localhost:{UI_PORT}"
-        app = json.load(
-            urllib.request.urlopen(self.ui + "/api/v1/applications")
-        )[0]["id"]
+        # the session's OWN bound UI + app id — a hardcoded port
+        # would meter a different application if 4057 was taken and
+        # spark.port.maxRetries rebound this session elsewhere
+        self.ui = spark.sparkContext.uiWebUrl
+        assert self.ui, "probe session must run with spark.ui.enabled"
+        app = spark.sparkContext.applicationId
         self.base = f"{self.ui}/api/v1/applications/{app}"
         self.seen: set[int] = set()
 
@@ -246,7 +248,13 @@ def main() -> None:
             }
         )
     )
-    assert old_growth >= 5.0 and flat, "per-reducer bound claim violated"
+    # growth threshold is calibrated to the default 1000x ladder
+    # (hot bytes must clear the ~180KB background floor); a custom
+    # short ladder still prints the verdict but only the flatness
+    # claim is asserted
+    assert flat, "hybrid aggregation stages not flat in hot df"
+    if swing >= 1000:
+        assert old_growth >= 5.0, "old-shape growth signal missing"
 
 
 if __name__ == "__main__":

@@ -4,12 +4,13 @@ Reads CORRECTNESS_r*.json ∪ the live registry, computes the
 never-driver-checked queries, and emits:
 
 1. stdout — the Python tuple body to paste into
-   `registry._SHOWCASE` (the guard tests verify the paste): the 8
-   anchors + 42 picks chosen to (a) take every PRIORITY query first
-   (the previous round's additions, named by the verdict), (b) honor
-   the every-family invariant (tests/test_registry_order.py),
-   (c) prefer full-oracle queries, (d) spread the remaining slots
-   across modules round-robin so no one family floods the window;
+   `registry._SHOWCASE` (the guard tests verify the paste): the
+   ANCHORS/REPRESENT/PRIORITY tiers first (each may be EMPTY — r11
+   empties all three because the never-checked backlog is exactly
+   one window), then a family-span pick per REQUIRED module still
+   carrying backlog, then a largest-backlog-first fill preferring
+   full-oracle queries (tests/test_registry_order.py carries the
+   family-span invariant);
 2. ROTATION.md — the machine-generated worklist (registry size,
    driver-checked count, the full never-checked list).  A guard test
    (tests/test_coverage_guard.py) recomputes the same numbers from
