@@ -625,7 +625,16 @@ def _ngram_pair_scores(spark: SparkSession, sf_dir: str):
     moves fixed-width rows, never shingle strings; the corpus total
     rides a broadcast 1-row crossJoin; no driver action anywhere.
     Complete for any consumer threshold: the groupBy emits EVERY
-    same-lang pair sharing >= 1 kept shingle with its exact i."""
+    same-lang pair sharing >= 1 kept shingle with its exact i.
+
+    Scan-count note: the hybrid build scans documents→shingles three
+    times (raw-count pass, safe anti branch, suspect semi branch).
+    Caching `inst` instead was A/B'd and lost locally (sf0.1 1.67 s
+    vs 1.66, sf1 2.59 vs 2.04 — cache write exceeds the re-shingle
+    cost when the whole corpus sits in page cache); on a cluster
+    whose scan is remote-I/O-bound, `inst.cache()` (16 B/instance,
+    ≈ the text's own footprint) is the one-line knob to flip the
+    trade the other way."""
     docs = load_table(spark, sf_dir, "documents")
     h30 = _h(F.col("shingle")) % F.lit(1_073_741_824)
     inst = docs.select(
