@@ -1,0 +1,128 @@
+"""Data-shape differential fuzz over the documents-only query families.
+
+The driver's differential check runs every query on FIXED generated
+fixtures — it proves engine↔oracle parity on those data shapes, not
+on the shapes the generators never emit.  The r10 ADVICE found
+exactly such a latent divergence (NULL-lang docs would have paired
+in Spark's groupBy block but not in the oracle's equality join), so
+this suite closes the class: hypothesis generates small adversarial
+`documents` corpora — NULL/empty/whitespace text, NULL langs,
+duplicate texts across docs and langs, single-word and
+repeated-word docs — writes each to a scratch sf_dir, and runs a
+set of documents-only registered queries through the SAME
+Spark-vs-DuckDB comparison the driver uses (tests/compare.py).
+
+Query pick: deterministic-output queries that read ONLY the
+documents table (dedup + text metrics).  Queries whose output is
+underdetermined on ties (e.g. top-term with unpinned tie order on
+arbitrary corpora) are deliberately excluded — a fuzz failure here
+must mean an engine/oracle divergence, not an underdetermined
+contract.
+
+Runtime budget: ~8 examples × 7 queries on ≤24-doc corpora ≈ 2-3
+minutes; deadline disabled (Spark job latency dominates, not the
+strategy).
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, example, given, settings
+from hypothesis import strategies as st
+
+from ondemand_dask_spark.registry import all_queries
+from tests.compare import assert_results_match
+
+QUERIES = [
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_containment",
+    "dedup_simhash_pairs",
+    "dedup_minhash_lsh",
+    "text_quality_score",
+    "text_lexical_diversity",
+]
+
+VOCAB = [
+    "alpha", "beta", "gamma", "delta", "epsilon",
+    "zeta", "eta", "theta", "lorem", "ipsum",
+]
+
+word = st.sampled_from(VOCAB)
+text = st.one_of(
+    st.just(""),
+    st.just("   "),
+    st.lists(word, min_size=1, max_size=14).map(" ".join),
+    # duplicate-heavy doc: one phrase repeated (shingle multiplicity
+    # inside a single doc — the DISTINCT the index build must apply)
+    st.lists(word, min_size=3, max_size=5).map(
+        lambda ws: " ".join(ws * 3)
+    ),
+)
+lang = st.sampled_from(["en", "de", "zh", None])
+source = st.sampled_from(["web", "book"])
+
+doc_rows = st.lists(
+    st.tuples(text, lang, source), min_size=2, max_size=24
+).map(
+    # duplicate texts across docs are the interesting regime: copy
+    # the first doc's text onto the last so every corpus has at
+    # least one potential near-dup pair
+    lambda rows: rows[:-1] + [(rows[0][0], *rows[-1][1:])]
+)
+
+
+@pytest.fixture(scope="module")
+def picked():
+    qs = all_queries()
+    return {n: qs[n] for n in QUERIES}
+
+
+@given(rows=doc_rows)
+# the r10 ADVICE regression corpus, guaranteed every run: identical
+# text shared by two NULL-lang docs AND two en docs — Spark's
+# (lang, h) groupBy would pair the NULLs, the oracle's equality
+# join never does
+@example(
+    rows=[
+        ("alpha beta gamma delta epsilon", None, "web"),
+        ("alpha beta gamma delta epsilon", None, "web"),
+        ("alpha beta gamma delta epsilon", "en", "web"),
+        ("alpha beta gamma delta epsilon", "en", "web"),
+    ]
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+def test_documents_queries_match_oracle_on_adversarial_corpora(
+    rows, spark, picked, tmp_path_factory
+):
+    sf_dir = str(tmp_path_factory.mktemp("fuzzsf"))
+    docs = spark.createDataFrame(
+        [
+            (i, t, lg, src, len(t))
+            for i, (t, lg, src) in enumerate(rows, start=1)
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{sf_dir}/documents.parquet/*.parquet')"
+    )
+    for name, q in picked.items():
+        spark_pdf = q.fn(spark, sf_dir).toPandas()
+        oracle_pdf = con.execute(q.oracle).fetchdf()
+        assert_results_match(spark_pdf, oracle_pdf, name)
+    con.close()
