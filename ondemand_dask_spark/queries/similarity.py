@@ -51,13 +51,17 @@ def _dot_sql(a: str, b: str) -> str:
 @register(
     "ann_cosine_topk",
     oracle=f"""
-    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+    WITH nz AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE {_dot_sql("embedding", "embedding")} > 0
+    ),
+    q AS (SELECT vec_id, embedding FROM nz WHERE vec_id < 10),
     pairs AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
              {_dot_sql("q.embedding", "c.embedding")}
                / (sqrt({_dot_sql("q.embedding", "q.embedding")})
                   * sqrt({_dot_sql("c.embedding", "c.embedding")})) AS cos
-      FROM q JOIN embeddings c ON c.vec_id != q.vec_id
+      FROM q JOIN nz c ON c.vec_id != q.vec_id
     )
     SELECT query_id, neighbor_id, round(cos - 1e-9, {_R}) + 0.0 AS cosine, rnk
     FROM (SELECT *, row_number() OVER (PARTITION BY query_id
@@ -75,9 +79,16 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     measure the LSH variant's recall."""
     # Norms are per-VECTOR, not per-pair: compute once on each side
     # (HOF folds are interpreted, so per-pair work is the cost driver
-    # — this cuts 3 folds/pair to 1).
-    e = load_table(spark, sf_dir, "embeddings").withColumn(
-        "nrm", _norm(F.col("embedding"))
+    # — this cuts 3 folds/pair to 1).  ZERO-NORM vectors (dead docs,
+    # padding rows — absent from the committed generator but found
+    # by tests/test_fuzz_embeddings_differential.py on its first
+    # example) have undefined cosine and crash ANSI division; they
+    # are excluded from BOTH the query set and the candidates, on
+    # both engines.
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .withColumn("nrm", _norm(F.col("embedding")))
+        .filter(F.col("nrm") > 0)
     )
     q = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
@@ -133,15 +144,24 @@ def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cached: the signature fold is interpreted (HOFs don't codegen)
     # and every caller joins this table against itself or probes it —
     # without the cache the 16×dim fold runs once per join side.
-    return e.select(
-        "vec_id",
-        "label",
-        "embedding",
-        sig.alias("signature"),
-        # per-vector norm, computed once here so downstream pair joins
-        # never re-fold it per pair
-        _norm(F.col("embedding")).alias("nrm"),
-    ).cache()
+    # Zero-norm vectors are excluded at the signature layer on both
+    # engines (embeddings-fuzz finding): every hyperplane projection
+    # is 0, so they all pollute one meaningless bucket, and every
+    # downstream cosine against them is an undefined 0/0 (ANSI
+    # division throws).
+    return (
+        e.select(
+            "vec_id",
+            "label",
+            "embedding",
+            sig.alias("signature"),
+            # per-vector norm, computed once here so downstream pair
+            # joins never re-fold it per pair
+            _norm(F.col("embedding")).alias("nrm"),
+        )
+        .filter(F.col("nrm") > 0)
+        .cache()
+    )
 
 
 _SIG_SQL = f"""
@@ -152,6 +172,7 @@ _SIG_SQL = f"""
                         > 0
                   THEN power(2.0, p) ELSE 0.0 END)) AS BIGINT) AS signature
     FROM embeddings
+    WHERE {_dot_sql("embedding", "embedding")} > 0
 """
 
 
@@ -240,22 +261,23 @@ def ann_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_LISTS = 8
 N_PROBE = 2
 
-_SEEDS_SQL = f"""
-    SELECT vec_id AS list_id, embedding AS seed
-    FROM embeddings ORDER BY vec_id LIMIT {N_LISTS}
-"""
-
-
 @register(
     "ann_ivf_probe",
     oracle=f"""
-    WITH seeds AS ({_SEEDS_SQL}),
+    WITH nz AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE {_dot_sql("embedding", "embedding")} > 0
+    ),
+    seeds AS (
+      SELECT vec_id AS list_id, embedding AS seed
+      FROM nz ORDER BY vec_id LIMIT {N_LISTS}
+    ),
     scored AS (
       SELECT e.vec_id, e.embedding, s.list_id,
              {_dot_sql("e.embedding", "s.seed")}
                / (sqrt({_dot_sql("e.embedding", "e.embedding")})
                   * sqrt({_dot_sql("s.seed", "s.seed")})) AS cos
-      FROM embeddings e CROSS JOIN seeds s
+      FROM nz e CROSS JOIN seeds s
     ),
     assign AS (
       SELECT vec_id, embedding, list_id FROM (
@@ -276,7 +298,7 @@ _SEEDS_SQL = f"""
                   * sqrt({_dot_sql("a.embedding", "a.embedding")})) AS cos
       FROM probes p
       JOIN assign a ON a.list_id = p.list_id AND a.vec_id != p.query_id
-      JOIN embeddings q ON q.vec_id = p.query_id
+      JOIN nz q ON q.vec_id = p.query_id
     )
     SELECT query_id, neighbor_id, round(cos - 1e-9, {_R}) + 0.0 AS cosine, rnk
     FROM (SELECT *, row_number() OVER (PARTITION BY query_id
@@ -295,9 +317,13 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec_id (build cost, amortized across queries); probing touches
     |corpus| * nprobe / nlists rows instead of |corpus| — the
     complement of the LSH variant (ann_lsh_probe), which buckets by
-    signature instead of proximity."""
-    e = load_table(spark, sf_dir, "embeddings").withColumn(
-        "nrm", _norm(F.col("embedding"))
+    signature instead of proximity.  Zero-norm vectors are excluded
+    at entry on both engines (undefined cosine; embeddings-fuzz
+    finding)."""
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .withColumn("nrm", _norm(F.col("embedding")))
+        .filter(F.col("nrm") > 0)
     )
     seeds = (
         e.orderBy("vec_id")
@@ -457,8 +483,8 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT e.vec_id, e.label,
            round({_dot_sql("e.embedding", "c.centroid")}
-                 / (sqrt({_dot_sql("e.embedding", "e.embedding")})
-                    * sqrt({_dot_sql("c.centroid", "c.centroid")})) - 1e-9, {_R}) + 0.0
+                 / NULLIF(sqrt({_dot_sql("e.embedding", "e.embedding")})
+                    * sqrt({_dot_sql("c.centroid", "c.centroid")}), 0) - 1e-9, {_R}) + 0.0
              AS cos_to_centroid
     FROM embeddings e JOIN cent c ON c.label = e.label
     """,
@@ -484,8 +510,13 @@ def embedding_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = e.join(F.broadcast(cent.withColumnRenamed("label", "c_label")),
                F.col("label") == F.col("c_label"))
-    cos = _dot(F.col("embedding"), F.col("centroid")) / (
-        _norm(F.col("embedding")) * _norm(F.col("centroid"))
+    # cosine is UNDEFINED for a zero-norm vector or centroid (found
+    # by the embeddings fuzz): NULL on both engines (CASE WHEN is
+    # per-row lazy, so ANSI division never sees the zero), row kept
+    # — this is a per-vector metric table, not a filter.
+    denom = _norm(F.col("embedding")) * _norm(F.col("centroid"))
+    cos = F.when(
+        denom > 0, _dot(F.col("embedding"), F.col("centroid")) / denom
     )
     return j.select(
         "vec_id", "label", F.round(cos - 1e-9, _R).alias("cos_to_centroid")
@@ -847,22 +878,23 @@ _SEMDEDUP_T = 0.35  # cosine threshold: the fixture corpus has no
 # the threshold sits inside the corpus's natural similarity range to
 # keep the full keep/drop path exercised; a production run sets ~0.95.
 
-_SEMDEDUP_SEEDS_SQL = f"""
-    SELECT vec_id AS cid, embedding AS seed
-    FROM embeddings ORDER BY vec_id LIMIT {_SEMDEDUP_K}
-"""
-
-
 @register(
     "dedup_semantic_embedding",
     oracle=f"""
-    WITH seeds AS ({_SEMDEDUP_SEEDS_SQL}),
+    WITH nz AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE {_dot_sql("embedding", "embedding")} > 0
+    ),
+    seeds AS (
+      SELECT vec_id AS cid, embedding AS seed
+      FROM nz ORDER BY vec_id LIMIT {_SEMDEDUP_K}
+    ),
     scored AS (
       SELECT e.vec_id, e.embedding, s.cid,
              {_dot_sql("e.embedding", "s.seed")}
                / (sqrt({_dot_sql("e.embedding", "e.embedding")})
                   * sqrt({_dot_sql("s.seed", "s.seed")})) AS cos
-      FROM embeddings e CROSS JOIN seeds s
+      FROM nz e CROSS JOIN seeds s
     ),
     assign AS (
       SELECT vec_id, embedding, cid FROM (
@@ -911,9 +943,15 @@ def dedup_semantic_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-vector aggregate over the qualifying-pair list (count + min
     neighbor), one partial-agg shuffle.  Cosines fold sequentially in
     element order on both engines (same guarantee as kmeans_lloyd),
-    so the differential check is exact."""
-    e = load_table(spark, sf_dir, "embeddings").withColumn(
-        "nrm", _norm(F.col("embedding"))
+    so the differential check is exact.  ZERO-NORM vectors are
+    excluded at entry on both engines (found by the embeddings
+    fuzz): they cannot be semantically compared — cosine is
+    undefined, and under ANSI the division throws — so they are
+    trivially 'keep' upstream, never candidates or seeds here."""
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .withColumn("nrm", _norm(F.col("embedding")))
+        .filter(F.col("nrm") > 0)
     )
     seeds = (
         e.orderBy("vec_id")
@@ -997,7 +1035,9 @@ def _dot_sql_trunc(a: str, b: str, d: int) -> str:
                    / (sqrt({_dot_sql("q.embedding", "q.embedding")})
                       * sqrt({_dot_sql("c.embedding", "c.embedding")})), 6)
                    DESC, c.vec_id) AS rnk
-        FROM q JOIN embeddings c ON c.vec_id != q.vec_id)
+        FROM q JOIN embeddings c ON c.vec_id != q.vec_id
+        WHERE {_dot_sql("q.embedding", "q.embedding")} > 0
+          AND {_dot_sql("c.embedding", "c.embedding")} > 0)
       WHERE rnk <= {_MAT_K}
     ),
     trunc_rank AS (
@@ -1010,7 +1050,9 @@ def _dot_sql_trunc(a: str, b: str, d: int) -> str:
                    / (sqrt({_dot_sql_trunc("q.embedding", "q.embedding", _MAT_DIMS)})
                       * sqrt({_dot_sql_trunc("c.embedding", "c.embedding", _MAT_DIMS)})),
                    6) DESC, c.vec_id) AS rnk
-        FROM q JOIN embeddings c ON c.vec_id != q.vec_id)
+        FROM q JOIN embeddings c ON c.vec_id != q.vec_id
+        WHERE {_dot_sql_trunc("q.embedding", "q.embedding", _MAT_DIMS)} > 0
+          AND {_dot_sql_trunc("c.embedding", "c.embedding", _MAT_DIMS)} > 0)
       WHERE rnk <= {_MAT_K}
     )
     SELECT f.query_id,
@@ -1039,10 +1081,14 @@ def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def topk(dims: int | None) -> DataFrame:
         emb = F.col("embedding") if dims is None else F.slice("embedding", 1, dims)
-        base = e.select(
-            "vec_id",
-            emb.alias("v"),
-        ).withColumn("nrm", _norm(F.col("v")))
+        # zero-norm SLICES are excluded per ranking (a nonzero
+        # vector can still have an all-zero prefix): undefined
+        # cosine, ANSI division throws — embeddings-fuzz finding
+        base = (
+            e.select("vec_id", emb.alias("v"))
+            .withColumn("nrm", _norm(F.col("v")))
+            .filter(F.col("nrm") > 0)
+        )
         q = base.filter(F.col("vec_id") < 10).select(
             F.col("vec_id").alias("query_id"),
             F.col("v").alias("qv"),

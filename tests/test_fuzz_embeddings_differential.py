@@ -1,0 +1,111 @@
+"""Vector-shape differential fuzz over embeddings-only query families.
+
+Third member of the fuzz trio (documents, events, embeddings), aimed
+at degenerate-geometry shapes the committed generator never emits:
+ZERO-NORM vectors (cosine's division-by-zero edge), exactly
+duplicated vectors across ids (tied similarities — the top-k tie
+contract), constant dimensions (zero variance), sign-boundary zeros
+(signbit of 0.0), and single-member / empty label groups.  Values
+are drawn from a tiny exact-float set {-1, -0.5, 0, 0.5, 1} so ties
+and zero norms occur CONSTANTLY, not occasionally; dim stays at the
+committed corpus width (64) since per-operator dim assumptions are
+part of the fixture contract, not the fuzz target.
+
+Every corpus runs the picked deterministic embeddings-only queries
+through the driver's Spark-vs-DuckDB comparison (tests/compare.py).
+Iterative operators (kmeans, PCA power iteration, PQ codebooks) are
+excluded: their fixed-point behavior on adversarial inputs is
+seed/iteration-order sensitive by declared contract.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, example, given, settings
+from hypothesis import strategies as st
+
+from ondemand_dask_spark.registry import all_queries
+from tests.compare import assert_results_match
+
+QUERIES = [
+    "ann_cosine_topk",
+    "ann_lsh_probe",
+    "ann_ivf_probe",
+    "ann_lsh_multiprobe",
+    "embedding_centroid_distance",
+    "embedding_dim_stats",
+    "embedding_matryoshka_recall",
+    "embedding_quantize_int8",
+    "embedding_signbit_hamming",
+    "dedup_semantic_embedding",
+]
+
+DIM = 64  # the committed corpus width — per-operator dim assumptions are fixture contract
+
+value = st.sampled_from([-1.0, -0.5, 0.0, 0.5, 1.0])
+vector = st.one_of(
+    st.just([0.0] * DIM),               # zero norm
+    st.just([0.5] * DIM),               # constant dims
+    st.lists(value, min_size=DIM, max_size=DIM),
+)
+row = st.tuples(vector, st.integers(min_value=0, max_value=3))
+corpus = st.lists(row, min_size=3, max_size=24).map(
+    # force at least one exact duplicate pair (tied cosine): copy
+    # the first vector onto the last id under a different label
+    lambda rows: rows[:-1] + [(rows[0][0], rows[-1][1])]
+)
+
+
+@pytest.fixture(scope="module")
+def picked():
+    qs = all_queries()
+    return {n: qs[n] for n in QUERIES}
+
+
+@given(rows=corpus)
+# guaranteed degenerate corpus: a zero vector, an exact duplicate
+# pair, a negated pair (cosine -1), and a constant vector
+@example(
+    rows=[
+        ([0.0] * DIM, 0),
+        ([0.5] * DIM, 1),
+        ([0.5] * DIM, 2),
+        ([-0.5] * DIM, 1),
+        ([1.0] * DIM, 3),
+    ]
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+def test_embeddings_queries_match_oracle_on_degenerate_vectors(
+    rows, spark, picked, tmp_path_factory
+):
+    sf_dir = str(tmp_path_factory.mktemp("fuzzemb"))
+    emb = spark.createDataFrame(
+        [
+            (i, [float(x) for x in vec], lbl)
+            for i, (vec, lbl) in enumerate(rows)
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    emb.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf_dir, "embeddings.parquet")
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM read_parquet("
+        f"'{sf_dir}/embeddings.parquet/*.parquet')"
+    )
+    for name, q in picked.items():
+        spark_pdf = q.fn(spark, sf_dir).toPandas()
+        oracle_pdf = con.execute(q.oracle).fetchdf()
+        assert_results_match(spark_pdf, oracle_pdf, name)
+    con.close()
