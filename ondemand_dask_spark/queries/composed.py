@@ -15,10 +15,16 @@ true differential tests of semantics (backward / left / tolerance /
 forward), the SURVEY §7 hard-part #4.
 
 Sessionization uses Spark's native `session_window` (batch mode);
-the oracle reproduces it as gap-and-island SQL.  Boundary semantics:
-`session_window`'s window is [start, last+gap) with an EXCLUSIVE end,
-so a successor exactly `gap` later starts a new session — the oracle
-therefore breaks on `diff >= gap`, not `>`.
+the oracle reproduces it as gap-and-island SQL.  Boundary semantics
+(MEASURED on PySpark 4.1.2, pinned in
+tests/test_fuzz_events_differential.py): `session_window` extends a
+session's window to `last_ts + gap` with an INCLUSIVE merge test —
+a successor exactly `gap` after the previous event is merged into
+the SAME session (events at 00:00:01 and 00:30:01 with a 30-min gap
+form ONE session).  Same session iff `diff <= gap`; the oracles
+therefore break on `diff > gap`, never `>=`.  (An earlier revision
+of this comment asserted the opposite — that was wrong, caught by
+the r11 differential fuzz at the exact-gap boundary.)
 """
 
 from __future__ import annotations
@@ -218,7 +224,7 @@ def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH flagged AS (
       SELECT user_id, ts, event_id, value,
              CASE WHEN lag(ts) OVER w IS NULL
-                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS new_s
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -571,7 +577,7 @@ def events_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH flagged AS (
       SELECT user_id, ts, event_id, value,
              CASE WHEN lag(ts) OVER w IS NULL
-                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS new_s
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -605,7 +611,11 @@ def sql_recursive_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     superstep shape as the iterative DataFrame algorithms, but
     scheduled entirely inside one SQL operator with no driver loop.
     The oracle is the classic gaps-and-islands window formulation:
-    three ways of saying 'session', one fixpoint."""
+    three ways of saying 'session', one fixpoint.  Tie contract:
+    same session iff gap <= 30 min (anchor on gap_us > threshold),
+    matching `session_window`'s measured exact-gap merge — see the
+    module docstring and the exact-gap pin in
+    tests/test_fuzz_events_differential.py."""
     from pyspark.sql.window import Window as W
 
     _CACHES.evict()
@@ -625,13 +635,13 @@ def sql_recursive_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH RECURSIVE chain(event_id, anchor_id, anchor_ts, user_id) AS (
       SELECT event_id, event_id, ts, user_id
       FROM rs_events
-      WHERE prev_id IS NULL OR gap_us >= {gap_us}
+      WHERE prev_id IS NULL OR gap_us > {gap_us}
       UNION ALL
       SELECT n.event_id, c.anchor_id, c.anchor_ts, c.user_id
       FROM chain c
       JOIN rs_events n
         ON n.prev_id = c.event_id AND n.user_id = c.user_id
-       AND n.gap_us < {gap_us}
+       AND n.gap_us <= {gap_us}
     )
     SELECT c.user_id,
            c.anchor_ts AS session_start,
@@ -1494,7 +1504,7 @@ def events_alarm_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH flagged AS (
       SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
-                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS new_s
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

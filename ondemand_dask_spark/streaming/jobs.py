@@ -106,8 +106,13 @@ def _stream_dir(sf_dir: str) -> str:
         ):
             try:
                 os.remove(link)
-            except FileNotFoundError:
-                pass  # a concurrent stager pruned it first
+            except OSError:
+                # FileNotFoundError: a concurrent stager pruned it
+                # first.  IsADirectoryError/PermissionError: a stray
+                # non-file entry (e.g. a hand-made subdirectory) —
+                # skip it rather than killing every streaming query
+                # until the temp dir is cleaned by hand (ADVICE r11).
+                pass
     for f, tgt in targets.items():
         link = os.path.join(d, f)
         # lexists, not exists: a broken symlink must count as present
@@ -282,7 +287,7 @@ def session_agg(e: DataFrame) -> DataFrame:
     WITH flagged AS (
       SELECT user_id, ts, value,
              CASE WHEN lag(ts) OVER w IS NULL
-                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS new_s
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
