@@ -10,6 +10,20 @@ a constant, not a per-query cost at scale); each query executed with
 the noop sink (full plan execution, no driver-side row transfer —
 what a cluster job would do); best of `RUNS` runs per query after one
 warm-up of the whole set.
+
+Artifact discipline (r11 verdict item 7): bench_full.json is
+overwritten by whichever run happened LAST.  The round driver runs
+bench after the builder's final commit and its round-boundary commit
+("round N: verdict/advice/correctness/bench") sweeps the overwrite
+in — so the DRIVER's run is the committed round record, always.  A
+builder-side run mid-round must either be committed with its
+milestone or reverted before handoff; never left dirty.  Guard
+verdicts are artifact-borne (r11 verdict item 6): the regression
+flags are embedded as `flags` / `isolated_flags` in BOTH artifacts
+(names-only in the slim stdout line), and the human-readable flag
+block prints AFTER the stdout JSON line so the driver's 2000-char
+tail window can never truncate the JSON head or lose the flags
+(BENCH_r11.json lost ~6 of 8 flag lines printed above the line).
 """
 
 from __future__ import annotations
@@ -246,6 +260,35 @@ def is_regression(prev_sec: float, now_sec: float, drift: float) -> bool:
     never a regression worth bisecting.  Extracted so tests exercise
     the REAL condition (tests/test_bench_guard.py)."""
     return prev_sec > 0.5 and now_sec > prev_sec * max(drift, 1.0) * 1.25
+
+
+def contract_stream(
+    slim: dict,
+    guard_lines: list[str],
+    flag_names: list[str] | None = None,
+) -> str:
+    """The output layout around the stdout contract line, in emission
+    order: guard detail ABOVE (truncation only costs redundant text),
+    the one-line JSON, then ONE bounded guard summary BELOW.  The
+    driver records the LAST 2000 chars of the merged output —
+    extracted as a pure function so tests/test_bench_guard.py can pin
+    that a synthetic flag verdict survives that truncation with the
+    JSON line intact (r11 lost 6 of 8 flag lines printed above the
+    line; r8 lost the JSON head to an oversized line)."""
+    line = json.dumps(slim, separators=(",", ":"))
+    nf = slim.get("n_flags", 0)
+    names = flag_names or []
+    shown = ", ".join(names[:3]) + (
+        f", +{nf - 3} more" if nf > 3 else ""
+    )
+    summary = (
+        f"guard: {nf} flags"
+        + (f" ({shown})" if shown else "")
+        + f", {slim.get('n_isolated_flags', 0)} isolated "
+        f"vs {slim.get('flags_vs')} "
+        f"(full records in {slim.get('detail')})"
+    )
+    return "\n".join([*guard_lines, line, summary])
 
 
 def _sf_from_dir(sf_dir: str) -> float:
@@ -555,6 +598,14 @@ def main() -> None:
     # (+38%, later measured to be load noise) motivated making the
     # comparison visible BEFORE the driver records it.
     loaded = load_prev_bench(SCRIPT_DIR, _sf_from_dir(sf_dir))
+    # Guard verdicts are COLLECTED here and both (a) embedded in the
+    # artifacts and (b) printed AFTER the stdout JSON line — see the
+    # module docstring's artifact-discipline note.
+    flags: list[dict] = []
+    iso_flags: list[dict] = []
+    guard_lines: list[str] = []
+    prev_name = None
+    drift = 1.0
     if loaded:
         prev_name, prev = loaded
         pq = prev["queries"]
@@ -567,11 +618,10 @@ def main() -> None:
         # false flags were both that class).
         drift = drift_ratio(prev, calib, calib_bw, calib_end, calib_bw_end)
         if drift != 1.0:
-            print(
+            guard_lines.append(
                 f"calibration drift vs {prev_name}: "
                 f"x{drift:.2f} (max phase-matched ratio, "
-                f"cpu/bandwidth x start-start/end-end)",
-                file=sys.stderr,
+                f"cpu/bandwidth x start-start/end-end)"
             )
         flagged = []
         for n, t in timings.items():
@@ -580,17 +630,18 @@ def main() -> None:
         for n, was, now in sorted(
             flagged, key=lambda x: x[2] - x[1], reverse=True
         ):
-            print(
+            flags.append(
+                {"name": n, "prev_sec": was, "now_sec": now}
+            )
+            guard_lines.append(
                 f"REGRESSION vs {prev_name}: {n} "
                 f"{was:.2f}s -> {now:.2f}s "
                 f"(+{(now / was - 1) * 100:.0f}% raw, "
-                f"drift-adjusted threshold applied)",
-                file=sys.stderr,
+                f"drift-adjusted threshold applied)"
             )
         if not flagged:
-            print(
-                f"no >25% drift-adjusted regressions vs {prev_name}",
-                file=sys.stderr,
+            guard_lines.append(
+                f"no >25% drift-adjusted regressions vs {prev_name}"
             )
         # isolated-vs-isolated: both sides are fresh-session
         # best-of-5 with their OWN calibrations, so this comparison
@@ -623,12 +674,18 @@ def main() -> None:
                 if isinstance(was, dict):
                     was = was.get("best")
                 if was and is_regression(was, rec["best"], iso_drift):
-                    print(
+                    iso_flags.append(
+                        {
+                            "name": n,
+                            "prev_sec": was,
+                            "now_sec": rec["best"],
+                        }
+                    )
+                    guard_lines.append(
                         f"ISOLATED REGRESSION vs {prev_name}: "
                         f"{n} {was:.2f}s -> "
                         f"{rec['best']:.2f}s (isolated "
-                        f"best-of-5, drift x{iso_drift:.2f})",
-                        file=sys.stderr,
+                        f"best-of-5, drift x{iso_drift:.2f})"
                     )
 
     # Two artifacts.  STDOUT gets ONE compact JSON line — the driver
@@ -674,6 +731,15 @@ def main() -> None:
         # top-5 expensive queries under the isolated protocol (fresh
         # session, own calibrations, 1 warm-up + 5 timed runs each).
         "isolated": isolated,
+        # the guard's verdict as data (r11 verdict item 6): flagged
+        # drift-adjusted regressions vs `flags_vs` (the newest
+        # parseable same-sf prior artifact), with the drift ratio
+        # applied.  Empty lists = guard ran clean; flags_vs null =
+        # no usable prior artifact.
+        "flags_vs": prev_name,
+        "drift_ratio": round(drift, 4),
+        "flags": flags,
+        "isolated_flags": iso_flags,
     }
     # the driver-round record is the sf0.1 run; a scale drive at
     # another SF gets its own artifact so it can't clobber it
@@ -699,16 +765,38 @@ def main() -> None:
         "isolated": {
             n: r["best"] for n, r in isolated.get("queries", {}).items()
         },
+        # counts only: the base line already sits ~60 chars under the
+        # 2000-char tail budget, so the slim verdict is a pointer —
+        # first-3 names ride in the bounded summary line below, the
+        # full prev/now records in the detail artifact's
+        # `flags`/`isolated_flags`
+        "n_flags": len(flags),
+        "n_isolated_flags": len(iso_flags),
+        "flags_vs": prev_name,
         "detail": full_name,
     }
-    line = json.dumps(slim, separators=(",", ":"))
+    # Emission order is pinned by contract_stream (and its test):
+    # guard detail ABOVE the contract line (truncating it only costs
+    # redundant text — the data lives in the artifacts), ONE bounded
+    # summary BELOW, so the driver's 2000-char tail can neither lose
+    # the verdict (r11: only 2 of ~8 flag lines above the line
+    # survived) nor — had we printed the full block after the line —
+    # cut the JSON's own head (the r8 parsed=null failure mode, from
+    # the other direction).
+    rows = contract_stream(
+        slim, guard_lines, [f["name"] for f in flags]
+    ).split("\n")
+    line, summary = rows[-2], rows[-1]
     if len(line) > 1900:  # fail loudly BEFORE the driver truncates it
         print(
             f"WARNING: stdout JSON line {len(line)} chars — nearing "
             f"the driver's 2000-char tail window; slim it",
             file=sys.stderr,
         )
+    for gl in rows[:-2]:
+        print(gl, file=sys.stderr)
     print(line)
+    print(summary, file=sys.stderr)
     # no spark.stop() here: the main session was already stopped
     # before the isolated-protocol block (r9 advisor note)
 

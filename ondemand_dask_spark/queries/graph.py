@@ -377,21 +377,32 @@ def triangle_count_estimate(
     family — and the r9 wedge-join challenger A/B already lost to
     the in-row intersection (8.97 s vs 6.49 s at sf0.1).  This
     estimator is the documented approximate twin for corpora where
-    45 s/sf1-equivalent exact cost is unacceptable; it is
-    deliberately NOT registered this round (the r11 driver window is
-    exactly the 50-query certification backlog — adding a 444th
-    registry row would reopen it) and is certified by its tolerance
-    test instead."""
+    45 s/sf1-equivalent exact cost is unacceptable.  Registered in
+    r12 as `graph_triangle_count_estimate` (rows-only — the hash
+    coin is not DuckDB-expressible) now that certification is
+    closed; its correctness contract is the 4-test tolerance
+    certificate in tests/test_triangle_estimate.py against the
+    oracle-checked exact twin, the HLL/sketch precedent."""
     if not 0.0 < p <= 1.0:
         # p=3 ("percent"?) would keep every edge but divide by 27 —
         # a silently 27×-low answer; fail loudly instead
         raise ValueError(f"sampling rate p must be in (0, 1], got {p}")
+    # round, not floor: int() truncation lost one part-per-million of
+    # sample mass on non-representable p; and a p so small the coin
+    # threshold rounds to 0 would sample NOTHING yet "succeed" with an
+    # empty estimate (ADVICE r11)
+    threshold = round(p * 1_000_000)
+    if threshold == 0:
+        raise ValueError(
+            f"sampling rate p={p} rounds to a zero coin threshold "
+            "(< 5e-7) — no edge could survive; use a larger p"
+        )
     from ondemand_dask_spark.operators.rank import global_row_numbers
 
     _evict_retained()
     edges = _edges(spark, sf_dir).filter(
         F.pmod(F.xxhash64("src", "dst", F.lit(seed)), F.lit(1_000_000))
-        < F.lit(int(p * 1_000_000))
+        < F.lit(threshold)
     )
     sym = _sym(edges)
     deg = sym.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("d"))
@@ -424,6 +435,26 @@ def triangle_count_estimate(
     return _intersection_census(
         oriented, value_col="n_triangles_est", scale=p**3
     )
+
+
+@register(
+    "graph_triangle_count_estimate",
+    oracle=None,  # hash-coin sampling isn't DuckDB-expressible;
+    # certified against the exact oracle-checked twin
+    # (graph_triangle_count) by tests/test_triangle_estimate.py:
+    # ≤5% global error at p=0.3, seed-determinism, cross-seed
+    # unbiasedness — the stat_freq_items/HLL rows-only precedent
+)
+def graph_triangle_count_estimate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Registered entry for the DOULION edge-sampled triangle
+    estimate at the certified defaults (p=0.3, seed=7) — the
+    100 TB census-shape path: ~p·m sampled edges, ~p^1.5 of the
+    exact intersect work, every per-node contribution scaled 1/p³
+    (unbiased).  See triangle_count_estimate above for the full
+    design, variance bound, and measured A/B numbers."""
+    return triangle_count_estimate(spark, sf_dir, p=0.3, seed=7)
 
 
 _PR_D = 0.85  # damping

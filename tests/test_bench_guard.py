@@ -149,6 +149,12 @@ def test_stdout_json_line_fits_the_driver_tail_window():
         "iso_calib_sec": 99.9999,
         "iso_calib_bw_sec": 99.9999,
         "isolated": {n: 99.9999 for n in bench.ISOLATED},
+        # worst-case guard verdict under main()'s slim form: counts
+        # only (names ride in the bounded summary line, records in
+        # the detail artifact)
+        "n_flags": 44,
+        "n_isolated_flags": 5,
+        "flags_vs": "BENCH_r99.json",
         "detail": "bench_full.json",
     }
     line = json.dumps(slim, separators=(",", ":"))
@@ -157,3 +163,49 @@ def test_stdout_json_line_fits_the_driver_tail_window():
         f"overflow the driver's tail window; move detail to "
         f"bench_full.json or slim keys"
     )
+
+
+def test_flag_verdict_survives_driver_tail_truncation():
+    """r11 verdict item 6: the driver records only the LAST 2000
+    chars of bench output.  With a synthetic 8-flag verdict and a
+    long guard-detail block, the tail window must still contain the
+    complete JSON contract line (parseable, flags embedded) and the
+    one-line guard summary — i.e. the verdict is artifact-borne and
+    the emission order keeps the JSON intact."""
+    import json
+    import re
+
+    import bench
+
+    flags = [f"query_with_a_long_name_{i:02d}" for i in range(8)]
+    slim = {
+        "metric": "headline_queries_total",
+        "value": 64.2,
+        "unit": "sec",
+        "queries": {n: 9.999 for n in bench.HEADLINE},
+        "sf": 0.1,
+        "n_flags": len(flags),
+        "n_isolated_flags": 2,
+        "flags_vs": "BENCH_r11.json",
+        "detail": "bench_full.json",
+    }
+    guard_lines = [
+        "calibration drift vs BENCH_r11.json: x1.13 (max phase-"
+        "matched ratio, cpu/bandwidth x start-start/end-end)"
+    ] + [
+        f"REGRESSION vs BENCH_r11.json: {n} 1.00s -> 2.40s "
+        f"(+140% raw, drift-adjusted threshold applied)"
+        for n in flags
+    ]
+    stream = bench.contract_stream(slim, guard_lines, flags)
+    tail = stream[-2000:]
+    # the JSON line must be COMPLETE inside the tail
+    m = re.search(r"^\{.*\}$", tail, re.M)
+    assert m, "JSON contract line truncated out of the tail window"
+    parsed = json.loads(m.group(0))
+    assert parsed["n_flags"] == 8
+    assert parsed["flags_vs"] == "BENCH_r11.json"
+    # and the bounded summary (with the first-3 names) survives below
+    last = tail.rstrip().splitlines()[-1]
+    assert last.startswith("guard: 8 flags (")
+    assert flags[0] in last and "+5 more" in last

@@ -30,6 +30,12 @@ from hypothesis import strategies as st
 from ondemand_dask_spark.registry import all_queries
 from tests.compare import assert_results_match
 
+# CI-sized default; set SPARK_GRAFT_FUZZ_EXAMPLES=50+ for the
+# thorough local/nightly sweep (r11 lesson: 8 examples missed the
+# session exact-gap boundary; settled boundaries are pinned as
+# permanent @example cases so detection never relies on luck).
+MAX_EXAMPLES = int(os.environ.get("SPARK_GRAFT_FUZZ_EXAMPLES", "8"))
+
 QUERIES = [
     "ann_cosine_topk",
     "ann_lsh_probe",
@@ -78,7 +84,7 @@ def picked():
     ]
 )
 @settings(
-    max_examples=8,
+    max_examples=MAX_EXAMPLES,
     deadline=None,
     suppress_health_check=[
         HealthCheck.function_scoped_fixture,

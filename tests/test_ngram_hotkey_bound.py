@@ -33,6 +33,8 @@ from __future__ import annotations
 import os
 import re
 
+import pyspark
+import pytest
 
 from ondemand_dask_spark.queries.dedup import dedup_ngram_jaccard
 
@@ -52,22 +54,39 @@ def _write_docs(spark, tmp_path, name, rows):
     return sf_dir
 
 
-def test_index_build_plan_shape(spark):
-    plan = (
+def _executed_plan(spark) -> str:
+    return (
         dedup_ngram_jaccard(spark, SF_DIR)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
-    # every collect_set in the index build is the guarded safe
-    # branch: the cached kept_inst subtree prints once per consumer,
-    # so the pin is that set aggregations and suspect anti-joins
-    # appear in LOCKSTEP — an unguarded set aggregation (the
-    # unbounded pre-cut buffer) adds a partial_collect_set with no
-    # matching LeftAnti
+
+
+def test_index_build_every_collect_set_is_guarded(spark):
+    """The bound's load-bearing plan property, kept deliberately
+    LOOSE (ADVICE r11 — operator-name regexes break across Spark /
+    AQE upgrades even when the build stays bounded): every
+    collect_set in the index build must be the guarded safe branch,
+    i.e. set aggregations and suspect anti-joins appear in LOCKSTEP —
+    an unguarded set aggregation (the unbounded pre-cut buffer) adds
+    a partial_collect_set with no matching LeftAnti.  The primary
+    pins remain the BEHAVIORAL tests below (hot shingle routed
+    suspect and cut; NULL-lang isolation; pair exactness)."""
+    plan = _executed_plan(spark)
     n_set = plan.count("partial_collect_set")
     n_anti = plan.count("LeftAnti")
     assert n_set >= 1 and n_anti >= n_set, (n_set, n_anti)
+
+
+@pytest.mark.skipif(
+    not pyspark.__version__.startswith("4.1"),
+    reason="plan-TEXT pin derived on Spark 4.1 (exact HashAggregate "
+    "key/function rendering) — re-derive the regexes on upgrade; "
+    "the version-independent guard is the lockstep test above",
+)
+def test_index_build_plan_shape_spark41(spark):
+    plan = _executed_plan(spark)
     # the suspect branch's pair-keyed, keys-only dedup aggregate
     assert re.search(
         r"HashAggregate\(keys=\[h#\d+L, doc_id#\d+L\], functions=\[\]",

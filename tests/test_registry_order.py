@@ -18,24 +18,63 @@ def test_showcase_is_exactly_the_first_50():
     assert qs[:50] == list(_SHOWCASE)
 
 
-def test_showcase_spans_every_query_family():
+def test_showcase_front_is_new_then_changed_then_stale():
+    """Post-closure window discipline (r11 closed certification at
+    443/443; the family-span invariant retired with the backlog):
+
+    1. any never-driver-checked registration leads the window, with
+       a rows-only query sitting ADJACENT to its oracle-checked twin
+       (the r9 adjacency discipline) — r12: the DOULION estimator
+       next to the exact census;
+    2. queries whose semantics changed this round follow
+       (unconditional re-certification under the settled contract) —
+       r12: the four session forms;
+    3. the remainder re-greens least-recently-checked queries, so
+       every green driver row has bounded age.
+    """
+    window = list(_SHOWCASE)
+    assert window[:2] == [
+        "graph_triangle_count_estimate",
+        "graph_triangle_count",
+    ]
+    assert window[2:6] == [
+        "sessionize_gap",
+        "sessionize_metrics",
+        "sql_recursive_sessionize",
+        "stream_session_window",
+    ]
+
+
+def test_showcase_stale_fill_matches_committed_census():
+    """The 44 re-certification slots must be the least-recently-
+    driver-checked queries per the census rounds ROTATION.md declares
+    (header-pinned, NOT a disk glob — the driver drops a fresh
+    CORRECTNESS file post-commit every round, which must not redden
+    this guard at judge time)."""
+    import os
+    import re
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    import json
+
+    with open(os.path.join(repo, "ROTATION.md")) as f:
+        header = f.read().split("\n\n")[1]
+    files = re.findall(r"CORRECTNESS_r\d+\.json", header)
+    last: dict[str, int] = {}
+    for fname in files:
+        rnd = int(fname[len("CORRECTNESS_r"):-len(".json")])
+        with open(os.path.join(repo, fname)) as fh:
+            for n in json.load(fh):
+                last[n] = max(last.get(n, 0), rnd)
     qs = all_queries()
-    mods = {qs[n].fn.__module__.rsplit(".", 1)[-1] for n in _SHOWCASE}
-    # The family-span invariant only forces modules that still carry
-    # never-driver-checked queries — a slot spent re-greening a fully
-    # checked module would cost one query of external coverage
-    # (tools/rotation.py REQUIRED_MODULES carries the same
-    # carve-out).  "skew" left in r8 (fully green since r7); "sets"
-    # and "udfs" left in r9; "tpch", "dedup", "multimodal", "jobs",
-    # and "incremental" left in r11 (their last never-checked
-    # queries were all driver-certified by r10 — the r11 window is
-    # exactly the 50-query backlog, which spans these 12 modules).
-    expected = {
-        "sources", "relational", "joins", "aggregations",
-        "windows", "scalars", "composed", "similarity", "text",
-        "pipeline", "encoding", "layout",
-    }
-    assert expected <= mods
+    front = set(_SHOWCASE[:6])
+    expected = sorted(
+        (n for n in qs if n not in front),
+        key=lambda n: (last.get(n, 0), n),
+    )[: len(_SHOWCASE) - 6]
+    assert list(_SHOWCASE[6:]) == expected
 
 
 def test_showcase_mostly_full_oracle():
@@ -46,9 +85,13 @@ def test_showcase_mostly_full_oracle():
     # recursion) each carry a tolerance-twin test
     # (tests/test_rows_only_twins.py) and may appear in a window;
     # nothing else in the showcase should lack a DuckDB oracle.
-    # sample_seeded left the set in r9 (seeded-hash full oracle).
+    # sample_seeded left the set in r9 (seeded-hash full oracle);
+    # graph_triangle_count_estimate joined in r12 (hash-coin DOULION
+    # sampling is not DuckDB-expressible; tolerance certificate in
+    # tests/test_triangle_estimate.py, exact twin adjacent in-window).
     assert set(no_oracle) <= {
         "stat_freq_items", "dedup_minhash_ml", "udf_ewm",
+        "graph_triangle_count_estimate",
     }, no_oracle
 
 

@@ -61,6 +61,7 @@ import json
 import os
 import sys
 import time
+import urllib.error
 import urllib.request
 
 sys.path.insert(
@@ -166,11 +167,23 @@ class StageMeter:
             if s["status"] == "SKIPPED":
                 skipped += 1
                 continue
-            det = json.load(
-                urllib.request.urlopen(
-                    f"{self.base}/stages/{s['stageId']}/0?details=true"
+            # fetch the stage's OWN attempt id, not a hardcoded /0:
+            # a retried stage (attempt 1+) or one evicted past
+            # spark.ui.retainedStages would 404 and kill the probe
+            # mid-ladder (ADVICE r11) — skip what the UI no longer
+            # holds; the ladder's verdict is the max over what
+            # remains, still valid as a lower bound the caller sees
+            attempt = s.get("attemptId", 0)
+            try:
+                det = json.load(
+                    urllib.request.urlopen(
+                        f"{self.base}/stages/{s['stageId']}/{attempt}"
+                        "?details=true"
+                    )
                 )
-            )
+            except urllib.error.HTTPError:
+                skipped += 1
+                continue
             for t in det.get("tasks", {}).values():
                 m = t.get("taskMetrics") or {}
                 sr = m.get("shuffleReadMetrics") or {}

@@ -31,29 +31,35 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from ondemand_dask_spark.registry import all_queries  # noqa: E402
 
-# r11: the never-checked backlog is EXACTLY 50 = one full window
-# (r10 retired 45; 393/443 driver-certified).  Every repeat slot —
-# anchor, rows-only re-present, or priority — would leave one query
-# permanently uncertified, so all three curated tiers are empty this
-# round and the window IS the backlog (r10 verdict item 1: "Done =
-# 50 green rows in CORRECTNESS_r11.json, backlog 0").  entry() still
-# smoke-runs tpch_q1 every round; every rows-only query already sits
-# adjacent to its oracle twin in the r10 record.
+# Post-closure era (r12+): r11 closed certification at 443/443 —
+# every registered query has ≥1 green driver row.  The 50-slot
+# window's job changes from first-certification to RE-certification:
+# (1) any query whose semantics changed this round MUST re-drive
+# green (PRIORITY, unconditional), (2) new registrations are the
+# only never-checked backlog and go first, (3) remaining slots
+# re-green the LEAST-recently-checked queries (stale-first), so the
+# whole registry recycles through the driver every ~8 rounds and a
+# silent regression cannot hide behind an old green row.
 ANCHORS: tuple[str, ...] = ()
 
-# Rows-only re-presents: none needed after r10 — each of the three
-# rows-only-by-design queries has a driver row ADJACENT to its
-# oracle-checked twin (stat_freq_items/stat_freq_items_verified and
-# dedup_minhash_ml/dedup_minhash_lsh in r10; udf_ewm/
-# window_ewm_bounded in r8), which was the r9 verdict's ask.
-REPRESENT: tuple[str, ...] = ()
+# Rows-only re-presents: the new rows-only estimator rides with its
+# oracle-checked exact twin ADJACENT in the window (the r9-verdict
+# adjacency discipline for every rows-only row).
+REPRESENT: tuple[str, ...] = (
+    "graph_triangle_count_estimate",
+    "graph_triangle_count",
+)
 
-# Never-checked queries the verdict explicitly called out — taken
-# first, before the backlog fill.  Refresh each round from
-# VERDICT.md's "next round" item.  r11: the verdict names the whole
-# remaining 50-query tail, so no individual priorities; the backlog
-# fill takes everything.
-PRIORITY: tuple[str, ...] = ()
+# Unconditional picks — taken even if already driver-checked.
+# Refresh each round from VERDICT.md.  r12: the four session forms
+# whose exact-gap tie contract changed this round (oracle >= → >)
+# must show green driver rows under the SETTLED contract.
+PRIORITY: tuple[str, ...] = (
+    "sessionize_gap",
+    "sessionize_metrics",
+    "sql_recursive_sessionize",
+    "stream_session_window",
+)
 
 # every module the family-span invariant requires in the window —
 # honored only while the module still has never-checked queries
@@ -85,6 +91,18 @@ def checked_names(repo: str, files: list[str] | None = None) -> set[str]:
     return checked
 
 
+def last_checked_round(repo: str) -> dict[str, int]:
+    """query → the LATEST round with a driver CORRECTNESS row for it
+    (files iterate in round order, so later rounds overwrite)."""
+    last: dict[str, int] = {}
+    for f in correctness_files(repo):
+        rnd = int(os.path.basename(f)[len("CORRECTNESS_r"):-len(".json")])
+        with open(f) as fh:
+            for n in json.load(fh):
+                last[n] = max(last.get(n, 0), rnd)
+    return last
+
+
 def build_window() -> tuple[list[str], set[str], dict[str, str]]:
     """Return (window, driver-checked names, query→module map)."""
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -101,13 +119,14 @@ def build_window() -> tuple[list[str], set[str], dict[str, str]]:
             picks.append(name)
             chosen_mods.add(mod[name])
 
-    # 1. rows-only re-presents (unconditional), then verdict-named
-    #    priorities (only those still unchecked).
+    # 1. rows-only re-presents and verdict-named priorities — both
+    #    unconditional in the post-closure era (a changed query must
+    #    re-drive green even though it has an old row).
     for n in REPRESENT:
         if n in qs:
             take(n)
     for n in PRIORITY:
-        if n in qs and n not in checked:
+        if n in qs:
             take(n)
 
     # 2. cover required modules missing from the window so far,
@@ -134,6 +153,22 @@ def build_window() -> tuple[list[str], set[str], dict[str, str]]:
     while len(picks) < WINDOW - len(ANCHORS) and any(by_mod.values()):
         m = max(by_mod, key=lambda k: (len(by_mod[k]), k))
         take(by_mod[m].pop(0))
+
+    # 4. post-closure: the never-checked pool no longer fills a
+    #    window — spend leftover slots on RE-certification,
+    #    least-recently-driver-checked first (ties by name), so every
+    #    green row has bounded age and the registry recycles through
+    #    the driver in full every ceil(443/50) ≈ 9 rounds.
+    if len(picks) < WINDOW - len(ANCHORS):
+        last = last_checked_round(repo)
+        stale = sorted(
+            (n for n in qs if n not in picks and n not in ANCHORS),
+            key=lambda n: (last.get(n, 0), n),
+        )
+        for n in stale:
+            take(n)
+            if len(picks) >= WINDOW - len(ANCHORS):
+                break
 
     window = list(ANCHORS) + picks
     assert len(window) == WINDOW, len(window)
