@@ -264,6 +264,79 @@ def sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sessionize_dynamic_gap",
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN event_type = 'purchase'
+                  THEN 3600000000 ELSE 1800000000 END AS gap_us
+      FROM events
+    ), m AS (
+      SELECT user_id, ts, event_id, value,
+             max(epoch_us(ts) + gap_us) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS prev_reach
+      FROM g
+    ), f AS (
+      SELECT user_id, ts, value,
+             CASE WHEN prev_reach IS NULL
+                    OR epoch_us(ts) > prev_reach
+                  THEN 1 ELSE 0 END AS new_s,
+             event_id
+      FROM m
+    ), sess AS (
+      SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM f
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) AS last_event_ts,
+           count(*) AS n_events,
+           round(sum(value) - 1e-9, {_R}) + 0.0 AS sum_value
+    FROM sess
+    GROUP BY user_id, sid
+    """,
+)
+def sessionize_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC-gap sessionization — `session_window` with a per-event
+    gap expression (purchases keep a session alive for 1 h, everything
+    else 30 min: the 'a conversion buys you a longer attention
+    window' product rule).  MEASURED semantics (PySpark 4.1.2, pinned
+    in tests/test_boundary_contracts.py): each event extends the
+    session's reach to ts + gap(event), the reach is the running MAX
+    (a later short-gap event never shrinks an earlier long reach),
+    and the boundary is INCLUSIVE — an event exactly AT the reach
+    merges, one past it splits — the same tie contract the static
+    sessionizer settled in r12.  The oracle reproduces it as
+    gaps-and-islands over the running-max reach (one extra window
+    over the same user-keyed sort, no extra exchange).
+
+    Scale shape: identical to sessionize_gap — ONE shuffle on
+    user_id; the merge state lives inside the session aggregation
+    operator."""
+    e = load_table(spark, sf_dir, "events")
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("1 hour")
+    ).otherwise(F.lit("30 minutes"))
+    return (
+        e.groupBy("user_id", F.session_window("ts", gap))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("last_event_ts"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value") - 1e-9, _R).alias("sum_value"),
+        )
+        .select(
+            "user_id", "session_start", "last_event_ts",
+            "n_events", "sum_value",
+        )
+    )
+
+
+@register(
     "qcut_quartiles",
     oracle="""
     SELECT event_id, ntile(4) OVER (ORDER BY value, event_id) AS quartile

@@ -222,6 +222,35 @@ def test_interval_overlap_touching_windows_do_not_overlap(
     assert out["pur_id"].tolist() == [3]
 
 
+def test_dynamic_gap_session_reach_boundary(spark, tmp_path, qs):
+    """sessionize_dynamic_gap: the measured PySpark 4.1.2 contract —
+    per-event reach ts + gap(event), running-MAX reach, INCLUSIVE
+    boundary.  Users: (1) view exactly at the purchase's 1 h reach →
+    merged; (2) 1 µs past → split; (3) chained extension across
+    mixed gaps → one 4-event session; (4) a later 30 min view must
+    NOT shrink the earlier purchase's 1 h reach → merged."""
+    sf_dir = str(tmp_path)
+    h, m30, m10 = (
+        timedelta(hours=1), timedelta(minutes=30), timedelta(minutes=10)
+    )
+    _events(spark, sf_dir, [
+        (T0, 1, "purchase", 1.0), (T0 + h, 1, "view", 1.0),
+        (T0, 2, "purchase", 1.0), (T0 + h + US, 2, "view", 1.0),
+        (T0, 3, "view", 1.0), (T0 + m30, 3, "view", 1.0),
+        (T0 + h, 3, "purchase", 1.0), (T0 + 2 * h, 3, "view", 1.0),
+        (T0, 4, "purchase", 1.0), (T0 + m10, 4, "view", 1.0),
+        (T0 + h, 4, "view", 1.0),
+    ])
+    out = _check(spark, sf_dir, qs["sessionize_dynamic_gap"])
+    n_by_user = (
+        out.sort_values(["user_id", "session_start"])
+        .groupby("user_id")["n_events"]
+        .apply(list)
+        .to_dict()
+    )
+    assert n_by_user == {1: [2], 2: [1, 1], 3: [4], 4: [3]}, n_by_user
+
+
 def test_debounce_run_edges(spark, tmp_path, qs):
     """events_alarm_debounce keeps runs of >= 3 (exactly 3 kept,
     2 dropped) and a single interloper SPLITS a run (3+1+1 pattern

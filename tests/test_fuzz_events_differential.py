@@ -43,6 +43,7 @@ from tests.compare import assert_results_match
 QUERIES = [
     "sessionize_gap",
     "sessionize_metrics",
+    "sessionize_dynamic_gap",
     "sql_recursive_sessionize",
     "scd2_intervals",
     "events_longest_streak",
