@@ -142,6 +142,14 @@ HEADLINE = [
     # whose cost profile changed; both pure-JVM codegen).
     "geo_pairs_within_radius",
     "geo_cell_knn_join",
+    # round-12 widening: the DOULION edge-sampled triangle estimator
+    # beside its exact twin (the committed evidence that the
+    # 100×-census user pays ~p³ of the exact intersect cost), and
+    # the dynamic-gap sessionizer (session_window with a gap
+    # EXPRESSION — a different aggregation codepath than the static
+    # literal, worth its own drift line).
+    "graph_triangle_count_estimate",
+    "sessionize_dynamic_gap",
 ]
 
 # Best-of-3: this round's probes showed the host's load floor moving
@@ -459,6 +467,25 @@ def main() -> None:
     # isolated number pinned back in r7.  Read any single-run flag
     # on this host against that envelope before bisecting.
     #
+    # r12 attribution of the SEVEN r11 driver-run flags + the
+    # triangle in-bench step (r11 verdict item 5; quiet host,
+    # tools/ab_isolated.py, cpu calib 0.229–0.254 vs r10's 0.343):
+    #   graph_triangle_count   iso best 5.759 vs r10 iso 5.757 — EXACT
+    #     parity; the r11 driver's 9.51 in-bench / 6.02 iso was
+    #     session pressure.
+    #   feature_target_encode_cv 0.57 vs r10 0.58; text_bm25_topk
+    #     1.08 vs 1.01; kmeans_lloyd 0.74 vs 0.84 (faster);
+    #     graph_label_propagation iso 2.55 vs r10 iso 2.22 (+15%,
+    #     inside envelope; the r11 driver iso 3.77 was pressure).
+    #   embedding_signbit_hamming 0.38 vs 0.28 — sub-0.5 s noise
+    #     floor by the guard's own rule.
+    #   join_bloom_prefilter 1.06 and dedup_duplicate_spans 2.12 vs
+    #     r10 in-bench 0.90 / 1.94 (+18%/+9%) — joins.py/dedup.py
+    #     span path byte-untouched since r10 (git log), bw calib +6%
+    #     slower: host drift, inside the ±50% envelope.
+    #   Verdict: ZERO code regressions among the seven; the one real
+    #   r11 step remains dedup_ngram_jaccard (priced below).
+    #
     # r11 EXPECTED flag: dedup_ngram_jaccard 2.62 → ~4.0 s is the
     # documented price of hot-key-bounding the ngram index build
     # (raw-count-routed hybrid, see _ngram_pair_scores in
@@ -650,6 +677,28 @@ def main() -> None:
         # artifacts carry either the slim stdout form (iso_calib_sec
         # + {name: best}) or the full form (nested records).
         prev_iso = prev.get("isolated") or {}
+        if not prev_iso:
+            # r12+: the slim stdout artifact no longer carries the
+            # isolated block (line budget — the r12 headline growth
+            # pushed the worst-case line past the driver's tail
+            # window).  The previous record's full detail is the
+            # committed bench_full.json sitting next to this script
+            # (the driver's round-boundary commit sweeps its own
+            # overwrite in — see the module docstring); a scale run
+            # writes bench_full_sfN.json instead, so the sf check
+            # keeps cross-SF records apart.
+            try:
+                with open(
+                    os.path.join(
+                        SCRIPT_DIR,
+                        prev.get("detail") or "bench_full.json",
+                    )
+                ) as fh:
+                    cand = json.load(fh)
+                if cand.get("sf") == _sf_from_dir(sf_dir):
+                    prev_iso = cand.get("isolated") or {}
+            except (OSError, ValueError):
+                pass
         prev_iso_calib = prev.get("iso_calib_sec") or (
             prev_iso.get("calib_sec") if isinstance(prev_iso, dict) else None
         )
@@ -754,17 +803,20 @@ def main() -> None:
         "metric": full["metric"],
         "value": total,
         "unit": "sec",
-        "queries": {n: round(t, 3) for n, t in timings.items()},
+        # 2 dp: enough for the guard's >0.5 s / +25% condition; the
+        # 4-dp record lives in the detail artifact.  (1 char/query of
+        # line budget — the r12 headline additions pushed the
+        # worst-case line against the 1900-char pin.)
+        "queries": {n: round(t, 2) for n, t in timings.items()},
         "sf": full["sf"],
         "calib_sec": calib,
         "calib_bw_sec": calib_bw,
         "calib_sec_end": calib_end,
         "calib_bw_sec_end": calib_bw_end,
-        "iso_calib_sec": isolated.get("calib_sec"),
-        "iso_calib_bw_sec": isolated.get("calib_bw_sec"),
-        "isolated": {
-            n: r["best"] for n, r in isolated.get("queries", {}).items()
-        },
+        # the isolated block (per-query best + its own calibs) lives
+        # ONLY in the detail artifact since r12 — the guard reads the
+        # prior round's from the committed bench_full.json (see the
+        # fallback in the guard block above)
         # counts only: the base line already sits ~60 chars under the
         # 2000-char tail budget, so the slim verdict is a pointer —
         # first-3 names ride in the bounded summary line below, the

@@ -140,29 +140,34 @@ def test_stdout_json_line_fits_the_driver_tail_window():
         "metric": "headline_queries_total",
         "value": 999.999,
         "unit": "sec",
-        "queries": {n: 99.999 for n in bench.HEADLINE},
+        "queries": {n: 99.99 for n in bench.HEADLINE},  # main rounds 2dp
         "sf": 0.1,
         "calib_sec": 99.9999,
         "calib_bw_sec": 99.9999,
         "calib_sec_end": 99.9999,
         "calib_bw_sec_end": 99.9999,
-        "iso_calib_sec": 99.9999,
-        "iso_calib_bw_sec": 99.9999,
-        "isolated": {n: 99.9999 for n in bench.ISOLATED},
         # worst-case guard verdict under main()'s slim form: counts
-        # only (names ride in the bounded summary line, records in
-        # the detail artifact)
+        # only (names ride in the bounded summary line; the isolated
+        # block and full flag records live in the detail artifact)
         "n_flags": 44,
         "n_isolated_flags": 5,
         "flags_vs": "BENCH_r99.json",
         "detail": "bench_full.json",
     }
     line = json.dumps(slim, separators=(",", ":"))
-    assert len(line) < 1900, (
+    assert len(line) < 1800, (
         f"{len(line)} chars — the stdout contract line is about to "
         f"overflow the driver's tail window; move detail to "
         f"bench_full.json or slim keys"
     )
+    # the REAL budget: line + newline + bounded summary (the only
+    # output below the line) must fit the 2000-char tail TOGETHER —
+    # a line that fits alone but pushes its own summary over the edge
+    # truncates its own JSON head (the r8 failure, one step removed)
+    names = [f"some_long_flagged_query_name_{i:02d}" for i in range(3)]
+    stream = bench.contract_stream(slim, [], names)
+    tail_block = "\n".join(stream.splitlines()[-2:])  # line + summary
+    assert len(tail_block) <= 2000, len(tail_block)
 
 
 def test_flag_verdict_survives_driver_tail_truncation():
