@@ -251,6 +251,35 @@ def test_dynamic_gap_session_reach_boundary(spark, tmp_path, qs):
     assert n_by_user == {1: [2], 2: [1, 1], 3: [4], 4: [3]}, n_by_user
 
 
+def test_asof_nearest_equidistant_tie_resolves_backward(
+    spark, tmp_path, qs
+):
+    """asof_join_nearest: a left row EXACTLY midway between two
+    purchases must take the EARLIER one (ties resolve backward —
+    pandas merge_asof semantics, declared in operators/asof.py and
+    the query docstring).  Both engines must agree: the Spark side's
+    take_b condition is b_age <= f_age; the oracle composes a
+    backward and a forward ASOF join and picks per-row with the same
+    tie rule."""
+    sf_dir = str(tmp_path)
+    m10 = timedelta(minutes=10)
+    _events(spark, sf_dir, [
+        (T0, 1, "purchase", 1.0),            # event_id 1 (earlier)
+        (T0 + m10, 1, "view", 2.0),          # exactly midway
+        (T0 + 2 * m10, 1, "purchase", 3.0),  # event_id 3 (later)
+        # control: strictly nearer forward neighbor wins
+        (T0, 2, "purchase", 4.0),            # event_id 4
+        (T0 + m10 + US, 2, "view", 5.0),     # nearer to the NEXT
+        (T0 + 2 * m10, 2, "purchase", 6.0),  # event_id 6
+    ])
+    out = _check(spark, sf_dir, qs["asof_join_nearest"])
+    near = {
+        r.event_id: r.near_event for r in out.itertuples(index=False)
+    }
+    assert near[2] == 1, near   # tie -> backward (the earlier purchase)
+    assert near[5] == 6, near   # strictly nearer forward neighbor
+
+
 def test_debounce_run_edges(spark, tmp_path, qs):
     """events_alarm_debounce keeps runs of >= 3 (exactly 3 kept,
     2 dropped) and a single interloper SPLITS a run (3+1+1 pattern
