@@ -150,6 +150,10 @@ HEADLINE = [
     # literal, worth its own drift line).
     "graph_triangle_count_estimate",
     "sessionize_dynamic_gap",
+    # the edit-distance verify stage: a CPU-bound banded-DP join
+    # whose cost profile (candidate volume × threshold band) would
+    # drift first if the length-band blocking regressed
+    "dedup_edit_distance",
 ]
 
 # Best-of-3: this round's probes showed the host's load floor moving

@@ -1551,3 +1551,94 @@ def dedup_minhash_estimate_certificate(
             ),
         )
     )
+
+
+_ED_MAX_DIST = 16   # keep pairs within this many edits
+_ED_BAND = 32       # length-band width; must be > _ED_MAX_DIST so a
+                    # qualifying pair's bands differ by at most 1
+
+
+@register(
+    "dedup_edit_distance",
+    oracle=f"""
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           levenshtein(a.text, b.text) AS edit_dist
+    FROM documents a JOIN documents b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+     AND abs(a.n_chars - b.n_chars) <= {_ED_MAX_DIST}
+    WHERE levenshtein(a.text, b.text) <= {_ED_MAX_DIST}
+    """,
+)
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup verification — (doc_a, doc_b,
+    edit_dist) for every same-lang pair within {_ED_MAX_DIST} edits:
+    the classic FINAL verify stage of a dedup pipeline (MinHash/
+    SimHash candidates answer 'probably similar'; Levenshtein
+    answers 'how many keystrokes apart', the contract a curation
+    team actually reviews).
+
+    Scale shape — never O(n²): candidates come from (lang,
+    length-band) blocking.  A pair within {_ED_MAX_DIST} edits has
+    |len diff| <= {_ED_MAX_DIST} < band width {_ED_BAND}, so its two
+    band ids differ by at most 1; the right side is replicated into
+    bands (k-1, k, k+1) and the left stays at its own band, so every
+    qualifying pair meets EXACTLY once (the three replica bands are
+    distinct and the left's single band hits one of them) — the same
+    manufactured-equi-key discipline as operators/rangejoin.py, no
+    post-join dedup shuffle.  The verify itself is Spark's
+    THRESHOLD levenshtein (banded DP, O(len·k) and early-exit -1
+    past the cut, vs O(len²) full) — JVM codegen, no Python.  The
+    DuckDB oracle is the naive within-lang quadratic predicate with
+    the (implied) length prefilter: levenshtein >= |len diff|, so
+    the filter never changes the result, only the oracle's cost.
+    NULL-lang docs never pair on either engine (SQL equality vs
+    equi-join, both null-rejecting) — the same latent-parity rule
+    pinned for the ngram build.
+
+    Measured at sf0.1 (5k docs, ~208k len-filtered candidates, 79
+    pairs, warm best-of-3): 1.54 s with the explicit block-key
+    exchange below vs 9.4 s single-task without it."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text", "n_chars"
+    )
+    band = F.floor(F.col("n_chars") / F.lit(_ED_BAND))
+    # The verify is CPU-bound (banded DP on ~200k candidate pairs at
+    # sf0.1), and the fixture is a single parquet file: without an
+    # exchange the broadcast join ran the whole verify in ONE task
+    # (9.4 s at sf0.1), and a column-only repartition was coalesced
+    # right back to one partition by AQE's size-based rule (it sizes
+    # bytes, not downstream CPU).  EXPLICIT numPartitions disables
+    # that coalescing; defaultParallelism scales with the cluster, so
+    # at 100 TB this stays one ordinary co-locating exchange.
+    n_part = spark.sparkContext.defaultParallelism
+    left = d.select(
+        F.col("doc_id").alias("doc_a"),
+        "lang",
+        F.col("text").alias("text_a"),
+        F.col("n_chars").alias("len_a"),
+        band.alias("band"),
+    ).repartition(n_part, "lang", "band")
+    right = d.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("text").alias("text_b"),
+        F.col("n_chars").alias("len_b"),
+        F.explode(
+            F.array(band - 1, band, band + 1)
+        ).alias("band_r"),
+    )
+    dist = F.levenshtein("text_a", "text_b", _ED_MAX_DIST)
+    return (
+        left.join(
+            right,
+            (F.col("band") == F.col("band_r"))
+            & (F.col("lang") == F.col("lang_b"))
+            & (F.col("doc_a") < F.col("doc_b"))
+            & (
+                F.abs(F.col("len_a") - F.col("len_b"))
+                <= F.lit(_ED_MAX_DIST)
+            ),
+        )
+        .select("doc_a", "doc_b", dist.alias("edit_dist"))
+        .filter(F.col("edit_dist") >= 0)
+    )
