@@ -98,6 +98,32 @@ def _check(spark, sf_dir, q, tables=("events",)):
     return spark_pdf
 
 
+def test_asof_backward_matches_at_exact_timestamp_equality(
+    spark, tmp_path, qs
+):
+    """asof backward is >= (at-or-before): a left row at EXACTLY the
+    right row's timestamp must match it — the union-carry
+    implementation encodes this as right-sorts-before-left at equal
+    `on` (operators/asof.py __prio), declared in a comment and
+    pinned here at the boundary.  The view 1 µs EARLIER must not."""
+    sf_dir = str(tmp_path)
+    _events(spark, sf_dir, [
+        (T0 + timedelta(hours=1), 1, "purchase", 1.0),   # event_id 1
+        (T0 + timedelta(hours=1), 1, "view", 2.0),       # same µs
+        (T0 + timedelta(hours=1) - US, 2, "view", 3.0),  # 1 µs early
+        (T0 + timedelta(hours=1), 2, "purchase", 4.0),   # event_id 4
+    ])
+    out = _check(spark, sf_dir, qs["asof_join_backward"])
+    # kept rows (inner): user 1's purchase self-match + the equal-ts
+    # view; user 2's view precedes its only purchase -> dropped, the
+    # purchase itself self-matches
+    rows = {
+        (r.event_id, r.purchase_event)
+        for r in out.itertuples(index=False)
+    }
+    assert rows == {(1, 1), (2, 1), (4, 4)}, rows
+
+
 def test_asof_tolerance_exact_edge_is_matched(spark, tmp_path, qs):
     """Δ == tolerance (1 h) exactly → MATCHED (inclusive <=);
     Δ == tolerance + 1 µs → unmatched."""
