@@ -152,8 +152,13 @@ HEADLINE = [
     "sessionize_dynamic_gap",
     # the edit-distance verify stage: a CPU-bound banded-DP join
     # whose cost profile (candidate volume × threshold band) would
-    # drift first if the length-band blocking regressed
-    "dedup_edit_distance",
+    # drift first if the blocking regressed.  The LSH-candidate form
+    # is benched; the exhaustive (lang, length-band) twin is
+    # deliberately NOT — its fixed key cardinality makes candidates
+    # quadratic in corpus size (1.54 s sf0.1 → 115.7 s sf1, α ≈ 1.9,
+    # recorded in bench_full_sf1.json), the join_set_similarity
+    # precedent: correctness still gates at sf0.01 per round.
+    "dedup_edit_distance_lsh",
 ]
 
 # Best-of-3: this round's probes showed the host's load floor moving

@@ -45,6 +45,7 @@ MAX_EXAMPLES = int(os.environ.get("SPARK_GRAFT_FUZZ_EXAMPLES", "8"))
 QUERIES = [
     "dedup_exact",
     "dedup_edit_distance",
+    "dedup_edit_distance_lsh",
     "dedup_ngram_jaccard",
     "dedup_ngram_containment",
     "dedup_simhash_pairs",
