@@ -42,7 +42,10 @@ sys.path.insert(0, SCRIPT_DIR)
 from ondemand_dask_spark.operators.checkpoint import (  # noqa: E402
     evict_all_retained,
 )
-from ondemand_dask_spark.registry import all_queries  # noqa: E402
+from ondemand_dask_spark.registry import (  # noqa: E402
+    all_queries,
+    certificate_queries,
+)
 from ondemand_dask_spark.session import build_session  # noqa: E402
 
 HEADLINE = [
@@ -84,9 +87,17 @@ HEADLINE = [
     "text_quality_score",
     "agg_rollup",
     # round-4 widening: graph analytics (iterative + intersection
-    # joins are the shapes most sensitive to shuffle regressions)
+    # joins are the shapes most sensitive to shuffle regressions).
+    # r13: graph_triangle_count (the EXACT census) left the headline
+    # when the certificate/production classification became
+    # structural (registry scale_class, r12 verdict item 2) — the
+    # census-shape drift line is carried by its registered twin
+    # graph_triangle_count_estimate below (in-bench since r12), the
+    # exact census still correctness-gates at sf0.01 in rotation,
+    # and its historical bench series lives in the committed
+    # BENCH_r04–r12 / bench_full*.json artifacts (iso best 5.61 s
+    # sf0.1, 49.0 s sf1 — vs the estimator's 4.00 s / 21.5 s).
     "graph_pagerank",
-    "graph_triangle_count",
     # round-5 widening: the new pair-generating / retrieval shapes
     # (span-level dedup, BM25 inverted-index scoring) — the operators
     # whose cost profiles would drift first if a blocking scheme
@@ -213,7 +224,7 @@ R3_COMPARABLE = R2_COMPARABLE + [
 # round — these five get the real instrument proactively instead of
 # reactively.
 ISOLATED = [
-    "graph_triangle_count", "graph_bfs_khop", "graph_pagerank",
+    "graph_bfs_khop", "graph_pagerank",
     "dedup_connected_components", "graph_label_propagation",
 ]
 
@@ -298,13 +309,21 @@ def contract_stream(
     shown = ", ".join(names[:3]) + (
         f", +{nf - 3} more" if nf > 3 else ""
     )
-    summary = (
-        f"guard: {nf} flags"
-        + (f" ({shown})" if shown else "")
-        + f", {slim.get('n_isolated_flags', 0)} isolated "
-        f"vs {slim.get('flags_vs')} "
-        f"(full records in {slim.get('detail')})"
-    )
+    if slim.get("flags_vs") is None:
+        # first run on this host/SF: no prior artifact to compare
+        # against — say so instead of rendering "vs None" (ADVICE r12)
+        summary = (
+            "guard: no prior artifact — no comparison "
+            f"(full records in {slim.get('detail')})"
+        )
+    else:
+        summary = (
+            f"guard: {nf} flags"
+            + (f" ({shown})" if shown else "")
+            + f", {slim.get('n_isolated_flags', 0)} isolated "
+            f"vs {slim.get('flags_vs')} "
+            f"(full records in {slim.get('detail')})"
+        )
     return "\n".join([*guard_lines, line, summary])
 
 
@@ -374,6 +393,16 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     queries = all_queries()
+    # Structural guard (r12 verdict item 2): certificate-class
+    # queries (registry scale_class) are correctness certificates,
+    # not scale paths — benching one here would repeat the r12
+    # stale-sf1-artifact incident at the source.  Fail before any
+    # Spark work rather than record a misleading artifact.
+    cert_in_headline = certificate_queries().intersection(HEADLINE)
+    if cert_in_headline:
+        raise SystemExit(
+            f"certificate-class queries in HEADLINE: {sorted(cert_in_headline)}"
+        )
     names = [n for n in HEADLINE if n in queries]
 
     def run_once(name: str) -> float:
@@ -857,6 +886,11 @@ def main() -> None:
     for gl in rows[:-2]:
         print(gl, file=sys.stderr)
     print(line)
+    # stdout is block-buffered when piped while stderr is unbuffered;
+    # without this flush the JSON line can reach the driver's merged
+    # capture AFTER the stderr summary, breaking the pinned emission
+    # order at the fd level (ADVICE r12)
+    sys.stdout.flush()
     print(summary, file=sys.stderr)
     # no spark.stop() here: the main session was already stopped
     # before the isolated-protocol block (r9 advisor note)

@@ -836,6 +836,7 @@ def stat_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stat_freq_items",
     oracle=None,  # approximate by contract (false positives allowed)
+    twin="stat_freq_items_verified",
 )
 def stat_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ser.value_counts head / df.stat.freqItems — single-pass
@@ -859,6 +860,7 @@ def stat_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stat_freq_items_verified",
+    twin="stat_freq_items",
     oracle="""
     WITH tot AS (SELECT count(*) AS n FROM orders),
     p AS (SELECT o_orderpriority AS v, count(*) AS c

@@ -183,7 +183,7 @@ _MINHASH_PAIRS_SQL = f"""
     """
 
 
-@register("dedup_minhash_lsh", oracle=_MINHASH_PAIRS_SQL)
+@register("dedup_minhash_lsh", oracle=_MINHASH_PAIRS_SQL, twin="dedup_minhash_ml")
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup dedup: shingle → MinHash(NUM_HASHES=8) → LSH band
     buckets → candidate pairs → exact-Jaccard verification at
@@ -292,7 +292,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_minhash_ml", oracle=None)
+@register("dedup_minhash_ml", oracle=None, twin="dedup_minhash_lsh")
 def dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pyspark.ml MinHashLSH variant of the near-dup pipeline:
     RegexTokenizer → NGram(3) → HashingTF → MinHashLSH →
@@ -1560,6 +1560,12 @@ _ED_BAND = 32       # length-band width; must be > _ED_MAX_DIST so a
 
 @register(
     "dedup_edit_distance",
+    scale_class="certificate",  # fixed band-key cardinality ⇒ block
+    # populations (and candidate pairs) grow ~n²: measured 1.54 s
+    # sf0.1 → 115.7 s sf1, α ≈ 1.9.  The correctness certificate for
+    # the twin below — never in HEADLINE or a sweep above sf0.1
+    # (tests/test_scale_class.py).
+    twin="dedup_edit_distance_lsh",
     oracle=f"""
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            levenshtein(a.text, b.text) AS edit_dist
@@ -1656,6 +1662,7 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_edit_distance_lsh",
+    twin="dedup_edit_distance",  # the exhaustive certificate
     oracle=f"""
     WITH sh AS ({_SHINGLES_SQL}),
     hashed AS (SELECT DISTINCT doc_id,

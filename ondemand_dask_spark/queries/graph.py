@@ -161,6 +161,14 @@ def _sym(edges: DataFrame) -> DataFrame:
 
 @register(
     "graph_triangle_count",
+    scale_class="certificate",  # the EXACT census: linear in wedge
+    # work (α 0.90 at the bound) but 49.0 s at sf1 vs the DOULION
+    # twin's 21.5 s with 1/p³ scaling — at a 100×-census scale the
+    # estimator is the path, the exact census is its certificate
+    # (r12 verdict item 2).  Stays registered + sf0.01-gated;
+    # excluded from HEADLINE / sweeps above sf0.1 by
+    # tests/test_scale_class.py.
+    twin="graph_triangle_count_estimate",
     oracle=f"""
     WITH e AS ({_EDGES_SQL}),
     sym AS (
@@ -439,6 +447,7 @@ def triangle_count_estimate(
 
 @register(
     "graph_triangle_count_estimate",
+    twin="graph_triangle_count",
     oracle=None,  # hash-coin sampling isn't DuckDB-expressible;
     # certified against the exact oracle-checked twin
     # (graph_triangle_count) by tests/test_triangle_estimate.py:
@@ -453,7 +462,20 @@ def graph_triangle_count_estimate(
     100 TB census-shape path: ~p·m sampled edges, ~p^1.5 of the
     exact intersect work, every per-node contribution scaled 1/p³
     (unbiased).  See triangle_count_estimate above for the full
-    design, variance bound, and measured A/B numbers."""
+    design, variance bound, and measured A/B numbers.
+
+    CROSSOVER vs the exact census (r12 verdict item 7, two measured
+    points): at sf0.1 the margin is thin — estimator 4.00 s vs the
+    exact's 5.61 s isolated best (1.4×), because session/scan fixed
+    overhead dominates both and the sampling pre-pass isn't free —
+    while at sf1 it is 21.5 s vs 49.0 s (2.3×) and widening, since
+    the saved intersect work grows with the wedge count.
+    Extrapolating the two points: below roughly sf0.05 on this
+    fixture the two are within noise of each other and the exact
+    census (which also certifies the estimator) is the sensible
+    default; above that, and at any real census scale, the estimator
+    pays — which is why it, not the certificate-class exact form,
+    rides bench HEADLINE."""
     return triangle_count_estimate(spark, sf_dir, p=0.3, seed=7)
 
 

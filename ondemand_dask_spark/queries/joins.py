@@ -418,6 +418,12 @@ _SSJ_T = 0.6  # token-set Jaccard threshold
 
 @register(
     "join_set_similarity",
+    scale_class="certificate",  # complete on ANY distribution, but
+    # this fixture's ~92-word p_name vocabulary defeats the prefix
+    # filter by construction (candidates approach n²; 47.8 s at
+    # sf0.1) — the production-scale evidence is the realistic-
+    # vocabulary probe (tools/probe_prefix_filter.py: 100k sets,
+    # 116× candidate cut); correctness gates at sf0.01 per round.
     oracle=f"""
     WITH s AS (
       SELECT p_partkey, list_distinct(string_split(p_name, ' ')) AS t

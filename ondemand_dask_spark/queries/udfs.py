@@ -214,7 +214,15 @@ def udf_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("udf_ewm", oracle=None)
+@register(
+    "udf_ewm",
+    oracle=None,
+    scale_class="certificate",  # pandas' exact unbounded float
+    # recursion, sequential per key — the verification reference for
+    # the bounded-window production form (its twin), not a 100 TB
+    # path.
+    twin="window_ewm_bounded",
+)
 def udf_ewm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ser.ewm(alpha).mean() — recursive smoothing has no closed-form
     SQL window; per-key applyInPandas with pandas' exact ewm inside

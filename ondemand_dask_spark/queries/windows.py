@@ -420,6 +420,7 @@ _EWM_W_SQL = "CAST([" + ", ".join(repr(x) for x in _EWM_W) + "] AS DOUBLE[])"
 
 @register(
     "window_ewm_bounded",
+    twin="udf_ewm",  # the exact-recursion certificate
     oracle=f"""
     WITH fr AS (
       SELECT event_id, user_id,

@@ -106,13 +106,21 @@ def _stream_dir(sf_dir: str) -> str:
         ):
             try:
                 os.remove(link)
-            except OSError:
-                # FileNotFoundError: a concurrent stager pruned it
-                # first.  IsADirectoryError/PermissionError: a stray
-                # non-file entry (e.g. a hand-made subdirectory) —
-                # skip it rather than killing every streaming query
-                # until the temp dir is cleaned by hand (ADVICE r11).
-                pass
+            except FileNotFoundError:
+                pass  # a concurrent stager pruned it first — benign
+            except OSError as e:
+                # IsADirectoryError/PermissionError on a stray entry:
+                # tolerable ONLY when the name does not collide with a
+                # current target — then the stream never reads it.  If
+                # it IS a target name, the lexists() below would skip
+                # the re-link and the stream would silently read this
+                # stale/stray entry (the r10 unions-old+new failure
+                # mode, silent this time) — stay loud (ADVICE r12).
+                if f in targets:
+                    raise OSError(
+                        f"cannot prune stale landing entry {link!r} "
+                        f"which shadows current target {targets[f]!r}"
+                    ) from e
     for f, tgt in targets.items():
         link = os.path.join(d, f)
         # lexists, not exists: a broken symlink must count as present
@@ -309,6 +317,81 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     query (same gap-and-island oracle)."""
     agg = session_agg(read_events_stream(spark, sf_dir))
     return run_to_table(spark, agg, "stream_session_window", "complete")
+
+
+def dynamic_session_agg(e: DataFrame) -> DataFrame:
+    """Per-user session windows with a PER-EVENT gap expression
+    (purchases hold the session open 60 min, everything else 30) —
+    the streaming form of the dynamic-gap contract: each event
+    extends the session reach to ts + gap(event), the effective reach
+    is the running MAX, and an event exactly AT the reach merges
+    (inclusive tie, pinned in tests/test_stream_boundary_contracts.py).
+
+    The gap must be CalendarIntervalType in streaming — a
+    DayTimeIntervalType literal (`INTERVAL 60 MINUTES`) is rejected
+    with AnalysisException on Spark 4.1, hence make_interval."""
+    gap = F.when(
+        F.col("event_type") == "purchase",
+        F.expr("make_interval(0,0,0,0,0,60,0)"),
+    ).otherwise(F.expr("make_interval(0,0,0,0,0,30,0)"))
+    return (
+        e.withWatermark("ts", "10 minutes")
+        .groupBy("user_id", F.session_window("ts", gap))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value") - 1e-9, _R).alias("sum_value"),
+        )
+        .select("user_id", "session_start", "n_events", "sum_value")
+    )
+
+
+@register(
+    "stream_session_dynamic_gap",
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN event_type = 'purchase'
+                  THEN 3600000000 ELSE 1800000000 END AS gap_us
+      FROM events
+    ), m AS (
+      SELECT user_id, ts, event_id, value,
+             max(epoch_us(ts) + gap_us) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS prev_reach
+      FROM g
+    ), f AS (
+      SELECT user_id, ts, value, event_id,
+             CASE WHEN prev_reach IS NULL
+                    OR epoch_us(ts) > prev_reach
+                  THEN 1 ELSE 0 END AS new_s
+      FROM m
+    ), sess AS (
+      SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM f
+    )
+    SELECT user_id, min(ts) AS session_start,
+           count(*) AS n_events,
+           round(sum(value) - 1e-9, {_R}) + 0.0 AS sum_value
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DYNAMIC-gap sessionization — the streaming twin of
+    the batch `sessionize_dynamic_gap` (same running-max-reach
+    gaps-and-islands oracle, same inclusive tie contract the r12
+    audit settled; the exact reach boundary is pinned on THIS engine
+    in tests/test_stream_boundary_contracts.py).  Scale shape
+    identical to stream_session_window: one user-keyed exchange,
+    merge state inside the session aggregation operator, watermark
+    bounding state retention."""
+    agg = dynamic_session_agg(read_events_stream(spark, sf_dir))
+    return run_to_table(
+        spark, agg, "stream_session_dynamic_gap", "complete"
+    )
 
 
 @register(

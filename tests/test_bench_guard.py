@@ -92,7 +92,9 @@ def test_isolated_protocol_names_are_registered_headline_queries():
     from ondemand_dask_spark.registry import all_queries
 
     qs = all_queries()
-    assert len(bench.ISOLATED) == 5
+    # 4 since r13: graph_triangle_count (certificate-class, registry
+    # scale_class) left HEADLINE and the isolated protocol with it
+    assert len(bench.ISOLATED) == 4
     for n in bench.ISOLATED:
         assert n in qs, n
         assert n in bench.HEADLINE, n

@@ -24,33 +24,30 @@ def test_showcase_front_is_new_then_changed_then_stale():
 
     1. any never-driver-checked registration leads the window, with
        a rows-only query sitting ADJACENT to its oracle-checked twin
-       (the r9 adjacency discipline) — r12: the DOULION estimator
-       next to the exact census;
+       (the r9 adjacency discipline — structural since r13: derived
+       from the registry `twin` annotation in tools/rotation.py);
     2. queries whose semantics changed this round follow
        (unconditional re-certification under the settled contract) —
-       r12: the four session forms;
+       r13: none (annotations and HEADLINE membership changed, no
+       query results did);
     3. the remainder re-greens least-recently-checked queries, so
        every green driver row has bounded age.
     """
     window = list(_SHOWCASE)
-    assert window[:2] == [
-        "graph_triangle_count_estimate",
-        "graph_triangle_count",
-    ]
-    assert window[2:6] == [
-        "sessionize_gap",
-        "sessionize_metrics",
-        "sql_recursive_sessionize",
-        "stream_session_window",
-    ]
+    # r13: one new registration (the streaming dynamic-gap session),
+    # then 49 pure-LRU re-certification slots
+    assert window[0] == "stream_session_dynamic_gap"
 
 
 def test_showcase_stale_fill_matches_committed_census():
-    """The 44 re-certification slots must be the least-recently-
+    """The 49 re-certification slots must be the least-recently-
     driver-checked queries per the census rounds ROTATION.md declares
     (header-pinned, NOT a disk glob — the driver drops a fresh
     CORRECTNESS file post-commit every round, which must not redden
-    this guard at judge time)."""
+    this guard at judge time), with one structural wrinkle since r13:
+    a rows-only query entering via LRU pulls its full-oracle twin in
+    right behind it (registry twin annotation — the r9 adjacency
+    discipline, now code)."""
     import os
     import re
     import sys
@@ -69,12 +66,32 @@ def test_showcase_stale_fill_matches_committed_census():
             for n in json.load(fh):
                 last[n] = max(last.get(n, 0), rnd)
     qs = all_queries()
-    front = set(_SHOWCASE[:6])
-    expected = sorted(
+    # r13 window shape: slot 0 is the round's new registration, the
+    # rest is the LRU fill (mirroring tools/rotation.py's stale loop,
+    # including the rows-only → twin adjacency insertion)
+    front = set(_SHOWCASE[:1])
+    stale = sorted(
         (n for n in qs if n not in front),
         key=lambda n: (last.get(n, 0), n),
-    )[: len(_SHOWCASE) - 6]
-    assert list(_SHOWCASE[6:]) == expected
+    )
+    expected: list[str] = []
+    budget = len(_SHOWCASE) - len(front)
+    for n in stale:
+        if n in expected:
+            continue
+        if len(expected) >= budget:
+            break
+        expected.append(n)
+        twin = qs[n].twin
+        if (
+            qs[n].oracle is None
+            and twin
+            and twin not in expected
+            and twin not in front
+            and len(expected) < budget
+        ):
+            expected.append(twin)
+    assert list(_SHOWCASE[1:]) == expected
 
 
 def test_showcase_mostly_full_oracle():

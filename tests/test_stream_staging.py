@@ -119,3 +119,44 @@ def test_single_file_source_replaced_in_place(spark, tmp_path):
         shutil.copy(part, target)
         d = _stream_dir(str(sf))
         assert spark.read.parquet(d).count() == n
+
+
+def test_stray_non_target_directory_entry_is_tolerated(spark, tmp_path):
+    """An un-removable entry whose name does NOT collide with a
+    current target (a hand-made subdirectory in the landing dir) must
+    not kill staging — the stream never reads it, so skipping is
+    safe (ADVICE r11, narrowed r12)."""
+    sf = tmp_path / "sf0.1"
+    sf.mkdir(parents=True)
+    ev = load_table(spark, SF_DIR, "events").orderBy("event_id").limit(10)
+    scratch = str(tmp_path / "s")
+    ev.coalesce(1).write.parquet(scratch)
+    (part,) = glob.glob(os.path.join(scratch, "part-*.parquet"))
+    shutil.copy(part, str(sf / "events.parquet"))
+    d = _stream_dir(str(sf))
+    os.makedirs(os.path.join(d, "stray_dir"), exist_ok=True)
+    d2 = _stream_dir(str(sf))  # must not raise
+    assert d2 == d
+    assert spark.read.parquet(d2).count() == 10
+
+
+def test_target_shadowing_directory_entry_fails_loudly(spark, tmp_path):
+    """ADVICE r12: an un-removable entry that SHADOWS a current
+    target name would be silently read in place of the real data
+    (the r10 unions-old+new failure mode, silent) — staging must
+    raise instead of returning a landing dir with wrong input."""
+    sf = tmp_path / "sf0.1"
+    sf.mkdir(parents=True)
+    ev = load_table(spark, SF_DIR, "events").orderBy("event_id").limit(10)
+    scratch = str(tmp_path / "s")
+    ev.coalesce(1).write.parquet(scratch)
+    (part,) = glob.glob(os.path.join(scratch, "part-*.parquet"))
+    shutil.copy(part, str(sf / "events.parquet"))
+    d = _stream_dir(str(sf))
+    # replace the staged symlink with a DIRECTORY of the same name
+    os.remove(os.path.join(d, "events.parquet"))
+    os.makedirs(os.path.join(d, "events.parquet", "junk"))
+    with pytest.raises(OSError, match="shadows current target"):
+        _stream_dir(str(sf))
+    # clean up so later staging of this tmp dir isn't poisoned
+    shutil.rmtree(os.path.join(d, "events.parquet"))

@@ -42,24 +42,20 @@ from ondemand_dask_spark.registry import all_queries  # noqa: E402
 # silent regression cannot hide behind an old green row.
 ANCHORS: tuple[str, ...] = ()
 
-# Rows-only re-presents: the new rows-only estimator rides with its
-# oracle-checked exact twin ADJACENT in the window (the r9-verdict
-# adjacency discipline for every rows-only row).
-REPRESENT: tuple[str, ...] = (
-    "graph_triangle_count_estimate",
-    "graph_triangle_count",
-)
+# Rows-only re-presents (r13: none by hand — the adjacency
+# discipline is now STRUCTURAL: registry twin links are read in the
+# stale fill below, so any rows-only query entering the window via
+# LRU automatically brings its oracle-checked twin along; r12's
+# hand-paired estimator/census entry was the last manual pair).
+REPRESENT: tuple[str, ...] = ()
 
 # Unconditional picks — taken even if already driver-checked.
-# Refresh each round from VERDICT.md.  r12: the four session forms
-# whose exact-gap tie contract changed this round (oracle >= → >)
-# must show green driver rows under the SETTLED contract.
-PRIORITY: tuple[str, ...] = (
-    "sessionize_gap",
-    "sessionize_metrics",
-    "sql_recursive_sessionize",
-    "stream_session_window",
-)
+# Refresh each round from VERDICT.md.  r13: empty — no registered
+# query's semantics changed this round (the scale_class/twin
+# annotations and bench HEADLINE membership do not alter results);
+# the round's one new registration (stream_session_dynamic_gap) is
+# never-checked backlog and leads the window via the normal path.
+PRIORITY: tuple[str, ...] = ()
 
 # every module the family-span invariant requires in the window —
 # honored only while the module still has never-checked queries
@@ -167,6 +163,11 @@ def build_window() -> tuple[list[str], set[str], dict[str, str]]:
         )
         for n in stale:
             take(n)
+            # structural adjacency (registry twin annotation): a
+            # rows-only query never rides alone — its oracle-checked
+            # twin re-drives in the same window, right next to it
+            if qs[n].oracle is None and qs[n].twin:
+                take(qs[n].twin)
             if len(picks) >= WINDOW - len(ANCHORS):
                 break
 

@@ -158,6 +158,23 @@ def main(argv: list[str]) -> int:
         names = [
             n for n in HEADLINE if n in qs and n not in ISOLATED
         ]
+    # Certificate-class queries (registry scale_class) are
+    # correctness certificates with documented super-linear or
+    # fixture-adversarial cost — sweeping one above sf0.1 is exactly
+    # the r12 stale-sf1 failure mode.  Dropped with a loud note so a
+    # hand-typed --names list cannot reintroduce them silently.
+    if any(sf > 0.1 for _, sf in points):
+        from ondemand_dask_spark.registry import certificate_queries
+
+        dropped = sorted(certificate_queries().intersection(names))
+        if dropped:
+            print(
+                f"NOTE: excluding certificate-class queries from the "
+                f">sf0.1 sweep: {dropped} (registry scale_class; "
+                f"their correctness still gates at sf0.01)",
+                file=sys.stderr,
+            )
+            names = [n for n in names if n not in dropped]
 
     per_sf: dict[float, dict] = {}
     for d, sf in points:
