@@ -25,7 +25,9 @@ measured Spark semantics is pinned so it can never silently drift:
   event's reach (prev_ts + prev_gap) merges and EXTENDS the reach
   with its own gap — Spark merges overlapping-or-touching
   [ts, ts+gap] intervals, the same running-max-reach contract the
-  batch form pins at test_boundary_contracts.py.
+  batch form pins at test_boundary_contracts.py;
+- sliding windows: exactly width/slide memberships per event, window
+  ends exclusive at the slide edge too.
 """
 
 from __future__ import annotations
@@ -240,4 +242,38 @@ def test_streaming_dynamic_gap_session_reach_boundary(spark, tmp_path):
         (1, TS("2024-01-01 09:00:00"), 3),  # both exact-reach merges
         (2, TS("2024-01-01 09:00:00"), 1),
         (2, TS("2024-01-01 09:30:00.000001"), 1),  # reach + 1µs splits
+    ]
+
+
+def test_sliding_window_membership_at_exact_slide_boundary(spark, tmp_path):
+    """window('1 hour', '30 minutes'): every event lands in exactly
+    TWO windows, and window ends are exclusive there too — an event
+    at exactly 10:00:00.000000 belongs to the [09:30, 10:30) and
+    [10:00, 11:00) windows, NOT [09:00, 10:00), while one microsecond
+    earlier belongs to [09:00, 10:00) and [09:30, 10:30).  The
+    registered stream_sliding_agg oracle materializes the same two
+    floor(epoch/1800) bucket starts per event, so the differential
+    holds AT the slide edge."""
+    d = write_batches(
+        spark,
+        str(tmp_path / "slide"),
+        [[
+            (1, TS("2024-01-01 09:59:59.999999"), 1, "view", 1.0, "{}"),
+            (2, TS("2024-01-01 10:00:00.000000"), 1, "buy", 2.0, "{}"),
+        ]],
+    )
+    e = read_events_stream(spark, directory=d)
+    agg = (
+        e.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("w_start"), "event_type", "n")
+    )
+    out = run_to_table(spark, agg, "pin_sliding_edge", "complete")
+    got = sorted((r["w_start"], r["event_type"]) for r in out.collect())
+    assert got == [
+        (TS("2024-01-01 09:00:00"), "view"),
+        (TS("2024-01-01 09:30:00"), "buy"),
+        (TS("2024-01-01 09:30:00"), "view"),
+        (TS("2024-01-01 10:00:00"), "buy"),
     ]
