@@ -622,7 +622,7 @@ def main() -> None:
             os.environ.pop("SPARK_GRAFT_SHARED_EDGES", None)
             release_shared_edges()
 
-    # Per-round isolated protocol on the top-5 expensive queries: a
+    # Per-round isolated protocol on the most expensive headline queries (4 since the exact triangle census left for certificate class): a
     # FRESH session (the main one is stopped first so none of its
     # cached state or JVM churn leaks in), own calibrations, 1
     # warm-up + 5 timed runs each — the exact instrument every past
@@ -815,7 +815,7 @@ def main() -> None:
             sum(shared_timings.values()), 4
         ),
         "graph_shared_queries": shared_timings,
-        # top-5 expensive queries under the isolated protocol (fresh
+        # most expensive headline queries under the isolated protocol (fresh
         # session, own calibrations, 1 warm-up + 5 timed runs each).
         "isolated": isolated,
         # the guard's verdict as data (r11 verdict item 6): flagged

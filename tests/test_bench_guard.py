@@ -82,7 +82,7 @@ def test_fast_host_window_never_flags_raw_improvements():
 
 def test_isolated_protocol_names_are_registered_headline_queries():
     """bench.py commits an `isolated` block (fresh-session best-of-5
-    with own calibrations) for the top-5 expensive queries each round
+    with own calibrations) for the most expensive headline queries each round
     — the names must stay registered and benched, and the shared
     measure() instrument must be the one tools/ab_isolated.py ships."""
     import os
