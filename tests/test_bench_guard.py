@@ -80,6 +80,80 @@ def test_fast_host_window_never_flags_raw_improvements():
     assert bench.is_regression(4.49, 6.0, 0.7)        # +34% raw: real
 
 
+def test_contention_annotation_marks_the_stall_window_only():
+    """The r13 blind-spot case, synthetic: a mid-run host stall
+    (micro-calib sample 3 spikes 0.30 -> 1.20 while the start/end
+    best-of-3 pairs bracket the loop cleanly at drift 1.0) must mark
+    flags whose queries ran in the stalled neighborhood as
+    contention-suspect — and must NOT touch a flag at stable
+    neighborhood calibration (the r11 dedup_ngram_jaccard true
+    positive's shape: a code regression moves a query while the
+    calib series stays flat)."""
+    # samples taken after 0, 10, 20, 30, 40, 50 queries; the stall
+    # covers the window bracketed by sample 3 => loop indices 20-39
+    series = [0.30, 0.31, 0.29, 1.20, 0.30, 0.31]
+    name_index = {"stalled_q": 25, "clean_q": 5, "also_stalled": 33}
+    flags = [
+        {"name": "stalled_q", "prev_sec": 1.0, "now_sec": 3.2},
+        {"name": "clean_q", "prev_sec": 2.0, "now_sec": 2.9},
+        {"name": "also_stalled", "prev_sec": 0.9, "now_sec": 2.4},
+    ]
+    n = bench.annotate_contention(flags, name_index, series)
+    assert n == 2
+    by = {f["name"]: f for f in flags}
+    assert by["stalled_q"]["contention_suspect"] is True
+    assert by["also_stalled"]["contention_suspect"] is True
+    # the true-regression shape keeps full force: not suspect, and
+    # its recorded neighborhood ratio is ~1.0
+    assert by["clean_q"]["contention_suspect"] is False
+    assert by["clean_q"]["neighborhood_calib_ratio"] < 1.2
+    # flags are annotated, never suppressed
+    assert all("prev_sec" in f and "now_sec" in f for f in flags)
+
+
+def test_contention_annotation_degrades_gracefully():
+    """A short or absent series (old artifact regenerated by hand, or
+    a names list under one CALIB_EVERY segment) must not crash and
+    must not invent suspicion."""
+    flags = [{"name": "q", "prev_sec": 1.0, "now_sec": 2.0}]
+    assert bench.annotate_contention(flags, {"q": 0}, []) == 0
+    assert flags[0]["contention_suspect"] is False
+    # unknown query name (e.g. renamed between rounds): untouched
+    flags2 = [{"name": "gone", "prev_sec": 1.0, "now_sec": 2.0}]
+    n = bench.annotate_contention(
+        flags2, {"other": 0}, [0.3, 0.3, 0.3, 0.3]
+    )
+    assert n == 0 and flags2[0]["contention_suspect"] is False
+
+
+def test_contention_annotation_last_segment_bracket():
+    """A flag in the FINAL partial segment is bracketed by the last
+    two samples (the closing sample exists because the loop appends
+    one after the last query) — a spike there must still attribute."""
+    series = [0.30, 0.30, 0.30, 0.30, 1.00]
+    # query index 35 -> segment 3, brackets samples 3 and 4
+    flags = [{"name": "tail_q", "prev_sec": 1.0, "now_sec": 2.5}]
+    n = bench.annotate_contention(flags, {"tail_q": 35}, series)
+    assert n == 1 and flags[0]["contention_suspect"] is True
+
+
+def test_contention_count_rides_the_bounded_summary():
+    """The driver's 2000-char tail keeps only the JSON line + the one
+    summary line below it — the contention-suspect count must appear
+    there so a stall round self-attributes even when every per-flag
+    guard line above the JSON is truncated away."""
+    slim = {
+        "metric": "headline_queries_total", "value": 75.4,
+        "unit": "sec", "queries": {}, "sf": 0.1,
+        "n_flags": 7, "n_contention_suspect": 5,
+        "n_isolated_flags": 2, "flags_vs": "BENCH_r13.json",
+        "detail": "bench_full.json",
+    }
+    out = bench.contract_stream(slim, [], ["a", "b", "c", "d"])
+    summary = out.splitlines()[-1]
+    assert "7 flags" in summary and "5 contention-suspect" in summary
+
+
 def test_isolated_protocol_names_are_registered_headline_queries():
     """bench.py commits an `isolated` block (fresh-session best-of-5
     with own calibrations) for the most expensive headline queries each round
@@ -152,6 +226,7 @@ def test_stdout_json_line_fits_the_driver_tail_window():
         # only (names ride in the bounded summary line; the isolated
         # block and full flag records live in the detail artifact)
         "n_flags": 44,
+        "n_contention_suspect": 44,
         "n_isolated_flags": 5,
         "flags_vs": "BENCH_r99.json",
         "detail": "bench_full.json",

@@ -81,15 +81,21 @@ def test_showcase_stale_fill_matches_committed_census():
             continue
         if len(expected) >= budget:
             break
-        expected.append(n)
         twin = qs[n].twin
-        if (
+        needs_twin = (
             qs[n].oracle is None
             and twin
             and twin not in expected
             and twin not in front
-            and len(expected) < budget
-        ):
+        )
+        # boundary rule (ADVICE r13, mirrored from tools/rotation.py):
+        # a rows-only query needs TWO free slots so its oracle twin
+        # always fits — at one free slot it waits for the next window
+        # rather than riding alone
+        if needs_twin and budget - len(expected) < 2:
+            continue
+        expected.append(n)
+        if needs_twin:
             expected.append(twin)
     assert list(_SHOWCASE[1:]) == expected
 

@@ -162,11 +162,26 @@ def build_window() -> tuple[list[str], set[str], dict[str, str]]:
             key=lambda n: (last.get(n, 0), n),
         )
         for n in stale:
-            take(n)
             # structural adjacency (registry twin annotation): a
             # rows-only query never rides alone — its oracle-checked
-            # twin re-drives in the same window, right next to it
-            if qs[n].oracle is None and qs[n].twin:
+            # twin re-drives in the same window, right next to it.
+            # Boundary rule (ADVICE r13): taking a rows-only query
+            # into the LAST open slot would make the twin take() a
+            # budget-capped no-op and break the contract — so a
+            # rows-only query needs TWO free slots (unless its twin
+            # is already aboard); otherwise it waits for the next
+            # round's window rather than riding alone.
+            needs_twin = (
+                qs[n].oracle is None
+                and qs[n].twin
+                and qs[n].twin not in picks
+                and qs[n].twin not in ANCHORS
+            )
+            free = WINDOW - len(ANCHORS) - len(picks)
+            if needs_twin and free < 2:
+                continue
+            take(n)
+            if needs_twin:
                 take(qs[n].twin)
             if len(picks) >= WINDOW - len(ANCHORS):
                 break

@@ -93,7 +93,16 @@ def bench_table(pairs: str) -> str:
     for p in pairs.split(","):
         f, _, sf = p.rpartition(":")
         with open(f) as fh:
-            arts.append((float(sf), json.load(fh)["queries"]))
+            qmap = json.load(fh)["queries"]
+        # accept both the bench artifact shape ({name: sec}) and the
+        # ab_isolated/isolated-block shape ({name: {"best": sec,
+        # "all": [...]}}) — the sf0.3 graph point is a committed
+        # ab_isolated artifact, not a full bench run
+        qmap = {
+            n: (v["best"] if isinstance(v, dict) else v)
+            for n, v in qmap.items()
+        }
+        arts.append((float(sf), qmap))
     arts.sort()
     lines = [
         "\n## Bench-protocol exponents (ISOLATED graph family)\n\n",
@@ -161,24 +170,29 @@ def main(argv: list[str]) -> int:
     # Certificate-class queries (registry scale_class) are
     # correctness certificates with documented super-linear or
     # fixture-adversarial cost — sweeping one above sf0.1 is exactly
-    # the r12 stale-sf1 failure mode.  Dropped with a loud note so a
-    # hand-typed --names list cannot reintroduce them silently.
-    if any(sf > 0.1 for _, sf in points):
-        from ondemand_dask_spark.registry import certificate_queries
+    # the r12 stale-sf1 failure mode.  The exclusion is PER SCALE
+    # POINT (ADVICE r13): the contract is "never in a sweep above
+    # sf0.1", so a mixed --sf 0.01,0.1,1 sweep keeps the certificate
+    # curves at its ≤sf0.1 points and drops them only from the >0.1
+    # ones — dropped with a loud note so a hand-typed --names list
+    # cannot reintroduce them silently.
+    from ondemand_dask_spark.registry import certificate_queries
 
-        dropped = sorted(certificate_queries().intersection(names))
-        if dropped:
-            print(
-                f"NOTE: excluding certificate-class queries from the "
-                f">sf0.1 sweep: {dropped} (registry scale_class; "
-                f"their correctness still gates at sf0.01)",
-                file=sys.stderr,
-            )
-            names = [n for n in names if n not in dropped]
+    certs = certificate_queries().intersection(names)
 
     per_sf: dict[float, dict] = {}
     for d, sf in points:
-        res = measure_sf(d, names, runs)
+        point_names = names
+        if sf > 0.1 and certs:
+            print(
+                f"NOTE: excluding certificate-class queries from the "
+                f"sf{sf:g} point: {sorted(certs)} (registry "
+                f"scale_class; their correctness still gates at "
+                f"sf0.01, and any ≤sf0.1 points keep them)",
+                file=sys.stderr,
+            )
+            point_names = [n for n in names if n not in certs]
+        res = measure_sf(d, point_names, runs)
         per_sf[sf] = res
         print(
             f"## sf={sf} calib_sec={res['calib_sec']} "
