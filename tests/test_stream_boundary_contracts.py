@@ -27,7 +27,25 @@ measured Spark semantics is pinned so it can never silently drift:
   [ts, ts+gap] intervals, the same running-max-reach contract the
   batch form pins at test_boundary_contracts.py;
 - sliding windows: exactly width/slide memberships per event, window
-  ends exclusive at the slide edge too.
+  ends exclusive at the slide edge too;
+- stream-stream interval join (r13 verdict item 6): both range
+  endpoints inclusive exactly as written (purchase_ts >= view_ts and
+  <= view_ts + 1h — a purchase at exactly +1h matches, +1h+1µs does
+  not), buffered state matches ACROSS micro-batches, and — the
+  interval-join analogue of the dedup eviction-lag edge, measured —
+  state eviction LAGS the watermark by one micro-batch: a late
+  purchase in the first batch past its view's join horizon still
+  probes live state and emits the pair (toward the batch answer),
+  while after a further spacer batch the view's state is gone and
+  the raw-predicate match is LOST (away from the batch answer — the
+  divergence bound that keeps join state finite);
+- dual-source union dedup (r13 verdict item 6): the watermark is
+  measured on the UNION (one watermark operator after unionByName),
+  so a fast feed alone advances it, and a feed lagging past the
+  horizon has its rows dropped as late — the exactly-once repair's
+  guarantee window is the watermark delay measured against the
+  FASTEST feed, the operational bound a multi-region landing
+  topology must monitor.
 """
 
 from __future__ import annotations
@@ -46,6 +64,7 @@ from ondemand_dask_spark.streaming.jobs import (
     run_to_table,
     session_agg,
     tumbling_agg,
+    view_purchase_pairs,
 )
 
 SCHEMA = (
@@ -243,6 +262,163 @@ def test_streaming_dynamic_gap_session_reach_boundary(spark, tmp_path):
         (2, TS("2024-01-01 09:00:00"), 1),
         (2, TS("2024-01-01 09:30:00.000001"), 1),  # reach + 1µs splits
     ]
+
+
+def test_stream_stream_join_interval_edges_and_cross_batch_state(
+    spark, tmp_path
+):
+    """The stream-stream join's range bound is inclusive at BOTH
+    endpoints exactly as the predicate is written — a purchase at
+    exactly view_ts matches (>=), one at exactly view_ts + 1 HOUR
+    matches (<=), one microsecond past does not — and the match fires
+    even though the view arrived a micro-batch EARLIER than every
+    purchase: the view is buffered in join state across batches (the
+    whole point of the watermark + range-condition pair).  The DuckDB
+    oracle registered on stream_stream_join carries the identical
+    inclusive endpoints, so the differential holds AT both edges."""
+    d = write_batches(
+        spark,
+        str(tmp_path / "ssj_edges"),
+        [
+            [(1, TS("2024-01-01 10:00:00"), 1, "view", 1.0, "{}")],
+            [
+                # exactly view_ts: matches (purchase_ts >= view_ts)
+                (2, TS("2024-01-01 10:00:00"), 1, "purchase", 1.0, "{}"),
+                # exactly view_ts + 1h: matches (<= inclusive)
+                (3, TS("2024-01-01 11:00:00"), 1, "purchase", 1.0, "{}"),
+                # one microsecond past the hour: out
+                (4, TS("2024-01-01 11:00:00.000001"), 1, "purchase", 1.0, "{}"),
+            ],
+        ],
+    )
+    joined = view_purchase_pairs(
+        read_events_stream(spark, directory=d, max_files_per_trigger=1)
+    )
+    out = run_to_table(spark, joined, "pin_ssj_edges", "append")
+    got = sorted((r["view_id"], r["purchase_id"]) for r in out.collect())
+    assert got == [(1, 2), (1, 3)]
+
+
+def test_stream_stream_join_eviction_lags_by_one_batch(spark, tmp_path):
+    """The interval-join analogue of the dedup eviction-lag pair of
+    pins, measured on Spark 4.1.2: state eviction and late-input
+    handling both LAG the watermark by one micro-batch.
+
+    A purchase arriving in the FIRST batch after the watermark passed
+    its view's join horizon (batch 3 runs under watermark 18:30,
+    computed from batch 2's maxima: min(view 20:00 - 1h, purchase
+    20:30 - 2h)) still PROBES the buffered view state — V1 is swept
+    only at that batch's end — and the raw-predicate pair (1, 4) IS
+    emitted, 8 hours past the horizon.  That lag is benign for the
+    registered differential: the batch/DuckDB oracle contains the
+    same pair, so the lag edge moves the stream TOWARD the batch
+    answer, never away from it."""
+    d = write_batches(
+        spark,
+        str(tmp_path / "ssj_lag"),
+        [
+            [(1, TS("2024-01-01 10:00:00"), 1, "view", 1.0, "{}")],
+            [
+                (2, TS("2024-01-01 20:00:00"), 2, "view", 1.0, "{}"),
+                (3, TS("2024-01-01 20:30:00"), 2, "purchase", 1.0, "{}"),
+            ],
+            # one batch past the horizon: still matches (lag edge)
+            [(4, TS("2024-01-01 10:30:00"), 1, "purchase", 1.0, "{}")],
+        ],
+    )
+    joined = view_purchase_pairs(
+        read_events_stream(spark, directory=d, max_files_per_trigger=1)
+    )
+    out = run_to_table(spark, joined, "pin_ssj_lag", "append")
+    got = sorted((r["view_id"], r["purchase_id"]) for r in out.collect())
+    assert got == [(1, 4), (2, 3)]
+
+
+def test_stream_stream_join_drops_match_after_state_eviction(
+    spark, tmp_path
+):
+    """With a spacer batch between the watermark advance and the late
+    purchase (the dedup readmit test's construction), eviction HAS
+    run by the time the purchase arrives: V1 (view_ts 10:00) is far
+    below the state watermark derived from the purchase-side
+    watermark minus the 1-hour range bound, so its state is gone and
+    the raw-predicate match (1, 5) is NOT emitted.  This is the
+    divergence-from-batch edge — the bound that keeps join state
+    finite at scale — and the reason the registered query's
+    exactness contract rides on its single-batch replay (pinned in
+    test_stream_fixture_assumptions.py): a multi-batch replay whose
+    feed lags past the watermark horizon plus one batch LOSES pairs
+    the batch oracle keeps."""
+    d = write_batches(
+        spark,
+        str(tmp_path / "ssj_evict"),
+        [
+            [(1, TS("2024-01-01 10:00:00"), 1, "view", 1.0, "{}")],
+            [
+                (2, TS("2024-01-01 20:00:00"), 2, "view", 1.0, "{}"),
+                (3, TS("2024-01-01 20:30:00"), 2, "purchase", 1.0, "{}"),
+            ],
+            # spacer: eviction runs at this batch's end (V1 swept)
+            [(4, TS("2024-01-01 20:40:00"), 3, "purchase", 1.0, "{}")],
+            # two batches past the horizon: state gone, no pair
+            [(5, TS("2024-01-01 10:30:00"), 1, "purchase", 1.0, "{}")],
+        ],
+    )
+    joined = view_purchase_pairs(
+        read_events_stream(spark, directory=d, max_files_per_trigger=1)
+    )
+    out = run_to_table(spark, joined, "pin_ssj_evict", "append")
+    got = sorted((r["view_id"], r["purchase_id"]) for r in out.collect())
+    assert got == [(2, 3)]
+
+
+def test_union_dedup_watermark_is_measured_on_the_union(spark, tmp_path):
+    """stream_union_dual_source's exactly-once repair: ONE watermark
+    operator sits after unionByName, so the fastest feed alone
+    advances it — and a feed lagging past the watermark horizon has
+    its rows dropped as LATE (never re-emitted, never re-deduped).
+    Feed A's original id=7 lands in batch 0 (feed B's same-batch
+    overlap copy is deduped); A then advances the union watermark to
+    11:50; B's replay of id=7 (ts 10:00) arrives two batches later —
+    below the union watermark, so it is dropped as late input rather
+    than re-admitted (contrast the single-source readmit pin above,
+    where the duplicate's ts sat ABOVE the watermark).  Operational
+    contract this pins: duplicate repair is exactly-once only while
+    feed lag stays inside the watermark delay measured against the
+    FASTEST feed; beyond it, overlap rows vanish (at-most-once), so
+    feed lag must be monitored against the delay."""
+    da = write_batches(
+        spark,
+        str(tmp_path / "union_a"),
+        [
+            [(7, TS("2024-01-01 10:00:00"), 1, "view", 1.0, "{}")],
+            [(50, TS("2024-01-01 12:00:00"), 3, "view", 1.0, "{}")],
+            [(51, TS("2024-01-01 12:01:00"), 3, "view", 1.0, "{}")],
+        ],
+    )
+    db = write_batches(
+        spark,
+        str(tmp_path / "union_b"),
+        [
+            # same-batch overlap copy of id=7: deduped by state
+            [(7, TS("2024-01-01 10:00:00"), 1, "view", 1.0, "{}")],
+            [(8, TS("2024-01-01 10:05:00"), 2, "view", 1.0, "{}")],
+            # B replays id=7 after A pushed the union watermark past
+            # it: late, dropped — NOT a duplicate, NOT re-admitted
+            [(7, TS("2024-01-01 10:00:00"), 1, "view", 1.0, "{}")],
+        ],
+    )
+    a = read_events_stream(spark, directory=da, max_files_per_trigger=1)
+    b = read_events_stream(spark, directory=db, max_files_per_trigger=1)
+    u = (
+        a.unionByName(b)
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "ts")
+    )
+    out = run_to_table(spark, u, "pin_union_wm", "append")
+    got = sorted(r["event_id"] for r in out.collect())
+    assert got == [7, 8, 50, 51]
 
 
 def test_sliding_window_membership_at_exact_slide_boundary(spark, tmp_path):
