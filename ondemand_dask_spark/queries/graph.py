@@ -153,10 +153,26 @@ def release_shared_edges() -> None:
 
 
 def _sym(edges: DataFrame) -> DataFrame:
-    """Symmetrize canonical edges into both directions (u, v)."""
+    """Symmetrize canonical edges into both directions (u, v).
+
+    One explode over a 2-struct array instead of a self-union: the
+    union form evaluates the EDGE-BUILD LINEAGE once per leg whenever
+    the input is uncached (AQE defers exchange reuse to runtime and
+    the bench plans showed both legs' self-join + distinct subtrees
+    materialized separately), while the explode form is a narrow op
+    over one pass of the build.  Same row multiset — (src,dst) pairs
+    are distinct and src<dst, so the two emitted directions cannot
+    collide.  r14 A/B (tools/ab_pagerank_r14.py, one warm session,
+    interleaved best-of-3 at sf0.1): pagerank 6.01 s union-sym vs
+    5.08 s explode-sym with iterations unchanged."""
     return edges.select(
-        F.col("src").alias("u"), F.col("dst").alias("v")
-    ).unionByName(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+        F.explode(
+            F.array(
+                F.struct(F.col("src").alias("u"), F.col("dst").alias("v")),
+                F.struct(F.col("dst").alias("u"), F.col("src").alias("v")),
+            )
+        ).alias("e")
+    ).select("e.u", "e.v")
 
 
 @register(
@@ -518,40 +534,54 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank, 3 unrolled power iterations at d = 0.85 (the
     _PR_ITERS/_PR_D constants) — the canonical 'importance on a
     graph' measure (here: central parts of the co-purchase graph).
-    Each iteration is one equi-join of the current ranks onto the
-    out-edge list plus one groupBy(dst) sum — partial aggregation
-    halves the shuffle before it moves.  |V| and the degree map
-    enter via broadcast joins (aggregate-derived, small); no scalar
-    is ever collected to the driver, so the whole 3-iteration
-    computation is ONE lazy plan Catalyst sees end to end.  The
-    rank-vector join is left declarative on purpose: AQE already
-    converts the |V|-row side to a runtime broadcast, so the
-    explicit-broadcast rewrite that won for LPA is a wash here
-    (r7 A/B, warm best-of-3 at sf0.1: 6.34 s declarative vs 6.77 s
-    explicit), and LPA's r8 zero-exchange-round rewrite (pre-
-    partitioned cached sym) LOSES here — 4.88 s registered vs
-    5.84 s partitioned (tools/ab_lpa_partitioned.py): one saved
-    exchange per iteration does not repay caching 2|E| pre-
-    partitioned rows up front.  Emitted
-    ranks are scaled by |V| (mean exactly 1) — scale-free and
-    numerically in a range where the repo's standard rounding makes
-    the cross-engine check exact."""
+    Each iteration BROADCASTS the combined |V|-row (node, pr, d)
+    vector onto the out-edge list — deg folded into the rank vector
+    so a superstep is ONE BroadcastHashJoin probe of the cached sym
+    plus one groupBy(dst) partial-agg sum: sym is never exchanged or
+    sorted in any iteration.  |V| enters via a 1-row broadcast; no
+    scalar is ever collected to the driver, so the whole 3-iteration
+    computation is ONE lazy plan Catalyst sees end to end.
+
+    History of this join's strategy: the r7 A/B broadcast only the
+    rank vector and kept deg as a separate broadcast attach — a wash
+    (6.34 s declarative vs 6.77 s explicit), because the plan still
+    carried the per-iteration Exchange+Sort of sym under a
+    SortMergeJoin (plans/r14/graph_pagerank_before.txt shows 3 SMJs
+    over the 2.4M-row cache).  Folding deg INTO the broadcast vector
+    removes both the SMJ and the second attach: r14 A/B
+    (tools/ab_pagerank_r14.py, one warm session, interleaved
+    best-of-3 at sf0.1, identity-checked vs the oracle shape at
+    sf0.01): 6.01 s registered vs 4.24 s broadcast-vector (−29%),
+    plan 26 → 12 Exchanges / 3 → 0 SortMergeJoins
+    (plans/r14/graph_pagerank_{before,after}.txt).  LPA's r8
+    zero-exchange-round rewrite (pre-partitioned cached sym) still
+    LOSES here — 4.88 s vs 5.84 s (tools/ab_lpa_partitioned.py) —
+    because one saved groupBy exchange per iteration does not repay
+    caching 2|E| pre-partitioned rows up front.  At billion-node |V|
+    where the rank vector outgrows a broadcast, the keyed-join form
+    is the fallback (the 100 TB co-purchase |V| here is the part
+    catalog — dimension-sized by construction).  Emitted ranks are
+    scaled by |V| (mean exactly 1) — scale-free and numerically in a
+    range where the repo's standard rounding makes the cross-engine
+    check exact."""
     _evict_retained()
     sym = _retain(_sym(_family_edges(spark, sf_dir, cached_default=False)).cache())
-    deg = sym.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("d"))
+    deg = _retain(
+        sym.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("d")).cache()
+    )
     # |V| as a 1-row broadcast frame — joins into the plan instead of
     # a driver-side .first() so the query stays a single lazy plan.
     nn = deg.agg(F.count("*").alias("n"))
-    pr = deg.crossJoin(F.broadcast(nn)).select(
-        "node", (F.lit(1.0) / F.col("n")).alias("pr")
+    # combined (node, pr, d) vector: ONE broadcast attach per
+    # iteration carries both the rank and the out-degree.
+    vec = deg.crossJoin(F.broadcast(nn)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("pr"), "d"
     )
     for _ in range(_PR_ITERS):
-        contrib = (
-            sym.join(pr, sym["u"] == pr["node"])
-            .join(F.broadcast(deg).alias("d"), F.col("d.node") == sym["u"])
-            .select(F.col("v"), (F.col("pr") / F.col("d.d")).alias("c"))
-        )
-        pr = (
+        contrib = sym.join(
+            F.broadcast(vec).withColumnRenamed("node", "u"), "u"
+        ).select(F.col("v"), (F.col("pr") / F.col("d")).alias("c"))
+        vec = (
             contrib.groupBy(F.col("v").alias("node"))
             .agg(F.sum("c").alias("s"))
             .crossJoin(F.broadcast(nn))
@@ -561,8 +591,9 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (1 - _PR_D) / F.col("n") + F.lit(_PR_D) * F.col("s")
                 ).alias("pr"),
             )
+            .join(F.broadcast(deg), "node")
         )
-    return pr.crossJoin(F.broadcast(nn)).select(
+    return vec.crossJoin(F.broadcast(nn)).select(
         F.col("node").alias("part_id"),
         (F.round(F.col("pr") * F.col("n") - 1e-9, _R) + 0.0).alias("pr_scaled"),
     )
