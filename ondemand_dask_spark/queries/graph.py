@@ -1091,31 +1091,34 @@ def graph_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k over the degree table (TakeOrderedAndProject: per-partition
     heaps + a k-row merge — no global window even at data-sized |V|).
 
-    FRONTIER-DELTA supersteps: in an unweighted graph a node's final
-    distance is the round it is FIRST reached, so each round joins
-    only the newly-reached frontier against the edges and anti-joins
-    the already-settled set — strictly less work than re-relaxing
-    every settled node each round (the textbook delta optimization;
-    the full-frontier form re-joined the whole reached set).  Each
-    round's delta is pinned with a lazy localCheckpoint so the
-    settled set is a linear union of materialized deltas, not a
-    2^hops lineage tree.  At 100 TB each superstep is a
-    key-partitioned shuffle of the frontier — the canonical Pregel
-    BFS — and deeper horizons switch to the checkpointed-iteration
-    pattern used by dedup_connected_components.
+    MIN-DIST RELAXATION supersteps (r14): each round broadcasts the
+    |V|-bounded distance vector onto the cached 2|E| edge list and
+    folds the relaxed neighbors back with one partial-agg
+    groupBy(node).min(dist) — the oracle's own unrolled form, ONE
+    lazy plan with no per-round distinct, anti-join, or checkpoint.
+    The previous frontier-delta form (join only the newly-reached
+    frontier, anti-join the settled set, pin each delta with a lazy
+    localCheckpoint) is the textbook optimization for DEEP horizons,
+    but at k = 3 over a co-purchase graph whose reached set is
+    dimension-sized the delta machinery's fixed per-round stages
+    cost more than the re-relaxation they avoid: r14 A/B
+    (tools/ab_bfs_r14.py, interleaved, identity-checked at sf0.01,
+    two sessions at sf0.1) measured relax 4.12/4.93 s vs
+    frontier-delta 5.18/5.23 s best-of-session (−6 to −20%), with
+    an explicitly-broadcast delta variant slower still.  At 100 TB
+    the dist vector is the part catalog (broadcast-sized by
+    construction); billion-node graphs or deep horizons switch back
+    to frontier-delta with the checkpointed-iteration pattern used
+    by dedup_connected_components.
 
-    The LPA zero-exchange rewrite was A/B'd here and is a WASH
+    The LPA zero-exchange rewrite was A/B'd here too and is a WASH
     (tools/ab_bfs_partitioned.py, one warm session, interleaved
-    best-of-4 at sf0.1: 5.70 s registered vs 5.48 s with sym
-    repartition(v).cache() + broadcast frontier + broadcast
-    anti-join): unlike LPA's two data-sized aggregates per round,
-    BFS's per-superstep cost is the cached 2|E| scan and the
-    distinct's partial aggregation, and the exchanges the rewrite
-    removes carry only the already-reduced reached set — so the
-    simpler registered form stays."""
+    best-of-4 at sf0.1: 5.70 s vs 5.48 s with sym
+    repartition(v).cache()): BFS's per-superstep cost is the cached
+    2|E| scan, not the reduced-side exchanges."""
     _evict_retained()
     edges = _family_edges(spark, sf_dir)
-    edges.count()  # eager: sym fans the cache into two union legs
+    edges.count()  # eager: deg and the relax rounds share the cache
     sym = _sym(edges)
     deg = sym.groupBy(F.col("u").alias("node")).agg(F.count("*").alias("d"))
     src = (
@@ -1124,20 +1127,15 @@ def graph_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("node")
     )
     dist = src.withColumn("dist", F.lit(0))
-    frontier = src
-    for hop in range(1, _BFS_HOPS + 1):
-        reached = (
-            sym.join(frontier.withColumnRenamed("node", "u"), "u")
-            .select(F.col("v").alias("node"))
-            .distinct()
+    for _ in range(_BFS_HOPS):
+        relax = sym.join(
+            F.broadcast(dist).withColumnRenamed("node", "u"), "u"
+        ).select(F.col("v").alias("node"), (F.col("dist") + 1).alias("dist"))
+        dist = (
+            dist.unionByName(relax)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
         )
-        new = _retain(
-            reached.join(dist.select("node"), "node", "left_anti")
-            .withColumn("dist", F.lit(hop))
-            .localCheckpoint(eager=False)
-        )
-        dist = dist.unionByName(new)
-        frontier = new.select("node")
     return dist.groupBy("dist").agg(F.count("*").alias("n_nodes"))
 
 
