@@ -1194,6 +1194,20 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pos0") + _SPAN_K).alias("e"),
         _h(F.col("g")).alias("gh"),
     )
+    # grams feeds TWO plan branches — the cross-doc frequency agg and
+    # the hit-span probe — so without a pin the posexplode + md5 gram
+    # hash lineage executes once per branch.  One eager cache of the
+    # fixed-width (doc_id, s, e, gh) rows (≈32 B/gram, the md5 work
+    # paid once) serves both: r14 A/B, one warm session, interleaved
+    # best-of-3 at sf0.1 — 2.06 s uncached vs 1.52 s cached (−27%).
+    # Eager count, not lazy: both consumers sit inside ONE job, and a
+    # lazy cache makes it a scheduler race whether the second branch
+    # hits warm blocks (the dedup_connected_components bimodality,
+    # same fix).  Retained per the module discipline — the next dedup
+    # query entry evicts it.
+    _evict_retained()
+    grams = _retain(grams.cache())
+    grams.count()
     dup = (
         grams.groupBy("gh")
         .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
