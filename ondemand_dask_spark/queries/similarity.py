@@ -1413,22 +1413,35 @@ def _pq_train(e: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
     from the first-_PQ_K-vector seeds, and the final assignment
     (vec_id, m, code, dist).  Every join broadcasts the
     codebook-sized side; each Lloyd round costs one corpus scan plus
-    a (m, code, pos) partial agg of codebook cardinality."""
+    a (m, code, pos) partial agg of codebook cardinality.
+
+    r14: both assignment argmins are `min_by` over
+    struct(round(dist, 6), code) HASH aggregates instead of
+    row_number windows — (rounded dist, code) is unique per
+    (vec_id, m) group (code is a key), so min_by picks exactly the
+    window's rn = 1 row while the n·M·K assignment rows reduce
+    map-side instead of being exchanged and sorted per subvector
+    (the kmeans_lloyd r14 rewrite, applied to both its PQ
+    consumers)."""
     subs = _pq_subspaces(e)
     seeds = _pq_subspaces(e.filter(F.col("vec_id") < _PQ_K)).select(
         F.col("vec_id").alias("code"), "m", F.col("sub").alias("csub")
     )
-    w = Window.partitionBy("vec_id", "m").orderBy(
-        F.round(F.col("dist"), 6), "code"
+    key = F.struct(
+        F.round(F.col("dist"), 6).alias("k1"), F.col("code").alias("k2")
     )
     d1 = subs.join(F.broadcast(seeds), "m").select(
         "vec_id", "m", "sub", "code",
         _sqdist(F.col("sub"), F.col("csub")).alias("dist"),
     )
     a1 = (
-        d1.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "m", "sub", "code")
+        d1.groupBy("vec_id", "m")
+        .agg(F.min_by(F.struct("sub", "code"), key).alias("w"))
+        .select(
+            "vec_id", "m",
+            F.col("w.sub").alias("sub"),
+            F.col("w.code").alias("code"),
+        )
     )
     cent = (
         a1.select("m", "code", F.posexplode("sub").alias("pos", "v"))
@@ -1449,9 +1462,13 @@ def _pq_train(e: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
             "vec_id", "m", "code",
             _sqdist(F.col("sub"), F.col("csub")).alias("dist"),
         )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "m", "code", "dist")
+        .groupBy("vec_id", "m")
+        .agg(F.min_by(F.struct("code", "dist"), key).alias("w"))
+        .select(
+            "vec_id", "m",
+            F.col("w.code").alias("code"),
+            F.col("w.dist").alias("dist"),
+        )
     )
     return subs, cent, assign
 
