@@ -1397,33 +1397,42 @@ def graph_personalized_pagerank(
     is engine-deterministic."""
     _evict_retained()
     sym = _retain(_sym(_family_edges(spark, sf_dir, cached_default=False)).cache())
-    deg = sym.groupBy(F.col("u").alias("node")).agg(
-        F.count("*").alias("d")
+    # deg is consumed by seed selection AND every superstep's
+    # out-degree divide — pin it once (|V| rows) instead of
+    # re-aggregating the cached sym per broadcast (the r14 pagerank
+    # fold, applied to the sparse walk).
+    deg = _retain(
+        sym.groupBy(F.col("u").alias("node"))
+        .agg(F.count("*").alias("d"))
+        .cache()
     )
     seeds = deg.orderBy(F.desc("d"), F.asc("node")).limit(_PPR_K).select(
         "node"
     )
-    ranks = seeds.select("node", F.lit(1.0 / _PPR_K).alias("pr"))
+    # sparse (node, pr, d) vector — ONE broadcast attach per
+    # superstep carries both the walk mass and the out-degree; sym is
+    # never exchanged in any iteration (same shape as graph_pagerank
+    # r14, with the teleport re-injection as a _PPR_K-row union leg).
+    ranks = seeds.select("node", F.lit(1.0 / _PPR_K).alias("pr")).join(
+        F.broadcast(deg), "node"
+    )
     teleport = seeds.select(
         "node", F.lit((1 - _PR_D) / _PPR_K).alias("pr")
     )
     for _ in range(_PR_ITERS):
-        contrib = (
-            sym.join(ranks.withColumnRenamed("node", "u"), "u")
-            .join(
-                F.broadcast(deg).alias("dg"),
-                F.col("dg.node") == F.col("u"),
-            )
-            .select(
-                F.col("v").alias("node"),
-                (F.lit(_PR_D) * F.col("pr") / F.col("dg.d")).alias("pr"),
-            )
+        contrib = sym.join(
+            F.broadcast(ranks).withColumnRenamed("node", "u"), "u"
+        ).select(
+            F.col("v").alias("node"),
+            (F.lit(_PR_D) * F.col("pr") / F.col("d")).alias("pr"),
         )
         ranks = (
             contrib.unionByName(teleport)
             .groupBy("node")
             .agg(F.sum("pr").alias("pr"))
+            .join(F.broadcast(deg), "node")
         )
+    ranks = ranks.select("node", "pr")
     return (
         ranks.select(
             F.col("node").alias("part_id"),
