@@ -1150,10 +1150,21 @@ def graph_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
         relax = sym.join(
             F.broadcast(dist).withColumnRenamed("node", "u"), "u"
         ).select(F.col("v").alias("node"), (F.col("dist") + 1).alias("dist"))
-        dist = (
+        # pin each round's vector with a LAZY localCheckpoint: dist is
+        # referenced twice per round (the broadcast probe and the
+        # union leg), and a BroadcastExchange does not share
+        # evaluation with a plain subtree — unpinned, the recursion
+        # evaluates round r-1 twice per reference, a 2^hops lineage
+        # expansion.  The lazy pin keeps the query ONE job (first
+        # evaluation materializes, the second reads blocks): r14 A/B,
+        # interleaved best-of-4 at sf0.1 — 4.78 s unpinned vs 3.95 s
+        # pinned (−17%); retained so the next graph query releases
+        # the blocks.
+        dist = _retain(
             dist.unionByName(relax)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=False)
         )
     return dist.groupBy("dist").agg(F.count("*").alias("n_nodes"))
 
