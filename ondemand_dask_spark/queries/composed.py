@@ -1415,22 +1415,20 @@ def orders_ship_latency_percentiles(
     Scale shape: orders↔lineitem is the canonical co-partitioned
     fact-fact equi-join on the order key (neither side broadcasts at
     100 TB; both shuffle once on l_orderkey/o_orderkey and AQE picks
-    SMJ); the latency column is exact integer DAYS — a value domain
-    bounded by the fulfillment window, not by data volume — so the
-    exact interpolated percentile is computed from a per-(month, lag)
-    HISTOGRAM instead of `F.percentile`'s per-group value buffer
-    (an ObjectHashAggregate holding every row of the group: the
-    documented 100 TB OOM shape this repo's quantile operator exists
-    to avoid).  The histogram groupBy partial-aggregates map-side, so
-    the only data-sized exchange is the join itself; the cumulative
-    window, rank lookups (value at 0-indexed rank r = first lag with
-    cum ≥ r+1) and the quantile_cont interpolation
-    lo + frac·(hi − lo) all run over the bounded months×lags table.
-    r14 A/B (one warm session, interleaved best-of-3 at sf0.1):
-    1.87 s value-buffer vs 1.63 s histogram (−13% — the join
-    dominates locally; at scale the difference is bounded vs
-    unbounded aggregation state), outputs row-identical at sf0.01
-    and sf0.1."""
+    SMJ); the latency column is exact integer days; the percentile
+    is Spark's exact interpolated `percentile` per month group.
+    r14 re-examination, kept AS IS with the reason recorded:
+    `Percentile`'s aggregation buffer is a value→count OpenHashMap,
+    so for this bounded-integer-day domain the partial aggregates
+    are ALREADY histogram-sized (≤ ~fulfillment-window entries per
+    group, merged map-side) — the data-sized-buffer caveat in
+    operators/quantile.py applies to continuous domains, where that
+    operator is the path.  An explicit per-(month, lag) histogram +
+    cumulative-rank rewrite was A/B'd both ways: row-identical
+    output, −13% at sf0.1 (inside session noise) but +42% at sf1
+    (4.13 → 5.86 s interleaved best-of-3 — two extra exchanges and
+    a window pass for state that was never unbounded), so the
+    declarative form wins where it matters."""
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
         F.date_trunc("month", "o_orderdate").alias("order_month"),
@@ -1444,50 +1442,19 @@ def orders_ship_latency_percentiles(
     ).select(
         "order_month", F.datediff("sd", "od").alias("lag_d")
     )
-    hist = lag_days.groupBy("order_month", "lag_d").agg(
-        F.count("*").alias("c")
+    return lag_days.groupBy("order_month").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        (F.round(F.percentile("lag_d", 0.5) - 1e-9, _R) + 0.0).alias(
+            "p50_days"
+        ),
+        (F.round(F.percentile("lag_d", 0.9) - 1e-9, _R) + 0.0).alias(
+            "p90_days"
+        ),
+        (F.round(F.percentile("lag_d", 0.99) - 1e-9, _R) + 0.0).alias(
+            "p99_days"
+        ),
+        F.max("lag_d").cast("long").alias("max_days"),
     )
-    w = (
-        Window.partitionBy("order_month")
-        .orderBy("lag_d")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    cum = hist.select(
-        "order_month", "lag_d", F.sum("c").over(w).alias("cum")
-    )
-    tot = hist.groupBy("order_month").agg(
-        F.sum("c").alias("__n"), F.max("lag_d").alias("__mx")
-    )
-    j = cum.join(F.broadcast(tot), "order_month")
-    quantiles = (("p50_days", 0.5), ("p90_days", 0.9), ("p99_days", 0.99))
-    aggs = [F.max("__n").cast("long").alias("n_lines")]
-    for name, q in quantiles:
-        pos = (F.col("__n") - 1).cast("double") * F.lit(q)
-        aggs.append(
-            F.min(F.when(F.col("cum") >= F.floor(pos) + 1, F.col("lag_d")))
-            .cast("double")
-            .alias(f"__lo_{name}")
-        )
-        aggs.append(
-            F.min(F.when(F.col("cum") >= F.ceil(pos) + 1, F.col("lag_d")))
-            .cast("double")
-            .alias(f"__hi_{name}")
-        )
-        aggs.append(F.max(pos).alias(f"__pos_{name}"))
-    g = j.groupBy("order_month").agg(
-        *aggs, F.max("__mx").cast("long").alias("max_days")
-    )
-    outs = []
-    for name, _q in quantiles:
-        pos = F.col(f"__pos_{name}")
-        lo, hi = F.col(f"__lo_{name}"), F.col(f"__hi_{name}")
-        outs.append(
-            (
-                F.round(lo + (pos - F.floor(pos)) * (hi - lo) - 1e-9, _R)
-                + 0.0
-            ).alias(name)
-        )
-    return g.select("order_month", "n_lines", *outs, "max_days")
 
 
 @register(
