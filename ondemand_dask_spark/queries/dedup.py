@@ -750,14 +750,41 @@ def _ngram_pair_scores(spark: SparkSession, sf_dir: str):
             ),
         )
     )
+    # r15: the pair aggregation deliberately SKIPS the partial
+    # (map-side) combine.  Measured at sf1 (193M expansion rows,
+    # 42.8M distinct pairs — dedup factor only 4.5×): the partial
+    # HashAggregate buffered the pair set per map task and spilled
+    # ~490 MB on BOTH sides of the exchange while the reduce side ran
+    # at spark.sql.shuffle.partitions (8 in-bench) tasks — the whole
+    # quadratic tail on 8 of 32 cores.  An explicit
+    # repartition(2·parallelism, doc_a, doc_b) moves the exchange
+    # BELOW the whole aggregation (HashPartitioning(a,b) satisfies
+    # the clustering of (a,na,b,nb): na/nb are functions of a/b), so
+    # both aggregate phases run fused at cluster width downstream of
+    # the shuffle (plan: Generate → Exchange(2·par) → partial+final
+    # HashAggregate): per-task state shrinks ~8×, no spill, every
+    # core busy.
+    # A/B (tools/ab_ngram_r15.py, one warm session, interleaved
+    # best-of-4, identity-checked): sf1 25.6 → 11.0 s (fin=2; fin=1
+    # 15.5, fin=4 11.3, map-side-combine shapes rep1/rep2 17.6/19.9);
+    # sf0.1 2.39 → 2.85 s — the small-SF stage-overhead constant the
+    # at-scale shape costs.  The raw-pair exchange moves ~2× the
+    # partially-agged bytes but they are fixed-width 33 B rows; the
+    # hash key (a,b) cannot be hot (a pair repeats at most once per
+    # shared shingle, ≤ doc length).  2× parallelism (not a byte
+    # target) keeps the count scale-adaptive: REPARTITION_BY_NUM is
+    # exempt from AQE coalescing, so the width holds at any SF.
+    exploded = lists.select(F.explode(combos).alias("p")).select(
+        F.col("p.a").alias("doc_a"),
+        F.col("p.na").alias("na"),
+        F.col("p.b").alias("doc_b"),
+        F.col("p.nb").alias("nb"),
+    )
     pairs = (
-        lists.select(F.explode(combos).alias("p"))
-        .groupBy(
-            F.col("p.a").alias("doc_a"),
-            F.col("p.na").alias("na"),
-            F.col("p.b").alias("doc_b"),
-            F.col("p.nb").alias("nb"),
+        exploded.repartition(
+            2 * spark.sparkContext.defaultParallelism, "doc_a", "doc_b"
         )
+        .groupBy("doc_a", "na", "doc_b", "nb")
         .agg(F.count("*").alias("i"))
     )
     return pairs, docs

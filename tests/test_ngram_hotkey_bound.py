@@ -133,3 +133,20 @@ def test_null_lang_docs_never_pair(spark, tmp_path):
     out = dedup_ngram_jaccard(spark, sf_dir)
     pairs = {(r.doc_a, r.doc_b) for r in out.collect()}
     assert pairs == {(3, 4)}, pairs
+
+
+def test_pair_aggregate_exchange_below_aggregation(spark):
+    """r15: the quadratic pair aggregation must run at cluster width.
+    The exchange feeding it is an explicit REPARTITION_BY_NUM on
+    (doc_a, doc_b) at 2x parallelism — exempt from AQE coalescing, so
+    the combination-expansion tail is never starved down to
+    spark.sql.shuffle.partitions tasks (the sf1 profile showed the
+    whole 193M-row expansion + aggregation on 8 of 32 cores with
+    ~490 MB spilled per side; A/B in _ngram_pair_scores' comment)."""
+    plan = _executed_plan(spark)
+    n = 2 * spark.sparkContext.defaultParallelism
+    assert re.search(
+        r"hashpartitioning\(doc_a#\d+L, doc_b#\d+L, %d\), REPARTITION_BY_NUM"
+        % n,
+        plan,
+    ), "pair aggregate is not fed by the explicit 2*par (doc_a, doc_b) exchange"
