@@ -142,12 +142,65 @@ def _sort_path(
     return _boundary_rows(ranked, keys, qs)
 
 
+def exact_group_quantiles_ranged(
+    df: DataFrame,
+    keys: list[str],
+    col: str,
+    qs: dict[str, float],
+    retain=None,
+) -> DataFrame:
+    """Range-partitioned sort path — parallel in BOTH group regimes.
+
+    The window sort path serializes each group into one task (and
+    AQE's size-based coalescing can merge even the |groups| tasks
+    into fewer: the r15 sf1 profile measured 13.6 s of a 14.7 s query
+    in a SINGLE task, 31 cores idle).  This variant ranks by
+    (keys…, value) with the repo's two-phase distributed rank
+    (operators/rank.py `global_row_numbers`: range exchange → local
+    row numbers → per-partition offsets), so a huge group spans many
+    partitions and sorts at cluster width.  Groups are contiguous in
+    the (keys…, value) total order, hence
+    rank-within-group = global position − min(position) per group;
+    the per-group (start, n) table is one partial-agg pass, joined
+    back (AQE broadcasts it at low group counts, and at millions of
+    groups it is a plain key join — never a forced driver collect).
+    Ties in the value get arbitrary ranks, exactly like the window
+    path's row_number — interpolating between equal values returns
+    that value, so the quantile is unaffected.
+
+    A/B vs the other paths (tools/ab_quantile.py arms, one warm
+    session, interleaved best-of-3, generated sf1 = 6M rows in 3
+    groups): ranged 3.4 s vs window-sort 16.5 s / select_minmax
+    17.0 s / select_sketch 12.9 s; sf0.1 parity (see the r15 entry in
+    OPTIMIZATION_r15.md for the committed numbers).
+    """
+    from ondemand_dask_spark.operators.rank import global_row_numbers
+
+    d = df.select(*keys, F.col(col).cast("double").alias("__v")).filter(
+        F.col("__v").isNotNull()
+    )
+    pos = global_row_numbers(
+        d, *keys, "__v", col_name="__pos", retain=retain
+    )
+    grp = pos.groupBy(*keys).agg(
+        F.min("__pos").alias("__st"), F.count("*").alias("__n")
+    )
+    ranked = pos.join(grp, on=list(keys)).withColumn(
+        "__rn", F.col("__pos") - F.col("__st")
+    )
+    return _boundary_rows(ranked, keys, qs)
+
+
 # A per-group window sort is one task; beyond this many rows in the
-# LARGEST group the single-task sort risks spill/stragglers and the
-# selection path's extra scans start paying for themselves.  At
-# 128 MB/task and 8-byte doubles + key/rank overhead, ~4M rows per
-# task is the conservative knee.
-MAX_ROWS_PER_SORT_TASK = 4_000_000
+# LARGEST group the single-task sort serializes on one core and the
+# ranged path's fixed overhead (range exchange + checkpoint + offsets
+# join, ~0.4 s measured at sf0.1) pays for itself.  r15 re-derived
+# the knee from measurement: largest group 240k rows (sf0.1) → window
+# 1.56 s vs ranged 1.99 s; largest group 2.4M rows (generated sf1) →
+# window 13.5 s vs ranged 4.5 s.  The crossover sits near 1M rows
+# (the old 4M estimate predates the ranged path and was keyed to the
+# select path's much larger overhead).
+MAX_ROWS_PER_SORT_TASK = 1_000_000
 
 
 def choose_quantile_path(
@@ -155,10 +208,16 @@ def choose_quantile_path(
 ) -> str:
     """Pure decision rule: 'sort' (one-task-per-group window sort)
     unless the largest group exceeds what one task should sort, then
-    'select' (bucket-selection narrows the sort to ~2·|qs|/buckets of
-    the input).  Keyed on the MAX group size, not the average —
-    quantile cost is gated by the single worst group (skew-aware)."""
-    return "select" if max_group_rows > threshold else "sort"
+    'ranged' (range-partitioned distributed rank — every group sorts
+    at cluster width).  Keyed on the MAX group size, not the
+    average — quantile cost is gated by the single worst group
+    (skew-aware).  r15: the big-group path is 'ranged', not
+    'select' — at generated sf1 ranged measured 4.5 s vs
+    select_sketch 12.9 / select_minmax 17.0 / window-sort 13.5 s
+    (tools/ab_quantile.py); the selection path stays implemented as
+    the measured-negative record and for callers that cannot afford
+    the ranged path's localCheckpoint pin."""
+    return "ranged" if max_group_rows > threshold else "sort"
 
 
 # The auto probe's counts cache must outlive this call (the returned
@@ -186,6 +245,7 @@ def exact_group_quantiles_auto(
     threshold: int = MAX_ROWS_PER_SORT_TASK,
     buckets: int = 64,
     path: str | None = None,
+    retain=None,
 ) -> DataFrame:
     """Exact grouped quantiles with runtime path selection.
 
@@ -193,17 +253,27 @@ def exact_group_quantiles_auto(
     needs anyway (cached, so choosing 'sort' reuses it — the probe
     adds one tiny aggregate over the counts table, not a rescan), then
     dispatches per `choose_quantile_path`: many-normal-groups → sort
-    path; few-huge-groups → selection path, whose per-bucket sorts
-    restore parallelism a 3-group window sort can't have.
+    path; few-huge-groups → ranged path, whose range-partitioned
+    distributed rank restores parallelism a 3-group window sort
+    can't have.
 
-    path: optional caller hint ('sort' | 'select') that SKIPS the
-    probe job entirely — for callers that already know the group-size
-    regime (e.g. a fixed low-cardinality key over a table whose scale
-    band is known).  The probe is one scalar-only blocking action;
-    cheap absolutely, but a measurable fraction of small queries."""
+    path: optional caller hint ('sort' | 'select' | 'ranged') that
+    SKIPS the probe job entirely — for callers that already know the
+    group-size regime (e.g. a fixed low-cardinality key over a table
+    whose scale band is known).  The probe is one scalar-only
+    blocking action; cheap absolutely, but a measurable fraction of
+    small queries.
+
+    retain: forwarded to the ranged path's localCheckpoint pin (a
+    module's RetainedCaches.retain) so its blocks release at the
+    module's next query entry."""
     if path is not None:
         if path == "select":
             return exact_group_quantiles_select(df, keys, col, qs, buckets)
+        if path == "ranged":
+            return exact_group_quantiles_ranged(
+                df, keys, col, qs, retain=retain
+            )
         return exact_group_quantiles(df, keys, col, qs)
     d = df.select(*keys, F.col(col).cast("double").alias("__v")).filter(
         F.col("__v").isNotNull()
@@ -211,9 +281,9 @@ def exact_group_quantiles_auto(
     counts = d.groupBy(*keys).agg(F.count("*").alias("__n")).cache()
     row = counts.agg(F.max("__n").alias("mx")).first()
     mx = int(row["mx"]) if row and row["mx"] is not None else 0
-    if choose_quantile_path(mx, threshold) == "select":
+    if choose_quantile_path(mx, threshold) == "ranged":
         counts.unpersist()
-        return exact_group_quantiles_select(df, keys, col, qs, buckets)
+        return exact_group_quantiles_ranged(df, keys, col, qs, retain=retain)
     # sort path reuses the cached counts the probe just materialized
     _retain_counts(counts)
     return _sort_path(d, counts, keys, qs)

@@ -51,26 +51,78 @@ def global_row_numbers(
     RetainedCaches.retain) to register the pinned frame for eager
     release at the module's next query entry — otherwise the blocks
     linger until GC, which measurably taxes the NEXT query in a
-    bench session."""
-    ranged = df.repartitionByRange(*keys).sortWithinPartitions(*keys)
-    with_pid = ranged.withColumn("__ods_pid", F.spark_partition_id())
-    w_local = Window.partitionBy("__ods_pid").orderBy(*keys)
-    local = with_pid.withColumn("__rn", F.row_number().over(w_local))
+    bench session.
+
+    r15: local numbering is `monotonically_increasing_id` over the
+    sorted partitions, NOT a row_number window partitioned by
+    spark_partition_id() — that window's ClusteredDistribution(pid)
+    is not satisfied by the range partitioning, so it silently
+    re-exchanged the FULL data on pid, re-sorted it, and buffered
+    whole partitions in WindowExec; worse, the pid exchange is
+    byte-small, so AQE's size-based coalescing collapsed it to ONE
+    task (the r15 sf1 quantile profile: 13.6 s of a 14.7 s query in
+    a single task, 31 cores idle).  The id is assigned narrowly at
+    scan-out of the sorted partition: zero additional exchange, zero
+    window buffer.  Spark's contract only promises per-partition
+    monotonicity (not consecutiveness), and the documented layout is
+    partition_index << 33 | row_index — both properties this
+    numbering needs are therefore CHECKED per partition in the
+    offsets pass (ids consecutive from pid << 33), which raises
+    loudly on any future layout change instead of mis-ranking.
+    The range exchange itself carries an EXPLICIT partition count
+    (2 × defaultParallelism): `repartitionByRange(*keys)` without a
+    number is REPARTITION_BY_COL, which AQE's size-based coalescing
+    is free to collapse — and does, to ONE task at byte-small sizes
+    (measured at generated sf1: range+sort 11.6 s coalesced vs 1.7 s
+    at an explicit 64) — while REPARTITION_BY_NUM is exempt.  Core-
+    proportional, so rows/task = data/(2·cores) at any cluster width.
+    A/B: tools/ab_quantile.py 'ranged' arm at generated sf1 dropped
+    17.1 → ~4 s once this fed it (numbers in OPTIMIZATION_r15.md)."""
+    n_parts = 2 * df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n_parts, *keys).sortWithinPartitions(
+        *keys
+    )
+    local = ranged.withColumn("__mid", F.monotonically_increasing_id())
     local = local.localCheckpoint(eager=False)
     if retain is not None:
         retain(local)
-    counts = local.groupBy("__ods_pid").agg(F.count("*").alias("__cnt"))
+    pid = F.shiftright(F.col("__mid"), 33).alias("__ods_pid")
+    counts = local.groupBy(pid).agg(
+        F.count("*").alias("__cnt"),
+        F.min("__mid").alias("__mn"),
+        F.max("__mid").alias("__mx"),
+    )
     w_off = Window.orderBy("__ods_pid").rowsBetween(
         Window.unboundedPreceding, -1
     )
+    layout_ok = (
+        (F.col("__mx") - F.col("__mn") + F.lit(1) == F.col("__cnt"))
+        & (F.col("__mn") == F.shiftleft(F.col("__ods_pid"), 33))
+    )
     offsets = counts.select(
         "__ods_pid",
-        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
+        F.when(
+            layout_ok,
+            F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)),
+        )
+        .otherwise(
+            F.raise_error(
+                "monotonically_increasing_id layout changed: ids not "
+                "consecutive from pid << 33 — fix global_row_numbers"
+            ).cast("long")
+        )
+        .alias("__off"),
     )
     return (
-        local.join(F.broadcast(offsets), "__ods_pid")
-        .withColumn(col_name, F.col("__off") + F.col("__rn"))
-        .drop("__ods_pid", "__rn", "__off")
+        local.withColumn("__ods_pid", pid)
+        .join(F.broadcast(offsets), "__ods_pid")
+        .withColumn(
+            col_name,
+            F.col("__off")
+            + F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1))
+            + F.lit(1),
+        )
+        .drop("__ods_pid", "__mid", "__off")
     )
 
 

@@ -385,25 +385,27 @@ def agg_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_groupby_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ser.quantile(q) / groupby.quantile — exact percentile via the
-    distributed sort-based operator (operators/quantile.py):
-    `F.percentile` collects whole groups into single aggregation
-    buffers (the 100 TB OOM shape); rank-interpolation over a window
-    sort keeps per-task memory O(1) with identical quantile_cont
-    semantics.  The auto variant probes the largest group size and
-    switches to the bucket-selection path when any single group would
-    overflow a one-task sort (few-huge-groups inputs).  The sketch
-    path is `agg_quantile_approx`."""
+    distributed operator (operators/quantile.py): `F.percentile`
+    collects whole groups into single aggregation buffers (the 100 TB
+    OOM shape); the sort path rank-interpolates over a per-group
+    window sort, and past the measured ~1M-rows-per-group knee the
+    auto probe switches to the RANGED path (range-partitioned
+    distributed rank — every group sorts at cluster width) with
+    identical quantile_cont semantics.  r15 removed the path='sort'
+    hint: the pinned hint kept the 3-group window sort at EVERY
+    scale, and the sf1 profile showed 13.6 s of the 14.7 s query in
+    one task with 31 cores idle; the probe (one scalar action over a
+    partial-agg count the sort path reuses) picks sort at the bench
+    SFs and ranged at sf1+ (13.5 → 4.5 s measured, identity-checked —
+    tools/ab_quantile.py).  The sketch path is
+    `agg_quantile_approx`."""
     from ondemand_dask_spark.operators.quantile import exact_group_quantiles_auto
 
     li = load_table(spark, sf_dir, "lineitem")
-    # path='sort' skips the probe job: l_returnflag is a 3-value key
-    # and every driver SF keeps the largest group far under the
-    # one-task sort knee (4M rows ≈ sf60 lineitem).  Callers without
-    # that prior omit the hint and pay one scalar probe.
     qdf = exact_group_quantiles_auto(
         li, ["l_returnflag"], "l_extendedprice",
         {"median_price": 0.5, "p90_price": 0.9},
-        path="sort",
+        retain=_CACHES.retain,
     )
     return qdf.select(
         "l_returnflag",
@@ -1401,10 +1403,14 @@ def agg_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ondemand_dask_spark.operators.quantile import exact_group_quantiles_auto
 
     li = load_table(spark, sf_dir, "lineitem")
+    # r15: hint dropped with agg_groupby_quantile's — the probe picks
+    # sort at the bench SFs and the ranged path past the ~1M-row
+    # group knee (the pinned 'sort' serialized every group into one
+    # task at any scale).
     cuts = exact_group_quantiles_auto(
         li, ["l_returnflag"], "l_extendedprice",
         {"lo": 0.05, "hi": 0.95},
-        path="sort",  # 3-value key: same prior as agg_groupby_quantile
+        retain=_CACHES.retain,
     )
     v = F.col("l_extendedprice")
     clipped = F.least(F.greatest(v, F.col("lo")), F.col("hi"))

@@ -18,6 +18,7 @@ from ondemand_dask_spark.operators.quantile import (
     choose_quantile_path,
     exact_group_quantiles,
     exact_group_quantiles_auto,
+    exact_group_quantiles_ranged,
     exact_group_quantiles_select,
 )
 
@@ -36,8 +37,12 @@ _rows = st.lists(
 @pytest.mark.usefixtures("spark")
 @pytest.mark.parametrize(
     "impl",
-    [exact_group_quantiles, exact_group_quantiles_select],
-    ids=["sort", "select"],
+    [
+        exact_group_quantiles,
+        exact_group_quantiles_select,
+        exact_group_quantiles_ranged,
+    ],
+    ids=["sort", "select", "ranged"],
 )
 @given(rows=_rows, q=st.sampled_from([0.0, 0.1, 0.25, 0.5, 0.9, 1.0]))
 @settings(
@@ -74,10 +79,13 @@ def test_choose_path_many_normal_groups_sorts():
     assert choose_quantile_path(MAX_ROWS_PER_SORT_TASK) == "sort"  # boundary
 
 
-def test_choose_path_few_huge_groups_selects():
-    # 3 groups × ~30B rows: a one-task-per-group window sort serializes
-    assert choose_quantile_path(max_group_rows=30_000_000_000) == "select"
-    assert choose_quantile_path(MAX_ROWS_PER_SORT_TASK + 1) == "select"
+def test_choose_path_few_huge_groups_ranged():
+    # 3 groups × ~30B rows: a one-task-per-group window sort
+    # serializes; the big-group path is the range-partitioned
+    # distributed rank (r15 — beats the selection path 4.5 vs 12.9 s
+    # at generated sf1, tools/ab_quantile.py)
+    assert choose_quantile_path(max_group_rows=30_000_000_000) == "ranged"
+    assert choose_quantile_path(MAX_ROWS_PER_SORT_TASK + 1) == "ranged"
 
 
 def test_auto_dispatches_both_ways_and_stays_exact(spark):

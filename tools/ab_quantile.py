@@ -31,6 +31,7 @@ from ondemand_dask_spark.io import load_table  # noqa: E402
 from ondemand_dask_spark.operators.quantile import (  # noqa: E402
     _sort_path,
     exact_group_quantiles,
+    exact_group_quantiles_ranged,
     exact_group_quantiles_select,
 )
 from ondemand_dask_spark.registry import all_queries  # noqa: E402
@@ -83,9 +84,16 @@ def main() -> int:
             {"q50": 0.5, "q90": 0.9}, cuts_from="sketch",
         )
 
+    def ranged():
+        li = load_table(spark, sf_dir, "lineitem")
+        return exact_group_quantiles_ranged(
+            li, ["l_returnflag"], "l_extendedprice", {"q50": 0.5, "q90": 0.9}
+        )
+
     arms = {
         "full": full,
         "exact_only": exact_only,
+        "ranged": ranged,
         "approx_only": approx_only,
         "exact_join": exact_join,
         "select_minmax": select_minmax,
