@@ -1178,11 +1178,31 @@ def text_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
     document's tokens in one row after the explode, so arbitrarily
     long documents shard freely.  Scores order on the ROUNDED value
     with a lexicographic phrase tiebreak, so the cut line cannot
-    diverge between engines."""
+    diverge between engines.
+
+    r15 exchange-width pass (guide §2.2): the sf1 profile showed the
+    doc_id window exchange (41 MB) AQE-coalesced to ONE task with its
+    three consumers (ph, wstat partials, scored) each re-reading it
+    single-task — 8.2 s of the 9.7 s query in three 1-task stages —
+    and AQE flip-flopping between broadcasting the vocabulary-sized
+    wstat and a (single-task-coalesced) sort-merge join, a
+    2.4-vs-9.5 s coin toss per run.  Both exchanges are now pinned:
+    an explicit repartition(2·parallelism, doc_id) feeds the window
+    (the window and both (doc_id, pid) aggregates reuse it — no
+    exchange added, only the coalescible implicit one replaced), and
+    the word-score attach is a SHUFFLE_HASH join co-partitioned on w
+    at the same explicit width — vocabulary grows with the corpus
+    (Heaps' law), so a broadcast assumption would not survive 100 TB,
+    and the deterministic shuffled-hash plan beats the AQE coin
+    toss's average anyway.  A/B (one warm session, interleaved,
+    identity-checked): sf1 base 8.5–12.6 s / doc_id-pin only
+    2.4–9.9 s bimodal / this shape 5.9–6.9 s stable; sf0.1 parity
+    (1.60 vs 1.67 best)."""
     docs = load_table(spark, sf_dir, "documents")
+    par2 = 2 * spark.sparkContext.defaultParallelism
     tok = docs.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
-    )
+    ).repartition(par2, "doc_id")
     st = F.col("w").isin(*STOPWORDS).cast("long")
     wd = (
         Window.partitionBy("doc_id")
@@ -1202,7 +1222,8 @@ def text_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("freq"), F.sum("plen").alias("deg"))
     )
     scored = (
-        member.join(wstat, "w")
+        member.repartition(par2, "w")
+        .join(wstat.hint("shuffle_hash"), "w")
         .groupBy("doc_id", "pid")
         .agg(
             F.array_join(
