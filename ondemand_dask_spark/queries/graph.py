@@ -40,6 +40,8 @@ this repo, so the DuckDB differential check is exact.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -173,6 +175,35 @@ def _sym(edges: DataFrame) -> DataFrame:
             )
         ).alias("e")
     ).select("e.u", "e.v")
+
+
+# The broadcast-|V| contract (r14 verdict item 7 → r15).  The
+# iterative graph queries broadcast node-keyed vectors (rank/degree,
+# BFS distance, LPA labels, triangle adjacency) whose row count is
+# |V| — dimension-sized by this repo's data model (the part catalog).
+# The docstrings document a keyed-join fallback for billion-node
+# graphs; this helper turns that prose into a checked boundary: under
+# SPARK_GRAFT_CHECK_BROADCAST=1 (or check=True — the test path) the
+# frame is counted and a |V| above the bound raises instead of
+# attempting a broadcast that would OOM the driver.  Production runs
+# pay nothing (the check is off by default; Spark's own 8 GB /
+# 512M-row broadcast cap remains the hard backstop).
+_BROADCAST_V_BOUND = 100_000_000
+
+
+def _broadcast_vec(df: DataFrame, what: str, check: bool | None = None):
+    if check is None:
+        check = os.environ.get("SPARK_GRAFT_CHECK_BROADCAST") == "1"
+    if check:
+        n = df.count()
+        if n > _BROADCAST_V_BOUND:
+            raise ValueError(
+                f"{what}: broadcast side has {n} rows > "
+                f"_BROADCAST_V_BOUND={_BROADCAST_V_BOUND}; this graph's "
+                "|V| is not dimension-sized — use the keyed-join "
+                "fallback documented on the query"
+            )
+    return F.broadcast(df)
 
 
 @register(
@@ -331,10 +362,11 @@ def _intersection_census(
     # p=0.3 estimator): broadcast-adj + eager-cached oriented 3.47 s
     # vs 4.36 s declarative (−20%); billion-node graphs drop the hint
     # and return to the keyed join.
-    adj = F.broadcast(
+    adj = _broadcast_vec(
         oriented.groupBy(F.col("lo").alias("node")).agg(
             F.collect_list("hi").alias("nbrs")
-        )
+        ),
+        "graph_triangle adjacency",
     )
     inter = F.array_intersect("na", "nb")
     cnt = F.size(inter)
@@ -598,7 +630,9 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for _ in range(_PR_ITERS):
         contrib = sym.join(
-            F.broadcast(vec).withColumnRenamed("node", "u"), "u"
+            _broadcast_vec(vec, "graph_pagerank (node, pr, d) vector")
+            .withColumnRenamed("node", "u"),
+            "u"
         ).select(F.col("v"), (F.col("pr") / F.col("d")).alias("c"))
         vec = (
             contrib.groupBy(F.col("v").alias("node"))
@@ -1148,7 +1182,9 @@ def graph_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     dist = src.withColumn("dist", F.lit(0))
     for _ in range(_BFS_HOPS):
         relax = sym.join(
-            F.broadcast(dist).withColumnRenamed("node", "u"), "u"
+            _broadcast_vec(dist, "graph_bfs_khop distance vector")
+            .withColumnRenamed("node", "u"),
+            "u"
         ).select(F.col("v").alias("node"), (F.col("dist") + 1).alias("dist"))
         # pin each round's vector with a LAZY localCheckpoint: dist is
         # referenced twice per round (the broadcast probe and the
@@ -1261,7 +1297,11 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for _ in range(_LPA_ROUNDS):
         joined = sym.join(
-            F.broadcast(labels.withColumnRenamed("node", "v")), "v"
+            _broadcast_vec(
+                labels.withColumnRenamed("node", "v"),
+                "graph_label_propagation label vector",
+            ),
+            "v"
         )
         cnt = (
             joined.select(F.col("u").alias("node"), "lbl")
@@ -1432,7 +1472,10 @@ def graph_personalized_pagerank(
     )
     for _ in range(_PR_ITERS):
         contrib = sym.join(
-            F.broadcast(ranks).withColumnRenamed("node", "u"), "u"
+            _broadcast_vec(
+                ranks, "graph_personalized_pagerank walk vector"
+            ).withColumnRenamed("node", "u"),
+            "u"
         ).select(
             F.col("v").alias("node"),
             (F.lit(_PR_D) * F.col("pr") / F.col("d")).alias("pr"),

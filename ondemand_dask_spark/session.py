@@ -57,13 +57,23 @@ def build_session(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # Coalesce post-shuffle partitions by the 64MB advisory size
-        # instead of stopping at default parallelism: tiny shuffles
-        # collapse to a handful of tasks (scheduling overhead is the
-        # dominant cost at test SFs), and at real scale the byte-sized
-        # target is the right knob anyway (per Spark's own tuning
-        # guidance for this flag).
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        # r15: back to Spark's DEFAULT (true).  The r6-era "false"
+        # (coalesce purely by the 64MB advisory) was tuned to the
+        # sf0.1 bench and starved every 20-50MB post-shuffle stage
+        # down to ONE task at sf1 — profiled single-task stages of
+        # 2-14s with 31 cores idle in agg_groupby_quantile,
+        # text_bm25_topk, text_keyphrase_rake, dedup_duplicate_spans,
+        # window_ewm_bounded, sessionize_gap — and measured SLOWER
+        # even at sf0.1 (8-query interleaved probe: 9.52s false vs
+        # 4.93s true; sf1 18.86 vs 7.83).  parallelismFirst keeps
+        # post-shuffle parallelism at cluster width until partitions
+        # hit minPartitionSize; the advisory byte target still governs
+        # once data is large enough for bytes to matter — which is
+        # exactly Spark's documented intent for this flag.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+            os.environ.get("SPARK_GRAFT_PARALLELISM_FIRST", "true"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Dimension tables (region/nation/supplier/part) are tiny at
         # every SF; raise the auto-broadcast threshold so they always
